@@ -1,0 +1,87 @@
+"""Tree / hierarchy operators (SURVEY.md §2.5, G1/G2).
+
+The reference's ``build_item_tree`` (hnarchive.py:306-319) materializes one
+comment tree with an N+1 recursive point-query loop — one SELECT per node.
+The Spark-native replacement is level-at-a-time BFS to a fixpoint: each
+iteration is ONE join discovering the whole next level for ALL requested
+roots simultaneously, so the cost is O(depth) jobs instead of O(nodes)
+queries, and an arbitrary number of trees amortize into the same scans.
+
+Scale notes:
+* the frontier is tiny relative to ``items`` -> broadcast it, so each step
+  is a broadcast hash join against the (parent-partitioned) items scan with
+  pushed-down ``parent IS NOT NULL``;
+* ``localCheckpoint`` truncates the growing lineage each level (without it
+  the plan doubles every iteration and the driver chokes long before data
+  size matters);
+* depth is unbounded in HN threads, so the loop runs to fixpoint, not to a
+  constant (SURVEY §7 'what's hard' (c)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tree_closure(
+    items: DataFrame,
+    root_ids: Sequence[int],
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Transitive closure under ``parent`` edges for the given roots.
+
+    Returns a DataFrame ``(root_id, id, depth)`` — every node of every
+    requested tree with its distance from the root (root itself at depth 0).
+    """
+    edges = items.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(parent_col).cast("long").alias("parent"),
+    ).filter(F.col("parent").isNotNull())
+
+    frontier = (
+        items.filter(F.col(id_col).isin(list(root_ids)))
+        .select(
+            F.col(id_col).cast("long").alias("root_id"),
+            F.col(id_col).cast("long").alias("id"),
+            F.lit(0).alias("depth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    result = frontier
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        e, f = edges.alias("e"), frontier.alias("f")
+        nxt = (
+            e.join(F.broadcast(f), F.col("e.parent") == F.col("f.id"))
+            .select(
+                F.col("f.root_id").alias("root_id"),
+                F.col("e.id").alias("id"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        result = result.union(nxt)
+        frontier = nxt
+        depth += 1
+    return result
+
+
+def tree_edges_for_roots(items: DataFrame, root_ids: Sequence[int]) -> DataFrame:
+    """Closure rows joined back to full item rows (for rendering, G2).
+
+    Children within a level are ordered by (time, id) at render time —
+    the reference's per-parent time sort (hnarchive.py:350).
+    """
+    closure = tree_closure(items, root_ids)
+    return closure.join(items, "id").select(
+        closure.root_id, closure.depth, *[items[c] for c in items.columns]
+    )

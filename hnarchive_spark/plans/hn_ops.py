@@ -1,0 +1,202 @@
+"""hnarchive-specific operators as oracle-checked queries:
+
+* q_merge_coalesce — the U1 merge matrix (coalesce vs overwrite vs insert,
+  duplicate ids in one batch) via operators.merge.merge_items;
+* q_tree_closure — G1 BFS fixpoint vs a DuckDB recursive CTE;
+* q_children_sorted — Q6/G2 per-parent time-ordered children;
+* q_fix_ptags — F1 HTML repair + F7 URL templating;
+* q_display_date — F4 epoch -> display-string formatting.
+
+The inline fixtures and their SQL VALUES forms come from plans.fixtures so
+Spark and the oracle consume identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions.scalars import display_date, fix_ptags, hn_item_url, hn_user_url
+from hnarchive_spark.operators.merge import COALESCE_COLS, merge_items
+from hnarchive_spark.operators.tree import tree_closure
+from hnarchive_spark.plans import fixtures as FX
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# q_merge_coalesce
+# ---------------------------------------------------------------------------
+
+
+def _merge_oracle_sql() -> str:
+    base_sql = FX.values_sql(FX.MERGE_BASE, FX.ITEM_COLS)
+    upd_cols = FX.ITEM_COLS + ("seq",)
+    upd_sql = FX.values_sql(FX.with_seq(FX.MERGE_UPDATES), upd_cols)
+    lastnn = ",\n       ".join(
+        f"arg_max({c}, seq) FILTER (WHERE {c} IS NOT NULL) AS {c}" for c in COALESCE_COLS
+    )
+    overwrite = [c for c in FX.ITEM_COLS if c not in COALESCE_COLS and c != "id"]
+    collapsed_cols = ", ".join(
+        [*(f"l.{c}" for c in overwrite), *(f"n.{c}" for c in COALESCE_COLS)]
+    )
+
+    def pick(c: str) -> str:
+        if c == "id":
+            return "coalesce(t.id, s.id) AS id"
+        merged = f"coalesce(s.{c}, t.{c})" if c in COALESCE_COLS else f"s.{c}"
+        return (
+            f"CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL THEN {merged} "
+            f"WHEN t.id IS NULL THEN s.{c} ELSE t.{c} END AS {c}"
+        )
+
+    merged_cols = ",\n       ".join(pick(c) for c in FX.ITEM_COLS)
+    return f"""
+    WITH base AS ({base_sql}),
+    upd AS ({upd_sql}),
+    lastrow AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn FROM upd
+      ) WHERE rn = 1
+    ),
+    lastnn AS (
+      SELECT id,
+       {lastnn}
+      FROM upd GROUP BY id
+    ),
+    collapsed AS (
+      SELECT l.id, {collapsed_cols}
+      FROM lastrow l JOIN lastnn n USING (id)
+    )
+    SELECT {merged_cols}
+    FROM base t FULL OUTER JOIN collapsed s ON t.id = s.id
+    """
+
+
+@query(
+    "q_merge_coalesce",
+    oracle=_merge_oracle_sql(),
+    doc="U1 keyed upsert with per-column coalesce/overwrite policy "
+    "(hnarchive.py:203-253) incl. duplicate-id fold within one batch; "
+    "one full-outer join, no per-row probes.",
+)
+def q_merge_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = FX.items_df(spark, FX.MERGE_BASE)
+    updates = FX.items_df_with_seq(spark, FX.MERGE_UPDATES)
+    return merge_items(base, updates, seq_col="seq")
+
+
+# ---------------------------------------------------------------------------
+# q_tree_closure
+# ---------------------------------------------------------------------------
+
+_TREE_ROOTS = (1, 40)
+
+
+def _tree_oracle_sql() -> str:
+    items_sql = FX.values_sql(FX.TREE_ITEMS, FX.ITEM_COLS)
+    roots = ", ".join(str(r) for r in _TREE_ROOTS)
+    return f"""
+    WITH RECURSIVE it AS ({items_sql}),
+    closure AS (
+      SELECT id AS root_id, id, 0 AS depth FROM it WHERE id IN ({roots})
+      UNION ALL
+      SELECT c.root_id, i.id, c.depth + 1 AS depth
+      FROM it i JOIN closure c ON i.parent = c.id
+    )
+    SELECT CAST(root_id AS BIGINT) AS root_id, CAST(id AS BIGINT) AS id,
+           CAST(depth AS INTEGER) AS depth
+    FROM closure
+    """
+
+
+@query(
+    "q_tree_closure",
+    oracle=_tree_oracle_sql(),
+    doc="G1 build_item_tree (hnarchive.py:306-319) as level-at-a-time BFS to "
+    "fixpoint: O(depth) broadcast joins instead of O(nodes) point queries.",
+)
+def q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = FX.items_df(spark, FX.TREE_ITEMS)
+    return tree_closure(items, _TREE_ROOTS)
+
+
+# ---------------------------------------------------------------------------
+# q_children_sorted (Q6 / G2)
+# ---------------------------------------------------------------------------
+
+
+def _children_oracle_sql() -> str:
+    items_sql = FX.values_sql(FX.TREE_ITEMS, FX.ITEM_COLS)
+    return f"""
+    WITH it AS ({items_sql})
+    SELECT parent, id,
+           row_number() OVER (PARTITION BY parent ORDER BY time, id) AS rnk
+    FROM it WHERE parent IS NOT NULL
+    """
+
+
+@query(
+    "q_children_sorted",
+    oracle=_children_oracle_sql(),
+    doc="Q6 per-parent time sort (hnarchive.py:350): the render-time child "
+    "ordering as a window, shuffling once on parent.",
+)
+def q_children_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = FX.items_df(spark, FX.TREE_ITEMS)
+    w = Window.partitionBy("parent").orderBy("time", "id")
+    return (
+        items.filter(F.col("parent").isNotNull())
+        .select("parent", "id", F.row_number().over(w).alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fix_ptags (F1 + F7)
+# ---------------------------------------------------------------------------
+
+
+def _ptags_oracle_sql() -> str:
+    items_sql = FX.values_sql(FX.TREE_ITEMS, FX.ITEM_COLS)
+    return f"""
+    WITH it AS ({items_sql})
+    SELECT id,
+           '<p>' || replace(text, '<p>', '</p><p>') || '</p>' AS fixed,
+           'https://news.ycombinator.com/item?id=' || CAST(id AS VARCHAR) AS item_url,
+           'https://news.ycombinator.com/user?id=' || author AS user_url
+    FROM it WHERE text IS NOT NULL
+    """
+
+
+@query(
+    "q_fix_ptags",
+    oracle=_ptags_oracle_sql(),
+    doc="F1 _fix_ptags HTML repair (hnarchive.py:294-304) + F7 URL templates, "
+    "as pure JVM-side column expressions (no UDF).",
+)
+def q_fix_ptags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = FX.items_df(spark, FX.TREE_ITEMS)
+    return items.filter(F.col("text").isNotNull()).select(
+        "id",
+        fix_ptags("text").alias("fixed"),
+        hn_item_url("id").alias("item_url"),
+        hn_user_url("author").alias("user_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_display_date (F4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_display_date",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y %b %d %H:%M:%S') AS shown
+    FROM events WHERE event_id < 100
+    """,
+    doc="F4 epoch -> '%Y %b %d %H:%M:%S' display formatting "
+    "(hnarchive.py:336-337,417-418), UTC session timezone.",
+)
+def q_display_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return ev.select("event_id", display_date(F.unix_timestamp(F.col("ts"))).alias("shown"))

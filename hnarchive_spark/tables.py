@@ -1,0 +1,56 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+All reads go through :func:`load` so every query in the library gets the
+same scan path: plain `spark.read.parquet` — column pruning and predicate
+pushdown then happen in Catalyst from whatever the query selects/filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension-sized tables that should always be broadcast in joins at any
+# scale factor (region/nation/supplier/part stay tiny relative to facts).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read nanos as long and floor to microseconds (exactly what
+        # DuckDB does when it reads the same file). Runtime conf so it works
+        # in any caller's session (incl. the driver's).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so spark.sql() queries can run."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

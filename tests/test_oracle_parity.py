@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query with an oracle: run the Spark builder and the
+DuckDB SQL on the same parquet tables, then compare row count, sorted column
+names, and order-insensitive values (floats to 6 significant decimals).
+Queries without an oracle get a rows-run smoke check.
+
+This is intentionally stricter than 'tests pass': if parity holds here at
+sf0.001, the driver's hash compare at sf0.01 should hold too (all queries are
+scale-independent in semantics).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from hnarchive_spark.plans.registry import REGISTRY, all_queries, _ensure_loaded
+from hnarchive_spark.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+_ensure_loaded()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    # driver compare: sort columns by name, then order-insensitive rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_parity(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if spec.oracle is None:
+        assert srows is not None  # rows-only smoke: it ran and collected
+        return
+    con = _duck()
+    res = con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    s_cols, s_vals = _norm_rows(scols, [tuple(r) for r in srows])
+    o_cols, o_vals = _norm_rows(ocols, orows)
+
+    assert s_cols == o_cols, f"{name}: column names differ: {s_cols} vs {o_cols}"
+    assert len(s_vals) == len(o_vals), (
+        f"{name}: row count {len(s_vals)} vs oracle {len(o_vals)}"
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_vals, o_vals)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={s_vals[mism[0]]} oracle={o_vals[mism[0]]}"
+    )
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_registry_doc():
+    for name, spec in REGISTRY.items():
+        assert spec.doc.strip(), f"{name} missing doc"
+
+
+def test_oracles_subset_of_queries():
+    q = set(all_queries())
+    from hnarchive_spark.plans.registry import all_oracles
+
+    assert set(all_oracles()) <= q
