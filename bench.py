@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Materialization is via the noop sink (full computation, no driver-side
+result transfer), so timings measure the engine, not py4j serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hnarchive_spark.plans.registry import all_queries
+from hnarchive_spark.session import get_spark
+
+HEADLINE = [
+    "q_flagship",
+    "q_groupby_agg",
+    "q_shipping_priority",
+    "q_window_rank",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_sessionize",
+    "q_json_extract",
+    "q_asof_join",
+    "q_dedup_ngram",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_text_stats",
+    "q_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("hnarchive-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

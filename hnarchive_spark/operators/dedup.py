@@ -1,0 +1,248 @@
+"""Deduplication operators for the training-data pipeline surface:
+
+* exact dedup          — hash-groupBy on a normalized fingerprint;
+* n-gram Jaccard       — inverted-index shingle self-join (exact);
+* MinHash + LSH        — signature/band/bucket-join (approximate, scale path);
+* SimHash              — banded Hamming-distance pairing.
+
+All operators are DataFrame compositions (joins + aggregations) — no UDFs.
+Hash functions are md5-prefix integers so the DuckDB oracles can reproduce
+them bit-for-bit.
+
+Scale design notes:
+* the shingle inverted index shuffles on the shingle — the classic skew
+  hazard is stop-shingles; ``max_df`` drops shingles occurring in more than
+  N docs (disabled in the oracle-checked queries to keep semantics exact);
+* MinHash keeps the pair join bounded: candidates only form inside an LSH
+  bucket, so the quadratic blowup is per-bucket, not global;
+* SimHash pairs only inside an 8-bit band match — pigeonhole guarantees
+  recall for Hamming distance <= bands-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 31-bit modulus keeps a*h+b inside int64 on both engines (no overflow UB).
+MH_PRIME = 2_147_483_647
+MH_K = 32  # signature length
+MH_R = 2  # rows per band
+MH_B = MH_K // MH_R  # 16 bands -> candidate P ~99% at jaccard 0.5
+
+SH_BITS = 32
+SH_BANDS = 4  # 4 bands x 8 bits; guarantees recall for hamming <= 3
+SH_HAM_MAX = 3
+
+
+def _lcg_params(k: int) -> list[tuple[int, int, int]]:
+    """Deterministic (j, a, b) permutation constants via a fixed LCG."""
+    out, x = [], 88172645463325252
+    for j in range(k):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (MH_PRIME - 2)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % MH_PRIME
+        out.append((j, a, b))
+    return out
+
+
+MH_PERMS: list[tuple[int, int, int]] = _lcg_params(MH_K)
+
+
+def h32(col) -> F.Column:
+    """First 8 md5 hex chars as an integer — identical to DuckDB's
+    ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    parts = [F.element_at(F.col("ws"), F.col("i") + j) for j in range(n)]
+    shingle = F.concat_ws(" ", *parts)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"), "ws")
+        .select("doc_id", shingle.alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold via inverted-index self-join.
+
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4 decimals.
+    ``max_df`` (scale knob) drops shingles shared by more than N docs before
+    pairing — recall loss only for pairs whose entire overlap is stop-shingles.
+    """
+    if max_df is not None:
+        keep = shingles.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        shingles = shingles.join(keep.select("shingle"), "shingle")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, j, sig) — min over shingles of (a_j * h32 + b_j) mod P."""
+    perms = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, a, b in MH_PERMS
+        ]
+    )
+    h = (h32(F.col("shingle")) % MH_PRIME).alias("h")
+    return (
+        shingles.select("doc_id", h)
+        .select("doc_id", "h", F.explode(perms).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.j").alias("j"),
+            ((F.col("p.a") * F.col("h") + F.col("p.b")) % MH_PRIME).alias("hv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (d1 < d2)."""
+    banded = (
+        signatures.withColumn("band", (F.col("j") / MH_R).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "sig"))),
+                    lambda s: s["sig"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (>= threshold).
+
+    The verify join restricts the shingle self-join to candidate pairs, so
+    the expensive exact computation touches only LSH survivors.
+    """
+    sigs = minhash_signatures(shingles)
+    cands = lsh_candidates(sigs)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        F.broadcast(cands)
+        .join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over distinct tokens.
+
+    Bit i of the hash is 1 iff the sum over tokens of (2*bit_i(h32)-1) > 0.
+    """
+    h = h32(F.col("w")).alias("h")
+    bits = docs_tokens.select("doc_id", h).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SH_BITS - 1))).alias("bit"),
+        "h",
+    )
+    contrib = F.when(F.expr("(shiftright(h, cast(bit AS int)) & 1) = 1"), 1).otherwise(-1)
+    return (
+        bits.select("doc_id", "bit", contrib.alias("c"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(bit AS int))")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs_tokens: DataFrame, ham_max: int = SH_HAM_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ham_max, found by
+    matching any of the 4 8-bit bands (pigeonhole-complete for <= 3)."""
+    sh = simhash(docs_tokens)
+    width = SH_BITS // SH_BANDS
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, cast(band * {width} AS int)) & {(1 << width) - 1}"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    ham = F.expr("bit_count(x.simhash ^ y.simhash)")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= ham_max)
+    )

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted through Arrow-batched Pandas iterators.
+
+The image/audio decode libraries are not in this container, so the decode
+kernels are STUBS (deterministic fakes clearly marked below); everything
+Spark-side is real and load-bearing:
+
+* schema: ``payload binary`` + ``media_meta struct<mime,byte_len>``;
+* execution: ``mapInPandas`` — payloads cross to Python as Arrow binary
+  batches (zero-copy), never row-at-a-time;
+* batch shape: honors ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+* partitioning: per-row kernels preserve partitioning, no shuffle.
+
+Swapping the stub for a real decoder (PIL/ffmpeg/torchaudio) changes ONLY
+the function body — the Spark plumbing, schema, and batching stay as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Treat the utf-8 bytes of a text column as an opaque media payload with
+    typed metadata — the storage shape a real image/audio table would have."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_stub(buf: bytes) -> tuple[int, int, int, int]:
+    """STUB decoder — deterministic fake in place of a real media decoder.
+
+    A production build would do ``PIL.Image.open(io.BytesIO(buf))`` /
+    ffmpeg frame sampling here; this container has neither, so dimensions
+    are derived arithmetically from the payload length (stable, testable).
+    """
+    n = len(buf)
+    return n, n % 640, (n * 7) % 480, n % 30 + 1
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """payload/meta rows -> decoded metadata via Arrow-batched mapInPandas."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_stub(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "byte_len": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_frames": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, DECODED_SCHEMA)

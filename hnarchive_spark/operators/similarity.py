@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+* brute-force cosine top-k — the exact baseline: broadcast the query set,
+  one pass over the corpus, per-query heap via ranked window;
+* random-hyperplane LSH buckets — the scale path: 8-bit sign signatures
+  partition the corpus; top-k runs inside the query's bucket only.
+
+All vector math is built-in (`aggregate`/`zip_with` over array<double>) —
+JVM-side, no Python crossing.  Hyperplane components are derived
+deterministically from md5 in plain Python (module import time) and embedded
+as literals on BOTH the Spark and DuckDB sides, so the approximate operator
+is still exactly oracle-checkable.
+
+At 100 TB: the corpus side stays partitioned (never collected); the query
+side is broadcast; bucket signatures would be precomputed and stored as a
+partition column so a query touches 1/256th of the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+PLANES: list[list[float]] = [
+    [_plane_component(p, d) for d in range(DIM)] for p in range(N_PLANES)
+]
+
+
+def as_double(col) -> F.Column:
+    return col.cast("array<double>")
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Returns (query_id, neighbor_id, rank, cos) with a total tiebreak order
+    (cos desc, neighbor_id asc); cos rounded to 6 decimals.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def lsh_signature(vec_col) -> F.Column:
+    """8-bit sign signature: bit p set iff dot(v, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(PLANES):
+        arr = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(dot(vec_col, arr) > 0, F.lit(1 << p)).otherwise(0)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_signature(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_signature(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, d1 < d2.
+
+    Brute-force pair join here; at scale the LSH bucket join above bounds
+    the pair space the same way it bounds search.
+    """
+    e = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

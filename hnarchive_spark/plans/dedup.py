@@ -1,0 +1,196 @@
+"""Dedup queries over `documents`, each mirrored by a DuckDB oracle that
+reproduces the SAME hash math (md5-prefix integers, shared permutation
+constants), so even the approximate operators are hash-checked exactly.
+
+Thresholds are tuned to the corpus structure (25 planted near-dup pairs with
+Jaccard >= 0.5; the next pair down is < 0.1, so 0.5 sits in a wide gap and
+cannot flap on float rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.operators import dedup as D
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+JACCARD_T = 0.5
+
+# Shared SQL fragments ------------------------------------------------------
+
+_TOK = """
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w,
+             unnest(range(1, len(list_filter(string_split(text, ' '), w -> w != '')) + 1)) AS i
+      FROM documents
+    )
+"""
+
+_SHINGLES = (
+    _TOK
+    + """,
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+)
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16) AS fp
+      FROM documents
+    )
+    SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM fp GROUP BY fp
+    """,
+    doc="Exact dedup: hash-groupBy on the normalized fingerprint, keeping the "
+    "smallest doc_id per group — one shuffle on a 64-bit key.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH {_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, jaccard FROM (
+      SELECT d1, d2,
+             round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+    ) WHERE jaccard >= {JACCARD_T}
+    """,
+    doc="Exact n-gram Jaccard dedup via the inverted-index shingle self-join "
+    "(word 3-grams); the shuffle key is the shingle.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
+
+
+def _minhash_oracle() -> str:
+    perms = ",\n        ".join(f"({j}, {a}, {b})" for j, a, b in D.MH_PERMS)
+    return f"""
+    WITH {_SHINGLES},
+    perms(j, a, b) AS (VALUES
+        {perms}
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MH_PRIME} AS h
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, j, min((a * h + b) % {D.MH_PRIME}) AS sig
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // {D.MH_R} AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+      FROM sigs GROUP BY doc_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    common AS (
+      SELECT c.d1, c.d2, count(*) AS common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2, jaccard FROM (
+      SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+    ) WHERE jaccard >= {JACCARD_T}
+    """
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_minhash_oracle(),
+    doc=f"MinHash+LSH dedup: {D.MH_K} md5-derived permutations, bands of "
+    f"{D.MH_R} ({D.MH_B} bands; candidate prob ~0.99 at J=0.5), candidates "
+    "verified with exact Jaccard. The oracle replays the identical hash "
+    "pipeline in SQL, so this approximate operator is value-hash-checked.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(D.word_shingles(d), JACCARD_T)
+
+
+def _simhash_oracle() -> str:
+    width = D.SH_BITS // D.SH_BANDS
+    return f"""
+    WITH {_TOK},
+    toks AS (SELECT DISTINCT doc_id, w FROM tok),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, t.bit,
+             sum(CASE WHEN ((h >> t.bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, {D.SH_BITS}) t(bit)
+      GROUP BY doc_id, t.bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, t.band,
+             (simhash >> (t.band * {width})) & {(1 << width) - 1} AS band_val
+      FROM sh, range(0, {D.SH_BANDS}) t(band)
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.band_val = y.band_val
+                 AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {D.SH_HAM_MAX}
+    """
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=f"SimHash dedup: 32-bit token-set simhash, {D.SH_BANDS} 8-bit bands "
+    f"(pigeonhole-complete for Hamming <= {D.SH_HAM_MAX}); banded join "
+    "bounds the pair space.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w")).distinct()
+    )
+    return D.simhash_pairs(toks)

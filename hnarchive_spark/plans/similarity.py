@@ -1,0 +1,113 @@
+"""Similarity-search queries over `embeddings` (array<float>, 64-dim).
+
+The oracles recompute cosine in double precision (DuckDB
+list_cosine_similarity on DOUBLE[]) and the LSH oracle replays the exact
+deterministic hyperplanes, so both the exact and the approximate operators
+get full value-hash checks (both sides round cosine to 6 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators import similarity as S
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+COS_DUP_T = 0.45
+ANN_K = 5
+N_QUERIES = 5  # query set = vec_id < 5
+
+_E = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+@query(
+    "q_embed_dup",
+    oracle=f"""
+    WITH {_E}
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COS_DUP_T}
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.45). Brute-force pair join "
+    "at test scale; the LSH bucket join is the scale path (q_ann_lsh).",
+)
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(e, COS_DUP_T)
+
+
+@query(
+    "q_ann_topk",
+    oracle=f"""
+    WITH {_E},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+      FROM e a CROSS JOIN q WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast query set, "
+    "one corpus pass, ranked window per query.",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+def _lsh_oracle() -> str:
+    planes = ",\n        ".join(
+        f"({p}, {d}, {w!r})"
+        for p, plane in enumerate(S.PLANES)
+        for d, w in enumerate(plane)
+    )
+    return f"""
+    WITH {_E},
+    planes(p, d, w) AS (VALUES
+        {planes}
+    ),
+    vecs AS (
+      SELECT vec_id, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM e
+    ),
+    dots AS (
+      SELECT vec_id, p, sum(val * w) AS dp
+      FROM vecs JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    q AS (SELECT e.vec_id AS query_id, e.v AS qv, s.bucket
+          FROM e JOIN sigs s USING (vec_id) WHERE e.vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+      FROM e a JOIN sigs sa ON sa.vec_id = a.vec_id
+      JOIN q ON q.bucket = sa.bucket AND a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@query(
+    "q_ann_lsh",
+    oracle=_lsh_oracle(),
+    doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
+    "sign bits partition the corpus; top-k runs inside the query's bucket "
+    "only (1/256th of the data per query at uniform spread).",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)

@@ -1,0 +1,158 @@
+"""Streaming-shaped queries: tumbling-window aggregation via a real
+Structured Streaming run (Trigger.AvailableNow — the reference's `update`
+semantics, SURVEY §2.8/E2), sessionization, and the as-of join.
+
+q_stream_tumbling genuinely goes through readStream -> writeStream(memory)
+so the streaming plumbing (source listing, watermarking hooks, micro-batch
+execution) is exercised; with AvailableNow it drains the input and stops,
+which makes the result a deterministic batch answer the oracle can check.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hnarchive_spark.operators.asof import asof_join
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+_sink_counter = itertools.count()
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> long under
+# nanosAsLong; converted to a proper timestamp after the scan).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-day window aggregation executed as a real Structured "
+    "Streaming query (readStream -> window() -> memory sink) drained with "
+    "Trigger.AvailableNow — the reference `update` catch-up semantics "
+    "(hnarchive.py:524-537). Watermark included to exercise the late-data "
+    "path (no-op on a drained source).",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        # FileStreamSource needs a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"stream_tumbling_sink_{next(_sink_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("day"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap): lag + cumulative-sum session "
+    "ids, one shuffle on user_id; the batch twin of the stateful streaming "
+    "session operator in hnarchive_spark.streaming.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_session = (
+        F.when(prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1)
+        .otherwise(0)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "value", new_session.alias("new_session"))
+        .select("*", F.sum("new_session").over(wsum).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts AS event_ts
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    doc="As-of join (latest event per user at or before each order date): "
+    "union-and-carry implementation — ONE shuffle on the key, no range "
+    "explosion (operators/asof.py).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"), "event_id", F.col("ts").alias("event_ts")
+    )
+    return asof_join(
+        o,
+        e,
+        key="o_custkey",
+        left_time="o_orderdate",
+        right_time="event_ts",
+        payload_cols=["event_id", "event_ts"],
+    )

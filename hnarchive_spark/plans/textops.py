@@ -1,0 +1,179 @@
+"""Text-analysis queries over the `documents` table — the language-ID /
+quality-scoring / token-counting / fingerprinting surface a training-data
+pipeline needs (mission brief: first-class alongside SURVEY §2).
+
+Every query is a pure column-expression pipeline (no UDFs): at 100 TB these
+run inside whole-stage codegen directly over the parquet scan, shuffling
+nothing (all are per-row or per-group on doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_uniq,
+           round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS ttr,
+           round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
+             AS avg_tok_len
+    FROM toks
+    """,
+    doc="Per-document token statistics (counts, type-token ratio, mean token "
+    "length) as array expressions over the scan — no explode, no shuffle.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws)
+    nu = F.size(F.array_distinct(ws))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        nu.alias("n_uniq"),
+        F.round(nu.cast("double") / n, 4).alias("ttr"),
+        F.round(T.sum_token_len(F.col("text")).cast("double") / n, 4).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{T.SUBTOKEN_PATTERN}')) AS n_subtokens,
+           len(list_filter(string_split(text, ' '), w -> w != '')) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace tokens and a BPE-ish regex "
+    "(letter runs / digit runs / other glyphs).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.subtokens(F.col("text"))).alias("n_subtokens"),
+        T.n_tokens(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n,
+             len(list_filter(ws, w -> w IN ({_sql_list(T.EN_STOPWORDS)}))) AS stop_hits,
+             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_len
+      FROM toks
+    )
+    SELECT doc_id,
+           round(stop_hits::DOUBLE / n, 4) AS stopword_ratio,
+           round(mean_len, 4) AS mean_tok_len,
+           round(0.5 * (stop_hits::DOUBLE / n) + 0.5 / (1.0 + abs(mean_len - 5.0)), 4)
+             AS quality_score
+    FROM m
+    """,
+    doc="Heuristic quality scoring: stopword ratio + token-length shape, "
+    "composable per-row (the doc-filtering stage of a data pipeline).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    return d.select(
+        "doc_id",
+        F.round(stop_hits / n, 4).alias("stopword_ratio"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n             ".join(
+        f"len(list_filter(ws, w -> w IN ({_sql_list(T.LANG_MARKERS[lg])}))) AS hits_{lg}"
+        for lg in T.LANG_ORDER
+    )
+    greatest = ", ".join(f"hits_{lg}" for lg in T.LANG_ORDER)
+    case = " ".join(f"WHEN hits_{lg} = best THEN '{lg}'" for lg in T.LANG_ORDER)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             {hit_cols}
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {case} END AS pred_lang
+    FROM (SELECT *, greatest({greatest}) AS best FROM hits)
+    """
+
+
+@query(
+    "q_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="Language-ID heuristic: per-language marker-token hit counts, argmax "
+    "with a fixed tiebreak order; pure column math over the scan.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    hits = {lg: T.stopword_hits(F.col("text"), T.LANG_MARKERS[lg]) for lg in T.LANG_ORDER}
+    df = d.select("doc_id", F.col("lang").alias("labeled_lang"), *[hits[lg].alias(f"hits_{lg}") for lg in T.LANG_ORDER])
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in T.LANG_ORDER])
+    expr = None
+    for lg in T.LANG_ORDER:
+        cond = F.col(f"hits_{lg}") == best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return df.select("doc_id", "labeled_lang", expr.alias("pred_lang"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 16) AS fp,
+           ('0x' || substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 15))::BIGINT
+             AS fp_int
+    FROM documents
+    """,
+    doc="Document fingerprinting: 64-bit md5 prefix of normalized text plus "
+    "its integer form (the dedup/bucketing key at scale).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    fp = F.substring(F.md5(norm), 1, 16)
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )
