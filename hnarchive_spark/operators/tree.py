@@ -43,29 +43,26 @@ def tree_closure(
         F.col(parent_col).cast("long").alias("parent"),
     ).filter(F.col("parent").isNotNull())
 
-    frontier = (
-        items.filter(F.col(id_col).isin(list(root_ids)))
-        .select(
-            F.col(id_col).cast("long").alias("root_id"),
-            F.col(id_col).cast("long").alias("id"),
-            F.lit(0).alias("depth"),
-        )
-        .localCheckpoint(eager=True)
+    frontier = items.filter(F.col(id_col).isin(list(root_ids))).select(
+        F.col(id_col).cast("long").alias("root_id"),
+        F.col(id_col).cast("long").alias("id"),
+        F.lit(0).alias("depth"),
     )
+    # NOTE: no per-level localCheckpoint — on Spark 4.1 a union of
+    # checkpointed levels trips attribute resolution ("key not found") when
+    # the closure is later self-joined against the source. Lineage grows
+    # linearly with depth (one join per level), which is fine for
+    # comment-tree depths; beyond ~100 levels cache+count the frontier.
     result = frontier
     depth = 0
     while True:
         if max_depth is not None and depth >= max_depth:
             break
         e, f = edges.alias("e"), frontier.alias("f")
-        nxt = (
-            e.join(F.broadcast(f), F.col("e.parent") == F.col("f.id"))
-            .select(
-                F.col("f.root_id").alias("root_id"),
-                F.col("e.id").alias("id"),
-                (F.col("f.depth") + 1).alias("depth"),
-            )
-            .localCheckpoint(eager=True)
+        nxt = e.join(F.broadcast(f), F.col("e.parent") == F.col("f.id")).select(
+            F.col("f.root_id").alias("root_id"),
+            F.col("e.id").alias("id"),
+            (F.col("f.depth") + 1).alias("depth"),
         )
         if nxt.isEmpty():
             break
