@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # 31-bit modulus keeps a*h+b inside int64 on both engines (no overflow UB).
 MH_PRIME = 2_147_483_647
@@ -57,12 +58,17 @@ def h32(col) -> F.Column:
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
+    """(id, shingle) pairs — distinct word n-grams per document.
+
+    Input is repartitioned on the id before the explode: a corpus read from
+    few files would otherwise explode (a 10-100x row blowup) inside a
+    handful of tasks — the classic single-file hotspot."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     parts = [F.element_at(F.col("ws"), F.col("i") + j) for j in range(n)]
     shingle = F.concat_ws(" ", *parts)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
         .filter(F.size("ws") >= n)
         .select("doc_id", F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"), "ws")
         .select("doc_id", shingle.alias("shingle"))
@@ -82,6 +88,9 @@ def jaccard_pairs(
     if max_df is not None:
         keep = shingles.groupBy("shingle").count().filter(F.col("count") <= max_df)
         shingles = shingles.join(keep.select("shingle"), "shingle")
+    # the shingle index feeds three consumers (sizes + both join sides):
+    # materialize it once instead of re-scanning/re-exploding the corpus
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     common = (
@@ -108,42 +117,39 @@ def jaccard_pairs(
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, j, sig) — min over shingles of (a_j * h32 + b_j) mod P."""
-    perms = F.array(
+    """(doc_id, sig_0..sig_{K-1}) — min over shingles of (a_j*h32+b_j) mod P.
+
+    Wide-aggregate form: K min-columns over the (doc_id, h) rows in ONE
+    partial-aggregated shuffle.  The naive explode form (K rows per shingle)
+    shuffles K times the data for the same answer — at 100 TB that is the
+    difference between one pass and K passes."""
+    h = (h32(F.col("shingle")) % MH_PRIME).alias("h")
+    return shingles.select("doc_id", h).groupBy("doc_id").agg(
         *[
-            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"sig_{j}")
             for j, a, b in MH_PERMS
         ]
-    )
-    h = (h32(F.col("shingle")) % MH_PRIME).alias("h")
-    return (
-        shingles.select("doc_id", h)
-        .select("doc_id", "h", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.j").alias("j"),
-            ((F.col("p.a") * F.col("h") + F.col("p.b")) % MH_PRIME).alias("hv"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("sig"))
     )
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the signatures and emit distinct candidate pairs (d1 < d2)."""
-    banded = (
-        signatures.withColumn("band", (F.col("j") / MH_R).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("j", "sig"))),
-                    lambda s: s["sig"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
+    """Band the wide signatures and emit distinct candidate pairs (d1 < d2).
+
+    Banding explodes only B rows per doc (B=16), not K per shingle."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"sig_{band * MH_R + r}").cast("string") for r in range(MH_R)]
+                ).alias("band_key"),
+            )
+            for band in range(MH_B)
+        ]
     )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -163,6 +169,7 @@ def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     The verify join restricts the shingle self-join to candidate pairs, so
     the expensive exact computation touches only LSH survivors.
     """
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(shingles)
     cands = lsh_candidates(sigs)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -195,31 +202,29 @@ def simhash(docs_tokens: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct tokens.
 
     Bit i of the hash is 1 iff the sum over tokens of (2*bit_i(h32)-1) > 0.
+    Wide-aggregate form: 32 per-bit sums in one shuffle (no 32x bit-explode),
+    then the hash is assembled from the sign columns in a single projection.
     """
     h = h32(F.col("w")).alias("h")
-    bits = docs_tokens.select("doc_id", h).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SH_BITS - 1))).alias("bit"),
-        "h",
-    )
-    contrib = F.when(F.expr("(shiftright(h, cast(bit AS int)) & 1) = 1"), 1).otherwise(-1)
-    return (
-        bits.select("doc_id", "bit", contrib.alias("c"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    sums = docs_tokens.select("doc_id", h).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(bit AS int))")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SH_BITS)
+        ]
     )
+    assemble = None
+    for i in range(SH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        assemble = term if assemble is None else assemble + term
+    return sums.select("doc_id", assemble.alias("simhash"))
 
 
 def simhash_pairs(docs_tokens: DataFrame, ham_max: int = SH_HAM_MAX) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ham_max, found by
     matching any of the 4 8-bit bands (pigeonhole-complete for <= 3)."""
-    sh = simhash(docs_tokens)
+    sh = simhash(docs_tokens).persist(StorageLevel.MEMORY_AND_DISK)
     width = SH_BITS // SH_BANDS
     banded = sh.select(
         "doc_id",

@@ -68,6 +68,9 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, cos) with a total tiebreak order
     (cos desc, neighbor_id asc); cos rounded to 6 decimals.
     """
+    # no repartition: the broadcast cross join preserves the corpus scan's
+    # partitioning (many splits at scale), and a shuffle of the corpus would
+    # cost more than the per-row dot products
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
@@ -135,7 +138,7 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     Brute-force pair join here; at scale the LSH bucket join above bounds
     the pair space the same way it bounds search.
     """
-    e = embeddings.select(
+    e = embeddings.repartition(F.col("vec_id")).select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
     )
     a, b = e.alias("a"), e.alias("b")
