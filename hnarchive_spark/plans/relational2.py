@@ -1,0 +1,123 @@
+"""Second relational wave: multi-dimensional aggregation (cube / grouping
+sets), deterministic sampling, range join, and approximate distinct — the
+rest of the SURVEY §2.9 general surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (all 4 grouping combinations in one pass "
+    "via Expand — one shuffle, not four queries).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (flag-only, status-only, grand total).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    """,
+    doc="Deterministic 10% sample by key hash — reproducible across engines "
+    "and runs (unlike rng-based sampling), stable under repartitioning, and "
+    "exactly what a 100 TB pipeline uses for consistent train/eval splits.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT o.o_orderkey, count(e.event_id) AS n_events_week_before
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >  o.o_orderdate - INTERVAL 7 DAY
+     AND e.ts <= o.o_orderdate
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range join (events within the 7 days before each order): equi-key "
+    "on the user plus a time-band predicate — Spark plans the equi part as "
+    "the shuffle key so the band filter runs within key groups, not as a "
+    "cartesian.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts > o.o_orderdate - F.expr("INTERVAL 7 DAY"))
+        & (e.ts <= o.o_orderdate)
+    )
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_week_before"))
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines -> rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the sketch-based cardinality "
+    "path for 100 TB-scale distincts. No SQL oracle — DuckDB's HLL gives "
+    "different estimates; the companion exact query q_distinct_count is the "
+    "hash-checked twin.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
+    )

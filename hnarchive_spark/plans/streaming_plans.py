@@ -132,6 +132,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sessionize",
+    oracle=None,  # custom stateful streaming op -> rows-only check; the
+    # batch twin q_sessionize is the hash-checked equivalent, and
+    # tests/test_streaming_state.py cross-checks the two.
+    doc="Custom stateful streaming operator: session windows with a 30-min "
+    "inactivity gap via applyInPandasWithState (per-user state, timeout "
+    "handling). AvailableNow drain -> emits every session closed by a "
+    "subsequent event; open tail sessions stay in state.",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.streaming.sessionize import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "value")
+    )
+    sessions = sessionize_stream(raw)
+    name = f"stream_sessionize_sink_{next(_sink_counter)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "q_asof_join",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts AS event_ts

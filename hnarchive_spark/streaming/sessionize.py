@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: session windows with an inactivity
+gap, via ``applyInPandasWithState`` (SURVEY §2.8's 'custom stateful
+operator' slot; the batch twin is plans/streaming_plans.q_sessionize).
+
+State model per user_id: (session_start_us, last_ts_us, n_events, value_sum), microsecond epochs.
+An event later than ``gap`` after ``last_ts`` closes the open session and
+emits it, then starts a new one.  The final open session per key stays in
+state (NoTimeout — see sessionize_stream for why), ready for the next batch
+or a checkpointed restart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    out = []
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        s0, last, n, v = state.get
+    else:
+        s0 = last = None
+        n, v = 0, 0.0
+    for ts, val in zip(rows["ts"], rows["value"]):
+        ts_us = int(ts.value // 1000)  # pandas ns -> us
+        if last is not None and ts_us - last > GAP_US:
+            out.append((user_id, s0, last, n, v))
+            s0, n, v = ts_us, 0, 0.0
+        if s0 is None:
+            s0 = ts_us
+        last = ts_us
+        n += 1
+        v += float(val)
+    state.update((s0, last, n, v))
+
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                "n_events": [o[3] for o in out],
+                "value_sum": [round(o[4], 2) for o in out],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, value) -> closed-session stream."""
+    # NoTimeout: an AvailableNow drain with processing-time timeouts never
+    # reaches a terminal batch (timeout churn schedules endless empty
+    # micro-batches on Spark 4.1); without timeouts the drain is one pass.
+    # Consequence: the final open session per user stays in state — exactly
+    # the restart-resumable behavior a continuous deployment wants.
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
