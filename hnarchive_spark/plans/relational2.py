@@ -108,6 +108,42 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_topk_per_group",
+    oracle="""
+    WITH best AS (
+      SELECT o_custkey, max(o_totalprice) AS best_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, b.best_price, min(o.o_orderkey) AS best_orderkey
+    FROM orders o JOIN best b
+      ON o.o_custkey = b.o_custkey AND o.o_totalprice = b.best_price
+    GROUP BY o.o_custkey, b.best_price
+    """,
+    doc="Top-1 per group via aggregate-then-join-back (the window-free "
+    "formulation — cheaper when groups are huge because the partial agg "
+    "collapses before any row movement).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    best = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("best_price"))
+        .withColumnRenamed("o_custkey", "b_custkey")
+        .alias("b")
+    )
+    return (
+        o.join(
+            best,
+            (F.col("o.o_custkey") == F.col("b.b_custkey"))
+            & (F.col("o.o_totalprice") == F.col("b.best_price")),
+        )
+        .groupBy(F.col("o.o_custkey").alias("o_custkey"), F.col("b.best_price"))
+        .agg(F.min(F.col("o.o_orderkey")).alias("best_orderkey"))
+    )
+
+
+@query(
     "q_approx_distinct",
     oracle=None,  # HLL sketches differ across engines -> rows-only check
     doc="approx_count_distinct (HyperLogLog++): the sketch-based cardinality "
