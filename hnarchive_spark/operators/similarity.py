@@ -132,6 +132,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize with per-list centroids, search only
+    the query's nearest ``n_probe`` lists.
+
+    The corpus is already clustered (``list_col`` — in production the
+    k-means assignment computed at index-build time and used as the
+    PARTITION column, so a probe reads 1/n_lists of the data).  Centroids
+    are the per-list mean vectors; a query routes to its nearest centroid(s)
+    by cosine, then exact top-k runs inside those lists only.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(list_col).alias("list_id"),
+    )
+    # centroid per list: element-wise mean = sum of vectors / count
+    dim_cols = [F.avg(F.col("cv")[i]).alias(f"c{i}") for i in range(DIM)]
+    centroids = c.groupBy("list_id").agg(*dim_cols).select(
+        "list_id", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
+    probes = routed.select(
+        "query_id", "qv", "list_id", F.row_number().over(w).alias("pr")
+    ).filter(F.col("pr") <= n_probe)
+    scored = (
+        c.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(wk).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, d1 < d2.
 

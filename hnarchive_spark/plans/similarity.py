@@ -102,6 +102,54 @@ def _lsh_oracle() -> str:
 
 
 @query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    vecs AS (
+      SELECT vec_id, label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM vecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {N_QUERIES}),
+    routed AS (
+      SELECT q.query_id, q.qv, c.list_id,
+             round(list_cosine_similarity(q.qv, c.centroid), 6) AS ccos
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+      FROM el a JOIN probes p ON a.label = p.list_id AND a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """,
+    doc="IVF-style ANN: per-list centroids as the coarse quantizer (labels "
+    "are the pre-clustered inverted lists), route each query to its nearest "
+    "centroid (cosine rounded before ranking so both engines tie-break "
+    "identically), exact top-k inside the probed list only — at scale the "
+    "list id is the partition column and a probe reads 1/n_lists of the "
+    "corpus.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+@query(
     "q_ann_lsh",
     oracle=_lsh_oracle(),
     doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
