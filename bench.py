@@ -33,6 +33,10 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_ann_topk",
     "q_ann_lsh",
+    "q_ann_ivf",
+    "q_tfidf_top_terms",
+    "q_range_join",
+    "q_multimodal_features",
     "q_text_stats",
     "q_stream_tumbling",
 ]

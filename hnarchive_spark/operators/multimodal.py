@@ -84,3 +84,70 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling: one output row per (stub-)decoded frame, carrying the
+    sliced payload bytes. A real video kernel would seek+decode per frame;
+    the stub slices the payload at fixed strides — the Spark shape (row
+    explosion inside the Arrow kernel, binary slices in the output batch)
+    is exactly the production one."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_len": [], "frame_bytes": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                n, _, _, n_frames = _decode_stub(buf)
+                stride = n // n_frames
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+                    out["frame_len"].append(stride)
+                    out["frame_bytes"].append(bytes(buf[i * stride : i * stride + stride]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+N_FEATURE_BINS = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dim", LongType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction: byte-value histogram (mod-8 bins) per payload via
+    numpy inside the Arrow kernel — the stand-in for an image/audio
+    embedding model. Output is the exploded (doc_id, dim, value) form so
+    downstream joins/aggregations stay columnar."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dims, vals = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(arr % N_FEATURE_BINS, minlength=N_FEATURE_BINS)
+                ids.extend([doc_id] * N_FEATURE_BINS)
+                dims.extend(range(N_FEATURE_BINS))
+                vals.extend(int(x) for x in hist)
+            yield pd.DataFrame({"doc_id": ids, "dim": dims, "value": vals})
+
+    return df.mapInPandas(kernel, FEATURES_SCHEMA)

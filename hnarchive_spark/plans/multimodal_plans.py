@@ -6,7 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hnarchive_spark.operators.multimodal import attach_payload, decode_media
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
 from hnarchive_spark.plans.registry import query
 from hnarchive_spark.tables import load
 
@@ -29,3 +36,57 @@ from hnarchive_spark.tables import load
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return decode_media(attach_payload(d))
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n, n % 30 + 1 AS n_frames, n // (n % 30 + 1) AS stride FROM m
+    ),
+    idx AS (
+      SELECT doc_id, stride, unnest(range(0, n_frames)) AS frame_idx FROM f
+    )
+    SELECT doc_id, frame_idx, frame_idx * stride AS frame_offset,
+           stride AS frame_len
+    FROM idx
+    """,
+    doc="Frame sampling: per-payload row explosion inside the Arrow kernel "
+    "(stub decoder slices at fixed strides; a real kernel would seek+decode). "
+    "Binary frame slices flow in the output batch; the oracle checks the "
+    "sampling arithmetic.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d)).select(
+        "doc_id", "frame_idx", "frame_offset", "frame_len"
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) % 8 AS dim, count(*) AS value
+      FROM chars GROUP BY doc_id, dim
+    ),
+    dims AS (SELECT unnest(range(0, 8)) AS dim),
+    docs AS (SELECT DISTINCT doc_id FROM documents)
+    SELECT d.doc_id, dims.dim, coalesce(b.value, 0) AS value
+    FROM docs d CROSS JOIN dims
+    LEFT JOIN binned b ON b.doc_id = d.doc_id AND b.dim = dims.dim
+    """,
+    doc="Feature extraction: numpy byte-histogram (8 bins) per payload inside "
+    "the Arrow kernel — the embedding-model stand-in; exploded (doc, dim, "
+    "value) output keeps downstream joins columnar. Oracle reproduces the "
+    "histogram from character codes (payloads are utf-8 of ascii text).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return extract_features(attach_payload(d))
