@@ -108,6 +108,37 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 2) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window: rolling 1-hour per-user aggregates ordered by "
+    "event time (value-based frame, not row-based) — one shuffle on the "
+    "user key.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@query(
     "q_percentiles",
     oracle="""
     SELECT event_type,

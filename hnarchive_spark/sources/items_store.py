@@ -62,6 +62,7 @@ class ItemsStore:
             df.repartition("type")
             .sortWithinPartitions("id")
             .write.mode("overwrite")
+            .option("compression", "zstd")
             .partitionBy("type")
             .parquet(out)
         )
