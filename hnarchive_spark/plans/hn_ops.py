@@ -86,6 +86,63 @@ def q_merge_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_wire_normalize (U3 + S2 tombstone semantics, oracle-checked from the
+# same raw JSON payloads)
+# ---------------------------------------------------------------------------
+
+_WIRE_PAYLOADS = [
+    '{"id": 1, "type": "story", "by": "alice", "time": 1700000000, "title": "T", "score": 5, "descendants": 2, "url": "https://a"}',
+    '{"id": 2, "type": "comment", "by": "bob", "parent": 1, "time": 1700000100, "text": "hi<p>there"}',
+    '{"id": 3, "type": "comment", "deleted": true, "time": 1700000200, "parent": 1}',
+    '{"id": 4, "type": "story"}',  # tombstone: no time -> filtered (S2)
+    '{"id": 5, "type": "pollopt", "poll": 9, "time": 1700000300, "score": 0, "dead": true}',
+]
+_RETRIEVED = 1_700_001_000
+
+
+def _wire_oracle_sql() -> str:
+    payloads = ",\n      ".join(f"({p!r})" for p in _WIRE_PAYLOADS)
+    return f"""
+    WITH raw(payload) AS (VALUES
+      {payloads}
+    )
+    SELECT CAST(payload->>'$.id' AS BIGINT) AS id,
+           coalesce(CAST(payload->>'$.deleted' AS BOOLEAN), FALSE) AS deleted,
+           payload->>'$.type' AS type,
+           payload->>'$.by' AS author,
+           CAST(payload->>'$.time' AS BIGINT) AS time,
+           payload->>'$.text' AS text,
+           coalesce(CAST(payload->>'$.dead' AS BOOLEAN), FALSE) AS dead,
+           CAST(payload->>'$.parent' AS BIGINT) AS parent,
+           CAST(payload->>'$.poll' AS BIGINT) AS poll,
+           payload->>'$.url' AS url,
+           CAST(payload->>'$.score' AS BIGINT) AS score,
+           payload->>'$.title' AS title,
+           CAST(payload->>'$.descendants' AS BIGINT) AS descendants,
+           {_RETRIEVED} AS retrieved,
+           {_RETRIEVED} - CAST(payload->>'$.time' AS BIGINT) AS age_at_retrieval
+    FROM raw
+    WHERE payload->>'$.time' IS NOT NULL
+    """
+
+
+@query(
+    "q_wire_normalize",
+    oracle=_wire_oracle_sql(),
+    doc="U3 wire normalization (hnarchive.py:203-229): raw Firebase JSON -> "
+    "typed items rows via from_json + the declarative select (by->author "
+    "rename, bool defaults, tombstone filter, retrieved stamp, materialized "
+    "age column). The oracle re-derives every field from the SAME JSON "
+    "literals in SQL.",
+)
+def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.schema import normalize_wire, parse_wire_json
+
+    raw = spark.createDataFrame([(p,) for p in _WIRE_PAYLOADS], "payload string")
+    return normalize_wire(parse_wire_json(raw), retrieved_at=_RETRIEVED)
+
+
+# ---------------------------------------------------------------------------
 # q_tree_closure
 # ---------------------------------------------------------------------------
 
