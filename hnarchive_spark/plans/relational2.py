@@ -197,6 +197,26 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_setops_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity-"
+    "preserving variants of q_setops.",
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    c = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b).exceptAll(c)
+
+
+@query(
     "q_approx_distinct",
     oracle=None,  # HLL sketches differ across engines -> rows-only check
     doc="approx_count_distinct (HyperLogLog++): the sketch-based cardinality "
