@@ -12,11 +12,18 @@ test harness (tests/test_oracle_parity.py) see the same inventory.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hnarchive_spark.plans.registry import all_oracles, all_queries
+# robust against by-path import from any cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from hnarchive_spark.plans.registry import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
