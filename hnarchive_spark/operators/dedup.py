@@ -147,9 +147,13 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
             for band in range(MH_B)
         ]
     )
-    banded = signatures.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    banded = (
+        signatures.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        # one row per (doc, band) — tiny; persisting stops the self-join
+        # from recomputing the whole signature pipeline for both sides
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
