@@ -157,6 +157,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pandas_udf_score",
+    oracle="""
+    SELECT doc_id,
+           round(100.0 - 5.0 * ((length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+                                / len(string_split(text, ' ')))
+                 - 0.1 * len(string_split(text, ' ')), 4) AS readability
+    FROM documents
+    """,
+    doc="Scalar pandas UDF (Arrow-vectorized numpy math) — the sanctioned "
+    "Python path; oracle replays the same arithmetic in SQL.",
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.functions.pandas_udfs import readability_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", readability_score(F.col("text")).alias("readability"))
+
+
+@query(
+    "q_pandas_udaf_weighted",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (CAST(props->>'$.k' AS DOUBLE) + 1.0))
+                 / sum(CAST(props->>'$.k' AS DOUBLE) + 1.0), 4) AS wmean
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF: weighted mean per group through the "
+    "Arrow grouped-agg path.",
+)
+def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.functions.pandas_udfs import weighted_mean
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("double") + 1.0).alias("wt"),
+    )
+    return ev.groupBy("event_type").agg(
+        weighted_mean(F.col("value"), F.col("wt")).alias("wmean")
+    )
+
+
+@query(
     "q_tfidf_top_terms",
     oracle="""
     WITH tok AS (

@@ -1,0 +1,53 @@
+"""Plan-hygiene regression tests: lock in the scan/join properties the
+100 TB design depends on (pushdown reaching parquet, narrow ReadSchema,
+broadcast dims). These assert on the optimized/physical plan text so a
+refactor that silently breaks pushdown fails here, not at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from hnarchive_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_derived_pred_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q_derived_pred")
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert pushed and any("LessThan(l_shipdate" in ln for ln in pushed), pushed
+    # projection pruned to the 5 referenced columns, not all 11
+    schema_line = next(ln for ln in plan.split("\n") if "ReadSchema" in ln)
+    assert schema_line.count(":") <= 6, schema_line
+
+
+def test_point_lookup_pushes_key_filter(spark):
+    plan = _plan(spark, "q_point_lookup")
+    assert "EqualTo(o_orderkey,42)" in plan
+
+
+def test_flagship_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "q_flagship")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_groupby_agg_is_partial_final(spark):
+    plan = _plan(spark, "q_groupby_agg")
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["q_join_broadcast", "q_agg_rollup"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
