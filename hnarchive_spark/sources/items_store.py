@@ -26,9 +26,12 @@ from hnarchive_spark.schema import ITEMS_SCHEMA
 
 
 class ItemsStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
         self.spark = spark
         self.path = path
+        # snapshots retained beyond the current one (cheap time travel /
+        # safe rollback window — the parquet analog of Delta VACUUM policy)
+        self.keep_versions = max(0, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot management -------------------------------------------------
@@ -47,10 +50,23 @@ class ItemsStore:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v:06d}")
 
-    def read(self) -> DataFrame:
-        v = self._current_version()
+    def versions(self) -> list[int]:
+        """Snapshot versions currently on disk (ascending)."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or a retained past one (time travel)."""
+        v = self._current_version() if version is None else version
         if v is None:
             return self.spark.createDataFrame([], schema=ITEMS_SCHEMA)
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained (have {self.versions()})"
+            )
         return self.spark.read.parquet(self._version_dir(v))
 
     def _commit(self, df: DataFrame) -> None:
@@ -70,8 +86,10 @@ class ItemsStore:
         with open(tmp, "w") as fh:
             fh.write(str(new))
         os.replace(tmp, self._pointer)
-        if old is not None:
-            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        # vacuum: drop snapshots older than the retention window
+        for v in self.versions():
+            if v < new - self.keep_versions:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
 
     # -- the reference's store API -------------------------------------------
 
