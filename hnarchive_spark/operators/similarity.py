@@ -191,6 +191,47 @@ def ivf_topk(
     )
 
 
+DUP_BANDS = 4
+DUP_BAND_BITS = N_PLANES // DUP_BANDS  # 2 sign bits per band
+
+
+def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """Embedding near-dup pairs with banded LSH blocking (OR-construction):
+    candidates share ANY of the 4 two-bit sign bands, then exact cosine
+    verifies. Banding trades a small candidate-set increase for high recall
+    (~0.9 at 60-degree pairs vs ~0.03 for full-8-bit AND agreement) — the
+    same band/bucket scheme MinHash uses, applied to hyperplane signs.
+    Bounded pair join: per (band, value) bucket, never the full cross."""
+    e = embeddings.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v")))
+    mask = (1 << DUP_BAND_BITS) - 1
+    banded = e.select(
+        "vec_id",
+        "v",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(DUP_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val", F.expr(f"shiftright(bucket, cast(band * {DUP_BAND_BITS} AS int)) & {mask}")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("cos") >= threshold)
+
+
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, d1 < d2.
 

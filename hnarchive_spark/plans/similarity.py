@@ -39,6 +39,59 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_dup_pairs(e, COS_DUP_T)
 
 
+def _lsh_dup_oracle() -> str:
+    planes = ",\n        ".join(
+        f"({p}, {d}, {w!r})"
+        for p, plane in enumerate(S.PLANES)
+        for d, w in enumerate(plane)
+    )
+    return f"""
+    WITH {_E},
+    planes(p, d, w) AS (VALUES
+        {planes}
+    ),
+    vecs AS (
+      SELECT vec_id, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM e
+    ),
+    dots AS (
+      SELECT vec_id, p, sum(val * w) AS dp
+      FROM vecs JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    sigs AS (
+      SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT vec_id, t.band,
+             (bucket >> (t.band * {S.DUP_BAND_BITS})) & {(1 << S.DUP_BAND_BITS) - 1} AS band_val
+      FROM sigs, range(0, {S.DUP_BANDS}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    )
+    SELECT d1, d2, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = d1
+    JOIN e eb ON eb.vec_id = d2
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COS_DUP_T}
+    """
+
+
+@query(
+    "q_embed_dup_lsh",
+    oracle=_lsh_dup_oracle(),
+    doc="Embedding near-dup with banded LSH blocking (OR-construction, scale "
+    "path of q_embed_dup): candidates share any 2-bit sign band (~0.9 recall "
+    "at the threshold vs ~0.03 for full-bucket AND), exact cosine verifies; "
+    "identical deterministic bands replayed by the oracle.",
+)
+def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(e, COS_DUP_T)
+
+
 @query(
     "q_ann_topk",
     oracle=f"""
