@@ -1,0 +1,146 @@
+"""CLI — the reference's entry-point surface (SURVEY §2.7 E1-E6,
+hnarchive.py:564-741) on the Spark engine.
+
+Subcommands and flags mirror the reference:
+
+    get         --lower --upper --threads --commit_period
+    update
+    update_items --days --only_mature
+    livestream  [--polls N]     (bounded for scripting; infinite by default)
+    html_render ids... --output template_with_{id}
+
+Engine-specific flags: ``--store`` (parquet store path, plays hnarchive.db)
+and ``--mock-data`` (a JSON file of id->wire-item for offline runs; without
+it the real Firebase transport is used — unavailable in this container, so
+tests always pass --mock-data).
+
+``--threads`` maps to fetch partition count and ``--commit_period`` to the
+micro-batch size boundary (one atomic store commit per merge), per the
+reference's commit cadence (hnarchive.py:255-262).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from hnarchive_spark.session import get_spark
+from hnarchive_spark.sources.hn_api import HttpTransport, MockTransport, fetch_items
+from hnarchive_spark.sources.items_store import ItemsStore
+from hnarchive_spark.streaming.livestream import (
+    SkipPolicy,
+    livestream_batches,
+    update,
+    update_items,
+)
+
+
+def _transport(args):
+    if args.mock_data:
+        with open(args.mock_data) as fh:
+            raw = json.load(fh)
+        items = {int(k): v for k, v in raw.get("items", raw).items()}
+        max_id = raw.get("max_id") if isinstance(raw, dict) and "max_id" in raw else max(items, default=0)
+        return MockTransport(items=items, max_id=int(max_id))
+    return HttpTransport()
+
+
+def _store(spark, args):
+    return ItemsStore(spark, args.store)
+
+
+def cmd_get(spark, args):
+    store = _store(spark, args)
+    t = _transport(args)
+    upper = args.upper if args.upper is not None else t.max_item()
+    batch = fetch_items(spark, args.lower, upper, t, parallelism=args.threads)
+    store.merge_batch(batch)
+    print(f"merged ids [{args.lower}, {upper}]; store now {store.count()} rows")
+
+
+def cmd_update(spark, args):
+    store = _store(spark, args)
+    rounds = update(store, _transport(args), parallelism=args.threads)
+    print(f"update: {rounds} round(s); latest id {store.latest_id()}")
+
+
+def cmd_update_items(spark, args):
+    store = _store(spark, args)
+    update_items(store, _transport(args), days=args.days, only_mature=args.only_mature)
+    print(f"update_items: re-crawled window of {args.days} day(s)")
+
+
+def cmd_livestream(spark, args):
+    store = _store(spark, args)
+    total = 0
+    for poll, merged, skipped in livestream_batches(
+        store,
+        _transport(args),
+        policy=SkipPolicy(),
+        max_polls=args.polls,
+        parallelism=args.threads,
+    ):
+        total += merged
+        if merged or skipped:
+            print(f"poll {poll}: merged {merged}, skipped {skipped}")
+    print(f"livestream: merged {total} item(s); latest id {store.latest_id()}")
+
+
+def cmd_html_render(spark, args):
+    from hnarchive_spark.functions.render import render_to_files
+
+    store = _store(spark, args)
+    pages = render_to_files(store.read(), args.ids, args.output)
+    for rid, html in pages.items():
+        if not args.output:
+            print(html)
+        else:
+            print(f"wrote {args.output.format(id=rid)} ({len(html)} bytes)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hnarchive-spark")
+    p.add_argument("--store", default="./hnarchive_store")
+    p.add_argument("--mock-data", default=None, help="JSON id->item file (offline transport)")
+    p.add_argument("--threads", type=int, default=8)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("get", help="bounded backfill of an id range (E1)")
+    g.add_argument("--lower", type=int, default=1)
+    g.add_argument("--upper", type=int, default=None)
+    g.add_argument("--commit_period", type=int, default=200)  # parity flag
+    g.set_defaults(func=cmd_get)
+
+    u = sub.add_parser("update", help="catch up to the live head (E2)")
+    u.set_defaults(func=cmd_update)
+
+    ui = sub.add_parser("update_items", help="re-crawl volatile rows (E4)")
+    ui.add_argument("--days", type=float, required=True)
+    ui.add_argument("--only_mature", action="store_true")
+    ui.set_defaults(func=cmd_update_items)
+
+    ls = sub.add_parser("livestream", help="continuous ingestion (E3)")
+    ls.add_argument("--polls", type=int, default=1_000_000)
+    ls.set_defaults(func=cmd_livestream)
+
+    hr = sub.add_parser("html_render", help="render item trees to HTML (E5)")
+    hr.add_argument("ids", type=int, nargs="+")
+    hr.add_argument("--output", default=None, help="path template containing {id}")
+    hr.set_defaults(func=cmd_html_render)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("hnarchive-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        args.func(spark, args)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,6 +121,44 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("target_w", LongType()),
+        StructField("target_h", LongType()),
+        StructField("resized_bytes", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """Resize kernel: decode dims (stub), emit a payload downsampled to the
+    target size. The stub 'resample' strides the byte buffer to
+    target_w*target_h bytes — a real kernel swaps in PIL/cv2 resampling;
+    schema, batching, and the binary output path are the production shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "target_w": [],
+                   "target_h": [], "resized_bytes": []}
+            n_target = target_w * target_h
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n, w, h, _ = _decode_stub(b)
+                stride = max(1, n // n_target)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["resized_bytes"].append(b[::stride][:n_target])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 N_FEATURE_BINS = 8
 
 FEATURES_SCHEMA = StructType(

@@ -12,6 +12,7 @@ from hnarchive_spark.operators.multimodal import (
     attach_payload,
     decode_media,
     extract_features,
+    resize_media,
     sample_frames,
 )
 from hnarchive_spark.plans.registry import query
@@ -63,6 +64,34 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return sample_frames(attach_payload(d)).select(
         "doc_id", "frame_idx", "frame_offset", "frame_len"
+    )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           n % 640 AS width,
+           (n * 7) % 480 AS height,
+           64 AS target_w, 48 AS target_h,
+           least(((n - 1) // greatest(n // 3072, 1)) + 1, 3072) AS resized_len
+    FROM m
+    """,
+    doc="Resize kernel (stub strided resample; a real kernel swaps in "
+    "PIL/cv2): binary in, binary out through mapInPandas; the oracle checks "
+    "dims + resampled length arithmetic.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    resized = resize_media(attach_payload(d))
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.octet_length("resized_bytes").cast("long").alias("resized_len"),
     )
 
 

@@ -1,0 +1,68 @@
+"""CLI surface tests (E6): drive the argparse entry points in-process with a
+mock-data transport file, against a temp store."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hnarchive_spark import cli
+
+T0 = 1_700_000_000
+
+WORLD = {
+    "items": {
+        "1": {"id": 1, "type": "story", "by": "alice", "time": T0, "title": "S", "score": 4, "descendants": 1},
+        "2": {"id": 2, "type": "comment", "by": "bob", "parent": 1, "time": T0 + 60, "text": "c<p>d"},
+        "3": {"id": 3, "type": "comment", "by": "eve", "parent": 2, "time": T0 + 90, "text": "deep"},
+    },
+    "max_id": 3,
+}
+
+
+@pytest.fixture
+def env(tmp_path, spark, monkeypatch):
+    # reuse the test session instead of building a fresh one per command
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    mock = tmp_path / "world.json"
+    mock.write_text(json.dumps(WORLD))
+    return {
+        "store": str(tmp_path / "store"),
+        "mock": str(mock),
+        "tmp": tmp_path,
+    }
+
+
+def _run(env, *argv):
+    return cli.main(["--store", env["store"], "--mock-data", env["mock"], *argv])
+
+
+def test_get_then_update_then_render(env, capsys):
+    assert _run(env, "get", "--lower", "1", "--upper", "2") == 0
+    assert "store now 2 rows" in capsys.readouterr().out
+
+    assert _run(env, "update") == 0
+    assert "latest id 3" in capsys.readouterr().out
+
+    out_tpl = str(env["tmp"] / "page_{id}.html")
+    assert _run(env, "html_render", "1", "--output", out_tpl) == 0
+    page = (env["tmp"] / "page_1.html").read_text()
+    assert 'class="story" id="1"' in page and 'id="3"' in page
+
+    # stdout mode (no --output) prints the page, reference behavior
+    assert _run(env, "html_render", "2") == 0
+    assert 'class="comment" id="2"' in capsys.readouterr().out
+
+
+def test_update_items_and_livestream(env, capsys):
+    _run(env, "get", "--lower", "1", "--upper", "3")
+    capsys.readouterr()
+    assert _run(env, "update_items", "--days", "30") == 0
+    world = json.loads(open(env["mock"]).read())
+    world["items"]["4"] = {"id": 4, "type": "comment", "by": "zed", "parent": 1, "time": T0 + 120, "text": "new"}
+    world["max_id"] = 4
+    open(env["mock"], "w").write(json.dumps(world))
+    assert _run(env, "livestream", "--polls", "2") == 0
+    assert "latest id 4" in capsys.readouterr().out
