@@ -1,0 +1,96 @@
+"""Scalar-function batteries: string, date, and null-handling expression
+coverage in three compact oracle-checked queries.  Breadth matters here —
+a reference user's ad-hoc SQL leans on exactly these."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 10, 9) AS key_digits,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS shortened,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer WHERE c_custkey < 200
+    """,
+    doc="String-function battery: case, substring, length, padding, replace, "
+    "edit distance, concat — all JVM-side expressions.",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 10, 9).alias("key_digits"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("shortened"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year,
+           dayofweek(o_orderdate) AS dow,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           date_diff('day', TIMESTAMP '1997-01-01', o_orderdate) AS days_since_epoch_97
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Date-function battery: truncation, extraction, day-of-week, "
+    "interval arithmetic, date difference.",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("order_year"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1997-01-01").cast("timestamp")).alias(
+            "days_since_epoch_97"
+        ),
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE round(o_totalprice, 0) END AS price_or_flag,
+           (o_orderstatus IS DISTINCT FROM 'F') AS not_f,
+           greatest(o_totalprice, 100000.0) AS floored_price
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="Null-handling battery: NULLIF/COALESCE, CASE flagging, "
+    "IS DISTINCT FROM, greatest.",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.round("o_totalprice", 0))
+        .alias("price_or_flag"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).__invert__().alias("not_f"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored_price"),
+    )

@@ -63,7 +63,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Import for side effect: each module registers its queries.
-    from hnarchive_spark.plans import hn_ops, relational, relational2  # noqa: F401
+    from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
 
     try:
         from hnarchive_spark.plans import textops  # noqa: F401
