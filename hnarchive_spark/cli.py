@@ -54,8 +54,15 @@ def cmd_get(spark, args):
     store = _store(spark, args)
     t = _transport(args)
     upper = args.upper if args.upper is not None else t.max_item()
-    batch = fetch_items(spark, args.lower, upper, t, parallelism=args.threads)
-    store.merge_batch(batch)
+    # the reference commits every commit_period items (hnarchive.py:255-262);
+    # here each chunk is one fetch+merge with an atomic store commit, so an
+    # interrupt loses at most one chunk (the ctrlc_commit semantics, K3)
+    lo = args.lower
+    while lo <= upper:
+        hi = min(lo + args.commit_period - 1, upper)
+        batch = fetch_items(spark, lo, hi, t, parallelism=args.threads)
+        store.merge_batch(batch)
+        lo = hi + 1
     print(f"merged ids [{args.lower}, {upper}]; store now {store.count()} rows")
 
 
@@ -109,7 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("get", help="bounded backfill of an id range (E1)")
     g.add_argument("--lower", type=int, default=1)
     g.add_argument("--upper", type=int, default=None)
-    g.add_argument("--commit_period", type=int, default=200)  # parity flag
+    g.add_argument("--commit_period", type=int, default=200, help="ids per store commit")
     g.set_defaults(func=cmd_get)
 
     u = sub.add_parser("update", help="catch up to the live head (E2)")

@@ -40,3 +40,20 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
     # no duplicate explosion: row count matches exactly
     assert salted_join(o, c, "o_custkey", n_salts=8).count() == o.join(c, "o_custkey").count()
+
+
+def test_ngram_max_df_drops_stop_shingles_keeps_planted_pairs(spark):
+    """The max_df scale knob prunes stop-shingles before the pair join but
+    must not lose genuinely near-duplicate pairs (their overlap is spread
+    across many distinctive shingles, not a few hot ones)."""
+    from hnarchive_spark.operators.dedup import jaccard_pairs, word_shingles
+    from hnarchive_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    sh = word_shingles(docs)
+    full = {(r["d1"], r["d2"]) for r in jaccard_pairs(sh, 0.5).collect()}
+    capped = {(r["d1"], r["d2"]) for r in jaccard_pairs(sh, 0.4, max_df=50).collect()}
+    assert full, "expected planted near-dup pairs in the corpus"
+    # slightly relaxed threshold under max_df (dropped shingles shrink both
+    # intersection and union); every full-threshold pair must survive
+    assert full <= capped
