@@ -1,0 +1,59 @@
+"""Connected components over an undirected edge list — the clustering step
+that turns near-dup PAIRS into dedup GROUPS (keep one representative per
+component).
+
+Algorithm: iterative min-label propagation to fixpoint — every node adopts
+the smallest label among itself and its neighbors, repeated until no label
+changes.  Each iteration is one join + one aggregation (both partitioned on
+the node id), so the cost is O(diameter) shuffles; near-dup clusters are
+shallow (diameter 2-3), so this converges in a handful of rounds.  The
+classic large-graph alternative (alternating large-star/small-star) drops in
+behind the same interface if diameters grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    min node id reachable (deterministic representative)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a)
+            .agg(F.min("comp").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.comp") != F.col("l.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

@@ -148,6 +148,56 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(D.word_shingles(d), JACCARD_T)
 
 
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    pc AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      ) WHERE j >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id,
+           (min(comp) = node) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_clusters_oracle(),
+    doc="Dedup clustering: near-dup pairs -> connected components via "
+    "iterative min-label propagation (O(diameter) shuffles); each cluster "
+    "keeps its min doc_id as the survivor. The end of the dedup pipeline: "
+    "pairs become drop-lists.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("node")).alias("is_keeper"),
+    )
+
+
 def _simhash_oracle() -> str:
     width = D.SH_BITS // D.SH_BANDS
     return f"""

@@ -132,6 +132,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dim_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension (broadcast per micro-batch — no stream state), then "
+    "windowed aggregation; drained with AvailableNow.",
+)
+def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = raw.join(F.broadcast(cust), raw.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy("c_mktsegment", F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"stream_dim_join_sink_{next(_sink_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "c_mktsegment", F.col("w.start").alias("day"), "n_events", "sum_value"
+    )
+
+
+@query(
     "q_stream_sessionize",
     oracle=None,  # custom stateful streaming op -> rows-only check; the
     # batch twin q_sessionize is the hash-checked equivalent, and
