@@ -71,6 +71,43 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_funcs",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list(o_orderkey ORDER BY o_orderkey)                AS keys,
+             list(DISTINCT o_orderstatus)                         AS statuses
+      FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(keys) AS n_orders,
+           array_to_string(keys[1:3], ',') AS first3,
+           keys[1] AS first_key,
+           array_to_string(list_sort(statuses), ',') AS status_set,
+           list_contains(statuses, 'F') AS has_f
+    FROM per_cust
+    """,
+    doc="Array-function battery: collect/sort/slice/contains/join over "
+    "grouped arrays (serialized to strings so the value-hash is "
+    "representation-independent).",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("keys"),
+        F.collect_set("o_orderstatus").alias("statuses"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("keys").alias("n_orders"),
+        F.array_join(F.slice("keys", 1, 3), ",").alias("first3"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.array_join(F.sort_array("statuses"), ",").alias("status_set"),
+        F.array_contains("statuses", "F").alias("has_f"),
+    )
+
+
+@query(
     "q_null_handling",
     oracle="""
     SELECT o_orderkey,
