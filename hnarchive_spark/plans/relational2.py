@@ -139,6 +139,91 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_having",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING avg(c_acctbal) > 2400 AND count(*) > 10
+    """,
+    doc="Post-aggregation HAVING filter (predicate over aggregates).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.avg("c_acctbal").alias("_raw_avg"),
+        )
+        .filter((F.col("_raw_avg") > 2400) & (F.col("n") > 10))
+        .drop("_raw_avg")
+    )
+
+
+@query(
+    "q_window_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+           round(value - lag(value) OVER w, 2) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Analytic window battery: lag/lead/first_value/ntile/deltas per user "
+    "timeline — one shuffle on the partition key serves all six functions.",
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(order).alias("prev_event"),
+        F.lead("event_id").over(order).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.ntile(4).over(order).alias("quartile"),
+        F.round(F.col("value") - F.lag("value").over(order), 2).alias("value_delta"),
+    )
+
+
+@query(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT round(sum(o.o_totalprice * 100) / count(*)) / 100 FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS avg_spend
+    FROM customer c WHERE c_custkey < 100
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates it into an "
+    "aggregate + left join (no per-row re-execution). The mean is computed "
+    "in exact integer cents (sum of integer-valued doubles is "
+    "order-independent) so both engines round the identical double — "
+    "round(avg(price), 2) flips on true half-cent ties because each "
+    "engine's summation order lands on a different side.",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT round(sum(o.o_totalprice * 100) / count(*)) / 100 FROM orders_cs o
+                WHERE o.o_custkey = c.c_custkey) AS avg_spend
+        FROM customer_cs c WHERE c_custkey < 100
+        """
+    )
+
+
+@query(
     "q_percentiles",
     oracle="""
     SELECT event_type,

@@ -43,7 +43,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # STRICT raw repr, deliberately: a %.6g normalization once hid a
+        # half-cent rounding flip on values ~2e5 (round(avg(price),2)
+        # disagreeing between engines). Every query is engineered so its
+        # floats are bit-identical across engines (exact-integer sums, one
+        # shared division, rounding applied to identical doubles).
+        return repr(v)
     return str(v)
 
 
