@@ -34,6 +34,9 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # timestamp formatting/truncation queries assume UTC; pin it here so the
+    # inventory is correct in any caller's session, not just ours
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
