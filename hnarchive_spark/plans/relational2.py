@@ -139,6 +139,76 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lateral_join",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    """,
+    doc="LATERAL correlated subquery join: top-2 orders per nation computed "
+    "per outer row (Catalyst plans a DomainJoin/decorrelated limit).",
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lj")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lj")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lj")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation_lj n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_lj o JOIN customer_lj c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH piv AS (
+      SELECT o_orderpriority,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'O' AS status, cnt_o AS n FROM piv
+    UNION ALL SELECT o_orderpriority, 'F', cnt_f FROM piv
+    UNION ALL SELECT o_orderpriority, 'P', cnt_p FROM piv
+    """,
+    doc="Unpivot (wide -> long) via stack(): the inverse of q_pivot_status.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'O', cnt_o, 'F', cnt_f, 'P', cnt_p) AS (status, n)"),
+    ).select("o_orderpriority", "status", "n")
+
+
+@query(
     "q_having",
     oracle="""
     SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
