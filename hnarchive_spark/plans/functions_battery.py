@@ -71,6 +71,56 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           regexp_matches(text, 'merge|join')            AS mentions_ops,
+           len(regexp_extract_all(text, '[a-z]{6,}'))    AS n_long_words,
+           regexp_replace(text, '[aeiou]', '_', 'g')     AS devoweled_prefix
+    FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents)
+    """,
+    doc="Regexp battery: capture-group extraction, boolean match, "
+    "extract-all counting, global replace.",
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("merge|join").alias("mentions_ops"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)).alias("n_long_words"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_prefix"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_val,
+           'k' AS keys_joined,
+           1 AS n_keys
+    FROM events WHERE event_id < 200
+    """,
+    doc="JSON->map plumbing: from_json to map<string,int>, key listing, "
+    "cardinality, value access (props carries a single key in this corpus, "
+    "so the map surface is exercised with a deterministic shape).",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        m["k"].alias("k_val"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
     "q_array_funcs",
     oracle="""
     WITH per_cust AS (
