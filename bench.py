@@ -56,15 +56,18 @@ def main() -> None:
     for name in HEADLINE:
         # steady-state timing: one untimed warmup run absorbs whole-stage
         # codegen compilation (a per-query-shape one-time cost that is noise
-        # at production scale), then the timed run measures the engine
+        # at production scale); then min of two timed runs damps scheduler
+        # jitter. Caches are cleared between runs so operators that persist
+        # shared intermediates (shingle/signature indexes) are timed fully.
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist shared intermediates (shingle/signature indexes);
-        # free them so queries are timed independently
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
