@@ -139,6 +139,33 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                        AS n_all,
+           count(*)    FILTER (WHERE l_discount > 0.05)    AS n_discounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+                                                           AS bulk_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="FILTER-clause aggregates: conditional aggregation without CASE "
+    "noise, one pass over the scan.",
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fa")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*)                                     AS n_all,
+               count(*) FILTER (WHERE l_discount > 0.05)    AS n_discounted,
+               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+                                                            AS bulk_revenue
+        FROM lineitem_fa GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
     "q_lateral_join",
     oracle="""
     SELECT n.n_name, t.o_orderkey, t.o_totalprice

@@ -132,6 +132,36 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_join_inner",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF JOIN o ON o.user_id = e.user_id AND o.o_orderdate <= e.ts
+    """,
+    doc="Inner as-of join (events -> most recent prior order per user): "
+    "events whose user has no preceding order are dropped. The right side "
+    "is deduplicated per (user, date) first — an as-of match at a tied "
+    "timestamp is engine-arbitrary otherwise, so uniqueness per (key, time) "
+    "is part of the operator's determinism contract.",
+)
+def q_asof_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        e, o, key="user_id", left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"], how="inner",
+    )
+
+
+@query(
     "q_stream_dim_join",
     oracle="""
     SELECT c.c_mktsegment, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
