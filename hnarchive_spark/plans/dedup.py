@@ -198,6 +198,81 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    pc AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      ) WHERE j >= {JACCARD_T}
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    dropped AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING min(comp) <> node
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             round(
+               0.5 * (len(list_filter(ws, w -> w IN ({stop_list})))::DOUBLE / len(ws))
+               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                                  / len(ws) - 5.0)), 4) AS quality_score
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    )
+    SELECT q.doc_id, q.lang, q.quality_score
+    FROM quality q
+    LEFT JOIN dropped d ON d.doc_id = q.doc_id
+    WHERE d.doc_id IS NULL AND q.quality_score >= 0.12
+    """
+
+
+@query(
+    "q_pipeline_clean_corpus",
+    oracle=_pipeline_oracle(),
+    doc="The training-data pipeline composed end-to-end in ONE declarative "
+    "plan: quality scoring -> near-dup clustering -> drop non-keepers -> "
+    "quality threshold. Catalyst fuses the stages; nothing materializes "
+    "between them except the persisted shingle index.",
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    quality = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4
+        ).alias("quality_score"),
+    )
+    return (
+        quality.join(dropped, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= 0.12)
+    )
+
+
 def _simhash_oracle() -> str:
     width = D.SH_BITS // D.SH_BANDS
     return f"""
