@@ -94,6 +94,14 @@ def cmd_livestream(spark, args):
     print(f"livestream: merged {total} item(s); latest id {store.latest_id()}")
 
 
+def cmd_export(spark, args):
+    from hnarchive_spark.sources.export import export_to_duckdb
+
+    store = _store(spark, args)
+    n = export_to_duckdb(store, args.to)
+    print(f"exported {n} rows to {args.to}")
+
+
 def cmd_html_render(spark, args):
     from hnarchive_spark.functions.render import render_to_files
 
@@ -130,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("livestream", help="continuous ingestion (E3)")
     ls.add_argument("--polls", type=int, default=1_000_000)
     ls.set_defaults(func=cmd_livestream)
+
+    ex = sub.add_parser("export", help="export the store to a single-file DB")
+    ex.add_argument("--to", required=True, help="output .duckdb path")
+    ex.set_defaults(func=cmd_export)
 
     hr = sub.add_parser("html_render", help="render item trees to HTML (E5)")
     hr.add_argument("ids", type=int, nargs="+")

@@ -66,3 +66,20 @@ def test_update_items_and_livestream(env, capsys):
     open(env["mock"], "w").write(json.dumps(world))
     assert _run(env, "livestream", "--polls", "2") == 0
     assert "latest id 4" in capsys.readouterr().out
+
+
+def test_export_to_duckdb(env, capsys):
+    import duckdb
+
+    _run(env, "get", "--lower", "1", "--upper", "3")
+    db = str(env["tmp"] / "archive.duckdb")
+    assert _run(env, "export", "--to", db) == 0
+    assert "exported 3 rows" in capsys.readouterr().out
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM items").fetchone()[0] == 3
+    # the store's typed schema round-trips, including the partition column
+    row = con.execute(
+        "SELECT author, type, parent FROM items WHERE id = 2"
+    ).fetchone()
+    assert row == ("bob", "comment", 1)
+    con.close()
