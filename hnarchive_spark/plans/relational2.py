@@ -139,6 +139,25 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (20% BUILDING, "
+    "5% rest) from the same key hash — reproducible class-balanced splits.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", 20).otherwise(5)
+    return c.filter(bucket < rate).select("c_custkey", "c_mktsegment")
+
+
+@query(
     "q_filtered_agg",
     oracle="""
     SELECT l_returnflag,
