@@ -68,7 +68,8 @@ def cmd_get(spark, args):
 
 def cmd_update(spark, args):
     store = _store(spark, args)
-    rounds = update(store, _transport(args), parallelism=args.threads)
+    rounds = update(store, _transport(args), parallelism=args.threads,
+                    commit_period=args.commit_period)
     print(f"update: {rounds} round(s); latest id {store.latest_id()}")
 
 
@@ -128,15 +129,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(func=cmd_get)
 
     u = sub.add_parser("update", help="catch up to the live head (E2)")
+    u.add_argument("--commit_period", type=int, default=200, help="ids per store commit")
     u.set_defaults(func=cmd_update)
 
     ui = sub.add_parser("update_items", help="re-crawl volatile rows (E4)")
     ui.add_argument("--days", type=float, required=True)
     ui.add_argument("--only_mature", action="store_true")
+    ui.add_argument("--commit_period", type=int, default=200,
+                    help="accepted for parity; one merge per refresh")
     ui.set_defaults(func=cmd_update_items)
 
     ls = sub.add_parser("livestream", help="continuous ingestion (E3)")
     ls.add_argument("--polls", type=int, default=1_000_000)
+    ls.add_argument("--commit_period", type=int, default=200,
+                    help="accepted for parity; one merge per poll")
     ls.set_defaults(func=cmd_livestream)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")

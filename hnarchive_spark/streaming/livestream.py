@@ -69,11 +69,14 @@ def update(
     parallelism: int = 8,
     retrieved_at: int | None = None,
     max_rounds: int = 100,
+    commit_period: int | None = None,
 ) -> int:
     """E2 catch-up: fetch (local_max, live_max], merge, repeat to fixpoint.
 
     Returns the number of rounds executed. Each round is one Spark batch:
     range -> mapInPandas fetch -> normalize -> merge -> atomic commit.
+    ``commit_period`` bounds the ids per commit (hnarchive.py:607-611) so a
+    long catch-up makes durable progress; None = one commit per round.
     """
     rounds = 0
     while rounds < max_rounds:
@@ -81,10 +84,15 @@ def update(
         upper = transport.max_item()
         if lower > upper:
             break
-        batch = fetch_items(
-            store.spark, lower, upper, transport, parallelism, retrieved_at
-        )
-        store.merge_batch(batch)
+        chunk = commit_period or (upper - lower + 1)
+        lo = lower
+        while lo <= upper:
+            hi = min(lo + chunk - 1, upper)
+            batch = fetch_items(
+                store.spark, lo, hi, transport, parallelism, retrieved_at
+            )
+            store.merge_batch(batch)
+            lo = hi + 1
         rounds += 1
     return rounds
 
