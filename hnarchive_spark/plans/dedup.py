@@ -273,6 +273,45 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             round(
+               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
+               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                                  / len(ws) - 5.0)), 4) AS quality_score
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    )
+    SELECT doc_id, quality_score
+    FROM q
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+          < CAST(quality_score * 3000 AS BIGINT)
+    """,
+    doc="Quality-weighted acceptance sampling: each doc kept with probability "
+    "proportional to its quality score, via the deterministic key hash — the "
+    "upsampling-good-data stage of a training pipeline, reproducible across "
+    "runs and engines.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    quality = F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000
+    return (
+        d.select("doc_id", quality.alias("quality_score"), bucket.alias("_b"))
+        .filter(F.col("_b") < (F.col("quality_score") * 3000).cast("long"))
+        .drop("_b")
+    )
+
+
 def _simhash_oracle() -> str:
     width = D.SH_BITS // D.SH_BANDS
     return f"""
