@@ -418,6 +418,40 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_heavy_hitters_cms",
+    oracle=None,  # sketch internals are engine-specific -> rows-only check;
+    # tests/test_sketches.py asserts the CMS overcount guarantee vs exact.
+    doc="Count-Min sketch heavy hitters: per-partition sketches merged into "
+    "one (count_min_sketch agg), then point estimates for the candidate "
+    "keys — the O(1)-memory frequency path at 100 TB. Estimates are "
+    "guaranteed >= true counts (one-sided error).",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # distributed sketch build: count_min_sketch aggregates per partition and
+    # merges (one tiny binary to the driver); lookups are O(1) per key
+    raw = bytes(
+        ev.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(raw))
+    )
+    cands = sorted(
+        r["user_id"]
+        for r in ev.select("user_id").filter("user_id < 20").distinct().collect()
+    )
+    # box as java.lang.Long: the sketch hashed LongType values, and
+    # estimateCount dispatches on the runtime type
+    rows = [
+        (int(k), int(sketch.estimateCount(jvm.java.lang.Long(int(k))))) for k in cands
+    ]
+    return spark.createDataFrame(rows, "user_id long, est_count long")
+
+
+@query(
     "q_approx_distinct",
     oracle=None,  # HLL sketches differ across engines -> rows-only check
     doc="approx_count_distinct (HyperLogLog++): the sketch-based cardinality "
