@@ -358,3 +358,81 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w")).distinct()
     )
     return D.simhash_pairs(toks)
+
+
+def _contamination_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _TOK
+        + """,
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    split AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0 AS is_eval
+      FROM documents
+    ),
+    tr AS (
+      SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE NOT is_eval
+    ),
+    ev AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN split USING (doc_id) WHERE is_eval
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, count(*) AS n_hits FROM ev
+      WHERE shingle IN (SELECT shingle FROM tr) GROUP BY doc_id
+    )
+    SELECT tot.doc_id, tot.n_shingles,
+           coalesce(hit.n_hits, 0) AS n_hits,
+           round(coalesce(hit.n_hits, 0)::DOUBLE / tot.n_shingles, 4) AS contamination
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=_contamination_oracle(),
+    doc="Train/eval contamination check: deterministic 10% eval split by "
+    "doc_id hash, word-3gram overlap of each eval doc against the distinct "
+    "train shingle set (the benchmark-leakage scan a training pipeline runs "
+    "before every release).",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination ratio vs the train split.
+
+    Scale shape: one explode->distinct per side keyed on doc_id, then a
+    left-semi join keyed on the shingle (the inverted index).  At 100 TB the
+    train shingle set is the big side — the semi join shuffles both sides on
+    `shingle`; a broadcast Bloom filter built from `tr` would pre-prune the
+    eval probe without changing results (noted in SCALE.md).  No reference
+    analog (capability extension; cf. SURVEY.md §2.10 training-data ops).
+    """
+    d = load(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 == 0
+    )
+    split = d.select("doc_id", is_eval.alias("is_eval"))
+    sh = D.word_shingles(d).join(split, "doc_id")
+    tr = sh.filter(~F.col("is_eval")).select("shingle").distinct()
+    ev = sh.filter(F.col("is_eval")).select("doc_id", "shingle")
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_shingles"), 4
+        ).alias("contamination"),
+    )
