@@ -271,3 +271,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fp"),
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
+
+
+PACK_BUDGET = 128  # token budget per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, seq_id FROM packed
+    """,
+    doc=f"Greedy next-fit sequence packing: documents in doc_id order per "
+    f"source are packed into training sequences of <= {PACK_BUDGET} tokens "
+    "(no splits); the LLM-pretraining batch-assembly step.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a packed sequence id per source.
+
+    Next-fit packing is inherently sequential per source, so it runs as an
+    ordered ``applyInPandas`` per source group (Arrow, one pass, O(group)
+    memory over just (doc_id, n_tokens) — text never enters the kernel).
+    Scale shape: parallelism = number of sources; at 100 TB pack per
+    (source, hash-shard) instead — seq_ids stay valid because packing never
+    crosses the grouping key.  Oracle replays the same fold as a DuckDB
+    recursive CTE.  No reference analog (training-data capability
+    extension, SURVEY.md §2.10).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", T.n_tokens(F.col("text")).alias("n_tokens"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, cum, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > PACK_BUDGET:
+                b, cum = b + 1, 0
+            cum += t
+            seq_ids.append(b)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tokens long, seq_id long"
+    )
