@@ -62,15 +62,17 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import for side effect: each module registers its queries.
+    # Import for side effect: each module registers its queries.  The driver
+    # verifies a bounded window of the inventory in registration order, so the
+    # LLM-pipeline modules (dedup/similarity/text/streaming/multimodal) come
+    # FIRST; the relational surface, driver-verified green in round 1, last.
+    # An import failure here must be loud — never silently shrink the
+    # verification inventory.
+    from hnarchive_spark.plans import dedup  # noqa: F401
+    from hnarchive_spark.plans import similarity  # noqa: F401
+    from hnarchive_spark.plans import textops  # noqa: F401
+    from hnarchive_spark.plans import streaming_plans  # noqa: F401
+    from hnarchive_spark.plans import multimodal_plans  # noqa: F401
     from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
 
-    try:
-        from hnarchive_spark.plans import textops  # noqa: F401
-        from hnarchive_spark.plans import dedup  # noqa: F401
-        from hnarchive_spark.plans import similarity  # noqa: F401
-        from hnarchive_spark.plans import streaming_plans  # noqa: F401
-        from hnarchive_spark.plans import multimodal_plans  # noqa: F401
-    except ImportError:  # modules land incrementally during the build
-        pass
     _LOADED = True
