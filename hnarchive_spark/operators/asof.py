@@ -51,18 +51,24 @@ def asof_join(
         rpay.alias("_rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # _rrow in the sort is a deterministic tiebreak: equal right timestamps
+    # carry the max payload struct instead of an engine-arbitrary row.
+    # Callers should still dedupe the right side per (key, time) when the
+    # oracle/engine being matched has its own tie rule.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_left"))
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_rrow"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
-    out = carried.filter(F.col("_is_left") == 1).select(
+    matched = carried.filter(F.col("_is_left") == 1)
+    if how == "inner":
+        # filter on the match struct itself: a matched right row whose first
+        # payload column is NULL must NOT be dropped
+        matched = matched.filter(F.col("_match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return matched.select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         *[F.col("_match")[c].alias(c) for c in payload_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(payload_cols[0]).isNotNull())
-    elif how != "left":
-        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    return out

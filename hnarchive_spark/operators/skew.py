@@ -19,11 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(key: str, n_salts: int):
+def _salt_col(df: DataFrame, n_salts: int):
     # spreads rows of the same key across n_salts reducers; ANY salt value
     # is correct (phase-2 combine / right-side replication covers all
-    # salts), so the row-id hash is just a cheap well-mixed source
-    return F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    # salts).  Hash the FULL row content so the salt is stable across task
+    # retries and AQE re-plans — monotonically_increasing_id would re-salt
+    # recomputed rows differently mid-shuffle (duplicate/loss hazard).
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
 def salted_aggregate(
@@ -49,7 +51,7 @@ def salted_aggregate(
             phase1_exprs.append(getattr(F, fn)(F.col(col)).alias(out))
         else:
             raise ValueError(f"unsupported aggregate {fn!r}")
-    salted = df.withColumn("_salt", _salt_col(key, n_salts))
+    salted = df.withColumn("_salt", _salt_col(df, n_salts))
     partial = salted.groupBy(key, "_salt").agg(*phase1_exprs)
     final_exprs = [combine[fn](F.col(out)).alias(out) for out, (fn, _) in aggs.items()]
     return partial.groupBy(key).agg(*final_exprs)
@@ -66,7 +68,7 @@ def salted_join(
 
     Right-side rows are duplicated n_salts times, so keep the right side
     small (dimension-scale) — if it fits a broadcast, broadcast instead."""
-    l_salted = left.withColumn("_salt", _salt_col(key, n_salts))
+    l_salted = left.withColumn("_salt", _salt_col(left, n_salts))
     r_replicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -309,19 +309,29 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_asof_join",
     oracle="""
+    WITH e AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events GROUP BY user_id, ts
+    )
     SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts AS event_ts
     FROM orders o
-    ASOF LEFT JOIN events e
+    ASOF LEFT JOIN e
       ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
     """,
     doc="As-of join (latest event per user at or before each order date): "
     "union-and-carry implementation — ONE shuffle on the key, no range "
-    "explosion (operators/asof.py).",
+    "explosion (operators/asof.py). The right side is deduplicated per "
+    "(user, ts) first: an as-of match at a tied timestamp is "
+    "engine-arbitrary, so (key, time) uniqueness is part of the "
+    "determinism contract (same as q_asof_join_inner).",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    e = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("o_custkey"), "event_id", F.col("ts").alias("event_ts")
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), F.col("ts").alias("event_ts"))
+        .agg(F.max("event_id").alias("event_id"))
+        .select("o_custkey", "event_id", "event_ts")
     )
     return asof_join(
         o,

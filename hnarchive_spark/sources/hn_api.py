@@ -132,12 +132,26 @@ class HttpTransport:
         return int(self._get(f"{HN_API_BASE}/maxitem.json"))
 
 
-def _fetch_kernel(transport, retries: int = 8, test_sleep_cap: float = 0.01):
+def _is_retryable(exc: Exception) -> bool:
+    """Retry classification per hnarchive.py:106-112: retry 429/5xx/
+    connection/timeout; fail fast on any other HTTP 4xx.  Duck-typed on
+    ``exc.response.status_code`` so it works with requests.HTTPError without
+    importing requests."""
+    status = getattr(getattr(exc, "response", None), "status_code", None)
+    if status is not None:
+        return status == 429 or status >= 500
+    # no HTTP status -> connection/timeout-shaped failure: retryable
+    return True
+
+
+def _fetch_kernel(transport, retries: int = 8, sleep_cap: float | None = None):
     """Per-partition fetch kernel: id batches in, wire-JSON payloads out.
 
-    App-level retry with quadratic backoff runs here (S1); a worker
+    App-level retry with quadratic backoff runs here (S1); non-retryable
+    errors (HTTP 4xx other than 429) re-raise immediately, and a worker
     exception after exhaustion fails the task -> fail-fast re-raise like
-    hnarchive.py:145-146. API-nulls/absences yield no row (U2)."""
+    hnarchive.py:145-146. API-nulls/absences yield no row (U2).
+    ``sleep_cap`` exists for tests only; production uses the full backoff."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,10 +162,11 @@ def _fetch_kernel(transport, retries: int = 8, test_sleep_cap: float = 0.01):
                     try:
                         data = transport.get_item(int(item_id))
                         break
-                    except Exception:
-                        if attempt == retries - 1:
+                    except Exception as exc:
+                        if not _is_retryable(exc) or attempt == retries - 1:
                             raise
-                        time.sleep(min(bo.next(), test_sleep_cap))
+                        delay = bo.next()
+                        time.sleep(delay if sleep_cap is None else min(delay, sleep_cap))
                 if data is not None:
                     payloads.append(json.dumps(data))
             yield pd.DataFrame({"payload": pd.Series(payloads, dtype="object")})
@@ -166,6 +181,7 @@ def fetch_items(
     transport,
     parallelism: int = 8,
     retrieved_at: int | None = None,
+    sleep_cap: float | None = None,
 ) -> DataFrame:
     """S3/S4/S5: fetch ids [lower, upper] -> normalized items DataFrame.
 
@@ -175,7 +191,7 @@ def fetch_items(
     if retrieved_at is None:
         retrieved_at = int(time.time())
     ids = spark.range(lower, upper + 1).toDF("id").repartition(parallelism)
-    raw = ids.mapInPandas(_fetch_kernel(transport), "payload string")
+    raw = ids.mapInPandas(_fetch_kernel(transport, sleep_cap=sleep_cap), "payload string")
     return normalize_wire(parse_wire_json(raw), retrieved_at=retrieved_at)
 
 
@@ -183,6 +199,7 @@ def fetch_ids_df(
     ids_df: DataFrame,
     transport,
     retrieved_at: int | None = None,
+    sleep_cap: float | None = None,
 ) -> DataFrame:
     """Fetch the ids in a DataFrame column ``id`` — the distributed id-source
     shape (E4 staleness scan feeds this directly; no driver collect)."""
@@ -191,7 +208,7 @@ def fetch_ids_df(
     from pyspark.sql import functions as F
 
     ids = ids_df.select(F.col("id").cast("long").alias("id"))
-    raw = ids.mapInPandas(_fetch_kernel(transport), "payload string")
+    raw = ids.mapInPandas(_fetch_kernel(transport, sleep_cap=sleep_cap), "payload string")
     return normalize_wire(parse_wire_json(raw), retrieved_at=retrieved_at)
 
 
@@ -201,6 +218,7 @@ def fetch_id_list(
     transport,
     parallelism: int = 8,
     retrieved_at: int | None = None,
+    sleep_cap: float | None = None,
 ) -> DataFrame:
     """Fetch an explicit id set — the livestream shape, where the id source
     is a pending list, not a dense range.  Only the given ids are requested
@@ -208,4 +226,4 @@ def fetch_id_list(
     ids_df = spark.createDataFrame([(int(i),) for i in ids], "id long").repartition(
         max(1, min(parallelism, len(ids) or 1))
     )
-    return fetch_ids_df(ids_df, transport, retrieved_at)
+    return fetch_ids_df(ids_df, transport, retrieved_at, sleep_cap=sleep_cap)

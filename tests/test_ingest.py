@@ -50,8 +50,28 @@ def test_fetch_normalizes_and_drops_tombstones(spark):
 
 def test_fetch_retries_flaky_ids(spark):
     t = MockTransport(items={1: wire(1)}, max_id=1, flaky={1: 3})
-    df = fetch_items(spark, 1, 1, t, parallelism=1, retrieved_at=T0)
+    df = fetch_items(spark, 1, 1, t, parallelism=1, retrieved_at=T0, sleep_cap=0.01)
     assert df.count() == 1  # succeeded after 3 retryable failures
+
+
+def test_fetch_fails_fast_on_non_retryable_http_error(spark):
+    """A 4xx other than 429 must raise immediately — no retry storm
+    (hnarchive.py:112 fail-fast classification)."""
+
+    class _Resp:
+        status_code = 404
+
+    class _NotFound(Exception):
+        response = _Resp()
+
+    class _FatalTransport(MockTransport):
+        def get_item(self, item_id):
+            self.calls.append(item_id)
+            raise _NotFound("HTTP 404")
+
+    t = _FatalTransport(items={}, max_id=1)
+    with pytest.raises(Exception):
+        fetch_items(spark, 1, 1, t, parallelism=1, retrieved_at=T0, sleep_cap=0.01).count()
 
 
 def test_update_reaches_fixpoint_and_is_restartable(store):
