@@ -235,8 +235,10 @@ def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, d1 < d2.
 
-    Brute-force pair join here; at scale the LSH bucket join above bounds
-    the pair space the same way it bounds search.
+    TEST ORACLE ONLY — O(n^2) all-pairs join, intentionally NOT registered
+    as a query: ``lsh_dup_pairs`` is the canonical (bucketed, 100 TB-safe)
+    operator, and tests/test_similarity_recall.py uses this exact form to
+    measure its recall.
     """
     e = embeddings.repartition(F.col("vec_id")).select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")

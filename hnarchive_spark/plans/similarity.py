@@ -22,23 +22,6 @@ N_QUERIES = 5  # query set = vec_id < 5
 _E = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
 
-@query(
-    "q_embed_dup",
-    oracle=f"""
-    WITH {_E}
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COS_DUP_T}
-    """,
-    doc="Embedding near-dup pairs (cosine >= 0.45). Brute-force pair join "
-    "at test scale; the LSH bucket join is the scale path (q_ann_lsh).",
-)
-def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(e, COS_DUP_T)
-
-
 def _lsh_dup_oracle() -> str:
     planes = ",\n        ".join(
         f"({p}, {d}, {w!r})"
@@ -80,14 +63,17 @@ def _lsh_dup_oracle() -> str:
 
 
 @query(
-    "q_embed_dup_lsh",
+    "q_embed_dup",
     oracle=_lsh_dup_oracle(),
-    doc="Embedding near-dup with banded LSH blocking (OR-construction, scale "
-    "path of q_embed_dup): candidates share any 2-bit sign band (~0.9 recall "
-    "at the threshold vs ~0.03 for full-bucket AND), exact cosine verifies; "
-    "identical deterministic bands replayed by the oracle.",
+    doc="Embedding near-dup pairs (cosine >= 0.45) with banded LSH blocking "
+    "(OR-construction): candidates share any 2-bit sign band (~0.9 recall at "
+    "the threshold vs ~0.03 for full-bucket AND), exact cosine verifies; "
+    "identical deterministic bands replayed by the oracle. This bucketed "
+    "plan IS the canonical operator — the O(n^2) all-pairs join "
+    "(operators/similarity.py cosine_dup_pairs) is unregistered and serves "
+    "only as the recall oracle in tests/test_similarity_recall.py.",
 )
-def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.lsh_dup_pairs(e, COS_DUP_T)
 
