@@ -39,21 +39,23 @@ def connected_components(
             .agg(F.min("comp").alias("nmin"))
             .select(F.col("a").alias("node"), "nmin")
         )
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp")))
+        # carry the convergence flag IN the checkpointed frame: the changed
+        # check is then a cheap aggregate over already-materialized
+        # partitions (one job per iteration), not a second join job against
+        # the previous labels.  Labels only ever decrease, so != is <.
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                new_comp.alias("new_comp"),
+                (new_comp < F.col("comp")).alias("_changed"),
             )
+            .withColumnRenamed("new_comp", "comp")
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)
-        if changed == 0:
+        changed = updated.agg(F.max(F.col("_changed"))).first()[0]
+        labels = updated.drop("_changed")
+        if not changed:
             break
     return labels

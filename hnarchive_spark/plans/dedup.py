@@ -30,7 +30,7 @@ _TOK = """
     )
 """
 
-_SHINGLES = (
+_SHINGLES_RAW = (
     _TOK
     + """,
     sh AS (
@@ -38,7 +38,13 @@ _SHINGLES = (
       FROM tok a
       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
-    ),
+    )
+"""
+)
+
+_SHINGLES = (
+    _SHINGLES_RAW
+    + """,
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 )
@@ -90,6 +96,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
+
+
+NGRAM_MAX_DF = 10  # drop shingles shared by more than 10 docs (stop-shingles)
+
+
+@query(
+    "q_dedup_ngram_maxdf",
+    oracle=f"""
+    WITH {_SHINGLES_RAW},
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+    ),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, jaccard FROM (
+      SELECT d1, d2,
+             round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+    ) WHERE jaccard >= {JACCARD_T}
+    """,
+    doc=f"Skew-safe n-gram Jaccard dedup: identical to q_dedup_ngram but with "
+    f"the max_df={NGRAM_MAX_DF} stop-shingle filter ON — a shingle occurring "
+    "in more docs than that is dropped BEFORE the inverted-index self-join, "
+    "bounding every shingle's pair contribution to max_df^2. This is the "
+    "plan to run at 100 TB (adversarial corpora make unfiltered stop-shingle "
+    "keys explode); the filter is deterministic, so the oracle replays it "
+    "exactly and the scale path itself is hash-checked.",
+)
+def q_dedup_ngram_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.word_shingles(d), JACCARD_T, max_df=NGRAM_MAX_DF)
 
 
 def _minhash_oracle() -> str:
@@ -408,20 +452,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode->distinct per side keyed on doc_id, then a
     left-semi join keyed on the shingle (the inverted index).  At 100 TB the
-    train shingle set is the big side — the semi join shuffles both sides on
-    `shingle`; a broadcast Bloom filter built from `tr` would pre-prune the
-    eval probe without changing results (noted in SCALE.md).  No reference
-    analog (capability extension; cf. SURVEY.md §2.10 training-data ops).
+    train shingle set is the big side of that exchange, so a broadcast Bloom
+    filter (operators/bloom.py) built from the SMALL side (the 10% eval
+    shingles) pre-prunes the train side BEFORE its shuffle — typically >90%
+    of train shingles never reach the exchange.  Bloom false positives only
+    pass extra rows into the exact semi join, and there are no false
+    negatives, so results are hash-identical to the unfiltered plan.  No
+    reference analog (capability extension; cf. SURVEY.md §2.10).
     """
+    from hnarchive_spark.operators.bloom import bloom_build, bloom_prune
+
     d = load(spark, sf_dir, "documents")
     is_eval = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 10 == 0
     )
     split = d.select("doc_id", is_eval.alias("is_eval"))
-    sh = D.word_shingles(d).join(split, "doc_id")
-    tr = sh.filter(~F.col("is_eval")).select("shingle").distinct()
+    sh = D.word_shingles(d).join(split, "doc_id").persist()
     ev = sh.filter(F.col("is_eval")).select("doc_id", "shingle")
+    ev_bloom = bloom_build(ev, "shingle")
+    # bloom runs before tr's exchange; the semi join stays exact (a left-semi
+    # right side needs no distinct — that was a redundant extra shuffle)
+    tr = bloom_prune(sh.filter(~F.col("is_eval")).select("shingle"), "shingle", ev_bloom)
     tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         ev.join(tr, "shingle", "left_semi")

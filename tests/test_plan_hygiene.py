@@ -51,3 +51,21 @@ def test_dimension_joins_broadcast(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_bloom_prunes_before_semi_join(spark):
+    """The train side must pass the broadcast Bloom probe (3 broadcast hash
+    joins + bit-test filters) BEFORE the shingle semi-join exchange."""
+    plan = _plan(spark, "q_contamination")
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    assert "LeftSemi" in plan
+    # the bit-test filter from operators/bloom.py survives into the plan
+    assert "shiftleft" in plan
+
+
+def test_embed_dup_has_no_cartesian(spark):
+    """The canonical embedding near-dup is the banded-LSH bucket join: an
+    all-pairs cross join must never be reachable from the registry."""
+    plan = _plan(spark, "q_embed_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
