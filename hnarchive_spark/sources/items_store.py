@@ -2,15 +2,23 @@
 
 The reference's store is a SQLite file with six indexes (hnarchive.py:34-78).
 Here it is a partitioned parquet directory with layout chosen per SURVEY
-§1.4: partitioned by ``type`` (the composite-index column), sorted by ``id``
-within files so min-max stats give point-lookup file skipping, and with the
-``age_at_retrieval`` expression-index column materialized.
+§1.4: partitioned by ``id_bucket`` (id div bucket_size — the pruning unit for
+merges and id-range scans) then ``type`` (the composite-index column), sorted
+by ``id`` within files so min-max stats give point-lookup file skipping, and
+with the ``age_at_retrieval`` expression-index column materialized.
 
 Writes are versioned directories + an atomic `_CURRENT` pointer swap — the
 commit boundary (K1): readers always see a complete snapshot, a crashed
 write leaves the previous version intact (the parquet stand-in for a Delta
 transaction; on a real deployment this class would wrap a Delta/Iceberg
 table and ``merge_batch`` would emit MERGE INTO).
+
+Merge cost (the reference's 200-id commit cadence, hnarchive.py:255-262):
+``merge_batch`` joins and rewrites ONLY the id buckets the batch touches;
+every other bucket is copied forward into the new snapshot as hardlinks —
+byte-identical files, O(1) I/O per file, the filesystem analog of a Delta
+manifest referencing unchanged data files.  A 200-id commit against a 25M-row
+store therefore rewrites ~1 bucket, not the store.
 """
 
 from __future__ import annotations
@@ -24,14 +32,25 @@ from pyspark.sql import functions as F
 from hnarchive_spark.operators.merge import merge_items
 from hnarchive_spark.schema import ITEMS_SCHEMA
 
+_BUCKET_COL = "id_bucket"
+
 
 class ItemsStore:
-    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keep_versions: int = 2,
+        bucket_size: int = 100_000,
+    ):
         self.spark = spark
         self.path = path
         # snapshots retained beyond the current one (cheap time travel /
         # safe rollback window — the parquet analog of Delta VACUUM policy)
         self.keep_versions = max(0, keep_versions)
+        # merge/prune granularity: ids per bucket.  100k buckets a 25M-row
+        # store into 250 partitions; a 200-id commit touches 1-2 of them.
+        self.bucket_size = max(1, bucket_size)
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot management -------------------------------------------------
@@ -58,47 +77,117 @@ class ItemsStore:
                 out.append(int(name[1:]))
         return sorted(out)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read the current snapshot, or a retained past one (time travel)."""
+    def _read_raw(self, version: int | None = None) -> DataFrame:
+        """Snapshot INCLUDING the ``id_bucket`` partition column."""
         v = self._current_version() if version is None else version
         if v is None:
-            return self.spark.createDataFrame([], schema=ITEMS_SCHEMA)
+            return (
+                self.spark.createDataFrame([], schema=ITEMS_SCHEMA)
+                .withColumn(_BUCKET_COL, F.lit(0).cast("long"))
+            )
         if version is not None and version not in self.versions():
             raise ValueError(
                 f"version {version} not retained (have {self.versions()})"
             )
         return self.spark.read.parquet(self._version_dir(v))
 
-    def _commit(self, df: DataFrame) -> None:
-        """K1 commit: write a new version dir, fsync the pointer swap."""
-        old = self._current_version()
-        new = (old or 0) + 1
-        out = self._version_dir(new)
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or a retained past one (time travel).
+
+        The internal ``id_bucket`` partition column is dropped — the public
+        schema is exactly the items schema (it is derivable as
+        ``id div bucket_size``)."""
+        return self._read_raw(version).drop(_BUCKET_COL)
+
+    def _write_snapshot(self, df: DataFrame, out: str) -> None:
         (
-            df.repartition("type")
+            df.withColumn(_BUCKET_COL, F.expr(f"id div {self.bucket_size}"))
+            .repartition(_BUCKET_COL, "type")
             .sortWithinPartitions("id")
             .write.mode("overwrite")
             .option("compression", "zstd")
-            .partitionBy("type")
+            .partitionBy(_BUCKET_COL, "type")
             .parquet(out)
         )
+
+    @staticmethod
+    def _link_forward(src: str, dst: str) -> None:
+        """Copy-forward a partition subtree as hardlinks (byte-identical,
+        O(1) I/O per file); falls back to a real copy across devices."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            target_dir = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(target_dir, exist_ok=True)
+            for name in files:
+                s, t = os.path.join(root, name), os.path.join(target_dir, name)
+                try:
+                    os.link(s, t)
+                except OSError:
+                    shutil.copy2(s, t)
+
+    def _swap_pointer(self, new: int) -> None:
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(new))
         os.replace(tmp, self._pointer)
-        # vacuum: drop snapshots older than the retention window
+        # vacuum: drop snapshots older than the retention window (hardlinked
+        # files shared with newer snapshots survive the unlink)
         for v in self.versions():
             if v < new - self.keep_versions:
                 shutil.rmtree(self._version_dir(v), ignore_errors=True)
+
+    def _commit(self, df: DataFrame) -> None:
+        """K1 commit: write a full new version dir, fsync the pointer swap."""
+        old = self._current_version()
+        new = (old or 0) + 1
+        self._write_snapshot(df, self._version_dir(new))
+        self._swap_pointer(new)
 
     # -- the reference's store API -------------------------------------------
 
     def merge_batch(self, updates: DataFrame, seq_col: str | None = None) -> None:
         """K2 insert_items: one merge per batch (the commit cadence of the
-        reference's commit_period becomes the batch boundary)."""
-        current = self.read().select(*[f.name for f in ITEMS_SCHEMA.fields])
+        reference's commit_period becomes the batch boundary).
+
+        Partition-pruned: the full-outer merge join and the rewrite are
+        restricted to the id buckets present in the batch; untouched buckets
+        are hardlinked forward unchanged (`test_store_layout.py` asserts
+        byte-identity across a merge)."""
+        item_cols = [f.name for f in ITEMS_SCHEMA.fields]
+        old_v = self._current_version()
+        if old_v is None:
+            merged = merge_items(self.read().select(*item_cols), updates, seq_col=seq_col)
+            self._commit(merged)
+            return
+        # materialize the batch once: it feeds two jobs (touched-bucket
+        # listing + the merge) and may be an HTTP fetch pipeline that must
+        # not re-run per action
+        updates = updates.localCheckpoint(eager=True)
+        touched = sorted(
+            r[0]
+            for r in updates.select(
+                F.expr(f"id div {self.bucket_size}").alias("b")
+            ).distinct().collect()
+        )
+        current = (
+            self._read_raw()
+            .filter(F.col(_BUCKET_COL).isin(touched))
+            .select(*item_cols)
+        )
         merged = merge_items(current, updates, seq_col=seq_col)
-        self._commit(merged)
+        new_v = old_v + 1
+        out = self._version_dir(new_v)
+        self._write_snapshot(merged, out)
+        # copy-forward every untouched bucket from the previous snapshot
+        old_dir = self._version_dir(old_v)
+        touched_set = set(touched)
+        for name in os.listdir(old_dir):
+            if not name.startswith(f"{_BUCKET_COL}="):
+                continue
+            if int(name.split("=", 1)[1]) in touched_set:
+                continue
+            self._link_forward(os.path.join(old_dir, name), os.path.join(out, name))
+        self._swap_pointer(new_v)
 
     def latest_id(self) -> int:
         """Q4 select_latest_id (offset recovery, hnarchive.py:285-290)."""

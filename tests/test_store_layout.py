@@ -38,6 +38,50 @@ def test_time_travel_and_vacuum(spark, tmp_path):
         store.read(version=v1)
 
 
+def test_merge_is_partition_pruned_and_copy_forward(spark, tmp_path):
+    """A merge must rewrite ONLY the id buckets the batch touches; every
+    other bucket's files are copied forward byte-identical (hardlinks)."""
+    import os
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    base = [dict(r) for r in FX.MERGE_BASE]
+    # spread ids across three buckets: 1-9 (b0), 11-19 (b1), 21-29 (b2)
+    for i, r in enumerate(base):
+        r["id"] = 1 + (i % 3) * 10 + i
+    store.merge_batch(FX.items_df_with_seq(spark, base), seq_col="seq")
+    v1 = store._current_version()
+    v1_dir = store._version_dir(v1)
+
+    # update touching ONLY the highest id -> exactly one touched bucket
+    top = max(r["id"] for r in base)
+    upd = [dict(base[0], id=top, score=999)]
+    store.merge_batch(FX.items_df_with_seq(spark, upd), seq_col="seq")
+    v2_dir = store._version_dir(store._current_version())
+
+    touched = f"id_bucket={top // 10}"
+    untouched = sorted(
+        n for n in os.listdir(v1_dir)
+        if n.startswith("id_bucket=") and n != touched
+    )
+    assert untouched, "test needs at least one untouched bucket"
+    for bucket in untouched:
+        old_files, new_files = {}, {}
+        for root, _d, files in os.walk(os.path.join(v1_dir, bucket)):
+            for f in files:
+                p = os.path.join(root, f)
+                old_files[os.path.relpath(p, v1_dir)] = p
+        for root, _d, files in os.walk(os.path.join(v2_dir, bucket)):
+            for f in files:
+                p = os.path.join(root, f)
+                new_files[os.path.relpath(p, v2_dir)] = p
+        assert old_files.keys() == new_files.keys()
+        for rel, old_p in old_files.items():
+            with open(old_p, "rb") as a, open(new_files[rel], "rb") as b:
+                assert a.read() == b.read(), f"{rel} changed across merge"
+    # and the merge itself landed
+    assert store.read().filter(f"id = {top}").first()["score"] == 999
+
+
 def test_store_roundtrip_schema_and_versions(spark, tmp_path):
     store = ItemsStore(spark, str(tmp_path / "store"))
     store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
