@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import sys
 
 from hnarchive_spark.session import get_spark
@@ -34,6 +35,30 @@ from hnarchive_spark.streaming.livestream import (
     update,
     update_items,
 )
+
+
+class GracefulInterrupt:
+    """K3 ctrlc_commit (hnarchive.py:82-89): the first SIGINT lets the
+    in-flight chunk finish its atomic commit, then the loop stops and the
+    command exits 1 — progress up to the last commit is durable.  A second
+    SIGINT raises KeyboardInterrupt immediately (force quit)."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def __enter__(self):
+        def _handler(signum, frame):
+            if self.requested:
+                raise KeyboardInterrupt
+            self.requested = True
+
+        self._prev = signal.signal(signal.SIGINT, _handler)
+        return self
+
+    def __exit__(self, *exc):
+        signal.signal(signal.SIGINT, self._prev)
+        return False
 
 
 def _transport(args):
@@ -55,21 +80,30 @@ def cmd_get(spark, args):
     t = _transport(args)
     upper = args.upper if args.upper is not None else t.max_item()
     # the reference commits every commit_period items (hnarchive.py:255-262);
-    # here each chunk is one fetch+merge with an atomic store commit, so an
-    # interrupt loses at most one chunk (the ctrlc_commit semantics, K3)
+    # here each chunk is one fetch+merge with an atomic store commit, and a
+    # SIGINT finishes the in-flight chunk before stopping (K3 ctrlc_commit)
     lo = args.lower
-    while lo <= upper:
-        hi = min(lo + args.commit_period - 1, upper)
-        batch = fetch_items(spark, lo, hi, t, parallelism=args.threads)
-        store.merge_batch(batch)
-        lo = hi + 1
+    with GracefulInterrupt() as intr:
+        while lo <= upper:
+            hi = min(lo + args.commit_period - 1, upper)
+            batch = fetch_items(spark, lo, hi, t, parallelism=args.threads)
+            store.merge_batch(batch)
+            lo = hi + 1
+            if intr.requested:
+                print(f"interrupted: committed through id {hi}")
+                return 1
     print(f"merged ids [{args.lower}, {upper}]; store now {store.count()} rows")
 
 
 def cmd_update(spark, args):
     store = _store(spark, args)
-    rounds = update(store, _transport(args), parallelism=args.threads,
-                    commit_period=args.commit_period)
+    with GracefulInterrupt() as intr:
+        rounds = update(store, _transport(args), parallelism=args.threads,
+                        commit_period=args.commit_period,
+                        should_stop=lambda: intr.requested)
+        if intr.requested:
+            print(f"interrupted: committed through id {store.latest_id()}")
+            return 1
     print(f"update: {rounds} round(s); latest id {store.latest_id()}")
 
 
@@ -82,16 +116,21 @@ def cmd_update_items(spark, args):
 def cmd_livestream(spark, args):
     store = _store(spark, args)
     total = 0
-    for poll, merged, skipped in livestream_batches(
-        store,
-        _transport(args),
-        policy=SkipPolicy(),
-        max_polls=args.polls,
-        parallelism=args.threads,
-    ):
-        total += merged
-        if merged or skipped:
-            print(f"poll {poll}: merged {merged}, skipped {skipped}")
+    with GracefulInterrupt() as intr:
+        for poll, merged, skipped in livestream_batches(
+            store,
+            _transport(args),
+            policy=SkipPolicy(),
+            max_polls=args.polls,
+            parallelism=args.threads,
+        ):
+            total += merged
+            if merged or skipped:
+                print(f"poll {poll}: merged {merged}, skipped {skipped}")
+            if intr.requested:
+                # each poll ends on a committed snapshot — stop cleanly here
+                print(f"interrupted after poll {poll}: merged {total} item(s)")
+                return 1
     print(f"livestream: merged {total} item(s); latest id {store.latest_id()}")
 
 
@@ -161,10 +200,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("hnarchive-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        args.func(spark, args)
+        rc = args.func(spark, args)
     finally:
         spark.stop()
-    return 0
+    return int(rc or 0)
 
 
 if __name__ == "__main__":

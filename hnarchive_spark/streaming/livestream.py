@@ -70,6 +70,7 @@ def update(
     retrieved_at: int | None = None,
     max_rounds: int = 100,
     commit_period: int | None = None,
+    should_stop=None,
 ) -> int:
     """E2 catch-up: fetch (local_max, live_max], merge, repeat to fixpoint.
 
@@ -77,6 +78,8 @@ def update(
     range -> mapInPandas fetch -> normalize -> merge -> atomic commit.
     ``commit_period`` bounds the ids per commit (hnarchive.py:607-611) so a
     long catch-up makes durable progress; None = one commit per round.
+    ``should_stop`` is polled after each chunk commit — the graceful-
+    shutdown hook (K3): stopping here always leaves a committed prefix.
     """
     rounds = 0
     while rounds < max_rounds:
@@ -93,6 +96,8 @@ def update(
             )
             store.merge_batch(batch)
             lo = hi + 1
+            if should_stop is not None and should_stop():
+                return rounds + 1
         rounds += 1
     return rounds
 

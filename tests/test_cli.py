@@ -68,6 +68,38 @@ def test_update_items_and_livestream(env, capsys):
     assert "latest id 4" in capsys.readouterr().out
 
 
+def test_sigint_between_chunks_commits_prefix(env, capsys, monkeypatch):
+    """K3 graceful shutdown: a SIGINT during a chunked backfill lets the
+    in-flight chunk commit, then exits 1 — the store holds the committed
+    prefix, not a torn state (reference ctrlc_commit, hnarchive.py:82-89)."""
+    import signal as _signal
+
+    from hnarchive_spark.sources.items_store import ItemsStore
+
+    real_merge = ItemsStore.merge_batch
+    calls = []
+
+    def merge_then_sigint(self, updates, seq_col=None):
+        real_merge(self, updates, seq_col=seq_col)
+        calls.append(1)
+        if len(calls) == 1:  # interrupt arrives after the first chunk commit
+            _signal.raise_signal(_signal.SIGINT)
+
+    monkeypatch.setattr(ItemsStore, "merge_batch", merge_then_sigint)
+    # commit_period=2 -> chunks [1,2] and [3,3]; SIGINT after chunk 1
+    rc = _run(env, "get", "--lower", "1", "--upper", "3", "--commit_period", "2")
+    assert rc == 1
+    assert "interrupted: committed through id 2" in capsys.readouterr().out
+    assert len(calls) == 1  # second chunk never ran
+
+    monkeypatch.setattr(ItemsStore, "merge_batch", real_merge)
+    store = ItemsStore(cli.get_spark(), env["store"])
+    assert store.latest_id() == 2  # committed prefix, durable
+    # the run can resume and complete cleanly
+    assert _run(env, "update") == 0
+    assert store.latest_id() == 3
+
+
 def test_export_to_duckdb(env, capsys):
     import duckdb
 
