@@ -2,10 +2,12 @@
 
 The reference's ``build_item_tree`` (hnarchive.py:306-319) materializes one
 comment tree with an N+1 recursive point-query loop — one SELECT per node.
-The Spark-native replacement is level-at-a-time BFS to a fixpoint: each
-iteration is ONE join discovering the whole next level for ALL requested
-roots simultaneously, so the cost is O(depth) jobs instead of O(nodes)
-queries, and an arbitrary number of trees amortize into the same scans.
+The Spark-native replacement is a recursive CTE (``WITH RECURSIVE``,
+Spark 4.1): one declarative query whose fixpoint the engine drives
+internally (UnionLoop in the physical plan) — no per-level driver round
+trips at all.  A level-at-a-time BFS loop (one broadcast join per level,
+O(depth) jobs) remains as the fallback for engines without recursive CTEs
+and as the independent cross-check in tests.
 
 Scale notes:
 * the frontier is tiny relative to ``items`` -> broadcast it, so each step
@@ -20,10 +22,13 @@ Scale notes:
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_view_counter = itertools.count()
 
 
 def tree_closure(
@@ -35,9 +40,56 @@ def tree_closure(
 ) -> DataFrame:
     """Transitive closure under ``parent`` edges for the given roots.
 
-    Returns a DataFrame ``(root_id, id, depth)`` — every node of every
-    requested tree with its distance from the root (root itself at depth 0).
+    Returns ``(root_id, id, depth)`` — every node of every requested tree
+    with its distance from the root (root itself at depth 0).
+
+    Primary plan: a recursive CTE (Spark 4.1 ``WITH RECURSIVE``) — ONE
+    declarative query, no per-level driver round-trips (the engine runs the
+    fixpoint internally).  Falls back to the level-at-a-time BFS loop if the
+    engine rejects recursive CTEs.
     """
+    try:
+        return _tree_closure_recursive(items, root_ids, id_col, parent_col, max_depth)
+    except Exception:
+        return _tree_closure_bfs(items, root_ids, id_col, parent_col, max_depth)
+
+
+def _tree_closure_recursive(
+    items: DataFrame,
+    root_ids: Sequence[int],
+    id_col: str,
+    parent_col: str,
+    max_depth: int | None,
+) -> DataFrame:
+    spark = items.sparkSession
+    view = f"_tree_closure_src_{next(_view_counter)}"
+    items.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(parent_col).cast("long").alias("parent"),
+    ).createOrReplaceTempView(view)
+    roots = ", ".join(str(int(r)) for r in root_ids)
+    bound = f"AND c.depth < {int(max_depth)}" if max_depth is not None else ""
+    return spark.sql(f"""
+        WITH RECURSIVE closure AS (
+          SELECT id AS root_id, id, 0 AS depth FROM {view} WHERE id IN ({roots})
+          UNION ALL
+          SELECT c.root_id, i.id, c.depth + 1 AS depth
+          FROM {view} i JOIN closure c ON i.parent = c.id
+          WHERE i.parent IS NOT NULL {bound}
+        )
+        SELECT root_id, id, depth FROM closure
+    """)
+
+
+def _tree_closure_bfs(
+    items: DataFrame,
+    root_ids: Sequence[int],
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Level-at-a-time BFS fallback: one broadcast join per level, fixpoint
+    detected with ``isEmpty`` — O(depth) jobs."""
     edges = items.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(parent_col).cast("long").alias("parent"),

@@ -169,8 +169,9 @@ def _tree_oracle_sql() -> str:
 @query(
     "q_tree_closure",
     oracle=_tree_oracle_sql(),
-    doc="G1 build_item_tree (hnarchive.py:306-319) as level-at-a-time BFS to "
-    "fixpoint: O(depth) broadcast joins instead of O(nodes) point queries.",
+    doc="G1 build_item_tree (hnarchive.py:306-319) as a recursive CTE "
+    "(engine-internal fixpoint, single job; BFS loop fallback) instead of "
+    "O(nodes) point queries.",
 )
 def q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = FX.items_df(spark, FX.TREE_ITEMS)

@@ -63,6 +63,16 @@ def test_contamination_bloom_prunes_before_semi_join(spark):
     assert "shiftleft" in plan
 
 
+def test_tree_closure_uses_recursive_cte(spark):
+    """q_tree_closure must run as ONE recursive-CTE job (UnionLoop operator),
+    not the per-level BFS fallback with its driver round-trips."""
+    from hnarchive_spark.plans.registry import all_queries
+
+    df = all_queries()["q_tree_closure"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Loop" in plan, plan[:500]
+
+
 def test_embed_dup_has_no_cartesian(spark):
     """The canonical embedding near-dup is the banded-LSH bucket join: an
     all-pairs cross join must never be reachable from the registry."""
