@@ -332,3 +332,72 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("source").applyInPandas(
         pack, "source string, doc_id long, n_tokens long, seq_id long"
     )
+
+
+PACK_SHARDS = 4  # hash shards per source — the packing-parallelism knob
+
+
+@query(
+    "q_pack_sequences_sharded",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {PACK_SHARDS} AS shard,
+             doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+             row_number() OVER (PARTITION BY source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, shard, doc_id, n_tokens, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM toks t JOIN packed p
+        ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT source, shard, doc_id, n_tokens, seq_id FROM packed
+    """,
+    doc=f"Shard-parallel sequence packing: the (source, hash-shard) variant "
+    f"of q_pack_sequences ({PACK_SHARDS} md5 shards per source), so packing "
+    "parallelism is #sources x #shards instead of #sources — the knob that "
+    "keeps the inherently-sequential fold scalable at 100 TB. seq_ids stay "
+    "valid because packing never crosses the grouping key; (shard, seq_id) "
+    "identifies the packed sequence.",
+)
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % PACK_SHARDS
+    )
+    toks = d.select(
+        "source",
+        shard.alias("shard"),
+        "doc_id",
+        T.n_tokens(F.col("text")).alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, cum, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > PACK_BUDGET:
+                b, cum = b + 1, 0
+            cum += t
+            seq_ids.append(b)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "shard", "doc_id", "n_tokens", "seq_id"]]
+
+    return toks.groupBy("source", "shard").applyInPandas(
+        pack, "source string, shard long, doc_id long, n_tokens long, seq_id long"
+    )
