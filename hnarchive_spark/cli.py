@@ -114,6 +114,8 @@ def cmd_update_items(spark, args):
 
 
 def cmd_livestream(spark, args):
+    if args.streaming:
+        return _cmd_livestream_streaming(spark, args)
     store = _store(spark, args)
     total = 0
     with GracefulInterrupt() as intr:
@@ -132,6 +134,34 @@ def cmd_livestream(spark, args):
                 print(f"interrupted after poll {poll}: merged {total} item(s)")
                 return 1
     print(f"livestream: merged {total} item(s); latest id {store.latest_id()}")
+
+
+def _cmd_livestream_streaming(spark, args):
+    """E3 as a checkpointed Structured Streaming query (streaming/source.py):
+    offsets = HN maxitem + SkipPolicy state, restart-safe via --checkpoint.
+    ``--once`` drains available data and exits (update-style trigger);
+    otherwise the query runs until SIGINT stops it at a batch boundary."""
+    import time as _t
+
+    from hnarchive_spark.streaming.sink import stream_merge_into_store
+    from hnarchive_spark.streaming.source import livestream_readstream
+
+    store = _store(spark, args)
+    opts = {"mock_data": args.mock_data} if args.mock_data else {}
+    df = livestream_readstream(spark, **opts)
+    ckpt = args.checkpoint or args.store.rstrip("/") + "_ckpt"
+    q = stream_merge_into_store(
+        df, store, ckpt, retrieved_at=int(_t.time()), available_now=args.once
+    )
+    if args.once:
+        q.awaitTermination()
+    else:
+        with GracefulInterrupt() as intr:
+            while not intr.requested:
+                if q.awaitTermination(1):
+                    break
+            q.stop()
+    print(f"livestream: latest id {store.latest_id()} (checkpoint {ckpt})")
 
 
 def cmd_export(spark, args):
@@ -182,6 +212,12 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--polls", type=int, default=1_000_000)
     ls.add_argument("--commit_period", type=int, default=200,
                     help="accepted for parity; one merge per poll")
+    ls.add_argument("--streaming", action="store_true",
+                    help="run as a checkpointed Structured Streaming query")
+    ls.add_argument("--once", action="store_true",
+                    help="with --streaming: drain available data and exit")
+    ls.add_argument("--checkpoint", default=None,
+                    help="with --streaming: checkpoint dir (default <store>_ckpt)")
     ls.set_defaults(func=cmd_livestream)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")

@@ -68,6 +68,22 @@ def test_update_items_and_livestream(env, capsys):
     assert "latest id 4" in capsys.readouterr().out
 
 
+def test_livestream_streaming_once_resumes_from_checkpoint(env, capsys):
+    """--streaming --once: a real checkpointed streaming drain; a second
+    invocation resumes from the committed maxitem offset."""
+    ckpt = str(env["tmp"] / "ls_ckpt")
+    assert _run(env, "livestream", "--streaming", "--once", "--checkpoint", ckpt) == 0
+    assert "latest id 3" in capsys.readouterr().out
+
+    world = json.loads(open(env["mock"]).read())
+    world["items"]["4"] = {"id": 4, "type": "comment", "by": "zed", "parent": 1,
+                           "time": T0 + 120, "text": "new"}
+    world["max_id"] = 4
+    open(env["mock"], "w").write(json.dumps(world))
+    assert _run(env, "livestream", "--streaming", "--once", "--checkpoint", ckpt) == 0
+    assert "latest id 4" in capsys.readouterr().out
+
+
 def test_sigint_between_chunks_commits_prefix(env, capsys, monkeypatch):
     """K3 graceful shutdown: a SIGINT during a chunked backfill lets the
     in-flight chunk commit, then exits 1 — the store holds the committed
