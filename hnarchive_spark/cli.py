@@ -23,8 +23,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import signal
 import sys
+import time
 
 from hnarchive_spark.session import get_spark
 from hnarchive_spark.sources.hn_api import HttpTransport, MockTransport, fetch_items
@@ -35,6 +37,46 @@ from hnarchive_spark.streaming.livestream import (
     update,
     update_items,
 )
+
+
+def _setup_logging(verbose: bool, log_file: str | None) -> logging.Logger:
+    """E6 logging layer (the reference wraps main in vlogging,
+    hnarchive.py:566): stderr at INFO/DEBUG plus an optional append-only
+    log file capturing WARNING+ for the operator."""
+    log = logging.getLogger("hnarchive_spark")
+    log.setLevel(logging.DEBUG if verbose else logging.INFO)
+    log.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+    sh = logging.StreamHandler(sys.stderr)
+    sh.setFormatter(fmt)
+    sh.setLevel(logging.DEBUG if verbose else logging.INFO)
+    log.addHandler(sh)
+    if log_file:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        fh.setLevel(logging.WARNING)
+        log.addHandler(fh)
+    return log
+
+
+def _notify(notify_file: str | None, command: str, status: str, elapsed: float) -> None:
+    """The operatornotify analog (hnarchive.py:566): one appended summary
+    line per run — command, outcome, duration — so an operator (or a cron
+    mail hook tailing the file) sees failures without scraping logs."""
+    if not notify_file:
+        return
+    with open(notify_file, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": int(time.time()),
+                    "command": command,
+                    "status": status,
+                    "elapsed_s": round(elapsed, 2),
+                }
+            )
+            + "\n"
+        )
 
 
 class GracefulInterrupt:
@@ -189,6 +231,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--store", default="./hnarchive_store")
     p.add_argument("--mock-data", default=None, help="JSON id->item file (offline transport)")
     p.add_argument("--threads", type=int, default=8)
+    p.add_argument("--verbose", "-v", action="store_true", help="DEBUG logging")
+    p.add_argument("--log-file", default=None, help="append WARNING+ log records here")
+    p.add_argument("--notify-file", default=None,
+                   help="append one JSON summary line per run (operator notification)")
     sub = p.add_subparsers(dest="command", required=True)
 
     g = sub.add_parser("get", help="bounded backfill of an id range (E1)")
@@ -233,13 +279,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    log = _setup_logging(args.verbose, args.log_file)
+    t0 = time.time()
     spark = get_spark("hnarchive-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    status = "ok"
     try:
-        rc = args.func(spark, args)
+        rc = int(args.func(spark, args) or 0)
+        if rc != 0:
+            status = f"interrupted (exit {rc})"
+    except BaseException as exc:
+        status = f"error: {type(exc).__name__}: {exc}"
+        log.exception("command %s failed", args.command)
+        rc = 1
     finally:
         spark.stop()
-    return int(rc or 0)
+        _notify(args.notify_file, args.command, status, time.time() - t0)
+    if status != "ok":
+        log.warning("command %s finished: %s", args.command, status)
+    return rc
 
 
 if __name__ == "__main__":

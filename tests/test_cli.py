@@ -116,6 +116,24 @@ def test_sigint_between_chunks_commits_prefix(env, capsys, monkeypatch):
     assert store.latest_id() == 3
 
 
+def test_notify_file_records_success_and_failure(env, capsys, tmp_path):
+    """E6 operatornotify analog: every run appends a JSON summary line;
+    failures are captured with the exception, not swallowed."""
+    notify = str(tmp_path / "notify.jsonl")
+    assert cli.main(["--store", env["store"], "--mock-data", env["mock"],
+                     "--notify-file", notify, "get", "--lower", "1",
+                     "--upper", "2"]) == 0
+    # a bad mock-data path fails the command but still notifies
+    assert cli.main(["--store", env["store"], "--mock-data", "/nonexistent.json",
+                     "--notify-file", notify, "update"]) == 1
+    capsys.readouterr()
+    lines = [json.loads(ln) for ln in open(notify)]
+    assert [ln["command"] for ln in lines] == ["get", "update"]
+    assert lines[0]["status"] == "ok"
+    assert lines[1]["status"].startswith("error: FileNotFoundError")
+    assert all(ln["elapsed_s"] >= 0 for ln in lines)
+
+
 def test_export_to_duckdb(env, capsys):
     import duckdb
 
