@@ -29,12 +29,17 @@ HEADLINE = [
     "q_json_extract",
     "q_asof_join",
     "q_dedup_ngram",
+    "q_dedup_ngram_maxdf",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_embed_dup",
     "q_ann_topk",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_tfidf_top_terms",
+    "q_contamination",
+    "q_pack_sequences_sharded",
+    "q_tree_closure",
     "q_range_join",
     "q_multimodal_features",
     "q_text_stats",
