@@ -39,7 +39,6 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_contamination",
     "q_pack_sequences_sharded",
-    "q_tree_closure",
     "q_range_join",
     "q_multimodal_features",
     "q_text_stats",

@@ -22,6 +22,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_PLANES = 8
 DIM = 64
@@ -201,14 +202,21 @@ def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     verifies. Banding trades a small candidate-set increase for high recall
     (~0.9 at 60-degree pairs vs ~0.03 for full-8-bit AND agreement) — the
     same band/bucket scheme MinHash uses, applied to hyperplane signs.
-    Bounded pair join: per (band, value) bucket, never the full cross."""
+
+    Cost shape: the band self-join carries ONLY (vec_id, band, band_val) —
+    no vectors — and candidate pairs are deduplicated BEFORE any vector
+    math, so each surviving pair pays exactly one dot product against
+    per-vector precomputed norms.  (Verifying inside the band join instead
+    recomputes the cosine once per matching band — up to 4x the work — and
+    drags the 64-dim arrays through the widest join in the plan.)"""
     e = embeddings.select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v")))
+    ).withColumn("bucket", lsh_signature(F.col("v"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mask = (1 << DUP_BAND_BITS) - 1
     banded = e.select(
         "vec_id",
-        "v",
         "bucket",
         F.explode(F.sequence(F.lit(0), F.lit(DUP_BANDS - 1))).alias("band"),
     ).withColumn(
@@ -222,14 +230,23 @@ def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    return cand.filter(F.col("cos") >= threshold)
+    vn = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
+    va, vb = vn.alias("va"), vn.alias("vb")
+    return (
+        cand.join(va, F.col("d1") == F.col("va.vec_id"))
+        .join(vb, F.col("d2") == F.col("vb.vec_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                dot(F.col("va.v"), F.col("vb.v")) / (F.col("va.n") * F.col("vb.n")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
