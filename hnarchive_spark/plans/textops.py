@@ -55,6 +55,66 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_TOP_WORD_MAX = 0.15  # Gopher-style repetition gates
+REP_DUP_2GRAM_MAX = 0.4
+
+
+@query(
+    "q_quality_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2
+      FROM toks
+    )
+    SELECT doc_id,
+           round(list_max(list_transform(list_distinct(ws),
+                   x -> len(list_filter(ws, w -> w = x))))::DOUBLE / len(ws), 4)
+             AS top_word_frac,
+           round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+             AS dup_2gram_frac,
+           (round(list_max(list_transform(list_distinct(ws),
+                   x -> len(list_filter(ws, w -> w = x))))::DOUBLE / len(ws), 4)
+              <= {REP_TOP_WORD_MAX}
+            AND round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+              <= {REP_DUP_2GRAM_MAX}) AS keep
+    FROM grams
+    """,
+    doc="Repetition-based quality gates (the Gopher-rule family): most-common-"
+    "word fraction and duplicate-2gram fraction per document, with the keep "
+    "verdict. Pure array expressions over the scan — zero shuffle, "
+    "whole-stage codegen; the within-document twin of the cross-document "
+    "dedup operators.",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda x: F.size(F.filter(ws, lambda w: w == x)),
+        )
+    )
+    g2 = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    top_frac = F.round(top_cnt.cast("double") / n, 4)
+    dup_frac = F.round(1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 4)
+    return d.select(
+        "doc_id",
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_frac <= REP_TOP_WORD_MAX) & (dup_frac <= REP_DUP_2GRAM_MAX)).alias("keep"),
+    )
+
+
 @query(
     "q_token_count",
     oracle=f"""
