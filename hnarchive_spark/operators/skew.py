@@ -9,8 +9,9 @@ runtime; these explicit tools cover the two places AQE can't help:
   the per-salt partials. Correct for any algebraic aggregate (sum/count/
   min/max shown; avg = sum+count composed).
 * ``salted_join`` — a skewed LEFT key joined to a small-but-not-broadcastable
-  right side: left gets a random-but-DETERMINISTIC salt (key-hash based, so
-  retries/resumes see the same placement), right is replicated n_salts ways.
+  right side: left gets a DETERMINISTIC salt (full-row content hash, so task
+  retries and AQE re-plans see the same placement), right is replicated
+  n_salts ways.
 """
 
 from __future__ import annotations
