@@ -71,20 +71,22 @@ def cosine_topk(
     """
     # no repartition: the broadcast cross join preserves the corpus scan's
     # partitioning (many splits at scale), and a shuffle of the corpus would
-    # cost more than the per-row dot products
+    # cost more than the per-row dot products.  Norms are computed ONCE per
+    # vector before the join — inside it they'd be recomputed per PAIR,
+    # tripling the per-pair flops.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -110,21 +112,29 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_signature(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_signature(F.col("qv")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", lsh_signature(F.col("cv")))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", lsh_signature(F.col("qv")))
+        .withColumn("qn", norm(F.col("qv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -155,7 +165,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         F.col(list_col).alias("list_id"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     # centroid per list: element-wise mean = sum of vectors / count
     dim_cols = [F.avg(F.col("cv")[i]).alias(f"c{i}") for i in range(DIM)]
     centroids = c.groupBy("list_id").agg(*dim_cols).select(
@@ -163,19 +173,20 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     routed = (
         q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
             "qv",
+            "qn",
             "list_id",
             F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
     probes = routed.select(
-        "query_id", "qv", "list_id", F.row_number().over(w).alias("pr")
+        "query_id", "qv", "qn", "list_id", F.row_number().over(w).alias("pr")
     ).filter(F.col("pr") <= n_probe)
     scored = (
         c.join(F.broadcast(probes), "list_id")
@@ -183,7 +194,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -140,9 +140,8 @@ def _lsh_oracle() -> str:
     """
 
 
-@query(
-    "q_ann_ivf",
-    oracle=f"""
+def _ivf_oracle(n_probe: int) -> str:
+    return f"""
     WITH el AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ),
@@ -163,7 +162,7 @@ def _lsh_oracle() -> str:
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY ccos DESC, list_id) AS pr
         FROM routed
-      ) WHERE pr <= 1
+      ) WHERE pr <= {n_probe}
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -175,7 +174,12 @@ def _lsh_oracle() -> str:
                                    ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
-    """,
+    """
+
+
+@query(
+    "q_ann_ivf",
+    oracle=_ivf_oracle(1),
     doc="IVF-style ANN: per-list centroids as the coarse quantizer (labels "
     "are the pre-clustered inverted lists), route each query to its nearest "
     "centroid (cosine rounded before ranking so both engines tie-break "
@@ -186,6 +190,19 @@ def _lsh_oracle() -> str:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+@query(
+    "q_ann_ivf_probe2",
+    oracle=_ivf_oracle(2),
+    doc="Multi-probe IVF ANN (n_probe=2): same coarse quantizer, each query "
+    "searches its TWO nearest lists — the standard recall/cost knob (recall "
+    "rises toward exact as n_probe -> n_lists, cost rises as n_probe/"
+    "n_lists of the corpus). Oracle replays the identical routing.",
+)
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
 
 
 @query(
