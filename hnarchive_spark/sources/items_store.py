@@ -159,6 +159,13 @@ class ItemsStore:
             merged = merge_items(self.read().select(*item_cols), updates, seq_col=seq_col)
             self._commit(merged)
             return
+        raw = self._read_raw()
+        if _BUCKET_COL not in raw.columns:
+            # legacy layout (no id_bucket partitions): fall back to a full
+            # merge once; the rewrite migrates the store to bucketed dirs
+            merged = merge_items(raw.select(*item_cols), updates, seq_col=seq_col)
+            self._commit(merged)
+            return
         # materialize the batch once: it feeds two jobs (touched-bucket
         # listing + the merge) and may be an HTTP fetch pipeline that must
         # not re-run per action
@@ -169,11 +176,7 @@ class ItemsStore:
                 F.expr(f"id div {self.bucket_size}").alias("b")
             ).distinct().collect()
         )
-        current = (
-            self._read_raw()
-            .filter(F.col(_BUCKET_COL).isin(touched))
-            .select(*item_cols)
-        )
+        current = raw.filter(F.col(_BUCKET_COL).isin(touched)).select(*item_cols)
         merged = merge_items(current, updates, seq_col=seq_col)
         new_v = old_v + 1
         out = self._version_dir(new_v)

@@ -82,6 +82,33 @@ def test_merge_is_partition_pruned_and_copy_forward(spark, tmp_path):
     assert store.read().filter(f"id = {top}").first()["score"] == 999
 
 
+def test_merge_migrates_legacy_unbucketed_store(spark, tmp_path):
+    """A store written before id-bucket partitioning (type-only dirs) must
+    still merge: the first merge falls back to a full rewrite and migrates
+    the layout."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    store = ItemsStore(spark, path, bucket_size=10)
+    # hand-write a legacy v1 snapshot: partitioned by type only
+    base = FX.items_df_with_seq(spark, FX.MERGE_BASE).drop("seq")
+    v1 = os.path.join(path, "v000001")
+    base.write.mode("overwrite").partitionBy("type").parquet(v1)
+    with open(os.path.join(path, "_CURRENT"), "w") as fh:
+        fh.write("1")
+    n0 = store.count()
+    assert n0 == len(FX.MERGE_BASE)
+
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_UPDATES), seq_col="seq")
+    assert store.count() >= n0
+    # layout migrated: new snapshot has id_bucket dirs
+    v2 = store._version_dir(store._current_version())
+    assert any(n.startswith("id_bucket=") for n in os.listdir(v2))
+    # and subsequent merges take the pruned path
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_UPDATES), seq_col="seq")
+    assert store.latest_id() == max(r["id"] for r in FX.MERGE_UPDATES)
+
+
 def test_store_roundtrip_schema_and_versions(spark, tmp_path):
     store = ItemsStore(spark, str(tmp_path / "store"))
     store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
