@@ -215,3 +215,24 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+@query(
+    "q_ann_lsh_indexed",
+    oracle=_lsh_oracle(),
+    doc="LSH ANN against a PERSISTED index (sources/ann_index.py): the "
+    "bucket signature is a physical partition column, so the probe scans "
+    "only the query buckets' files (PartitionFilters, locked by "
+    "test_plan_hygiene.py). Same hyperplanes as q_ann_lsh -> identical "
+    "results and the identical oracle; the index build is the one-time "
+    "cost that turns every later probe into a 1/256th-corpus read.",
+)
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hnarchive_spark.sources.ann_index import build_index, probe_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ann_index_")
+    build_index(e, path)
+    return probe_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)

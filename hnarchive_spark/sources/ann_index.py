@@ -1,0 +1,87 @@
+"""Persisted ANN index: LSH bucket as a PARTITION column on disk.
+
+The search-time operators in ``operators/similarity.py`` compute hyperplane
+sign signatures on the fly; at 100 TB the index is built ONCE and the
+signature becomes the physical partition key, so a probe reads only its
+bucket's files (1/256th of the corpus at uniform spread) via partition
+pruning — the same plan shape as an IVF list keyed by centroid id.
+
+* ``build_index`` — one pass over the corpus: signature + norm computed
+  per vector, written partitioned by ``bucket`` (zstd parquet).  The norm
+  is materialized with the vector so probes never recompute it (the
+  index-build-time cost amortizes over every query).
+* ``probe_topk`` — broadcast the query set (with their buckets), join on
+  the bucket partition column, exact cosine inside the bucket only.
+  ``.explain`` shows ``PartitionFilters: [bucket IN (...)]`` when the
+  query-side buckets are pushed as an IN filter (done here by collecting
+  the handful of query buckets — the query SET is small by contract).
+
+Results are identical to the on-the-fly ``lsh_topk`` (same deterministic
+hyperplanes) — locked by tests and by sharing the q_ann_lsh oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.similarity import as_double, dot, lsh_signature, norm
+
+
+def build_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the bucket-partitioned ANN index (one corpus pass)."""
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("bucket", lsh_signature(F.col("v")))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def probe_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query against the persisted index, bucket-pruned.
+
+    The query set is small by contract (it is broadcast); its distinct
+    buckets become a pushed-down partition filter, so only those bucket
+    directories are scanned.
+    """
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", lsh_signature(F.col("qv")))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(index_path).filter(F.col("bucket").isin(buckets))
+    scored = (
+        idx.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )

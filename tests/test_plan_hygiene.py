@@ -73,6 +73,21 @@ def test_tree_closure_uses_recursive_cte(spark):
     assert "Loop" in plan, plan[:500]
 
 
+def test_ann_index_probe_is_partition_pruned(spark):
+    """The persisted-index probe must scan ONLY the query buckets —
+    PartitionFilters on the bucket column, not a full-index scan."""
+    df = all_queries_cached()["q_ann_lsh_indexed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), pf
+
+
+def all_queries_cached():
+    from hnarchive_spark.plans.registry import all_queries
+
+    return all_queries()
+
+
 def test_embed_dup_has_no_cartesian(spark):
     """The canonical embedding near-dup is the banded-LSH bucket join: an
     all-pairs cross join must never be reachable from the registry."""
