@@ -85,6 +85,38 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming stateful deduplication: dropDuplicates on the key columns "
+    "holds the seen-key set in the state store across micro-batches — the "
+    "streaming form of exact dedup (the ingest-time guard of a training "
+    "pipeline). Projecting ONLY the key columns makes survivor choice "
+    "deterministic, so the drained result is exactly batch DISTINCT.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_sink_{next(_sink_counter)}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH flagged AS (
