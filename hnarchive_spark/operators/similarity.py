@@ -111,7 +111,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Regime note: sign-LSH bucket agreement falls as (1 - angle/pi)^bits, so
+    recall vs the global exact top-k is high only when true neighbors are
+    CLOSE (small angles — the near-duplicate regime).  On corpora whose
+    nearest neighbors sit near 60 degrees (like the synthetic test
+    embeddings) a single 8-bit bucket retains ~3% of true neighbors — use
+    the banded OR-construction (lsh_dup_pairs) or IVF multi-probe there.
+    The oracle checks the operator's own contract exactly: top-k WITHIN the
+    probed bucket."""
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -160,6 +169,11 @@ def ivf_topk(
     PARTITION column, so a probe reads 1/n_lists of the data).  Centroids
     are the per-list mean vectors; a query routes to its nearest centroid(s)
     by cosine, then exact top-k runs inside those lists only.
+
+    ``n_probe`` is the recall/cost dial: recall@k is monotone in it, and
+    n_probe = n_lists degrades gracefully to exact brute force (locked by
+    tests/test_similarity_recall.py) — errors come only from skipped lists,
+    never from scoring or ranking.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

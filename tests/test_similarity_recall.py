@@ -18,6 +18,47 @@ from tests.conftest import SF_ORACLE
 COS_DUP_T = 0.45  # matches plans/similarity.py
 
 
+def test_ivf_probe_monotone_and_full_probe_equals_exact(spark):
+    """IVF quality guarantees vs the exact brute-force top-k:
+
+    * recall@k is MONOTONE in n_probe (widening the probe set only adds
+      candidates, never removes them);
+    * probing ALL lists is exactly brute force — the approximate operator
+      degrades gracefully into the exact one, so its only error source is
+      skipped lists, never scoring or ranking.
+
+    (On this near-uniform corpus true neighbors sit at ~60 degrees, where
+    single-bucket sign-LSH retains almost nothing — the honest regime note
+    lives in the operator docstrings; these invariants are what holds on
+    ANY corpus.)
+    """
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    k = 5
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(e, queries, k).collect()
+    }
+    assert exact, "exact baseline must be non-empty"
+
+    hits = []
+    for n_probe in (1, 2, 4):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(e, queries, k, n_probe=n_probe).collect()
+        }
+        hits.append(len(got & exact))
+    assert hits == sorted(hits), f"recall not monotone in n_probe: {hits}"
+
+    n_lists = e.select("label").distinct().count()
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(e, queries, k, n_probe=n_lists).collect()
+    }
+    assert full == exact, "full probe must equal exact top-k"
+
+
 def test_lsh_dup_pairs_subset_and_recall(spark):
     e = load(spark, SF_ORACLE, "embeddings")
     brute = {(r.d1, r.d2) for r in S.cosine_dup_pairs(e, COS_DUP_T).collect()}
