@@ -206,6 +206,12 @@ def _cmd_livestream_streaming(spark, args):
     print(f"livestream: latest id {store.latest_id()} (checkpoint {ckpt})")
 
 
+def cmd_delete(spark, args):
+    store = _store(spark, args)
+    n = store.delete_ids(args.ids)
+    print(f"deleted {n} row(s); store now {store.count()} rows")
+
+
 def cmd_export(spark, args):
     from hnarchive_spark.sources.export import export_to_duckdb
 
@@ -265,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--checkpoint", default=None,
                     help="with --streaming: checkpoint dir (default <store>_ckpt)")
     ls.set_defaults(func=cmd_livestream)
+
+    dl = sub.add_parser("delete", help="hard-delete ids from the store (bucket-pruned rewrite)")
+    dl.add_argument("ids", type=int, nargs="+")
+    dl.set_defaults(func=cmd_delete)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")
     ex.add_argument("--to", required=True, help="output .duckdb path")

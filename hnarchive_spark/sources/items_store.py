@@ -192,6 +192,54 @@ class ItemsStore:
             self._link_forward(os.path.join(old_dir, name), os.path.join(out, name))
         self._swap_pointer(new_v)
 
+    def delete_ids(self, ids: list[int]) -> int:
+        """Targeted hard delete (the right-to-be-forgotten path a training
+        store needs; no reference analog).  Same pruned shape as merge:
+        only buckets containing requested ids are rewritten (anti-join),
+        all others hardlink forward; returns the number of rows removed.
+        """
+        old_v = self._current_version()
+        if old_v is None or not ids:
+            return 0
+        item_cols = [f.name for f in ITEMS_SCHEMA.fields]
+        raw = self._read_raw()
+        if _BUCKET_COL not in raw.columns:
+            kept = raw.select(*item_cols).filter(~F.col("id").isin(ids))
+            removed = raw.count() - kept.count()
+            if removed:
+                self._commit(kept)
+            return removed
+        touched = sorted({int(i) // self.bucket_size for i in ids})
+        current = raw.filter(F.col(_BUCKET_COL).isin(touched)).select(*item_cols)
+        kept = current.filter(~F.col("id").isin(ids)).localCheckpoint(eager=True)
+        removed = current.count() - kept.count()
+        if not removed:
+            return 0
+        new_v = old_v + 1
+        out = self._version_dir(new_v)
+        old_dir = self._version_dir(old_v)
+        touched_set = set(touched)
+        untouched = [
+            n
+            for n in os.listdir(old_dir)
+            if n.startswith(f"{_BUCKET_COL}=") and int(n.split("=", 1)[1]) not in touched_set
+        ]
+        if kept.isEmpty() and not untouched:
+            # store emptied: a partitioned write of zero rows leaves an
+            # unreadable dir (no files, no schema) — write one schema-ful
+            # empty file instead
+            (
+                kept.withColumn(_BUCKET_COL, F.expr(f"id div {self.bucket_size}"))
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        else:
+            self._write_snapshot(kept, out)
+            for name in untouched:
+                self._link_forward(os.path.join(old_dir, name), os.path.join(out, name))
+        self._swap_pointer(new_v)
+        return removed
+
     def latest_id(self) -> int:
         """Q4 select_latest_id (offset recovery, hnarchive.py:285-290)."""
         row = self.read().agg(F.max("id").alias("m")).collect()[0]

@@ -109,6 +109,45 @@ def test_merge_migrates_legacy_unbucketed_store(spark, tmp_path):
     assert store.latest_id() == max(r["id"] for r in FX.MERGE_UPDATES)
 
 
+def test_delete_ids_pruned_and_durable(spark, tmp_path):
+    """Targeted deletes rewrite only the buckets holding the ids; other
+    buckets link forward unchanged; emptying the store stays readable."""
+    import os
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    base = [dict(r) for r in FX.MERGE_BASE]
+    for i, r in enumerate(base):
+        r["id"] = 1 + (i % 3) * 10 + i  # buckets 0, 1, 2
+    store.merge_batch(FX.items_df_with_seq(spark, base), seq_col="seq")
+    n0 = store.count()
+    v1_dir = store._version_dir(store._current_version())
+
+    victim = max(r["id"] for r in base)
+    assert store.delete_ids([victim]) == 1
+    assert store.count() == n0 - 1
+    assert store.read().filter(f"id = {victim}").count() == 0
+    # untouched buckets hardlinked (same inode)
+    v2_dir = store._version_dir(store._current_version())
+    b0_old = os.path.join(v1_dir, "id_bucket=0")
+    b0_new = os.path.join(v2_dir, "id_bucket=0")
+    old_inodes = sorted(
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(b0_old) for f in fs
+    )
+    new_inodes = sorted(
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(b0_new) for f in fs
+    )
+    assert old_inodes == new_inodes
+    # deleting a missing id is a no-op (no new version)
+    v = store._current_version()
+    assert store.delete_ids([999999]) == 0
+    assert store._current_version() == v
+    # emptying the store entirely keeps it readable
+    assert store.delete_ids([r["id"] for r in base]) == n0 - 1
+    assert store.count() == 0 and store.latest_id() == 0
+
+
 def test_store_roundtrip_schema_and_versions(spark, tmp_path):
     store = ItemsStore(spark, str(tmp_path / "store"))
     store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
