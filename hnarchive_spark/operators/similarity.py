@@ -39,6 +39,19 @@ PLANES: list[list[float]] = [
 ]
 
 
+def table_planes(t: int) -> list[list[float]]:
+    """Hyperplane set for LSH table ``t`` — table 0 is the original PLANES
+    (key "{p}_{d}"); further tables use independent md5 streams."""
+    if t == 0:
+        return PLANES
+
+    def comp(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"t{t}_{p}_{d}".encode()).hexdigest()[:8], 16)
+        return ((h % 2001) - 1000) / 1000.0
+
+    return [[comp(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+
 def as_double(col) -> F.Column:
     return col.cast("array<double>")
 
@@ -95,10 +108,10 @@ def cosine_topk(
     )
 
 
-def lsh_signature(vec_col) -> F.Column:
+def lsh_signature(vec_col, planes: list[list[float]] | None = None) -> F.Column:
     """8-bit sign signature: bit p set iff dot(v, plane_p) > 0."""
     sig = F.lit(0).cast("long")
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(planes if planes is not None else PLANES):
         arr = F.array(*[F.lit(x) for x in plane])
         sig = sig + F.when(dot(vec_col, arr) > 0, F.lit(1 << p)).otherwise(0)
     return sig
@@ -140,6 +153,64 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN — the standard recall booster: L independent
+    hyperplane sets, candidate set = UNION of per-table bucket matches,
+    then exact rerank.  Recall = 1-(1-p^bits)^L rises with L while cost
+    stays ~L/256 of the corpus per query (vs 1/256 for one table).
+
+    Plan shape: one pass computes all L signatures per vector (still just
+    projections over the scan), candidates join per table on the bucket,
+    union + distinct, exact cosine once per distinct candidate."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    for t in range(n_tables):
+        planes = table_planes(t)
+        c = c.withColumn(f"b{t}", lsh_signature(F.col("cv"), planes))
+        q = q.withColumn(f"b{t}", lsh_signature(F.col("qv"), planes))
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = None
+    for t in range(n_tables):
+        m = (
+            c.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
+            .join(
+                F.broadcast(q.select("query_id", F.col(f"b{t}").alias("bucket"))),
+                "bucket",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cands = m if cands is None else cands.unionByName(m)
+    cands = cands.distinct()
+    cv = c.select("neighbor_id", "cv").withColumn("cn", norm(F.col("cv")))
+    qv = q.select("query_id", "qv").withColumn("qn", norm(F.col("qv")))
+    scored = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "neighbor_id",

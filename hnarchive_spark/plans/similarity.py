@@ -177,6 +177,69 @@ def _ivf_oracle(n_probe: int) -> str:
     """
 
 
+N_TABLES = 4
+
+
+def _lsh_multi_oracle() -> str:
+    planes = ",\n        ".join(
+        f"({t}, {p}, {d}, {w!r})"
+        for t in range(N_TABLES)
+        for p, plane in enumerate(S.table_planes(t))
+        for d, w in enumerate(plane)
+    )
+    return f"""
+    WITH {_E},
+    planes(t, p, d, w) AS (VALUES
+        {planes}
+    ),
+    vecs AS (
+      SELECT vec_id, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM e
+    ),
+    dots AS (
+      SELECT vec_id, t, p, sum(val * w) AS dp
+      FROM vecs JOIN planes USING (d) GROUP BY vec_id, t, p
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, t
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT sq.vec_id AS query_id, sa.vec_id AS neighbor_id
+      FROM sigs sa JOIN sigs sq ON sa.t = sq.t AND sa.bucket = sq.bucket
+      JOIN q ON q.query_id = sq.vec_id
+      WHERE sa.vec_id != sq.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN e a ON a.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@query(
+    "q_ann_lsh_multi",
+    oracle=_lsh_multi_oracle(),
+    doc=f"Multi-table LSH ANN ({N_TABLES} independent hyperplane sets, "
+    "candidate union + exact rerank): the standard recall booster — recall "
+    "1-(1-p^bits)^L rises with L at cost ~L/256 of the corpus per query. "
+    "All tables' planes replayed by the oracle, so the compound approximate "
+    "operator stays hash-checked.",
+)
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk_multi(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, N_TABLES)
+
+
 @query(
     "q_ann_ivf",
     oracle=_ivf_oracle(1),

@@ -59,6 +59,26 @@ def test_ivf_probe_monotone_and_full_probe_equals_exact(spark):
     assert full == exact, "full probe must equal exact top-k"
 
 
+def test_multi_table_lsh_recall_monotone_in_tables(spark):
+    """Table sets are prefixes (table t's planes don't change with L), so
+    the candidate union — and therefore recall — is monotone in n_tables."""
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(e, queries, 5).collect()
+    }
+    hits = []
+    for n_tables in (1, 4, 8):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.lsh_topk_multi(e, queries, 5, n_tables).collect()
+        }
+        hits.append(len(got & exact))
+    assert hits == sorted(hits), f"recall not monotone in n_tables: {hits}"
+
+
 def test_lsh_dup_pairs_subset_and_recall(spark):
     e = load(spark, SF_ORACLE, "embeddings")
     brute = {(r.d1, r.d2) for r in S.cosine_dup_pairs(e, COS_DUP_T).collect()}
