@@ -333,6 +333,71 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corpus_datacard",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+             round(
+               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
+               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                                  / len(ws) - 5.0)), 4) AS quality
+      FROM (SELECT doc_id, source, lang, n_chars, text,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+           count(DISTINCT lang) AS n_langs,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+             AS en_share,
+           round(sum(round(quality * 10000)) / count(*)) / 10000 AS mean_quality
+    FROM q GROUP BY source
+    """,
+    doc="Per-source corpus data card: doc/token/char volumes, token-count "
+    "percentiles, language spread, mean quality — the dataset-release "
+    "summary a training pipeline publishes. One partial-aggregated shuffle "
+    "on source; mean quality summed in exact integer ten-thousandths so "
+    "both engines round the identical double.",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    quality = F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
+    rows = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(ws).alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("en_share"),
+        (
+            F.round(F.sum(F.round(F.col("quality") * 10000, 0)) / F.count(F.lit(1)), 0)
+            / 10000
+        ).alias("mean_quality"),
+    )
+
+
 PACK_BUDGET = 128  # token budget per packed training sequence
 
 
