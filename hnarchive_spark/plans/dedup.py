@@ -356,6 +356,49 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_mix_equalize",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             (SELECT min(n) FROM counts)::DOUBLE / n AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < CAST(round(r.rate, 6) * 1000000 AS BIGINT)
+    """,
+    doc="Language-mix equalization (the data-mixing step of corpus assembly): "
+    "per-language acceptance rate = min_lang_count / lang_count, applied via "
+    "the deterministic doc_id hash, so the dominant language is downsampled "
+    "toward the rarest one reproducibly across runs and engines. "
+    "Data-DEPENDENT rates distinguish this from the fixed-rate samplers: "
+    "one tiny counts aggregate broadcasts into the filter. At 100 TB the "
+    "counts side is a few rows per language — broadcast join, zero extra "
+    "shuffle of the corpus.",
+)
+def q_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang", F.round(F.col("m").cast("double") / F.col("n"), 6).alias("rate")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < (F.col("rate") * 1_000_000).cast("long"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
 def _simhash_oracle() -> str:
     width = D.SH_BITS // D.SH_BANDS
     return f"""
