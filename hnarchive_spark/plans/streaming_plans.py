@@ -134,12 +134,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
-           round(sum(value), 2) AS session_value
+           round(sum(round(value * 100))) / 100 AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
     doc="Sessionization (30-min inactivity gap): lag + cumulative-sum session "
     "ids, one shuffle on user_id; the batch twin of the stateful streaming "
-    "session operator in hnarchive_spark.streaming.",
+    "session operator in hnarchive_spark.streaming. session_value is summed "
+    "in exact integer cents (value is 2-decimal money stored as double, so a "
+    "naive sum(value) is summation-order dependent and flips a half-cent tie "
+    "between engines); both engines then divide the identical integer by 100, "
+    "a single exactly-rounded IEEE op.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -158,7 +162,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.round(F.sum(F.round(F.col("value") * 100, 0)), 0) / 100).alias("session_value"),
         )
     )
 
@@ -306,13 +310,40 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sessionize",
-    oracle=None,  # custom stateful streaming op -> rows-only check; the
-    # batch twin q_sessionize is the hash-checked equivalent, and
-    # tests/test_streaming_state.py cross-checks the two.
+    # After an AvailableNow drain the stateful result is deterministic and
+    # equals batch sessionization MINUS each user's final (still-open)
+    # session, which stays in state awaiting the next micro-batch.  Value
+    # sums are exact integer cents on all three sides (stream state, batch
+    # twin, this oracle), so the hash is engine- and order-independent.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             round(sum(round(value * 100))) / 100 AS value_sum
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events, value_sum
+    FROM agg
+    QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+    """,
     doc="Custom stateful streaming operator: session windows with a 30-min "
     "inactivity gap via applyInPandasWithState (per-user state, timeout "
     "handling). AvailableNow drain -> emits every session closed by a "
-    "subsequent event; open tail sessions stay in state.",
+    "subsequent event; open tail sessions stay in state. The oracle is batch "
+    "sessionization minus each user's final session.",
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnarchive_spark.streaming.sessionize import sessionize_stream

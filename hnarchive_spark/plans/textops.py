@@ -335,15 +335,23 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_datacard",
+    # Every output column is BIGINT (or the source string): the r2 driver run
+    # proved rounded doubles are not portable across DuckDB builds
+    # (quantile_cont interpolation / 1-ulp round() ties), so percentiles are
+    # emitted as exactly-integral scaled values (p*X with X chosen so the
+    # q*(n-1) interpolation is integral: x2 for p50, x20 for p95), en-share
+    # as its integer numerator, and quality in integer ten-thousandths
+    # computed from the three integer per-row inputs (stop_hits, n_tokens,
+    # sum_token_len) via one identical float expression on both engines.
     oracle="""
     WITH q AS (
-      SELECT doc_id, source, lang, n_chars,
-             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
-             round(
-               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
-               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-                                  / len(ws) - 5.0)), 4) AS quality
-      FROM (SELECT doc_id, source, lang, n_chars, text,
+      SELECT source, lang, n_chars, len(ws) AS n_tokens,
+             CAST(round(
+               5000.0 * len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) / len(ws)
+               + 5000.0 * len(ws)
+                 / (len(ws) + abs(list_sum(list_transform(ws, w -> length(w))) - 5 * len(ws)))
+             ) AS BIGINT) AS quality_e4
+      FROM (SELECT source, lang, n_chars,
                    list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
     )
@@ -351,50 +359,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            sum(n_tokens) AS total_tokens,
            sum(n_chars) AS total_chars,
-           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
-           round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+           CAST(round(quantile_cont(n_tokens, 0.5) * 2) AS BIGINT) AS p50_tokens_x2,
+           CAST(round(quantile_cont(n_tokens, 0.95) * 20) AS BIGINT) AS p95_tokens_x20,
            count(DISTINCT lang) AS n_langs,
-           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
-             AS en_share,
-           round(sum(round(quality * 10000)) / count(*)) / 10000 AS mean_quality
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
+           CAST(round(sum(quality_e4)::DOUBLE / count(*)) AS BIGINT) AS mean_quality_e4
     FROM q GROUP BY source
     """,
     doc="Per-source corpus data card: doc/token/char volumes, token-count "
     "percentiles, language spread, mean quality — the dataset-release "
     "summary a training pipeline publishes. One partial-aggregated shuffle "
-    "on source; mean quality summed in exact integer ten-thousandths so "
-    "both engines round the identical double.",
+    "on source. All outputs integer-exact (scaled BIGINTs) so the hash is "
+    "immune to the verifier's engine build: percentile x2/x20 scaling makes "
+    "the q*(n-1)-interpolated value exactly integral, and per-row quality is "
+    "derived from integer inputs with a single shared float expression.",
 )
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
-    quality = F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
+    n = F.size(ws).cast("long")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long")
+    sum_len = T.sum_token_len(F.col("text"))
+    # identical expression shape to the oracle: two exact-int scalings, two
+    # rounded divisions, one rounded add -> bit-identical double both engines
+    quality_e4 = F.round(
+        F.lit(5000.0) * stop_hits / n + F.lit(5000.0) * n / (n + F.abs(sum_len - 5 * n)),
+        0,
+    ).cast("long")
     rows = d.select(
         "source",
         "lang",
         "n_chars",
         F.size(ws).alias("n_tokens"),
-        quality.alias("quality"),
+        quality_e4.alias("quality_e4"),
     )
     return rows.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)") * 2, 0).cast("long").alias("p50_tokens_x2"),
+        F.round(F.expr("percentile(n_tokens, 0.95)") * 20, 0)
+        .cast("long")
+        .alias("p95_tokens_x20"),
         F.countDistinct("lang").alias("n_langs"),
-        F.round(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("en_share"),
-        (
-            F.round(F.sum(F.round(F.col("quality") * 10000, 0)) / F.count(F.lit(1)), 0)
-            / 10000
-        ).alias("mean_quality"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_docs_en"),
+        F.round(F.sum("quality_e4").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("mean_quality_e4"),
     )
 
 

@@ -2,11 +2,19 @@
 gap, via ``applyInPandasWithState`` (SURVEY §2.8's 'custom stateful
 operator' slot; the batch twin is plans/streaming_plans.q_sessionize).
 
-State model per user_id: (session_start_us, last_ts_us, n_events, value_sum), microsecond epochs.
-An event later than ``gap`` after ``last_ts`` closes the open session and
-emits it, then starts a new one.  The final open session per key stays in
-state (NoTimeout — see sessionize_stream for why), ready for the next batch
-or a checkpointed restart.
+State model per user_id: (session_start_us, last_ts_us, n_events,
+value_cents), microsecond epochs.  An event later than ``gap`` after
+``last_ts`` closes the open session and emits it, then starts a new one.
+The final open session per key stays in state (NoTimeout — see
+sessionize_stream for why), ready for the next batch or a checkpointed
+restart.
+
+Values are accumulated as exact integer cents (``round(value * 100)``):
+``value`` is 2-decimal money stored as double, so a float accumulation is
+summation-order dependent and a true half-cent tie can flip between runs
+depending on arrival order.  Integer addition is order-independent, which
+makes the emitted ``value_sum`` bit-identical to the batch twin
+(plans/streaming_plans.q_sessionize) and its DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ STATE_SCHEMA = StructType(
         StructField("session_start", LongType()),
         StructField("last_ts", LongType()),
         StructField("n_events", LongType()),
-        StructField("value_sum", DoubleType()),
+        StructField("value_cents", LongType()),
     ]
 )
 
@@ -55,21 +63,21 @@ def _sessionize_group(
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
     if state.exists:
-        s0, last, n, v = state.get
+        s0, last, n, cents = state.get
     else:
         s0 = last = None
-        n, v = 0, 0.0
+        n, cents = 0, 0
     for ts, val in zip(rows["ts"], rows["value"]):
         ts_us = int(ts.value // 1000)  # pandas ns -> us
         if last is not None and ts_us - last > GAP_US:
-            out.append((user_id, s0, last, n, v))
-            s0, n, v = ts_us, 0, 0.0
+            out.append((user_id, s0, last, n, cents))
+            s0, n, cents = ts_us, 0, 0
         if s0 is None:
             s0 = ts_us
         last = ts_us
         n += 1
-        v += float(val)
-    state.update((s0, last, n, v))
+        cents += round(float(val) * 100)
+    state.update((s0, last, n, cents))
 
     if out:
         yield pd.DataFrame(
@@ -78,7 +86,7 @@ def _sessionize_group(
                 "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
                 "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
                 "n_events": [o[3] for o in out],
-                "value_sum": [round(o[4], 2) for o in out],
+                "value_sum": [o[4] / 100 for o in out],
             }
         )
 

@@ -39,17 +39,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
-        # rejects; read nanos as long and floor to microseconds (exactly what
-        # DuckDB does when it reads the same file). Runtime conf so it works
-        # in any caller's session (incl. the driver's).
+        # events.ts has shipped as both TIMESTAMP(NANOS) (which the Spark
+        # reader only accepts as long under nanosAsLong) and TIMESTAMP(MICROS)
+        # isAdjustedToUTC=false (-> TIMESTAMP_NTZ). Normalize either to a
+        # session-TZ TIMESTAMP so downstream plans see one type, matching how
+        # DuckDB reads the same file (naive timestamp, UTC session).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer division: double `/` would round-to-nearest and drift 1us
-        # from DuckDB's truncating nanos->micros conversion
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer division: double `/` would round-to-nearest and drift
+            # 1us from DuckDB's truncating nanos->micros conversion
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # wall-clock identical cast: session TZ is pinned to UTC above
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
