@@ -45,14 +45,91 @@ def query(name: str, oracle: str | None, doc: str = ""):
     return _register
 
 
+# The driver verifies a bounded window (~50 queries) of the inventory in the
+# order all_queries() returns, so the names below — round 4's verification
+# targets — come FIRST, then everything else in registration order:
+#   * q_approx_distinct / q_heavy_hitters_cms: registered since round 1 but
+#     never inside any driver window — they have no driver row at all;
+#   * the round-4 fixed queries (sessionize/datacard float-exactness rework,
+#     the streaming-source timestamp-variant fix, json_extract cents);
+#   * the relational surface: driver-green in round 1 but without fresh
+#     signal since (rounds 2-3 windows were the LLM-pipeline modules).
+# The tail (dedup/similarity/textops/multimodal/hn_ops) is double-green from
+# rounds 2 AND 3 with unchanged code, so it can sit outside the window.
+_VERIFY_FIRST = [
+    "q_approx_distinct",
+    "q_heavy_hitters_cms",
+    "q_sessionize",
+    "q_corpus_datacard",
+    "q_stream_tumbling",
+    "q_stream_dim_join",
+    "q_stream_stream_join",
+    "q_stream_sessionize",
+    "q_stream_dedup",
+    "q_json_extract",
+    "q_point_lookup",
+    "q_fk_filter",
+    "q_fk_filter_2",
+    "q_max_key",
+    "q_topk",
+    "q_derived_pred",
+    "q_staleness",
+    "q_window_sort",
+    "q_join_fk",
+    "q_self_join",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_groupby_agg",
+    "q_agg_rollup",
+    "q_distinct_count",
+    "q_pivot_status",
+    "q_window_rank",
+    "q_running_sum",
+    "q_setops",
+    "q_flagship",
+    "q_shipping_priority",
+    "q_agg_cube",
+    "q_grouping_sets",
+    "q_sample_hash",
+    "q_range_join",
+    "q_window_range_frame",
+    "q_stratified_sample",
+    "q_filtered_agg",
+    "q_lateral_join",
+    "q_unpivot",
+    "q_having",
+    "q_window_funcs",
+    "q_correlated_subquery",
+    "q_percentiles",
+    "q_topk_per_group",
+    "q_setops_all",
+    "q_children_sorted",
+    "q_fix_ptags",
+    "q_display_date",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in _VERIFY_FIRST if n not in REGISTRY]
+    if missing:  # typo protection — never silently shrink the priority window
+        raise ValueError(f"_VERIFY_FIRST names not registered: {missing}")
+    first = set(_VERIFY_FIRST)
+    return list(_VERIFY_FIRST) + [n for n in REGISTRY if n not in first]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 _LOADED = False

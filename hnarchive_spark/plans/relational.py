@@ -450,12 +450,14 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS k_bucket,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(round(value * 100))) AS BIGINT) AS sum_value_cents
     FROM events
     GROUP BY 1
     """,
     doc="JSON extraction from a string column (the reference parses whole API "
-    "documents; this is the queryable version via get_json_object).",
+    "documents; this is the queryable version via get_json_object). Money "
+    "summed as exact integer cents so the hash is summation-order and "
+    "engine independent.",
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -463,7 +465,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(F.floor(k / 10).cast("int").alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("sum_value_cents"),
+        )
     )
 
 

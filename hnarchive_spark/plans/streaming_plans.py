@@ -15,60 +15,47 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from hnarchive_spark.operators.asof import asof_join
 from hnarchive_spark.plans.registry import query
-from hnarchive_spark.tables import load
+from hnarchive_spark.tables import load, read_events_stream
 
 _sink_counter = itertools.count()
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> long under
-# nanosAsLong; converted to a proper timestamp after the scan).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Exact integer cents: value is 2-decimal money stored as double, so a naive
+# sum(value) is summation-order dependent and a half-cent tie can flip
+# between engines/runs.  round(value*100) is exactly integral per row, a sum
+# of integer-valued doubles below 2^53 is exact in ANY order, and the final
+# BIGINT cast is lossless — so both engines produce the identical integer.
+# (A function, not a module constant: Column construction needs an active
+# SparkContext under classic PySpark.)
+def _sum_cents():
+    return F.sum(F.round(F.col("value") * 100, 0)).cast("long")
+
+
+_SUM_CENTS_SQL = "CAST(round(sum(round(value * 100))) AS BIGINT)"
 
 
 @query(
     "q_stream_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, {_SUM_CENTS_SQL} AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
     doc="Tumbling 1-day window aggregation executed as a real Structured "
     "Streaming query (readStream -> window() -> memory sink) drained with "
     "Trigger.AvailableNow — the reference `update` catch-up semantics "
     "(hnarchive.py:524-537). Watermark included to exercise the late-data "
-    "path (no-op on a drained source).",
+    "path (no-op on a drained source). Money summed as exact integer cents "
+    "so the hash is order- and engine-independent.",
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        # FileStreamSource needs a directory; glob-filter to the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_events_stream(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_cents().alias("sum_value_cents"))
     )
     name = f"stream_tumbling_sink_{next(_sink_counter)}"
     q = (
@@ -80,7 +67,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select(
-        F.col("w.start").alias("day"), "event_type", "n_events", "sum_value"
+        F.col("w.start").alias("day"), "event_type", "n_events", "sum_value_cents"
     )
 
 
@@ -96,11 +83,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic, so the drained result is exactly batch DISTINCT.",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        read_events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -118,7 +102,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sessionize",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -134,26 +118,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
-           round(sum(round(value * 100))) / 100 AS session_value
+           {_SUM_CENTS_SQL} AS session_value_cents
     FROM sessions GROUP BY user_id, session_id
     """,
     doc="Sessionization (30-min inactivity gap): lag + cumulative-sum session "
     "ids, one shuffle on user_id; the batch twin of the stateful streaming "
-    "session operator in hnarchive_spark.streaming. session_value is summed "
-    "in exact integer cents (value is 2-decimal money stored as double, so a "
-    "naive sum(value) is summation-order dependent and flips a half-cent tie "
-    "between engines); both engines then divide the identical integer by 100, "
-    "a single exactly-rounded IEEE op.",
+    "session operator in hnarchive_spark.streaming. The gap test compares at "
+    "microsecond precision (unix_micros), matching the oracle's INTERVAL "
+    "comparison and GAP_US in streaming/sessionize.py — unix_timestamp's "
+    "whole-second truncation would split (1800s, 1801s] gaps differently. "
+    "session_value_cents is an exact integer (no double ever reaches the "
+    "output), so the hash is order- and engine-independent.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
-    new_session = (
-        F.when(prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1)
-        .otherwise(0)
-    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    new_session = F.when(prev.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     return (
         ev.select("user_id", "event_id", "ts", "value", new_session.alias("new_session"))
         .select("*", F.sum("new_session").over(wsum).alias("session_id"))
@@ -162,7 +145,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            (F.round(F.sum(F.round(F.col("value") * 100, 0)), 0) / 100).alias("session_value"),
+            _sum_cents().alias("session_value_cents"),
         )
     )
 
@@ -199,30 +182,26 @@ def q_asof_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_dim_join",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
-           count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(round(e.value * 100))) AS BIGINT) AS sum_value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
     doc="Stream-static join: the event stream enriched against the static "
     "customer dimension (broadcast per micro-batch — no stream state), then "
-    "windowed aggregation; drained with AvailableNow.",
+    "windowed aggregation; drained with AvailableNow. Money summed as exact "
+    "integer cents.",
 )
 def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_events_stream(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = raw.join(F.broadcast(cust), raw.user_id == cust.c_custkey)
     agg = (
         joined.withWatermark("ts", "1 hour")
         .groupBy("c_mktsegment", F.window("ts", "1 day").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_cents().alias("sum_value_cents"))
     )
     name = f"stream_dim_join_sink_{next(_sink_counter)}"
     q = (
@@ -234,7 +213,7 @@ def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select(
-        "c_mktsegment", F.col("w.start").alias("day"), "n_events", "sum_value"
+        "c_mktsegment", F.col("w.start").alias("day"), "n_events", "sum_value_cents"
     )
 
 
@@ -254,18 +233,8 @@ def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drain makes the result equal the batch interval join.",
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def stream():
-        return (
-            spark.readStream.schema(_EVENTS_RAW)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
     p = (
-        stream()
+        read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -276,7 +245,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 hour")
     )
     c = (
-        stream()
+        read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -315,7 +284,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session, which stays in state awaiting the next micro-batch.  Value
     # sums are exact integer cents on all three sides (stream state, batch
     # twin, this oracle), so the hash is engine- and order-independent.
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -332,10 +301,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end,
-             round(sum(round(value * 100))) / 100 AS value_sum
+             {_SUM_CENTS_SQL} AS value_cents
       FROM sessions GROUP BY user_id, session_id
     )
-    SELECT user_id, session_start, session_end, n_events, value_sum
+    SELECT user_id, session_start, session_end, n_events, value_cents
     FROM agg
     QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
     """,
@@ -348,14 +317,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnarchive_spark.streaming.sessionize import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "value")
-    )
+    raw = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(raw)
     name = f"stream_sessionize_sink_{next(_sink_counter)}"
     q = (

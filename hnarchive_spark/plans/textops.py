@@ -9,7 +9,7 @@ nothing (all are per-row or per-group on doc_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnarchive_spark.functions import text as T
@@ -335,77 +335,108 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_datacard",
-    # Every output column is BIGINT (or the source string): the r2 driver run
-    # proved rounded doubles are not portable across DuckDB builds
-    # (quantile_cont interpolation / 1-ulp round() ties), so percentiles are
-    # emitted as exactly-integral scaled values (p*X with X chosen so the
-    # q*(n-1) interpolation is integral: x2 for p50, x20 for p95), en-share
-    # as its integer numerator, and quality in integer ten-thousandths
-    # computed from the three integer per-row inputs (stop_hits, n_tokens,
-    # sum_token_len) via one identical float expression on both engines.
+    # NO floating-point operation anywhere on either engine.  Round 2/3
+    # proved even "identical" float expressions are not portable across the
+    # verifier's DuckDB build (quantile_cont interpolation, round() tie
+    # rules, 1-ulp division differences).  So everything is integer
+    # arithmetic end-to-end:
+    #   * per-row quality_e4 = round_half_up((a/b + c/d) * 1e4) computed as
+    #     (2*(a*d + c*b) + b*d) // (2*b*d) — pure BIGINT, b,d >= 1;
+    #   * percentiles from the two order statistics with exact integer
+    #     interpolation: p = q*(n-1) sits between ranks i,i+1 with
+    #     fractional part r/20 (q=0.95 -> r = 19*(n-1) mod 20), and the
+    #     x2/x20-scaled interpolated value v_lo*(20-r) + v_hi*r is integral;
+    #   * mean_quality_e4 = round_half_up(sum/n) = (2*sum + n) // (2*n).
     oracle="""
     WITH q AS (
       SELECT source, lang, n_chars, len(ws) AS n_tokens,
-             CAST(round(
-               5000.0 * len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) / len(ws)
-               + 5000.0 * len(ws)
-                 / (len(ws) + abs(list_sum(list_transform(ws, w -> length(w))) - 5 * len(ws)))
-             ) AS BIGINT) AS quality_e4
+             len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM (SELECT source, lang, n_chars,
                    list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
+    ),
+    qq AS (
+      SELECT source, lang, n_chars, n_tokens,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS quality_e4,
+             row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS nn
+      FROM q
     )
     SELECT source,
            count(*) AS n_docs,
            sum(n_tokens) AS total_tokens,
            sum(n_chars) AS total_chars,
-           CAST(round(quantile_cont(n_tokens, 0.5) * 2) AS BIGINT) AS p50_tokens_x2,
-           CAST(round(quantile_cont(n_tokens, 0.95) * 20) AS BIGINT) AS p95_tokens_x20,
+           max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN n_tokens END)
+             + max(CASE WHEN rn = nn // 2 + 1 THEN n_tokens END) AS p50_tokens_x2,
+           max(CASE WHEN rn = (19 * (nn - 1)) // 20 + 1 THEN n_tokens END)
+               * (20 - max((19 * (nn - 1)) % 20))
+             + max(CASE WHEN rn = least((19 * (nn - 1)) // 20 + 2, nn) THEN n_tokens END)
+               * max((19 * (nn - 1)) % 20) AS p95_tokens_x20,
            count(DISTINCT lang) AS n_langs,
            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
-           CAST(round(sum(quality_e4)::DOUBLE / count(*)) AS BIGINT) AS mean_quality_e4
-    FROM q GROUP BY source
+           (2 * sum(quality_e4) + count(*)) // (2 * count(*)) AS mean_quality_e4
+    FROM qq GROUP BY source
     """,
     doc="Per-source corpus data card: doc/token/char volumes, token-count "
     "percentiles, language spread, mean quality — the dataset-release "
-    "summary a training pipeline publishes. One partial-aggregated shuffle "
-    "on source. All outputs integer-exact (scaled BIGINTs) so the hash is "
-    "immune to the verifier's engine build: percentile x2/x20 scaling makes "
-    "the q*(n-1)-interpolated value exactly integral, and per-row quality is "
-    "derived from integer inputs with a single shared float expression.",
+    "summary a training pipeline publishes. Window + aggregate share the "
+    "one shuffle on source. Every value on both engines is produced by "
+    "integer arithmetic only (scaled-BIGINT quality, order-statistic "
+    "percentile interpolation, integer rounded mean), so the hash cannot "
+    "depend on any engine's float or rounding behavior. At 100 TB the exact "
+    "per-source sort is the standard exact-percentile cost; swap in "
+    "approx_percentile when the data card tolerates sketched quantiles.",
 )
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("long")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long")
-    sum_len = T.sum_token_len(F.col("text"))
-    # identical expression shape to the oracle: two exact-int scalings, two
-    # rounded divisions, one rounded add -> bit-identical double both engines
-    quality_e4 = F.round(
-        F.lit(5000.0) * stop_hits / n + F.lit(5000.0) * n / (n + F.abs(sum_len - 5 * n)),
-        0,
-    ).cast("long")
     rows = d.select(
         "source",
         "lang",
         "n_chars",
-        F.size(ws).alias("n_tokens"),
-        quality_e4.alias("quality_e4"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
     )
-    return rows.groupBy("source").agg(
+    # round_half_up(1e4 * (stop_hits/n + n/d)) in pure BIGINT arithmetic;
+    # d = n + |sum_len - 5n| >= n >= 1 so the division is always defined
+    quality_e4 = F.expr(
+        "(2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))"
+        "      + 5000 * n_tokens * n_tokens)"
+        " + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
+        " div (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = rows.select(
+        "source",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        quality_e4.alias("quality_e4"),
+        F.row_number().over(wsrc.orderBy("n_tokens")).alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("nn"),
+    )
+    return ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.expr("percentile(n_tokens, 0.5)") * 2, 0).cast("long").alias("p50_tokens_x2"),
-        F.round(F.expr("percentile(n_tokens, 0.95)") * 20, 0)
-        .cast("long")
-        .alias("p95_tokens_x20"),
+        (
+            F.max(F.when(F.expr("rn = (nn - 1) div 2 + 1"), F.col("n_tokens")))
+            + F.max(F.when(F.expr("rn = nn div 2 + 1"), F.col("n_tokens")))
+        ).alias("p50_tokens_x2"),
+        (
+            F.max(F.when(F.expr("rn = (19 * (nn - 1)) div 20 + 1"), F.col("n_tokens")))
+            * (20 - F.max(F.expr("(19 * (nn - 1)) % 20")))
+            + F.max(F.when(F.expr("rn = least((19 * (nn - 1)) div 20 + 2, nn)"), F.col("n_tokens")))
+            * F.max(F.expr("(19 * (nn - 1)) % 20"))
+        ).alias("p95_tokens_x20"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_docs_en"),
-        F.round(F.sum("quality_e4").cast("double") / F.count(F.lit(1)), 0)
-        .cast("long")
-        .alias("mean_quality_e4"),
+        F.expr("(2 * sum(quality_e4) + count(1)) div (2 * count(1))").alias("mean_quality_e4"),
     )
 
 

@@ -9,16 +9,23 @@ The final open session per key stays in state (NoTimeout — see
 sessionize_stream for why), ready for the next batch or a checkpointed
 restart.
 
-Values are accumulated as exact integer cents (``round(value * 100)``):
-``value`` is 2-decimal money stored as double, so a float accumulation is
-summation-order dependent and a true half-cent tie can flip between runs
-depending on arrival order.  Integer addition is order-independent, which
-makes the emitted ``value_sum`` bit-identical to the batch twin
-(plans/streaming_plans.q_sessionize) and its DuckDB oracle.
+Values are accumulated as exact integer cents (``floor(value*100 + 0.5)`` —
+an explicit half-UP tie rule: Python's builtin ``round`` is banker's
+half-to-even, while Spark ``F.round`` and DuckDB ``round`` are
+half-away-from-zero, so the builtin would silently diverge on a true
+half-cent value).  ``value`` is 2-decimal money stored as double, so a float
+accumulation is summation-order dependent; integer addition is
+order-independent, which makes the emitted ``value_cents`` bit-identical to
+the batch twin (plans/streaming_plans.q_sessionize) and its DuckDB oracle.
+
+Checkpoint compatibility: the output column changed value_sum DOUBLE ->
+value_cents LONG (round 4); checkpoints written by the earlier schema are
+not resumable — start a fresh checkpoint directory when upgrading.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -26,7 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -50,7 +56,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("session_start", TimestampType()),
         StructField("session_end", TimestampType()),
         StructField("n_events", LongType()),
-        StructField("value_sum", DoubleType()),
+        StructField("value_cents", LongType()),
     ]
 )
 
@@ -76,7 +82,9 @@ def _sessionize_group(
             s0 = ts_us
         last = ts_us
         n += 1
-        cents += round(float(val) * 100)
+        # explicit half-up: builtin round() is half-to-even and would
+        # diverge from Spark/DuckDB round on a true half-cent tie
+        cents += int(math.floor(float(val) * 100 + 0.5))
     state.update((s0, last, n, cents))
 
     if out:
@@ -86,7 +94,7 @@ def _sessionize_group(
                 "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
                 "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
                 "n_events": [o[3] for o in out],
-                "value_sum": [o[4] / 100 for o in out],
+                "value_cents": [o[4] for o in out],
             }
         )
 

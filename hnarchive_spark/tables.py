@@ -61,6 +61,58 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of ``load(spark, sf_dir, "events")``.
+
+    The streaming source needs an explicit schema, and events.ts has shipped
+    in two physical variants (TIMESTAMP(NANOS) -> long under nanosAsLong,
+    and TIMESTAMP(MICROS) isAdjustedToUTC=false -> TIMESTAMP_NTZ).  A
+    hardcoded schema silently corrupts the other variant (micros div 1000
+    collapses every timestamp to Jan 1970), so detect the variant from the
+    parquet footer via a one-off batch read — a metadata-only operation —
+    and declare the stream schema to match, then normalize to a session-TZ
+    TIMESTAMP exactly like the batch path.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        # FileStreamSource needs a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(ts_type, LongType):
+        # nanos-as-long: integer division (double `/` would drift 1us from
+        # DuckDB's truncating nanos->micros conversion)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # wall-clock identical cast: session TZ pinned to UTC above
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() queries can run."""
     for name in TABLE_NAMES:

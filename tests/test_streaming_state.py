@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 def test_stream_sessionize_matches_batch_closed_sessions(spark):
     qs = all_queries()
     stream_rows = {
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["value_sum"], 2))
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["value_cents"])
         for r in qs["q_stream_sessionize"](spark, SF).collect()
     }
     batch = qs["q_sessionize"](spark, SF).collect()
@@ -26,7 +26,7 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark):
         rows.sort(key=lambda r: r["session_id"])
         for r in rows[:-1]:
             closed.add(
-                (user, r["session_start"], r["session_end"], r["n_events"], round(r["session_value"], 2))
+                (user, r["session_start"], r["session_end"], r["n_events"], r["session_value_cents"])
             )
     assert stream_rows == closed
     assert len(stream_rows) > 0
