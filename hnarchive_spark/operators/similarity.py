@@ -292,7 +292,9 @@ DUP_BANDS = 4
 DUP_BAND_BITS = N_PLANES // DUP_BANDS  # 2 sign bits per band
 
 
-def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+def lsh_dup_pairs(
+    embeddings: DataFrame, threshold: float, max_bucket: int | None = None
+) -> DataFrame:
     """Embedding near-dup pairs with banded LSH blocking (OR-construction):
     candidates share ANY of the 4 two-bit sign bands, then exact cosine
     verifies. Banding trades a small candidate-set increase for high recall
@@ -304,7 +306,18 @@ def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     math, so each surviving pair pays exactly one dot product against
     per-vector precomputed norms.  (Verifying inside the band join instead
     recomputes the cosine once per matching band — up to 4x the work — and
-    drags the 64-dim arrays through the widest join in the plan.)"""
+    drags the 64-dim arrays through the widest join in the plan.)
+
+    ``max_bucket`` is the quadratic-blowup guard (the vector analog of
+    dedup.py's max_df stop-shingle cap): a (band, band_val) bucket holding
+    more than ``max_bucket`` vectors is excluded from candidate generation
+    entirely — on an adversarial corpus of near-identical vectors a single
+    hot bucket otherwise recreates the O(n^2) self-join this operator
+    exists to avoid.  Deterministic (a pure count threshold), so the
+    capped operator remains exactly oracle-checkable; pairs sharing only a
+    hot band are the recall cost, and a pair is kept if ANY of its shared
+    bands survives.  The hot-bucket list is a tiny aggregate broadcast as
+    an anti-join — the banded stream itself is never shuffled by the cap."""
     e = embeddings.select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
     ).withColumn("bucket", lsh_signature(F.col("v"))).persist(
@@ -318,6 +331,14 @@ def lsh_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     ).withColumn(
         "band_val", F.expr(f"shiftright(bucket, cast(band * {DUP_BAND_BITS} AS int)) & {mask}")
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "band_val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -67,6 +67,8 @@ _VERIFY_FIRST = [
     "q_stream_sessionize",
     "q_stream_dedup",
     "q_json_extract",
+    "q_ann_ivf_indexed",
+    "q_embed_dup_capped",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

@@ -22,12 +22,20 @@ N_QUERIES = 5  # query set = vec_id < 5
 _E = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
 
-def _lsh_dup_oracle() -> str:
+def _lsh_dup_oracle(max_bucket: int | None = None) -> str:
     planes = ",\n        ".join(
         f"({p}, {d}, {w!r})"
         for p, plane in enumerate(S.PLANES)
         for d, w in enumerate(plane)
     )
+    if max_bucket is None:
+        cap_cte = "capped AS (SELECT * FROM banded)"
+    else:
+        cap_cte = f"""keep AS (
+      SELECT band, band_val FROM banded GROUP BY band, band_val
+      HAVING count(*) <= {max_bucket}
+    ),
+    capped AS (SELECT b.* FROM banded b JOIN keep USING (band, band_val))"""
     return f"""
     WITH {_E},
     planes(p, d, w) AS (VALUES
@@ -49,9 +57,10 @@ def _lsh_dup_oracle() -> str:
              (bucket >> (t.band * {S.DUP_BAND_BITS})) & {(1 << S.DUP_BAND_BITS) - 1} AS band_val
       FROM sigs, range(0, {S.DUP_BANDS}) t(band)
     ),
+    {cap_cte},
     cand AS (
       SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     )
     SELECT d1, d2, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
@@ -76,6 +85,26 @@ def _lsh_dup_oracle() -> str:
 def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.lsh_dup_pairs(e, COS_DUP_T)
+
+
+EMBED_DUP_MAX_BUCKET = 125  # binds at both test scales (bucket sizes 101-149)
+
+
+@query(
+    "q_embed_dup_capped",
+    oracle=_lsh_dup_oracle(EMBED_DUP_MAX_BUCKET),
+    doc="q_embed_dup with the hot-bucket cap: (band, band_val) buckets "
+    f"holding > {EMBED_DUP_MAX_BUCKET} vectors are excluded from candidate "
+    "generation — the vector analog of the max_df stop-shingle cap, "
+    "guarding against an adversarial corpus of near-identical vectors "
+    "recreating the quadratic self-join inside one bucket. The hot list is "
+    "a tiny aggregate anti-joined by broadcast (the banded stream is never "
+    "shuffled by the cap); the cap is a pure deterministic count threshold "
+    "so the oracle replays it exactly.",
+)
+def q_embed_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(e, COS_DUP_T, max_bucket=EMBED_DUP_MAX_BUCKET)
 
 
 @query(
@@ -299,3 +328,26 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ann_index_")
     build_index(e, path)
     return probe_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+@query(
+    "q_ann_ivf_indexed",
+    oracle=_ivf_oracle(2),
+    doc="IVF ANN against a PERSISTED index (sources/ann_index.py "
+    "build_ivf_index/probe_ivf_topk): centroids are computed ONCE at "
+    "index-build time and stored beside the list-partitioned vectors, so "
+    "query-time routing reads n_lists centroid rows instead of running a "
+    "corpus-wide aggregate per query batch (the on-the-fly q_ann_ivf's "
+    "100 TB-scale flaw), and the probed list ids prune partitions of "
+    "<index>/lists. n_probe=2; identical results to q_ann_ivf_probe2, so "
+    "it shares that oracle.",
+)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hnarchive_spark.sources.ann_index import build_ivf_index, probe_ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(e, path)
+    return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)

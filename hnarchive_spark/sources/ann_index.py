@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hnarchive_spark.operators.similarity import as_double, dot, lsh_signature, norm
+from hnarchive_spark.operators.similarity import (
+    DIM,
+    as_double,
+    cosine,
+    dot,
+    lsh_signature,
+    norm,
+)
 
 
 def build_index(
@@ -83,5 +90,99 @@ def probe_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> None:
+    """Write the IVF index: list-partitioned vectors + persisted centroids.
+
+    The on-the-fly ``ivf_topk`` recomputes the per-list centroids with a
+    corpus-wide aggregate on EVERY query batch — fine at bench scale, a
+    100 TB-scale bug.  Here both index artifacts are built once:
+
+    * ``<path>/lists`` — (vec_id, v, n) partitioned by ``list_id`` (the
+      k-means assignment), so a probe reads only its lists' files;
+    * ``<path>/centroids`` — n_lists rows of (list_id, centroid), the
+      coarse quantizer, loaded (tiny) at query time for routing.
+    """
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+            F.col(list_col).alias("list_id"),
+        )
+        .withColumn("n", norm(F.col("v")))
+    )
+    (
+        e.repartition("list_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(DIM)]
+    (
+        e.groupBy("list_id")
+        .agg(*dim_cols)
+        .select("list_id", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def probe_ivf_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query against the persisted IVF index.
+
+    Routing uses the PERSISTED centroids (no corpus aggregate at query
+    time); the probed list ids become a pushed-down partition filter on
+    ``<path>/lists``, so only those lists' files are scanned — the same
+    plan shape as ``probe_topk`` for LSH.  Results are identical to the
+    on-the-fly ``ivf_topk`` (same centroid means, cosine rounded to 6
+    decimals before ranking), so it shares the same oracle.
+    """
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    routed = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "list_id",
+        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
+    probes = routed.select(
+        "query_id", "qv", "qn", "list_id", F.row_number().over(w).alias("pr")
+    ).filter(F.col("pr") <= n_probe)
+    lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    idx = spark.read.parquet(f"{index_path}/lists").filter(F.col("list_id").isin(lists))
+    scored = (
+        idx.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(wk).alias("rank")).filter(
         F.col("rank") <= k
     )

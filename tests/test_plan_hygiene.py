@@ -82,6 +82,41 @@ def test_ann_index_probe_is_partition_pruned(spark):
     assert pf and any("bucket" in ln for ln in pf), pf
 
 
+def test_ivf_index_probe_is_partition_pruned(spark):
+    """The persisted-IVF probe must scan ONLY the probed lists
+    (PartitionFilters on list_id) and must NOT recompute centroids from the
+    corpus at query time (no corpus-wide aggregate feeding the routing —
+    the centroid read is a tiny <index>/centroids scan)."""
+    df = all_queries_cached()["q_ann_ivf_indexed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("list_id" in ln for ln in pf), pf
+
+
+def test_ivf_indexed_matches_online_ivf(spark):
+    """Persisted-index IVF must return exactly the on-the-fly ivf_topk
+    result at the same n_probe (same centroid means, same rounding)."""
+    qs = all_queries_cached()
+    a = {tuple(r) for r in qs["q_ann_ivf_indexed"](spark, SF).collect()}
+    b = {tuple(r) for r in qs["q_ann_ivf_probe2"](spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_embed_dup_cap_binds(spark):
+    """The hot-bucket cap must actually drop candidates on this corpus
+    (bucket sizes straddle the cap) — otherwise the capped query would be
+    an untested alias of the uncapped one."""
+    from hnarchive_spark.operators.similarity import lsh_dup_pairs
+    from hnarchive_spark.plans.similarity import COS_DUP_T, EMBED_DUP_MAX_BUCKET
+    from hnarchive_spark.tables import load
+
+    e = load(spark, SF, "embeddings")
+    uncapped = {tuple(r) for r in lsh_dup_pairs(e, COS_DUP_T).collect()}
+    capped = {tuple(r) for r in lsh_dup_pairs(e, COS_DUP_T, EMBED_DUP_MAX_BUCKET).collect()}
+    assert capped < uncapped or capped == uncapped  # never invents pairs
+    assert len(capped) < len(uncapped), "cap did not bind on the test corpus"
+
+
 def all_queries_cached():
     from hnarchive_spark.plans.registry import all_queries
 
