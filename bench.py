@@ -43,6 +43,9 @@ HEADLINE = [
     "q_multimodal_features",
     "q_text_stats",
     "q_stream_tumbling",
+    "q_embed_dup_capped",
+    "q_ann_ivf_indexed",
+    "q_corpus_datacard",
 ]
 
 
@@ -57,21 +60,27 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         # steady-state timing: one untimed warmup run absorbs whole-stage
         # codegen compilation (a per-query-shape one-time cost that is noise
-        # at production scale); then min of two timed runs damps scheduler
-        # jitter. Caches are cleared between runs so operators that persist
-        # shared intermediates (shingle/signature indexes) are timed fully.
+        # at production scale); then min of THREE timed runs damps scheduler
+        # jitter (min-of-2 sat inside this box's documented ±2x variance, so
+        # round-over-round deltas were unattributable). The per-query spread
+        # (max-min of the timed runs) is reported so a reader can tell a
+        # real regression from run noise. Caches are cleared between runs so
+        # operators that persist shared intermediates (shingle/signature
+        # indexes) are timed fully.
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )
