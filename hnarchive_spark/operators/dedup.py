@@ -57,21 +57,35 @@ def h32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, shingle) pairs — distinct word n-grams per document.
 
     Input is repartitioned on the id before the explode: a corpus read from
     few files would otherwise explode (a 10-100x row blowup) inside a
-    handful of tasks — the classic single-file hotspot."""
+    handful of tasks — the classic single-file hotspot.
+
+    ``carry`` columns (e.g. the doc's source) ride along through the
+    explode — cheaper than joining them back on doc_id afterwards."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     parts = [F.element_at(F.col("ws"), F.col("i") + j) for j in range(n)]
     shingle = F.concat_ws(" ", *parts)
     return (
         docs.repartition(F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .select(F.col(id_col).alias("doc_id"), *carry, ws.alias("ws"))
         .filter(F.size("ws") >= n)
-        .select("doc_id", F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"), "ws")
-        .select("doc_id", shingle.alias("shingle"))
+        .select(
+            "doc_id",
+            *carry,
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
+            "ws",
+        )
+        .select("doc_id", *carry, shingle.alias("shingle"))
         .distinct()
     )
 

@@ -531,3 +531,143 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_shingles"), 4
         ).alias("contamination"),
     )
+
+
+BOILER_N = 2  # n-gram size for boilerplate detection
+BOILER_PCT = 20  # document-frequency threshold, percent of the source's docs
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w,
+             unnest(range(1, len(list_filter(string_split(text, ' '), w -> w != '')) + 1)) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.source, a.w || ' ' || b.w AS shingle
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY source),
+    df AS (SELECT source, shingle, count(*) AS df FROM sh GROUP BY source, shingle)
+    SELECT source, shingle, df, n_docs
+    FROM df JOIN nd USING (source)
+    WHERE df * 100 >= {BOILER_PCT} * n_docs
+    """,
+    doc=f"Per-source boilerplate n-gram detection (the CCNet/RefinedWeb-style "
+    f"template filter): word {BOILER_N}-grams whose document frequency within "
+    f"a source reaches {BOILER_PCT}% of that source's docs are templates "
+    "(headers, footers, nav chrome), not content. Two partial-agg shuffles — "
+    "the (source, shingle) df count and the tiny per-source doc count "
+    "(broadcast back) — and the threshold compares integers (df*100 >= "
+    "pct*n_docs) so no float reaches the plan. At 100 TB the hot df "
+    "aggregation is the same shape as the max_df stop-shingle scan; the "
+    "output feeds a broadcast anti-join that strips flagged grams at "
+    "ingest.",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(d, n=BOILER_N, carry=("source",))
+    nd = sh.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.join(F.broadcast(nd), "source")
+        .filter(F.col("df") * 100 >= BOILER_PCT * F.col("n_docs"))
+        .select("source", "shingle", "df", "n_docs")
+    )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES},
+    pc AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      ) WHERE j >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id,
+             CAST(round(round(
+               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
+               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                                  / len(ws) - 5.0)), 4) * 10000) AS BIGINT) AS q_e4
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.node AS doc_id, q.q_e4,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.q_e4 DESC, c.node) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM comp c JOIN quality q ON q.doc_id = c.node
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, cluster_size, q_e4 AS rep_quality_e4
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Cluster-representative selection (canonical dedup): each near-dup "
+    "cluster keeps its highest-quality member (integer ten-thousandths "
+    "score, doc_id tiebreak) instead of q_dedup_clusters' min-id survivor — "
+    "what a training pipeline actually wants from dedup: drop copies, keep "
+    "the best copy. Composition of the existing pieces: connected "
+    "components over Jaccard pairs, per-doc quality scoring, one ranked "
+    "window per cluster.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hnarchive_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
+    comps = connected_components(pairs)
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    quality = d.select(
+        "doc_id",
+        F.round(
+            F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("q_e4"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q_e4").desc(), F.col("doc_id"))
+    ranked = (
+        comps.select(F.col("comp").alias("cluster_id"), F.col("node").alias("doc_id"))
+        .join(quality, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "q_e4",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        "cluster_size",
+        F.col("q_e4").alias("rep_quality_e4"),
+    )

@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "q_json_extract",
     "q_ann_ivf_indexed",
     "q_embed_dup_capped",
+    "q_boilerplate_ngrams",
+    "q_dedup_canonical",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",
