@@ -1,0 +1,93 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column — the
+index-build step that produces IVF coarse-quantizer lists from scratch
+(the testdata's pre-clustered `label` column is what a previous k-means run
+would have produced; this operator IS that run).
+
+Iterative algorithms are the classic "Spark beats SQL" shape: each Lloyd
+iteration is one broadcast-join pass over the corpus (assignment) plus one
+tiny aggregate (new centroids).  The corpus is never collected; only the
+k x dim centroid matrix moves to the driver between iterations (bounded
+small by construction, the same contract as the bucket lists elsewhere).
+
+Determinism contract (what makes the result oracle-checkable):
+* init: centroids = the k vectors with the smallest ids (no RNG);
+* assignment: argmin of squared-euclidean distance ROUNDED to 6 decimals,
+  ties broken by the smaller list id — identical rounding on both engines
+  makes the argmin engine-independent;
+* fixed iteration count (no float-epsilon convergence test).
+Empty clusters simply drop out (both engines recompute means only over
+non-empty lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.similarity import DIM, as_double
+
+
+def _sq_dist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id) after ``iters`` Lloyd iterations from the
+    deterministic k-smallest-ids init.  Integer output only — the float
+    distances exist transiently inside each assignment pass."""
+    spark = vectors.sparkSession
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+
+    # init: the k smallest ids, list_id = rank within them
+    init = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("list_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    centroids = init.collect()  # k rows — bounded small
+
+    assign = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(r["list_id"], r["centroid"]) for r in centroids],
+            "list_id long, centroid array<double>",
+        )
+        scored = e.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "v",
+            "list_id",
+            F.round(_sq_dist(F.col("v"), F.col("centroid")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
+        assign = (
+            scored.select("vec_id", "v", "list_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "list_id")
+        )
+        dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(DIM)]
+        centroids = (
+            assign.groupBy("list_id")
+            .agg(*dim_cols)
+            .select(
+                "list_id",
+                F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid"),
+            )
+            .collect()
+        )
+
+    return assign.select("vec_id", "list_id")

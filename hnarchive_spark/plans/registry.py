@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "q_embed_dup_capped",
     "q_boilerplate_ngrams",
     "q_dedup_canonical",
+    "q_kmeans_assign",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

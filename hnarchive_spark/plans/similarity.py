@@ -351,3 +351,63 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ivf_index_")
     build_ivf_index(e, path)
     return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the iterative operator
+    stays fully hash-checkable because the iteration count is fixed and
+    every float comparison is rounded identically on both engines."""
+    dist = (
+        "round(list_sum(list_transform(range(1, %d), "
+        "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)" % (dim + 1)
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
+      FROM e ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM e CROSS JOIN c{t - 1} c
+      ) WHERE rn = 1
+    )""")
+        if t < iters:
+            parts.append(f"""c{t} AS (
+      SELECT list_id, list(a ORDER BY d) AS centroid FROM (
+        SELECT list_id, d, avg(val) AS a FROM (
+          SELECT list_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS d FROM a{t}
+        ) GROUP BY list_id, d
+      ) GROUP BY list_id
+    )""")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, list_id FROM a{iters}"
+
+
+@query(
+    "q_kmeans_assign",
+    oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS, S.DIM),
+    doc=f"Distributed k-means (Lloyd's, k={KMEANS_K}, {KMEANS_ITERS} fixed "
+    "iterations, deterministic k-smallest-ids init) — the index-build step "
+    "that produces IVF coarse-quantizer lists from scratch (operators/"
+    "kmeans.py). Each iteration is one broadcast-join assignment pass over "
+    "the corpus plus a tiny centroid aggregate; only the k x dim centroid "
+    "matrix ever reaches the driver. Assignment argmin uses 6-decimal "
+    "rounded distances with list-id tiebreak, so the DuckDB oracle "
+    "(iterations unrolled as chained CTEs) replays it exactly — an "
+    "iterative algorithm with a full value-hash check, not a rows-only "
+    "waiver.",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, KMEANS_K, KMEANS_ITERS)
