@@ -671,3 +671,54 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.col("q_e4").alias("rep_quality_e4"),
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES},
+    cs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
+    bs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+    pc AS (
+      SELECT b.doc_id AS bd, c.doc_id AS cd, count(*) AS common
+      FROM bs b JOIN cs c ON b.shingle = c.shingle
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT bd, cd FROM (
+        SELECT bd, cd, round(common::DOUBLE / (sb.n + sc.n - common), 4) AS j
+        FROM pc JOIN sizes sb ON sb.doc_id = bd JOIN sizes sc ON sc.doc_id = cd
+      ) WHERE j >= {JACCARD_T}
+    )
+    SELECT bd AS doc_id, count(*) AS n_corpus_dups
+    FROM dup GROUP BY bd
+    """,
+    doc="Incremental dedup (daily-increment vs archive): the incoming batch "
+    "(odd doc_ids here; in production the new partition) is checked for "
+    "near-duplicates against the existing corpus (even doc_ids) ONLY — the "
+    "inverted-index shingle join is batch x corpus, never corpus x corpus, "
+    "so each increment costs O(batch) lookups into the shingle index "
+    "instead of re-deduplicating the archive. Same 3-gram Jaccard "
+    "semantics as q_dedup_ngram; emits each flagged batch doc with its "
+    "corpus-match count (integers only).",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cs = sh.filter(F.col("doc_id") % 2 == 0).withColumnRenamed("doc_id", "cd")
+    bs = sh.filter(F.col("doc_id") % 2 == 1).withColumnRenamed("doc_id", "bd")
+    common = (
+        bs.join(cs, "shingle")
+        .groupBy("bd", "cd")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb"), "bd")
+        .join(sizes.withColumnRenamed("doc_id", "cd").withColumnRenamed("n", "nc"), "cd")
+        .filter(
+            F.round(F.col("common").cast("double") / (F.col("nb") + F.col("nc") - F.col("common")), 4)
+            >= JACCARD_T
+        )
+    )
+    return j.groupBy(F.col("bd").alias("doc_id")).agg(F.count(F.lit(1)).alias("n_corpus_dups"))

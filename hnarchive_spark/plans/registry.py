@@ -72,6 +72,9 @@ _VERIFY_FIRST = [
     "q_boilerplate_ngrams",
     "q_dedup_canonical",
     "q_kmeans_assign",
+    "q_dedup_incremental",
+    "q_stream_sliding",
+    "q_skew_salted_agg",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

@@ -465,3 +465,29 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"))
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(round(value * 100))) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-safe two-phase aggregation (operators/skew.py): rows get a "
+    "deterministic content-hash salt, phase 1 aggregates on (key, salt) "
+    "spreading a hot key across 16 reducers, phase 2 combines the partials "
+    "— the explicit form of what AQE's skew handling does for joins, for "
+    "the GROUP BY case AQE can't split. The oracle is the plain GROUP BY: "
+    "salting must be semantically invisible. Money as exact integer cents "
+    "(sum of longs commutes across the two phases).",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.skew import salted_aggregate
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return salted_aggregate(
+        ev, "user_id", {"n_events": ("count", "*"), "total_cents": ("sum", "cents")}
+    )

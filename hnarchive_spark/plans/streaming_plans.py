@@ -366,3 +366,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="event_ts",
         payload_cols=["event_id", "event_ts"],
     )
+
+
+@query(
+    "q_stream_sliding",
+    # Each event falls into TWO hopping windows (2-day length, 1-day hop,
+    # epoch-aligned): the one starting at its own day and the one starting
+    # the day before. The oracle materializes exactly those two starts per
+    # event and aggregates — the batch semantics of a drained sliding
+    # window.
+    oracle=f"""
+    WITH ev AS (
+      SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP),
+                     CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP)]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type, count(*) AS n_events,
+           {_SUM_CENTS_SQL} AS sum_value_cents
+    FROM ev GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) window aggregation: 2-day windows advancing by "
+    "1 day, so every event contributes to two windows — the smoothing "
+    "window shape tumbling can't express. Real readStream drained with "
+    "AvailableNow; money as exact integer cents.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_events_stream(spark, sf_dir)
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_cents().alias("sum_value_cents"))
+    )
+    name = f"stream_sliding_sink_{next(_sink_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value_cents"
+    )
