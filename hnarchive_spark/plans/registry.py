@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "q_dedup_incremental",
     "q_stream_sliding",
     "q_skew_salted_agg",
+    "q_winnow_fingerprint",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

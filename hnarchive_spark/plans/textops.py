@@ -568,3 +568,69 @@ def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("source", "shard").applyInPandas(
         pack, "source string, shard long, doc_id long, n_tokens long, seq_id long"
     )
+
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint
+WINNOW_B = 31  # polynomial base
+WINNOW_P = 1_000_000_007  # modulus
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ' '), w -> w != ''),
+                            w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS tid
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tid) - {WINNOW_K} + 2),
+               i -> (tid[i] * {WINNOW_B ** 3} + tid[i + 1] * {WINNOW_B ** 2}
+                     + tid[i + 2] * {WINNOW_B} + tid[i + 3]) % {WINNOW_P}) AS hs
+      FROM t WHERE len(tid) >= {WINNOW_K + WINNOW_W - 1}
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                                 j -> list_min(hs[j:j + {WINNOW_W} - 1]))) AS fp
+    FROM h
+    """,
+    doc=f"Winnowing document fingerprints (the MOSS sketch): a Karp-Rabin "
+    f"polynomial rolling hash over token {WINNOW_K}-grams (base {WINNOW_B}, "
+    f"prime modulus), then the minimum hash of every {WINNOW_W}-hash window "
+    "— guaranteeing any shared substring of length k+w-1 tokens yields a "
+    "shared fingerprint, the shift-robust complement to the whole-document "
+    "md5 of q_doc_fingerprint. Pure integer modular arithmetic end-to-end "
+    "on both engines (token ids from the shared md5-prefix idiom), zero "
+    "shuffle until the final distinct; the sketch feeds the same "
+    "inverted-index join as q_dedup_ngram for partial-overlap detection.",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tid = F.transform(
+        T.tokens(F.col("text")),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    k, w, b, p = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_P
+    rows = d.select("doc_id", tid.alias("tid")).filter(F.size("tid") >= k + w - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("tid") - (k - 1)),
+        lambda i: (
+            F.element_at(F.col("tid"), i) * (b ** 3)
+            + F.element_at(F.col("tid"), i + 1) * (b ** 2)
+            + F.element_at(F.col("tid"), i + 2) * b
+            + F.element_at(F.col("tid"), i + 3)
+        )
+        % p,
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("hs")) - (w - 1)),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+    )
+    return (
+        rows.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        .distinct()
+    )
