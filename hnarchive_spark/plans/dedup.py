@@ -676,9 +676,14 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_incremental",
     oracle=f"""
-    WITH {_SHINGLES},
-    cs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
-    bs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+    WITH {_SHINGLES_RAW},
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}
+    ),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    cs AS (SELECT doc_id, shingle FROM shf WHERE doc_id % 2 = 0),
+    bs AS (SELECT doc_id, shingle FROM shf WHERE doc_id % 2 = 1),
     pc AS (
       SELECT b.doc_id AS bd, c.doc_id AS cd, count(*) AS common
       FROM bs b JOIN cs c ON b.shingle = c.shingle
@@ -699,12 +704,17 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted-index shingle join is batch x corpus, never corpus x corpus, "
     "so each increment costs O(batch) lookups into the shingle index "
     "instead of re-deduplicating the archive. Same 3-gram Jaccard "
-    "semantics as q_dedup_ngram; emits each flagged batch doc with its "
-    "corpus-match count (integers only).",
+    f"semantics and max_df={NGRAM_MAX_DF} stop-shingle cap as "
+    "q_dedup_ngram_maxdf (post-cap sizes), bounding every shingle's "
+    "posting-list contribution even when the archive itself carries mass "
+    "duplication. Emits each flagged batch doc with its corpus-match "
+    "count (integers only).",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = D.word_shingles(d)
+    keep = sh.groupBy("shingle").count().filter(F.col("count") <= NGRAM_MAX_DF)
+    sh = sh.join(keep.select("shingle"), "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cs = sh.filter(F.col("doc_id") % 2 == 0).withColumnRenamed("doc_id", "cd")
     bs = sh.filter(F.col("doc_id") % 2 == 1).withColumnRenamed("doc_id", "bd")
