@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "q_stream_sliding",
     "q_skew_salted_agg",
     "q_winnow_fingerprint",
+    "q_chunk_documents",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

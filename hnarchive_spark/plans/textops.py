@@ -634,3 +634,56 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, (len(ws) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS})) AS chunk_id,
+           unnest(list_transform(range(0, (len(ws) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS}),
+             c -> len(ws[c * {CHUNK_TOKENS} + 1 : least((c + 1) * {CHUNK_TOKENS}, len(ws))]))) AS n_tokens,
+           unnest(list_transform(range(0, (len(ws) + {CHUNK_TOKENS} - 1) // {CHUNK_TOKENS}),
+             c -> array_to_string(ws[c * {CHUNK_TOKENS} + 1 : least((c + 1) * {CHUNK_TOKENS}, len(ws))], ' '))) AS chunk_text
+    FROM toks
+    """,
+    doc=f"Document chunking ({CHUNK_TOKENS}-token fixed windows): the "
+    "embedding/RAG preparation step that splits each document into "
+    "context-window-sized pieces with stable (doc_id, chunk_id) addressing. "
+    "Canonical implementation is pure array expressions (slice inside "
+    "whole-stage codegen, zero shuffle, explode at the end); a Python UDTF "
+    "twin exists as API-surface parity in tests/test_udtf_chunking.py — "
+    "asserted row-identical, but the built-in form is the one to run at "
+    "100 TB (no Python boundary).",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(F.col("ws")) / CHUNK_TOKENS).cast("int")
+    chunk = lambda c: F.slice(  # noqa: E731
+        F.col("ws"), c * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda c: F.struct(
+                        c.cast("long").alias("chunk_id"),
+                        F.size(chunk(c)).cast("long").alias("n_tokens"),
+                        F.concat_ws(" ", chunk(c)).alias("chunk_text"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select("doc_id", "ch.chunk_id", "ch.n_tokens", "ch.chunk_text")
+    )
