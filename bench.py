@@ -46,6 +46,10 @@ HEADLINE = [
     "q_embed_dup_capped",
     "q_ann_ivf_indexed",
     "q_corpus_datacard",
+    "q_winnow_fingerprint",
+    "q_chunk_documents",
+    "q_dedup_incremental",
+    "q_boilerplate_ngrams",
 ]
 
 

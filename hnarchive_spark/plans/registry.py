@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "q_skew_salted_agg",
     "q_winnow_fingerprint",
     "q_chunk_documents",
+    "q_session_window_builtin",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

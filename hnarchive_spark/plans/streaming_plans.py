@@ -410,3 +410,54 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value_cents"
     )
+
+
+@query(
+    "q_session_window_builtin",
+    # Built-in session_window semantics: events merge while the NEXT event
+    # starts before the current window's end (ts - prev < gap); a new
+    # session starts when ts - prev >= gap (NON-strict — note the
+    # difference from q_sessionize's reference-shaped strict > gap);
+    # window end = last event + gap.
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {_SUM_CENTS_SQL} AS value_cents
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows via the BUILT-IN session_window aggregation — the "
+    "engine-native form of the custom applyInPandasWithState operator "
+    "(streaming/sessionize.py): one groupBy, window merging inside the "
+    "aggregation, window end = last event + gap. Run here as a batch "
+    "aggregate (the same expression works under readStream with a "
+    "watermark in append mode). The oracle replays the exact merge rule "
+    "(new session when gap >= 30 min, non-strict).",
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_cents().alias("value_cents"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
