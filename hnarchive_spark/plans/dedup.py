@@ -732,3 +732,112 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy(F.col("bd").alias("doc_id")).agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+
+
+SPLIT_VAL_PCT = 5  # deterministic hash split: 90/5/5 train/val/test
+SPLIT_TEST_PCT = 5
+
+
+@query(
+    "q_split_train_eval",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < {SPLIT_TEST_PCT} THEN 'test'
+                  WHEN bucket < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM b
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+    doc="Deterministic train/val/test assignment (90/5/5): the split is a "
+    "pure function of doc_id (md5 bucket mod 100), so it is stable across "
+    "runs, machines, and data shuffles — re-ingesting a doc can never move "
+    "it between splits (the leakage guard every training pipeline needs; "
+    "same keyed-hash idiom as q_sample_hash and the contamination split). "
+    "Zero-shuffle assignment; one partial-agg shuffle for the per-source "
+    "split counts.",
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, "test")
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SELECT_TOKEN_BUDGET = 500  # per-source token budget — binds at both test scales (~35% of docs selected)
+
+
+@query(
+    "q_select_token_budget",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, len(ws) AS n_tokens,
+             CAST(round(round(
+               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
+               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                                  / len(ws) - 5.0)), 4) * 10000) AS BIGINT) AS q_e4
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    ),
+    ranked AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                    ORDER BY q_e4 DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM q
+    )
+    SELECT source, doc_id, n_tokens, q_e4, cum_tokens
+    FROM ranked WHERE cum_tokens <= {SELECT_TOKEN_BUDGET}
+    """,
+    doc=f"Data selection under a token budget: per source, take documents in "
+    "descending quality order (integer ten-thousandths score, doc_id "
+    f"tiebreak) until the running token total exceeds {SELECT_TOKEN_BUDGET} "
+    "— the greedy quality-first corpus selection step of a budgeted "
+    "training run. One shuffle on source; the running sum is a window "
+    "cumsum over integers, so both engines agree bit-for-bit.",
+)
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n = F.size(ws).cast("double")
+    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
+    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.round(
+            F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4) * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("q_e4"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q_e4").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.select("source", "doc_id", "n_tokens", "q_e4", F.sum("n_tokens").over(w).alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
+    )

@@ -78,6 +78,8 @@ _VERIFY_FIRST = [
     "q_winnow_fingerprint",
     "q_chunk_documents",
     "q_session_window_builtin",
+    "q_split_train_eval",
+    "q_select_token_budget",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",
