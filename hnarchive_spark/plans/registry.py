@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_session_window_builtin",
     "q_split_train_eval",
     "q_select_token_budget",
+    "q_embed_quantize",
     "q_point_lookup",
     "q_fk_filter",
     "q_fk_filter_2",

@@ -411,3 +411,53 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_assign(e, KMEANS_K, KMEANS_ITERS)
+
+
+@query(
+    "q_embed_quantize",
+    # Per-vector symmetric int8 quantization: scale = 127/max|v|, q_i =
+    # round(v_i * 127 / max|v|). Every per-element op is the identical
+    # double expression on both engines (float32 -> double is exact;
+    # Spark F.round and DuckDB round share half-away-from-zero), and the
+    # OUTPUT columns are integer aggregates of the quantized values, so
+    # the hash is engine-independent.
+    oracle=f"""
+    WITH {_E},
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id,
+             CAST(round(maxabs * 1000000) AS BIGINT) AS maxabs_e6,
+             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+      FROM m
+    )
+    SELECT vec_id, maxabs_e6,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+           len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
+    FROM q
+    """,
+    doc="Symmetric int8 embedding quantization (the model-serving / "
+    "index-shrinking step: 4x smaller vectors, dot products in integer "
+    "SIMD): per-vector scale = 127/max|v|, elementwise round to "
+    "[-127, 127]. Emitted as integer per-vector aggregates (scale in "
+    "micro-units, sum / L1 / saturation count of the quantized vector) — "
+    "the quantization audit a pipeline publishes. Pure column "
+    "expressions, zero shuffle.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    rows = e.select("vec_id", v.alias("v"), maxabs.alias("maxabs"))
+    qv = F.transform(F.col("v"), lambda x: F.round(x * 127 / F.col("maxabs"), 0).cast("long"))
+    return rows.select(
+        "vec_id",
+        F.round(F.col("maxabs") * 1_000_000, 0).cast("long").alias("maxabs_e6"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
+        F.size(F.filter(qv, lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
+    )
