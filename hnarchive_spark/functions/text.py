@@ -60,6 +60,23 @@ def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(text), lambda w: F.array_contains(arr, w)))
 
 
+def quality_e4_int() -> Column:
+    """Integer ten-thousandths quality score over (stop_hits, n_tokens,
+    sum_len) BIGINT columns: round_half_up(1e4 * (0.5*stop_hits/n +
+    0.5*n/(n + |sum_len - 5n|))) computed entirely in BIGINT via the
+    rational recipe (2*(a*d + c*b) + b*d) div (2*b*d).  No float ever
+    reaches the plan, so the value is bit-identical on Spark and every
+    DuckDB build (round-tie rules and 1-ulp division differences in float
+    paths are NOT portable — proven rounds 2/3).  Requires n_tokens >= 1
+    (the divisor d = n + |sum_len - 5n| >= n >= 1)."""
+    return F.expr(
+        "(2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))"
+        "      + 5000 * n_tokens * n_tokens)"
+        " + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
+        " div (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercase, squeezed
     whitespace). 16 hex chars = 64 bits, plenty below collision risk for

@@ -604,14 +604,23 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
     ),
     comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node),
-    quality AS (
-      SELECT doc_id,
-             CAST(round(round(
-               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
-               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-                                  / len(ws) - 5.0)), 4) * 10000) AS BIGINT) AS q_e4
+    qraw AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
+    ),
+    quality AS (
+      -- pure-BIGINT round_half_up quality (q_corpus_datacard recipe): no
+      -- float ever reaches either engine, so no round-tie / 1-ulp drift
+      -- across DuckDB builds.
+      SELECT doc_id,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS q_e4
+      FROM qraw
     ),
     ranked AS (
       SELECT c.cluster_id, c.node AS doc_id, q.q_e4,
@@ -640,19 +649,12 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(D.word_shingles(d), JACCARD_T)
     comps = connected_components(pairs)
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
     quality = d.select(
         "doc_id",
-        F.round(
-            F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
-            * 10000,
-            0,
-        )
-        .cast("long")
-        .alias("q_e4"),
-    )
+        F.size(ws).cast("long").alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
+    ).select("doc_id", T.quality_e4_int().alias("q_e4"))
     w = Window.partitionBy("cluster_id").orderBy(F.col("q_e4").desc(), F.col("doc_id"))
     ranked = (
         comps.select(F.col("comp").alias("cluster_id"), F.col("node").alias("doc_id"))
@@ -786,21 +788,32 @@ SELECT_TOKEN_BUDGET = 500  # per-source token budget — binds at both test scal
 
 @query(
     "q_select_token_budget",
+    # q_e4 is the pure-BIGINT round_half_up((stop_hits/n + n/d) * 5000 * ...)
+    # recipe proven in q_corpus_datacard — no float reaches either engine, so
+    # the score is immune to round-tie / 1-ulp division drift across DuckDB
+    # builds.  cum_tokens is CAST because DuckDB windowed sum() over BIGINT
+    # returns HUGEINT (int128) and the driver value-hash is type-sensitive.
     oracle=f"""
-    WITH q AS (
+    WITH raw AS (
       SELECT doc_id, source, len(ws) AS n_tokens,
-             CAST(round(round(
-               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
-               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-                                  / len(ws) - 5.0)), 4) * 10000) AS BIGINT) AS q_e4
+             len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM (SELECT doc_id, source,
                    list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
     ),
+    q AS (
+      SELECT doc_id, source, n_tokens,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS q_e4
+      FROM raw
+    ),
     ranked AS (
-      SELECT *, sum(n_tokens) OVER (PARTITION BY source
-                                    ORDER BY q_e4 DESC, doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY q_e4 DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM q
     )
     SELECT source, doc_id, n_tokens, q_e4, cum_tokens
@@ -818,19 +831,17 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
     q = d.select(
         "doc_id",
         "source",
         F.size(ws).cast("long").alias("n_tokens"),
-        F.round(
-            F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4) * 10000,
-            0,
-        )
-        .cast("long")
-        .alias("q_e4"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        T.quality_e4_int().alias("q_e4"),
     )
     w = (
         Window.partitionBy("source")

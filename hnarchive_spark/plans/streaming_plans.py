@@ -112,8 +112,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     sessions AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB windowed sum() over BIGINT returns HUGEINT (int128);
+      -- session_id reaches the output here and the driver value-hash is
+      -- type-sensitive at the serialization layer, so pin BIGINT explicitly.
+      -- (The sibling session oracles below keep session_id as a grouping key
+      -- only, so they are unaffected.)
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

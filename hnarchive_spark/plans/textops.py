@@ -366,10 +366,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY source) AS nn
       FROM q
     )
+    -- CASTs: DuckDB sum() over BIGINT returns HUGEINT (int128) and the
+    -- driver value-hash is type-sensitive, so every sum-derived output is
+    -- pinned to BIGINT (max()/count(*) already return BIGINT).
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN n_tokens END)
              + max(CASE WHEN rn = nn // 2 + 1 THEN n_tokens END) AS p50_tokens_x2,
            max(CASE WHEN rn = (19 * (nn - 1)) // 20 + 1 THEN n_tokens END)
@@ -377,8 +380,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              + max(CASE WHEN rn = least((19 * (nn - 1)) // 20 + 2, nn) THEN n_tokens END)
                * max((19 * (nn - 1)) % 20) AS p95_tokens_x20,
            count(DISTINCT lang) AS n_langs,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
-           (2 * sum(quality_e4) + count(*)) // (2 * count(*)) AS mean_quality_e4
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_en,
+           CAST((2 * sum(quality_e4) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_quality_e4
     FROM qq GROUP BY source
     """,
     doc="Per-source corpus data card: doc/token/char volumes, token-count "
@@ -404,12 +407,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # round_half_up(1e4 * (stop_hits/n + n/d)) in pure BIGINT arithmetic;
     # d = n + |sum_len - 5n| >= n >= 1 so the division is always defined
-    quality_e4 = F.expr(
-        "(2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))"
-        "      + 5000 * n_tokens * n_tokens)"
-        " + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
-        " div (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))"
-    )
+    quality_e4 = T.quality_e4_int()
     wsrc = Window.partitionBy("source")
     ranked = rows.select(
         "source",
@@ -670,8 +668,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = lambda c: F.slice(  # noqa: E731
         F.col("ws"), c * CHUNK_TOKENS + 1, CHUNK_TOKENS
     )
+    # size(ws) == 0 would make n_chunks = 0 and sequence(0, -1) count DOWN,
+    # emitting two bogus chunks (ids 0 and -1) where the oracle's range(0, 0)
+    # emits none — filter empty/whitespace-only docs before the explode
+    # (same idiom as word_shingles' min-length guard).
     return (
         d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
         .select(
             "doc_id",
             F.explode(

@@ -87,6 +87,26 @@ def test_query_parity(spark, name):
     )
 
 
+def test_no_hugeint_oracle_outputs():
+    """DuckDB sum() over BIGINT and integer `//` chains can yield HUGEINT
+    (int128) outputs.  The driver's value-hash is type-sensitive at the
+    serialization layer, so a HUGEINT column hash-mismatches Spark's BIGINT
+    even when every value is equal — exactly the three round-4 failures
+    (q_sessionize / q_corpus_datacard / q_select_token_budget).  Sweep every
+    oracle's output schema and ban the non-portable types outright."""
+    banned = {"HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL"}
+    con = _duck()
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if any(b in t for b in banned)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles with non-portable output types: {offenders}"
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as e
 
