@@ -46,81 +46,73 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver verifies a bounded window (~50 queries) of the inventory in the
-# order all_queries() returns, so the names below — round 4's verification
+# order all_queries() returns, so the names below — round 5's verification
 # targets — come FIRST, then everything else in registration order:
-#   * q_approx_distinct / q_heavy_hitters_cms: registered since round 1 but
-#     never inside any driver window — they have no driver row at all;
-#   * the round-4 fixed queries (sessionize/datacard float-exactness rework,
-#     the streaming-source timestamp-variant fix, json_extract cents);
-#   * the relational surface: driver-green in round 1 but without fresh
-#     signal since (rounds 2-3 windows were the LLM-pipeline modules).
-# The tail (dedup/similarity/textops/multimodal/hn_ops) is double-green from
-# rounds 2 AND 3 with unchanged code, so it can sit outside the window.
+#   * positions 1-13: queries whose code or oracle changed this round (the
+#     HUGEINT BIGINT casts, the integer quality/percentile/cents rework, the
+#     microsecond range-frame fix, the chunking empty-doc guard) plus the
+#     new q_heavy_hitters_exact and its rows-only sketch sibling;
+#   * positions 14-21: the remaining r1-green-only queries — their last
+#     driver signal predates three testdata regenerations;
+#   * positions 22-50: the stalest r3-green block (dedup/similarity/textops/
+#     pandas-UDF/packing/as-of), float-output-first.
+# The tail (r4-green relational/streaming/hn_ops + the r3-green
+# functions-battery/multimodal/merge block, 2 rounds fresh) rotates in
+# round 6.
 _VERIFY_FIRST = [
-    "q_approx_distinct",
-    "q_heavy_hitters_cms",
+    # -- changed or added this round --
     "q_sessionize",
     "q_corpus_datacard",
-    "q_stream_tumbling",
-    "q_stream_dim_join",
-    "q_stream_stream_join",
-    "q_stream_sessionize",
-    "q_stream_dedup",
-    "q_json_extract",
-    "q_ann_ivf_indexed",
-    "q_embed_dup_capped",
-    "q_boilerplate_ngrams",
-    "q_dedup_canonical",
-    "q_kmeans_assign",
-    "q_dedup_incremental",
-    "q_stream_sliding",
-    "q_skew_salted_agg",
-    "q_winnow_fingerprint",
-    "q_chunk_documents",
-    "q_session_window_builtin",
-    "q_split_train_eval",
     "q_select_token_budget",
-    "q_embed_quantize",
-    "q_point_lookup",
-    "q_fk_filter",
-    "q_fk_filter_2",
-    "q_max_key",
-    "q_topk",
-    "q_derived_pred",
-    "q_staleness",
-    "q_window_sort",
-    "q_join_fk",
-    "q_self_join",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_groupby_agg",
-    "q_agg_rollup",
-    "q_distinct_count",
-    "q_pivot_status",
-    "q_window_rank",
-    "q_running_sum",
-    "q_setops",
-    "q_flagship",
-    "q_shipping_priority",
-    "q_agg_cube",
-    "q_grouping_sets",
-    "q_sample_hash",
-    "q_range_join",
+    "q_dedup_canonical",
+    "q_chunk_documents",
+    "q_heavy_hitters_exact",
+    "q_heavy_hitters_cms",
     "q_window_range_frame",
-    "q_stratified_sample",
     "q_filtered_agg",
-    "q_lateral_join",
-    "q_unpivot",
     "q_having",
     "q_window_funcs",
     "q_correlated_subquery",
     "q_percentiles",
+    # -- r1-green-only, unchanged --
+    "q_stratified_sample",
+    "q_lateral_join",
+    "q_unpivot",
     "q_topk_per_group",
     "q_setops_all",
     "q_children_sorted",
     "q_fix_ptags",
     "q_display_date",
+    # -- stalest r3-green block --
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_ngram_maxdf",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_embed_dup",
+    "q_contamination",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_lsh_multi",
+    "q_ann_lsh_indexed",
+    "q_ann_ivf",
+    "q_ann_ivf_probe2",
+    "q_pipeline_clean_corpus",
+    "q_sample_weighted",
+    "q_mix_equalize",
+    "q_text_stats",
+    "q_text_quality",
+    "q_quality_repetition",
+    "q_token_count",
+    "q_lang_id",
+    "q_tfidf_top_terms",
+    "q_doc_fingerprint",
+    "q_pandas_udf_score",
+    "q_pandas_udaf_weighted",
+    "q_pack_sequences",
+    "q_pack_sequences_sharded",
+    "q_asof_join",
 ]
 
 

@@ -109,17 +109,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_range_frame",
+    # Frame ordered by MICROSECONDS on both engines: every event in the
+    # synthetic data has a sub-second component, so Spark's whole-second
+    # unix_timestamp vs DuckDB's fractional epoch() would draw different
+    # 1-hour frame boundaries (latent r1->r5 divergence, caught by the
+    # round-5 rotation).  The rolling sum is emitted as exact integer cents
+    # (per-row round(value*100) is integral; integer-valued double sums are
+    # order-independent) instead of round(sum(double), 2).
     oracle="""
     SELECT user_id, event_id,
            count(*) OVER w AS n_last_hour,
-           round(sum(value) OVER w, 2) AS sum_last_hour
+           CAST(round(sum(round(value * 100)) OVER w) AS BIGINT) AS sum_last_hour_cents
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     doc="RANGE-frame window: rolling 1-hour per-user aggregates ordered by "
-    "event time (value-based frame, not row-based) — one shuffle on the "
-    "user key.",
+    "event time at microsecond precision (value-based frame, not "
+    "row-based) — one shuffle on the user key. The rolling sum is exact "
+    "integer cents so the hash is order- and engine-independent.",
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -127,14 +135,16 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+        F.round(F.sum(F.round(F.col("value") * 100, 0)).over(w), 0)
+        .cast("long")
+        .alias("sum_last_hour_cents"),
     )
 
 
@@ -159,16 +169,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_filtered_agg",
+    # bulk_revenue in exact integer cents (sum of integer-valued doubles is
+    # order-independent; a raw double sum would make the hash depend on
+    # Spark's partial-aggregation order).
     oracle="""
     SELECT l_returnflag,
            count(*)                                        AS n_all,
            count(*)    FILTER (WHERE l_discount > 0.05)    AS n_discounted,
-           round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
-                                                           AS bulk_revenue
+           CAST(round(sum(round(l_extendedprice * 100)) FILTER (WHERE l_quantity >= 30))
+                AS BIGINT)                                 AS bulk_revenue_cents
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="FILTER-clause aggregates: conditional aggregation without CASE "
-    "noise, one pass over the scan.",
+    "noise, one pass over the scan. Money output is exact integer cents.",
 )
 def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fa")
@@ -177,8 +190,8 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*)                                     AS n_all,
                count(*) FILTER (WHERE l_discount > 0.05)    AS n_discounted,
-               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
-                                                            AS bulk_revenue
+               CAST(round(sum(round(l_extendedprice * 100, 0)) FILTER (WHERE l_quantity >= 30), 0)
+                    AS BIGINT)                              AS bulk_revenue_cents
         FROM lineitem_fa GROUP BY l_returnflag
         """
     )
@@ -256,13 +269,22 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_having",
+    # Average and HAVING predicate both in exact integer cents: the balance
+    # sum as round(x*100) integers is order-independent, the rounded mean is
+    # the BIGINT round-half-up recipe (2*sum + n) // (2*n), and the
+    # avg > 2400 predicate cross-multiplies to sum_cents > 240000 * n so no
+    # float compare can flip row membership at the boundary.
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+    SELECT c_mktsegment, count(*) AS n,
+           CAST((2 * CAST(sum(round(c_acctbal * 100)) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_bal_cents
     FROM customer
     GROUP BY c_mktsegment
-    HAVING avg(c_acctbal) > 2400 AND count(*) > 10
+    HAVING CAST(sum(round(c_acctbal * 100)) AS BIGINT) > 240000 * count(*)
+       AND count(*) > 10
     """,
-    doc="Post-aggregation HAVING filter (predicate over aggregates).",
+    doc="Post-aggregation HAVING filter (predicate over aggregates). Mean "
+    "balance and threshold are exact integer cents on both engines.",
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -270,11 +292,14 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
-            F.avg("c_acctbal").alias("_raw_avg"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0)).cast("long").alias("_sum_cents"),
         )
-        .filter((F.col("_raw_avg") > 2400) & (F.col("n") > 10))
-        .drop("_raw_avg")
+        .filter((F.col("_sum_cents") > 240000 * F.col("n")) & (F.col("n") > 10))
+        .select(
+            "c_mktsegment",
+            "n",
+            F.expr("(2 * _sum_cents + n) div (2 * n)").alias("avg_bal_cents"),
+        )
     )
 
 
@@ -286,13 +311,16 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(event_id) OVER w AS next_event,
            first_value(event_id) OVER w AS first_event,
            ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
-           round(value - lag(value) OVER w, 2) AS value_delta
+           CAST(round(value * 100) - lag(round(value * 100)) OVER w AS BIGINT)
+             AS value_delta_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="Analytic window battery: lag/lead/first_value/ntile/deltas per user "
-    "timeline — one shuffle on the partition key serves all six functions.",
+    "timeline — one shuffle on the partition key serves all six functions. "
+    "The delta is a difference of exact integer cents, not a rounded "
+    "double difference.",
 )
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -307,24 +335,35 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_id").over(order).alias("next_event"),
         F.first("event_id").over(w).alias("first_event"),
         F.ntile(4).over(order).alias("quartile"),
-        F.round(F.col("value") - F.lag("value").over(order), 2).alias("value_delta"),
+        (
+            F.round(F.col("value") * 100, 0)
+            - F.lag(F.round(F.col("value") * 100, 0)).over(order)
+        )
+        .cast("long")
+        .alias("value_delta_cents"),
     )
 
 
 @query(
     "q_correlated_subquery",
+    # Mean spend fully in BIGINT: per-row round(x*100) cents are exactly
+    # integral, their sum is order-independent, and the rounded mean is the
+    # round-half-up recipe (2*sum + n) // (2*n) — no double division or
+    # round() tie rule anywhere.  A customer with no orders yields
+    # sum = NULL, count = 0 and NULL // 0 is NULL on both engines, matching
+    # the empty-scalar-subquery semantics of the float original.
     oracle="""
     SELECT c_custkey, c_name,
-           (SELECT round(sum(o.o_totalprice * 100) / count(*)) / 100 FROM orders o
-            WHERE o.o_custkey = c.c_custkey) AS avg_spend
+           (SELECT CAST((2 * CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) + count(*))
+                        // (2 * count(*)) AS BIGINT)
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS avg_spend_cents
     FROM customer c WHERE c_custkey < 100
     """,
     doc="Correlated scalar subquery — Catalyst decorrelates it into an "
-    "aggregate + left join (no per-row re-execution). The mean is computed "
-    "in exact integer cents (sum of integer-valued doubles is "
-    "order-independent) so both engines round the identical double — "
-    "round(avg(price), 2) flips on true half-cent ties because each "
-    "engine's summation order lands on a different side.",
+    "aggregate + left join (no per-row re-execution). The mean is exact "
+    "integer cents end-to-end (round-half-up rational recipe), so the hash "
+    "cannot depend on summation order or either engine's round() ties.",
 )
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
@@ -332,8 +371,10 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name,
-               (SELECT round(sum(o.o_totalprice * 100) / count(*)) / 100 FROM orders_cs o
-                WHERE o.o_custkey = c.c_custkey) AS avg_spend
+               (SELECT (2 * CAST(sum(round(o.o_totalprice * 100, 0)) AS BIGINT) + count(*))
+                       div (2 * count(*))
+                FROM orders_cs o
+                WHERE o.o_custkey = c.c_custkey) AS avg_spend_cents
         FROM customer_cs c WHERE c_custkey < 100
         """
     )
@@ -341,23 +382,76 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_percentiles",
+    # Exact percentiles WITHOUT quantile_cont/percentile: the engines'
+    # internal interpolation formulas are not bit-portable (proven rounds
+    # 2/3).  Instead: per-row exact cents, row_number order statistics, and
+    # integer-scaled linear interpolation — p = q*(n-1) sits between 1-based
+    # ranks lo = floor + 1 and lo + 1 with fractional part r/b, and the
+    # b-scaled value v_lo*(b-r) + v_hi*r is a pure BIGINT (b = 2, 10, 100
+    # for p50/p90/p99).  Same recipe as q_corpus_datacard's token
+    # percentiles.
     oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM cents
+    )
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
+           max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN v END)
+             + max(CASE WHEN rn = nn // 2 + 1 THEN v END) AS p50_cents_x2,
+           max(CASE WHEN rn = (9 * (nn - 1)) // 10 + 1 THEN v END)
+               * (10 - max((9 * (nn - 1)) % 10))
+             + max(CASE WHEN rn = least((9 * (nn - 1)) // 10 + 2, nn) THEN v END)
+               * max((9 * (nn - 1)) % 10) AS p90_cents_x10,
+           max(CASE WHEN rn = (99 * (nn - 1)) // 100 + 1 THEN v END)
+               * (100 - max((99 * (nn - 1)) % 100))
+             + max(CASE WHEN rn = least((99 * (nn - 1)) // 100 + 2, nn) THEN v END)
+               * max((99 * (nn - 1)) % 100) AS p99_cents_x100
+    FROM ranked GROUP BY event_type
     """,
-    doc="Exact interpolated percentiles per group (Spark `percentile` == "
-    "DuckDB `quantile_cont`). At 100 TB the approx_percentile sketch would "
-    "replace this; the exact form is the oracle-checkable twin.",
+    doc="Exact interpolated percentiles per group, computed from order "
+    "statistics with integer-scaled interpolation over exact cents — "
+    "bit-identical on every engine/build, unlike quantile_cont/percentile "
+    "whose interpolation arithmetic differs. At 100 TB the "
+    "approx_percentile sketch would replace this; the exact form is the "
+    "oracle-checkable twin.",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    wt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    ).select(
+        "event_type",
+        "v",
+        F.row_number().over(wt.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("nn"),
+    )
+    return ranked.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.expr("rn = (nn - 1) div 2 + 1"), F.col("v")))
+            + F.max(F.when(F.expr("rn = nn div 2 + 1"), F.col("v")))
+        ).alias("p50_cents_x2"),
+        (
+            F.max(F.when(F.expr("rn = (9 * (nn - 1)) div 10 + 1"), F.col("v")))
+            * (10 - F.max(F.expr("(9 * (nn - 1)) % 10")))
+            + F.max(F.when(F.expr("rn = least((9 * (nn - 1)) div 10 + 2, nn)"), F.col("v")))
+            * F.max(F.expr("(9 * (nn - 1)) % 10"))
+        ).alias("p90_cents_x10"),
+        (
+            F.max(F.when(F.expr("rn = (99 * (nn - 1)) div 100 + 1"), F.col("v")))
+            * (100 - F.max(F.expr("(99 * (nn - 1)) % 100")))
+            + F.max(F.when(F.expr("rn = least((99 * (nn - 1)) div 100 + 2, nn)"), F.col("v")))
+            * F.max(F.expr("(99 * (nn - 1)) % 100"))
+        ).alias("p99_cents_x100"),
     )
 
 
@@ -449,6 +543,30 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(k), int(sketch.estimateCount(jvm.java.lang.Long(int(k))))) for k in cands
     ]
     return spark.createDataFrame(rows, "user_id long, est_count long")
+
+
+@query(
+    "q_heavy_hitters_exact",
+    oracle="""
+    SELECT user_id, count(*) AS exact_count
+    FROM events WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    doc="Exact-count companion to q_heavy_hitters_cms: the same candidate "
+    "key set (user_id < 20) with portable exact counts, hash-checked "
+    "against the DuckDB oracle. Together with the rows-only sketch row and "
+    "tests/test_sketches.py's overcount-guarantee assertion, this proves "
+    "the CMS estimates bound a driver-verified ground truth rather than "
+    "merely returning rows. Single partial-agg shuffle; the candidate "
+    "filter is pushed to the scan.",
+)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
 
 
 @query(
