@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from hnarchive_spark.plans.registry import all_queries
 from hnarchive_spark.session import get_spark
 
@@ -53,6 +55,70 @@ HEADLINE = [
 ]
 
 
+MERGE_COMMITS = 5  # timed commits
+MERGE_BATCH_ROWS = 200  # the reference's commit cadence (hnarchive.py:255-262)
+
+
+def _items_from_events(spark, sf_dir: str):
+    """Deterministic ITEMS_SCHEMA rows derived from the events table — the
+    store-write bench corpus (no driver-side row building)."""
+    from hnarchive_spark.schema import ITEM_TYPES
+    from hnarchive_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    types = F.array(*[F.lit(x) for x in ITEM_TYPES])
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.lit(False).alias("deleted"),
+        F.element_at(types, (F.col("event_id") % 5 + 1).cast("int")).alias("type"),
+        F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("author"),
+        t.alias("time"),
+        F.concat(F.lit("text for item "), F.col("event_id").cast("string")).alias("text"),
+        F.lit(False).alias("dead"),
+        F.lit(None).cast("long").alias("parent"),
+        F.lit(None).cast("long").alias("poll"),
+        F.lit(None).cast("string").alias("url"),
+        (F.col("event_id") % 100).alias("score"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("long").alias("descendants"),
+        (t + 3600).alias("retrieved"),
+        F.lit(3600).cast("long").alias("age_at_retrieval"),
+    )
+
+
+def bench_store_merge(spark, sf_dir: str) -> float:
+    """Store WRITE path (K2/U1): seed the items store from the events table
+    (untimed), then time MERGE_COMMITS consecutive 200-row merge commits —
+    the reference's ingest envelope (200-id commit_period,
+    hnarchive.py:255-262). Each batch is a contiguous id block, so the
+    partition-pruned merge rewrites ~1 id bucket and hardlinks the rest
+    forward; this number makes ingest regressions as visible as query
+    regressions."""
+    import shutil
+    import tempfile
+
+    from hnarchive_spark.sources.items_store import ItemsStore
+
+    items = _items_from_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bench_store_merge_")
+    try:
+        store = ItemsStore(spark, tmp, bucket_size=10_000)
+        store.merge_batch(items.withColumn("seq", F.lit(0)), seq_col="seq")
+        t0 = time.perf_counter()
+        for k in range(MERGE_COMMITS):
+            lo = k * MERGE_BATCH_ROWS + 1
+            upd = (
+                items.filter(F.col("id").between(lo, lo + MERGE_BATCH_ROWS - 1))
+                .withColumn("score", F.col("score") + 1)
+                .withColumn("seq", F.lit(k + 1))
+            )
+            store.merge_batch(upd, seq_col="seq")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -86,6 +152,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
 
+    # store WRITE path: one timed pass (5 x 200-row commits); disk-bound, so
+    # no min-of-3 — the per-commit cost dwarfs scheduler jitter
+    merge_sec = bench_store_merge(spark, sf_dir)
+    timings["store_merge_5x200"] = round(merge_sec, 3)
+    spreads["store_merge_5x200"] = 0.0
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -96,6 +168,9 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "sf": sf,
+                "store_merge_rows_per_sec": round(
+                    MERGE_COMMITS * MERGE_BATCH_ROWS / merge_sec, 1
+                ),
             }
         )
     )

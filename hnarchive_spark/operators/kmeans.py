@@ -41,10 +41,13 @@ def kmeans_assign(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DIM,
 ) -> DataFrame:
     """(vec_id, list_id) after ``iters`` Lloyd iterations from the
     deterministic k-smallest-ids init.  Integer output only — the float
-    distances exist transiently inside each assignment pass."""
+    distances exist transiently inside each assignment pass.  ``dim`` is the
+    vector length (defaults to the corpus DIM; product-quantization callers
+    pass the subvector length)."""
     spark = vectors.sparkSession
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -79,13 +82,13 @@ def kmeans_assign(
             .filter(F.col("rn") == 1)
             .select("vec_id", "v", "list_id")
         )
-        dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(DIM)]
+        dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
         centroids = (
             assign.groupBy("list_id")
             .agg(*dim_cols)
             .select(
                 "list_id",
-                F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid"),
+                F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
             )
             .collect()
         )

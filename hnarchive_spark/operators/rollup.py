@@ -52,13 +52,29 @@ class DailyRollup:
         ]
         if not dirty_days:
             return
-        fresh = self._aggregate(events.filter(F.date_trunc("day", F.col("ts")).isin(dirty_days)))
+        fresh = self._aggregate(self._dirty_slice(events, dirty_days))
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             fresh.write.mode("overwrite").partitionBy("day").parquet(self.path)
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    @staticmethod
+    def _dirty_slice(events: DataFrame, dirty_days: list) -> DataFrame:
+        """Restrict ``events`` to the dirty days. When the record store
+        carries a ``day_p`` DATE partition column (streaming/rollup_sink.py
+        lands batches partitioned by day), the filter reaches the scan as a
+        PartitionFilter and the recompute reads ONLY the touched day
+        directories — O(batch + dirty days), never O(history). A
+        date_trunc(ts) predicate could not prune (it is a function of a data
+        column), so that form is only the fallback for unpartitioned
+        sources."""
+        if "day_p" in events.columns:
+            return events.filter(
+                F.col("day_p").isin([d.date() for d in dirty_days])
+            ).drop("day_p")
+        return events.filter(F.date_trunc("day", F.col("ts")).isin(dirty_days))
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

@@ -783,6 +783,95 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8  # output shards per source
+RESERVOIR_K = 16  # fixed-size per-source sample
+
+
+@query(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens
+      FROM documents
+    ),
+    assigned AS (
+      SELECT source, n_tokens,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id) - 1)
+               % {N_SHARDS} AS shard_id
+      FROM t
+    )
+    SELECT source, shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY source, shard_id
+    """,
+    doc=f"Balanced training-shard assignment: per source, documents are "
+    f"dealt round-robin across {N_SHARDS} shards in descending token order "
+    "(longest-processing-time heuristic — consecutive big docs land on "
+    "different shards, so shard token totals stay within one doc of each "
+    "other), emitting the per-shard audit (doc count, token sum) a shard "
+    "writer publishes. The window is partitioned by source, so the sort "
+    "distributes across sources; one further partial-agg shuffle produces "
+    "the audit rows. Deterministic: re-running assigns every doc the same "
+    "shard.",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    rows = d.select(
+        "source", "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        rows.select(
+            "source",
+            "n_tokens",
+            ((F.row_number().over(w) - 1) % N_SHARDS).alias("shard_id"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+@query(
+    "q_reservoir_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, rk FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+    doc=f"Fixed-SIZE per-group sampling (the deterministic reservoir): "
+    f"exactly {RESERVOIR_K} documents per source, chosen by md5(doc_id) "
+    "order — a pseudo-uniform draw that is a pure function of the key, so "
+    "re-ingestion or repartitioning can never change the sample (the "
+    "fixed-COUNT complement of q_stratified_sample's fixed-RATE split; "
+    "what an eval-set builder or human-review queue needs). One shuffle on "
+    "source; at 100 TB the rank window prunes nothing but a "
+    "per-partition top-k pre-filter (k smallest hashes per partition, then "
+    "re-rank) bounds the shuffle to k rows per partition per source.",
+)
+def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
+
+
 SELECT_TOKEN_BUDGET = 500  # per-source token budget — binds at both test scales (~35% of docs selected)
 
 

@@ -48,17 +48,19 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver verifies a bounded window (~50 queries) of the inventory in the
 # order all_queries() returns, so the names below — round 5's verification
 # targets — come FIRST, then everything else in registration order:
-#   * positions 1-13: queries whose code or oracle changed this round (the
+#   * positions 1-17: queries whose code or oracle changed this round (the
 #     HUGEINT BIGINT casts, the integer quality/percentile/cents rework, the
 #     microsecond range-frame fix, the chunking empty-doc guard) plus the
-#     new q_heavy_hitters_exact and its rows-only sketch sibling;
-#   * positions 14-21: the remaining r1-green-only queries — their last
-#     driver signal predates three testdata regenerations;
-#   * positions 22-50: the stalest r3-green block (dedup/similarity/textops/
-#     pandas-UDF/packing/as-of), float-output-first.
+#     round-5 additions (q_heavy_hitters_exact + its rows-only sketch
+#     sibling, q_pq_codes, q_vocab_top_subtokens, q_shard_assignment,
+#     q_reservoir_per_source) — all need a first driver row;
+#   * next 8: the remaining r1-green-only queries — their last driver
+#     signal predates three testdata regenerations;
+#   * rest of the 50: the stalest r3-green block (dedup/similarity/textops),
+#     float-output-first.
 # The tail (r4-green relational/streaming/hn_ops + the r3-green
-# functions-battery/multimodal/merge block, 2 rounds fresh) rotates in
-# round 6.
+# functions-battery/multimodal/merge/packing/as-of block, 2 rounds fresh)
+# rotates in round 6.
 _VERIFY_FIRST = [
     # -- changed or added this round --
     "q_sessionize",
@@ -74,6 +76,10 @@ _VERIFY_FIRST = [
     "q_window_funcs",
     "q_correlated_subquery",
     "q_percentiles",
+    "q_pq_codes",
+    "q_vocab_top_subtokens",
+    "q_shard_assignment",
+    "q_reservoir_per_source",
     # -- r1-green-only, unchanged --
     "q_stratified_sample",
     "q_lateral_join",
@@ -109,10 +115,6 @@ _VERIFY_FIRST = [
     "q_tfidf_top_terms",
     "q_doc_fingerprint",
     "q_pandas_udf_score",
-    "q_pandas_udaf_weighted",
-    "q_pack_sequences",
-    "q_pack_sequences_sharded",
-    "q_asof_join",
 ]
 
 

@@ -518,12 +518,22 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Count-Min sketch heavy hitters: per-partition sketches merged into "
     "one (count_min_sketch agg), then point estimates for the candidate "
     "keys — the O(1)-memory frequency path at 100 TB. Estimates are "
-    "guaranteed >= true counts (one-sided error).",
+    "guaranteed >= true counts (one-sided error); the hash-checked "
+    "companion q_heavy_hitters_exact carries the same candidate keys with "
+    "portable exact counts.",
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # distributed sketch build: count_min_sketch aggregates per partition and
-    # merges (one tiny binary to the driver); lookups are O(1) per key
+    # merges (one tiny binary to the driver); lookups are O(1) per key.
+    # KNOWN PRIVATE-API DEPENDENCY: the readback goes through
+    # spark._jvm (py4j) to org.apache.spark.util.sketch.CountMinSketch —
+    # a stable public JVM class, but _jvm itself is not public PySpark API.
+    # The alternative (hand-parsing the sketch's serialized layout: version
+    # int, totalCount long, depth/width ints, table longs) would couple us
+    # to the binary format instead; the JVM readback is the lesser coupling.
+    # tests/test_sketches.py asserts the overcount guarantee against exact
+    # counts so a readback break is caught loudly.
     raw = bytes(
         ev.agg(
             F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")

@@ -413,6 +413,92 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e, KMEANS_K, KMEANS_ITERS)
 
 
+PQ_M = 4  # subspaces (64-dim -> 4 x 16)
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 2
+
+
+def _pq_oracle(k: int, iters: int, n_sub: int, sub_dim: int) -> str:
+    """Product-quantization oracle: the q_kmeans_assign unrolled-Lloyd CTE
+    chain replayed once per subspace over the sliced vectors, joined on
+    vec_id into one code row.  Same determinism contract: k-smallest-ids
+    init, 6-decimal rounded distances, list-id tiebreak, fixed iterations."""
+    parts = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)"
+            % (sub_dim + 1)
+        )
+        parts.append(
+            f"e{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings)"
+        )
+        parts.append(f"""s{m}c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
+      FROM e{m} ORDER BY vec_id LIMIT {k}
+    )""")
+        for t in range(1, iters + 1):
+            parts.append(f"""s{m}a{t} AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM e{m} e CROSS JOIN s{m}c{t - 1} c
+      ) WHERE rn = 1
+    )""")
+            if t < iters:
+                parts.append(f"""s{m}c{t} AS (
+      SELECT list_id, list(a ORDER BY d) AS centroid FROM (
+        SELECT list_id, d, avg(val) AS a FROM (
+          SELECT list_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS d FROM s{m}a{t}
+        ) GROUP BY list_id, d
+      ) GROUP BY list_id
+    )""")
+    joins = " ".join(
+        f"JOIN s{m}a{iters} a{m} USING (vec_id)" for m in range(1, n_sub)
+    )
+    codes = ", ".join(f"a{m}.list_id AS code_{m}" for m in range(n_sub))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, {codes} FROM s0a{iters} a0 {joins}"
+    )
+
+
+@query(
+    "q_pq_codes",
+    oracle=_pq_oracle(PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M),
+    doc=f"Product quantization (PQ) encoding: each {S.DIM}-dim vector is "
+    f"split into {PQ_M} x {S.DIM // PQ_M}-dim subvectors and each subvector "
+    f"is assigned to one of {PQ_K} codebook entries trained by the same "
+    "deterministic Lloyd iterations as q_kmeans_assign — compressing every "
+    f"vector to {PQ_M} small integer codes ({PQ_M}x log2({PQ_K}) bits vs "
+    f"{S.DIM}x 32 bits), the memory-bound ANN compression step beyond int8 "
+    "(q_embed_quantize). Each subspace training pass is broadcast-centroid "
+    "assignment over the corpus (operators/kmeans.py — only k x sub_dim "
+    "centroid rows ever reach the driver); the final code table is a "
+    "vec_id-keyed join of the per-subspace assignments. An iterative "
+    "algorithm with a full value-hash oracle (unrolled CTE chain per "
+    "subspace), not a rows-only waiver.",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    sub = S.DIM // PQ_M
+    out = None
+    for m in range(PQ_M):
+        sliced = e.select(
+            "vec_id", F.slice("embedding", m * sub + 1, sub).alias("embedding")
+        )
+        a = kmeans_assign(sliced, PQ_K, PQ_ITERS, dim=sub).withColumnRenamed(
+            "list_id", f"code_{m}"
+        )
+        out = a if out is None else out.join(a, "vec_id")
+    return out
+
+
 @query(
     "q_embed_quantize",
     # Per-vector symmetric int8 quantization: scale = 127/max|v|, q_i =

@@ -634,6 +634,49 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 200  # induced vocabulary size
+
+
+@query(
+    "q_vocab_top_subtokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{T.SUBTOKEN_PATTERN}')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT tok, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+      FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY total_count DESC, tok) AS rank
+      FROM agg
+    )
+    SELECT tok, total_count, doc_freq, rank FROM ranked WHERE rank <= {VOCAB_TOP_K}
+    """,
+    doc=f"Tokenizer-vocabulary induction: the top {VOCAB_TOP_K} BPE-ish "
+    "subtokens (letter runs / digit runs / single glyphs — the same "
+    "SUBTOKEN_PATTERN as q_token_count) by corpus frequency with document "
+    "frequency alongside, rank tiebroken by token text — the seed "
+    "vocabulary step of tokenizer training. One partial-agg shuffle "
+    "collapses the corpus to |vocab| rows BEFORE the single-partition "
+    "top-k window — the window sorts the aggregated vocabulary, never the "
+    "corpus, so the plan survives a 100x corpus scale-up (vocab grows "
+    "sublinearly).",
+)
+def q_vocab_top_subtokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.subtokens(F.col("text"))).alias("tok"))
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.col("total_count").desc(), "tok")
+    return agg.select(
+        "tok", "total_count", "doc_freq", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= VOCAB_TOP_K)
+
+
 CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
 
 

@@ -5,10 +5,11 @@ streaming form of the 'hypertable rollup' pattern.
 Every micro-batch does two idempotent steps inside ``foreachBatch``:
 
 1. land the batch in the record store under a DETERMINISTIC
-   ``batch_id=<n>`` directory with overwrite mode — a replayed batch
-   overwrites its own files, so the system of record never duplicates
-   (the standard exactly-once foreachBatch idiom: deterministic target +
-   overwrite, no transaction log needed);
+   ``batch_id=<n>`` directory with overwrite mode, sub-partitioned by day
+   (``day_p`` DATE) — a replayed batch overwrites its own files, so the
+   system of record never duplicates (the standard exactly-once
+   foreachBatch idiom: deterministic target + overwrite, no transaction
+   log needed);
 2. refresh the rollup for exactly the days the batch touches, recomputing
    them from the record store — recompute-from-source is naturally
    idempotent, so a replay after a crash between steps converges to the
@@ -16,13 +17,16 @@ Every micro-batch does two idempotent steps inside ``foreachBatch``:
 
 Late rows for an old day land in a new batch but correctly re-dirty and
 recompute that old day — the batch-side analog of watermark-window
-invalidation. At scale both steps are O(batch + dirty days), never
-O(history).
+invalidation. Because the record store is partitioned by day, the
+dirty-day filter reaches the scan as a PartitionFilter and each refresh
+reads only the touched day directories: both steps are genuinely
+O(batch + dirty days), never O(history).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hnarchive_spark.operators.rollup import DailyRollup
 
@@ -44,7 +48,17 @@ def stream_rollup(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("overwrite").parquet(f"{record_path}/batch_id={batch_id}")
+        # Land the batch partitioned by day (day_p DATE) inside its
+        # deterministic batch_id directory: the refresh's dirty-day filter
+        # then prunes to exactly the touched day partitions across ALL
+        # batches instead of rescanning full history (a batch_id-only layout
+        # cannot prune a day predicate).
+        (
+            batch_df.withColumn("day_p", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day_p")
+            .parquet(f"{record_path}/batch_id={batch_id}")
+        )
         record = spark.read.parquet(record_path).drop("batch_id")
         rollup.refresh(record, batch_df)
 

@@ -72,3 +72,29 @@ def test_stream_rollup_restart_and_late_day(spark, tmp_path):
     before = sorted(map(tuple, rollup.read().collect()))
     _drain(spark, src, record, rollup, ckpt)
     assert sorted(map(tuple, rollup.read().collect())) == before
+
+
+def test_refresh_dirty_filter_prunes_day_partitions(spark, tmp_path):
+    """The record store is partitioned by day (day_p), so the dirty-day
+    recompute must reach the scan as a PartitionFilter — reading only the
+    touched day directories, not full history. Locks the O(batch + dirty
+    days) claim in streaming/rollup_sink.py."""
+    src = str(tmp_path / "src")
+    record = str(tmp_path / "record")
+    ckpt = str(tmp_path / "ckpt")
+    rollup = DailyRollup(spark, str(tmp_path / "rollup"), "event_type", "value")
+    _write_events(
+        spark,
+        src,
+        [(D0 + dt.timedelta(days=i), "click", float(i)) for i in range(4)],
+    )
+    _drain(spark, src, record, rollup, ckpt)
+
+    events = spark.read.parquet(record).drop("batch_id")
+    assert "day_p" in events.columns
+    dirty = DailyRollup._dirty_slice(events, [D0])
+    plan = dirty._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("day_p" in ln for ln in pf), pf
+    # and the slice really is just the one day
+    assert dirty.count() == 1
