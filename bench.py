@@ -52,6 +52,9 @@ HEADLINE = [
     "q_chunk_documents",
     "q_dedup_incremental",
     "q_boilerplate_ngrams",
+    "q_pq_codes",
+    "q_vocab_top_subtokens",
+    "q_shard_assignment",
 ]
 
 

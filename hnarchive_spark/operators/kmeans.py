@@ -94,3 +94,78 @@ def kmeans_assign(
         )
 
     return assign.select("vec_id", "list_id")
+
+
+def pq_assign(
+    vectors: DataFrame,
+    n_sub: int,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization codes: (vec_id, code_0..code_{n_sub-1}).
+
+    Semantically identical to running :func:`kmeans_assign` once per
+    subvector slice (same k-smallest-ids init, 6-decimal rounded distances,
+    list-id tiebreak, fixed iterations — the oracle replays exactly that),
+    but ALL ``n_sub`` codebooks train in ONE corpus pass per iteration: the
+    corpus explodes to (vec_id, m, sub_v) rows and joins one broadcast
+    (m, list_id, centroid) table, so the job count is O(iters), not
+    O(iters * n_sub) — at 100 TB that is n_sub-fold fewer scans, and only
+    the n_sub * k * sub_dim centroid matrix ever reaches the driver."""
+    sub = dim // n_sub
+    spark = vectors.sparkSession
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    sub_v = F.expr(f"slice(v, m * {sub} + 1, {sub})")
+    e_sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col("v"),
+    ).select("vec_id", "m", sub_v.alias("sub_v"))
+
+    seed = e.orderBy("vec_id").limit(k).collect()  # k rows — bounded small
+    centroids = [
+        (m, j, [float(x) for x in r["v"][m * sub : (m + 1) * sub]])
+        for m in range(n_sub)
+        for j, r in enumerate(seed)
+    ]
+
+    assign = None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            centroids, "m int, list_id long, centroid array<double>"
+        )
+        scored = e_sub.join(F.broadcast(cent_df), "m").select(
+            "vec_id",
+            "m",
+            "list_id",
+            "sub_v",
+            F.round(_sq_dist(F.col("sub_v"), F.col("centroid")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "list_id")
+        assign = (
+            scored.select(
+                "vec_id", "m", "list_id", "sub_v", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "list_id", "sub_v")
+        )
+        if it < iters - 1:
+            dim_cols = [F.avg(F.col("sub_v")[i]).alias(f"c{i}") for i in range(sub)]
+            centroids = [
+                (int(r["m"]), int(r["list_id"]), [r[f"c{i}"] for i in range(sub)])
+                for r in assign.groupBy("m", "list_id").agg(*dim_cols).collect()
+            ]
+
+    return (
+        assign.groupBy("vec_id")
+        .pivot("m", list(range(n_sub)))
+        .agg(F.first("list_id"))
+        .select(
+            "vec_id", *[F.col(str(m)).alias(f"code_{m}") for m in range(n_sub)]
+        )
+    )

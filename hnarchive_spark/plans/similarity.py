@@ -475,28 +475,20 @@ def _pq_oracle(k: int, iters: int, n_sub: int, sub_dim: int) -> str:
     "deterministic Lloyd iterations as q_kmeans_assign — compressing every "
     f"vector to {PQ_M} small integer codes ({PQ_M}x log2({PQ_K}) bits vs "
     f"{S.DIM}x 32 bits), the memory-bound ANN compression step beyond int8 "
-    "(q_embed_quantize). Each subspace training pass is broadcast-centroid "
-    "assignment over the corpus (operators/kmeans.py — only k x sub_dim "
-    "centroid rows ever reach the driver); the final code table is a "
-    "vec_id-keyed join of the per-subspace assignments. An iterative "
-    "algorithm with a full value-hash oracle (unrolled CTE chain per "
-    "subspace), not a rows-only waiver.",
+    "(q_embed_quantize). All codebooks train in ONE broadcast-centroid "
+    "corpus pass per iteration (operators/kmeans.py pq_assign: the corpus "
+    "explodes to (vec_id, subspace, subvector) rows against one broadcast "
+    "codebook table — job count O(iters), not O(iters x M); only the "
+    "M x k x sub_dim centroid matrix ever reaches the driver), and the "
+    "code table pivots out of the final assignment without any self-join. "
+    "An iterative algorithm with a full value-hash oracle (unrolled CTE "
+    "chain per subspace), not a rows-only waiver.",
 )
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.operators.kmeans import kmeans_assign
+    from hnarchive_spark.operators.kmeans import pq_assign
 
     e = load(spark, sf_dir, "embeddings")
-    sub = S.DIM // PQ_M
-    out = None
-    for m in range(PQ_M):
-        sliced = e.select(
-            "vec_id", F.slice("embedding", m * sub + 1, sub).alias("embedding")
-        )
-        a = kmeans_assign(sliced, PQ_K, PQ_ITERS, dim=sub).withColumnRenamed(
-            "list_id", f"code_{m}"
-        )
-        out = a if out is None else out.join(a, "vec_id")
-    return out
+    return pq_assign(e, PQ_M, PQ_K, PQ_ITERS)
 
 
 @query(
