@@ -1,0 +1,135 @@
+"""transformWithStateInPandas sessionizer (streaming/sessionize_tws.py):
+must emit exactly the applyInPandasWithState operator's closed sessions.
+
+The TWS Python worker speaks protobuf to the JVM state server, and this
+container does not ship google.protobuf (installs are off-limits), so the
+test skips here with that reason — it runs wherever protobuf exists. The
+processor's pure fold logic is still exercised below without Spark."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hnarchive_spark.streaming.sessionize_tws import (
+    ROCKSDB_PROVIDER,
+    TWS_AVAILABLE,
+    SessionProcessor,
+    sessionize_stream_tws,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+
+def test_processor_fold_matches_apwis_kernel():
+    """The TWS processor and the applyInPandasWithState kernel are the same
+    fold: drive both over one user's batches and compare emitted sessions
+    and final state — no Spark or protobuf needed."""
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    from hnarchive_spark.streaming.sessionize import _sessionize_group
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    batches = [
+        pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(minutes=5)], "value": [1.25, 2.0]}),
+        pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(hours=2), t0 + pd.Timedelta(hours=2, minutes=10)],
+                "value": [0.505, 3.0],
+            }
+        ),
+        pd.DataFrame({"ts": [t0 + pd.Timedelta(hours=5)], "value": [7.77]}),
+    ]
+
+    proc = SessionProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    for b in batches:
+        for df in proc.handleInputRows((7,), iter([b]), None) or []:
+            tws_out.append(df)
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    gs = _FakeGroupState()
+    ap_out = []
+    for b in batches:
+        ap_out.extend(list(_sessionize_group((7,), iter([b]), gs)))
+
+    tws_rows = pd.concat(tws_out).reset_index(drop=True) if tws_out else pd.DataFrame()
+    ap_rows = pd.concat(ap_out).reset_index(drop=True) if ap_out else pd.DataFrame()
+    pd.testing.assert_frame_equal(tws_rows, ap_rows)
+    assert handle.state.get() == gs.get  # identical open-tail state
+    # two sessions closed (gaps at +2h and +5h), one open in state
+    assert len(tws_rows) == 2
+    assert tws_rows["value_cents"].tolist() == [325, 351]  # exact half-up cents
+
+
+@pytest.mark.skipif(
+    not TWS_AVAILABLE,
+    reason="transformWithStateInPandas state protocol needs google.protobuf, "
+    "absent in this container (no installs); runs wherever protobuf exists",
+)
+def test_tws_stream_matches_apwis_stream(spark):
+    from hnarchive_spark.plans.registry import all_queries
+    from hnarchive_spark.tables import read_events_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        raw = read_events_stream(spark, SF).select("user_id", "ts", "value")
+        q = (
+            sessionize_stream_tws(raw)
+            .writeStream.format("memory")
+            .queryName("tws_sink_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        tws = {tuple(r) for r in spark.table("tws_sink_test").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    apwis = {tuple(r) for r in all_queries()["q_stream_sessionize"](spark, SF).collect()}
+    assert tws == apwis and len(tws) > 0
