@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_vocab_top_subtokens",
     "q_shard_assignment",
     "q_reservoir_per_source",
+    "q_ann_ivf_append",
     # -- r1-green-only, unchanged --
     "q_stratified_sample",
     "q_lateral_join",
@@ -114,7 +115,6 @@ _VERIFY_FIRST = [
     "q_lang_id",
     "q_tfidf_top_terms",
     "q_doc_fingerprint",
-    "q_pandas_udf_score",
 ]
 
 

@@ -353,6 +353,91 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
 
 
+def _ivf_append_oracle(n_probe: int) -> str:
+    """Incremental-index oracle: centroids frozen from the even-id half,
+    the odd-id batch assigned to them by the probe routing metric, probes
+    over the combined lists."""
+    return f"""
+    WITH el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    base AS (SELECT * FROM el WHERE vec_id % 2 = 0),
+    batch AS (SELECT * FROM el WHERE vec_id % 2 = 1),
+    vecs AS (
+      SELECT vec_id, label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM base
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM vecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT b.vec_id, b.v, c.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY round(list_cosine_similarity(b.v, c.centroid), 6) DESC,
+                                           c.list_id) AS rn
+        FROM batch b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    lists AS (
+      SELECT vec_id, label AS list_id, v FROM base
+      UNION ALL SELECT vec_id, list_id, v FROM assigned
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {N_QUERIES}),
+    routed AS (
+      SELECT q.query_id, q.qv, c.list_id,
+             round(list_cosine_similarity(q.qv, c.centroid), 6) AS ccos
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+      FROM lists a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@query(
+    "q_ann_ivf_append",
+    oracle=_ivf_append_oracle(2),
+    doc="Incremental IVF index maintenance: the index is built from half "
+    "the corpus (even vec_ids), the other half arrives as a batch APPENDED "
+    "via sources/ann_index.py append_ivf_index — assigned to the FROZEN "
+    "persisted centroids by the probe routing metric (6-decimal cosine, "
+    "list-id tiebreak) and written into the existing list partitions, "
+    "O(batch) with zero corpus rescan and every pre-existing file left "
+    "byte-untouched (tests/test_ann_append.py). Probes then read the "
+    "combined lists with the same partition pruning. This is the ingest "
+    "path that keeps a 100 TB ANN index current between periodic rebuilds; "
+    "the oracle replays the frozen-centroid assignment in SQL.",
+)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hnarchive_spark.sources.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        probe_ivf_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_append_")
+    build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    append_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 1), path)
+    return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 

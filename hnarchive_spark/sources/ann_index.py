@@ -138,6 +138,51 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: add a batch WITHOUT rebuilding.
+
+    The batch is assigned to the FROZEN persisted centroids (nearest by
+    6-decimal-rounded cosine, list-id tiebreak — the same routing metric
+    probes use) and its rows are APPENDED into the existing ``list_id``
+    partitions.  Cost is O(batch): no corpus rescan, no centroid
+    recompute, and every pre-existing index file is left byte-untouched
+    (locked by tests/test_ann_append.py).  This is the standard IVF
+    ingest pattern at scale — centroid drift from accumulated appends is
+    handled by a periodic full rebuild, not per-batch."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    b = batch.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    scored = b.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "n",
+        "list_id",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
+    assigned = (
+        scored.select(
+            "vec_id", "v", "n", "list_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "n", "list_id")
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def probe_ivf_topk(
     spark,
     index_path: str,
