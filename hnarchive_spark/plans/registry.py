@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "q_shard_assignment",
     "q_reservoir_per_source",
     "q_ann_ivf_append",
+    "q_stream_rollup_mv",
     # -- r1-green-only, unchanged --
     "q_stratified_sample",
     "q_lateral_join",
@@ -114,7 +115,6 @@ _VERIFY_FIRST = [
     "q_token_count",
     "q_lang_id",
     "q_tfidf_top_terms",
-    "q_doc_fingerprint",
 ]
 
 

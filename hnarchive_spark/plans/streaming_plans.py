@@ -337,6 +337,53 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_rollup_mv",
+    # The maintained rollup equals the from-scratch batch aggregate of the
+    # drained stream — count/sum/min/max per (day, event_type).  All money
+    # outputs are exact integer cents: value is 2-decimal money, so
+    # round(value*100) is integral per row, the sum is exact in any order,
+    # and min/max are pass-through values scaled by the same exact rule.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n,
+           CAST(round(sum(round(value * 100))) AS BIGINT) AS total_cents,
+           CAST(round(min(value) * 100) AS BIGINT) AS vmin_cents,
+           CAST(round(max(value) * 100) AS BIGINT) AS vmax_cents
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Streaming materialized view, driver-checked end-to-end: the event "
+    "stream drains through streaming/rollup_sink.py (foreachBatch lands "
+    "each micro-batch day-partitioned in the record store, then "
+    "DailyRollup recomputes exactly the dirty days with a partition-pruned "
+    "scan), and the MAINTAINED rollup table is returned — the oracle is "
+    "the from-scratch batch aggregate, so the driver hash proves "
+    "incremental maintenance converges to the batch answer (the MV "
+    "correctness contract; kill/resume and late-day invalidation are "
+    "locked separately in test_stream_rollup.py). At 100 TB each trigger "
+    "costs O(batch + dirty days), never O(history).",
+)
+def q_stream_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hnarchive_spark.operators.rollup import DailyRollup
+    from hnarchive_spark.streaming.rollup_sink import stream_rollup
+
+    base = tempfile.mkdtemp(prefix="rollup_mv_")
+    rollup = DailyRollup(spark, f"{base}/rollup", "event_type", "value")
+    stream = read_events_stream(spark, sf_dir).select("ts", "event_type", "value")
+    q = stream_rollup(stream, f"{base}/record", rollup, f"{base}/ckpt")
+    q.awaitTermination()
+    return rollup.read().select(
+        "day",
+        "event_type",
+        "n",
+        F.round(F.col("total") * 100, 0).cast("long").alias("total_cents"),
+        F.round(F.col("vmin") * 100, 0).cast("long").alias("vmin_cents"),
+        F.round(F.col("vmax") * 100, 0).cast("long").alias("vmax_cents"),
+    )
+
+
+@query(
     "q_asof_join",
     oracle="""
     WITH e AS (
