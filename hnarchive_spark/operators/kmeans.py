@@ -42,12 +42,15 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, list_id) after ``iters`` Lloyd iterations from the
     deterministic k-smallest-ids init.  Integer output only — the float
     distances exist transiently inside each assignment pass.  ``dim`` is the
     vector length (defaults to the corpus DIM; product-quantization callers
-    pass the subvector length)."""
+    pass the subvector length).  ``keep_vec=True`` also returns the double
+    vector ``v`` so downstream per-cluster work (SemDeDup) avoids a second
+    corpus join."""
     spark = vectors.sparkSession
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -93,6 +96,8 @@ def kmeans_assign(
             .collect()
         )
 
+    if keep_vec:
+        return assign.select("vec_id", "v", "list_id")
     return assign.select("vec_id", "list_id")
 
 

@@ -387,3 +387,53 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semdedup_drops(
+    embeddings: DataFrame, k: int, iters: int, t_e6: int
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning.  A vector is DROPPED
+    if any earlier (smaller vec_id) vector in its cluster has cosine
+    similarity >= the threshold; the surviving smallest id is the cluster's
+    representative for that duplicate neighborhood.
+
+    Returns one row per dropped vector: (vec_id, list_id, dup_of, cos_e6)
+    where dup_of is the most-similar earlier neighbor (cos_e6 DESC, then
+    smallest id — a total order, so the attribution is deterministic) and
+    cos_e6 = round(cosine * 1e6) as BIGINT (integer output, engine-portable).
+
+    Scale shape: the pair join is keyed on list_id, so the quadratic blowup
+    is bounded per cluster — at 100 TB, k grows with the corpus (k ~=
+    n / target_cluster_size, the paper uses ~0.1% of n) keeping each
+    cluster's pair count constant; the clustering pass itself is the
+    broadcast-centroid kmeans_assign (corpus never collected).  The
+    "earlier id wins" rule is the parallel variant of the paper's
+    keep-one-per-neighborhood policy: it needs no sequential scan and is
+    exactly replayable in SQL.
+    """
+    from hnarchive_spark.operators.kmeans import kmeans_assign
+
+    a = kmeans_assign(embeddings, k, iters, keep_vec=True)
+    x, y = a.alias("x"), a.alias("y")
+    cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.list_id") == F.col("y.list_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("y.list_id").alias("list_id"),
+            F.col("x.vec_id").alias("dup_of"),
+            cos_e6.alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= t_e6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_e6").desc(), "dup_of")
+    return (
+        pairs.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id", "dup_of", "cos_e6")
+    )

@@ -442,10 +442,12 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
     """Unrolled Lloyd iterations as chained CTEs — the iterative operator
     stays fully hash-checkable because the iteration count is fixed and
-    every float comparison is rounded identically on both engines."""
+    every float comparison is rounded identically on both engines.  The
+    final CTE ``a{iters}`` carries (vec_id, v, list_id) so callers can add
+    per-cluster stages (SemDeDup) on top of the same chain."""
     dist = (
         "round(list_sum(list_transform(range(1, %d), "
         "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)" % (dim + 1)
@@ -474,6 +476,11 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
         ) GROUP BY list_id, d
       ) GROUP BY list_id
     )""")
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    parts = _kmeans_cte_parts(k, iters, dim)
     return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, list_id FROM a{iters}"
 
 
@@ -496,6 +503,49 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_assign(e, KMEANS_K, KMEANS_ITERS)
+
+
+SEMDEDUP_T_E6 = 400_000  # cosine >= 0.40 (scaled 1e6 integer)
+
+
+def _semdedup_oracle(k: int, iters: int, dim: int, t_e6: int) -> str:
+    parts = _kmeans_cte_parts(k, iters, dim)
+    parts.append(f"""pairs AS (
+      SELECT y.vec_id AS vec_id, y.list_id AS list_id, x.vec_id AS dup_of,
+             CAST(round(list_cosine_similarity(x.v, y.v) * 1000000) AS BIGINT) AS cos_e6
+      FROM a{iters} x JOIN a{iters} y
+        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT vec_id, list_id, dup_of, cos_e6 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_e6 DESC, dup_of) AS rn
+      FROM pairs WHERE cos_e6 >= {t_e6}
+    ) WHERE rn = 1"""
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle=_semdedup_oracle(KMEANS_K, KMEANS_ITERS, S.DIM, SEMDEDUP_T_E6),
+    doc="SemDeDup (arXiv:2303.09540): semantic dedup = k-means clustering + "
+    "within-cluster cosine pruning — a vector is dropped when an earlier "
+    "cluster member sits at cosine >= 0.40; output rows are the drops with "
+    "their best earlier neighbor (deterministic cos_e6 DESC / id ASC "
+    "attribution, integer cosine). The pair join is keyed on list_id so the "
+    "quadratic stage is bounded per cluster; at scale k grows with the "
+    "corpus (~0.1% of n per the paper) keeping cluster pair counts flat. "
+    "Reuses the q_kmeans_assign Lloyd chain (operators/kmeans.py "
+    "keep_vec=True) so no second corpus join; the oracle replays clustering "
+    "AND pruning as one CTE chain — a compound iterative+quadratic operator "
+    "with a full value-hash check.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.semdedup_drops(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6)
 
 
 PQ_M = 4  # subspaces (64-dim -> 4 x 16)
