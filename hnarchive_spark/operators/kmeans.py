@@ -109,8 +109,12 @@ def pq_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
-) -> DataFrame:
+    return_codebook: bool = False,
+):
     """Product-quantization codes: (vec_id, code_0..code_{n_sub-1}).
+    With ``return_codebook=True`` returns ``(codes_df, centroids)`` where
+    ``centroids`` is the (m, list_id, centroid) list the FINAL assignment
+    used — the codebook a reader needs to decode (or ADC-search) the codes.
 
     Semantically identical to running :func:`kmeans_assign` once per
     subvector slice (same k-smallest-ids init, 6-decimal rounded distances,
@@ -166,11 +170,85 @@ def pq_assign(
                 for r in assign.groupBy("m", "list_id").agg(*dim_cols).collect()
             ]
 
-    return (
+    codes = (
         assign.groupBy("vec_id")
         .pivot("m", list(range(n_sub)))
         .agg(F.first("list_id"))
         .select(
             "vec_id", *[F.col(str(m)).alias(f"code_{m}") for m in range(n_sub)]
         )
+    )
+    if return_codebook:
+        return codes, centroids
+    return codes
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    n_queries: int,
+    n_sub: int,
+    k: int,
+    iters: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the query
+    path that makes PQ compression useful: the corpus is touched only as
+    small integer codes, never as raw vectors.
+
+    Per query: an (n_sub x k) squared-distance lookup table between the
+    query's subvectors and the codebook (here n_queries * n_sub * k rows
+    total — broadcast), then each corpus vector's approximate distance is
+    the SUM of n_sub table lookups keyed by its codes.  Distances enter the
+    sum as e6-scaled BIGINTs, so the aggregation is exact integer math —
+    immune to float summation order — and the ranking (adc ASC, id ASC) is
+    a total order.  At 100 TB the corpus side carries ~n_sub bytes per
+    vector instead of 4*dim, the scan is one broadcast-join + partial-agg,
+    and no shuffle moves raw vectors."""
+    sub = dim // n_sub
+    spark = vectors.sparkSession
+    codes, centroids = pq_assign(
+        vectors, n_sub, k, iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        return_codebook=True,
+    )
+    cent_df = spark.createDataFrame(
+        centroids, "m int, list_id long, centroid array<double>"
+    )
+    q = vectors.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
+    ).filter(F.col("query_id") < n_queries)
+    q_sub = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("qsub"),
+    )
+    dtab = q_sub.join(F.broadcast(cent_df), "m").select(
+        "query_id",
+        "m",
+        F.col("list_id").alias("code"),
+        F.round(_sq_dist(F.col("qsub"), F.col("centroid")) * 1_000_000, 0)
+        .cast("long")
+        .alias("d_e6"),
+    )
+    stack = ", ".join(f"{m}, code_{m}" for m in range(n_sub))
+    code_long = codes.select(
+        "vec_id", F.expr(f"stack({n_sub}, {stack}) AS (m, code)")
+    )
+    scored = (
+        code_long.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e6", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_e6",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= topk)
     )

@@ -553,11 +553,13 @@ PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2
 
 
-def _pq_oracle(k: int, iters: int, n_sub: int, sub_dim: int) -> str:
-    """Product-quantization oracle: the q_kmeans_assign unrolled-Lloyd CTE
-    chain replayed once per subspace over the sliced vectors, joined on
-    vec_id into one code row.  Same determinism contract: k-smallest-ids
-    init, 6-decimal rounded distances, list-id tiebreak, fixed iterations."""
+def _pq_cte_parts(k: int, iters: int, n_sub: int, sub_dim: int) -> list[str]:
+    """Product-quantization oracle CTEs: the q_kmeans_assign unrolled-Lloyd
+    chain replayed once per subspace over the sliced vectors.  Same
+    determinism contract: k-smallest-ids init, 6-decimal rounded distances,
+    list-id tiebreak, fixed iterations.  Exposes per-subspace final
+    assignments ``s{m}a{iters}`` and the codebook the final assignment used
+    ``s{m}c{iters-1}`` so ADC search can build on the same chain."""
     parts = []
     for m in range(n_sub):
         lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
@@ -590,6 +592,11 @@ def _pq_oracle(k: int, iters: int, n_sub: int, sub_dim: int) -> str:
         ) GROUP BY list_id, d
       ) GROUP BY list_id
     )""")
+    return parts
+
+
+def _pq_oracle(k: int, iters: int, n_sub: int, sub_dim: int) -> str:
+    parts = _pq_cte_parts(k, iters, n_sub, sub_dim)
     joins = " ".join(
         f"JOIN s{m}a{iters} a{m} USING (vec_id)" for m in range(1, n_sub)
     )
@@ -624,6 +631,72 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return pq_assign(e, PQ_M, PQ_K, PQ_ITERS)
+
+
+def _pq_adc_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int
+) -> str:
+    parts = _pq_cte_parts(k, iters, n_sub, sub_dim)
+    for m in range(n_sub):
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) "
+            "* 1000000)" % (sub_dim + 1)
+        )
+        parts.append(f"""qd{m} AS (
+      SELECT q.vec_id AS query_id, c.list_id AS code,
+             CAST({dist} AS BIGINT) AS d_e6
+      FROM e{m} q CROSS JOIN s{m}c{iters - 1} c WHERE q.vec_id < {n_queries}
+    )""")
+    code_joins = " ".join(
+        f"JOIN s{m}a{iters} a{m} USING (vec_id)" for m in range(1, n_sub)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{m} ON qd{m}.query_id = qd0.query_id AND qd{m}.code = a{m}.list_id"
+        for m in range(1, n_sub)
+    )
+    adc = " + ".join(f"qd{m}.d_e6" for m in range(n_sub))
+    parts.append(f"""adc AS (
+      SELECT qd0.query_id, a0.vec_id, {adc} AS adc_e6
+      FROM s0a{iters} a0 {code_joins}
+      JOIN qd0 ON qd0.code = a0.list_id {qd_joins}
+      WHERE a0.vec_id != qd0.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id AS neighbor_id, adc_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e6, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@query(
+    "q_ann_pq_search",
+    oracle=_pq_adc_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K
+    ),
+    doc="PQ asymmetric-distance (ADC) top-k search — the query path that "
+    "makes q_pq_codes' compression useful: per query, an (M x k) squared-"
+    "distance lookup table against the trained codebook (n_queries*M*k "
+    "rows, broadcast), then each corpus vector's approximate distance is "
+    "the sum of M table lookups keyed by its integer codes. Lookup "
+    "distances enter as e6-scaled BIGINTs so the per-vector sum is exact "
+    "integer math (immune to float summation order) and the (adc ASC, id "
+    "ASC) ranking is total. At 100 TB the corpus side carries only the "
+    "integer codes — no raw vectors move — in one broadcast-join + "
+    "partial-agg pass (operators/kmeans.py pq_adc_topk). Oracle replays "
+    "codebook training, encoding, table build and ranking as one CTE "
+    "chain.",
+)
+def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K)
 
 
 @query(
