@@ -941,3 +941,80 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select("source", "doc_id", "n_tokens", "q_e4", F.sum("n_tokens").over(w).alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
     )
+
+
+SEG_TOKENS = 16
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(0, (len(ws) + {SEG_TOKENS} - 1) // {SEG_TOKENS})) AS seg_id,
+             unnest(list_transform(range(0, (len(ws) + {SEG_TOKENS} - 1) // {SEG_TOKENS}),
+               c -> len(ws[c * {SEG_TOKENS} + 1 : least((c + 1) * {SEG_TOKENS}, len(ws))]))) AS n_tokens,
+             unnest(list_transform(range(0, (len(ws) + {SEG_TOKENS} - 1) // {SEG_TOKENS}),
+               c -> md5(array_to_string(ws[c * {SEG_TOKENS} + 1 : least((c + 1) * {SEG_TOKENS}, len(ws))], ' ')))) AS fp
+      FROM toks WHERE len(ws) > 0
+    ),
+    marked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, seg_id) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+           CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS dup_tokens
+    FROM marked GROUP BY doc_id
+    """,
+    doc=f"Paragraph-level exact dedup (the C4/CCNet within-corpus repeated-"
+    f"paragraph filter, on fixed {SEG_TOKENS}-token segments since the "
+    "synthetic corpus has no newline structure): every segment is hashed, "
+    "the globally FIRST occurrence (smallest (doc_id, seg_id)) survives, "
+    "and later copies anywhere in the corpus — including within the same "
+    "document — are dropped. Output is the per-document audit (segment "
+    "count, duplicated-segment count, duplicated tokens) a cleaning "
+    "pipeline reports. One shuffle on the 128-bit segment hash; segment "
+    "construction is pure array expressions (zero shuffle, explode at the "
+    "end, empty docs guarded like q_chunk_documents). At 100 TB the hash "
+    "key is uniform so no skew, and the window is replaceable by a "
+    "groupBy-min + join-back if a single fp ever grew pathological.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n_segs = F.ceil(F.size(F.col("ws")) / SEG_TOKENS).cast("int")
+    seg = lambda c: F.slice(F.col("ws"), c * SEG_TOKENS + 1, SEG_TOKENS)  # noqa: E731
+    segs = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda c: F.struct(
+                        c.cast("long").alias("seg_id"),
+                        F.size(seg(c)).cast("long").alias("n_tokens"),
+                        F.md5(F.concat_ws(" ", seg(c))).alias("fp"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_id", "s.n_tokens", "s.fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "seg_id")
+    marked = segs.select("doc_id", "n_tokens", F.row_number().over(w).alias("rn"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_segs"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0)).alias("dup_tokens"),
+    )
