@@ -370,7 +370,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
     FROM documents d JOIN rates r USING (lang)
     WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
-          < CAST(round(r.rate, 6) * 1000000 AS BIGINT)
+          < CAST(round(round(r.rate, 6) * 1000000) AS BIGINT)
     """,
     doc="Language-mix equalization (the data-mixing step of corpus assembly): "
     "per-language acceptance rate = min_lang_count / lang_count, applied via "
@@ -392,9 +392,13 @@ def q_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 1_000_000
     )
+    # round-then-cast on BOTH engines: rate*1e6 lands within 1e-9 of an
+    # integer, and a bare long cast truncates in Spark but rounds in a
+    # DuckDB CAST — an off-by-one threshold whenever the product falls just
+    # below the integer.  Explicit round() on both sides removes the flip.
     return (
         d.join(F.broadcast(rates), "lang")
-        .filter(bucket < (F.col("rate") * 1_000_000).cast("long"))
+        .filter(bucket < F.round(F.col("rate") * 1_000_000, 0).cast("long"))
         .select("doc_id", "lang", "rate")
     )
 
@@ -1017,4 +1021,60 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segs"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_segs"),
         F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0)).alias("dup_tokens"),
+    )
+
+
+MIX_ALPHA = 0.5  # temperature exponent: sampled share of source s ~ n_s^alpha
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      -- acceptance a_s = (n_min / n_s)^(1 - alpha); with alpha = 0.5 that is
+      -- sqrt(n_min/n_s): one exactly-rounded division + one exactly-rounded
+      -- sqrt, so the double is bit-identical across engines (no order-
+      -- dependent summation anywhere).
+      SELECT lang,
+             CAST(round(sqrt((SELECT min(n) FROM counts)::DOUBLE / n) * 1000000)
+                  AS BIGINT) AS rate_e6
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.rate_e6
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < r.rate_e6
+    """,
+    doc="Temperature-based mixture sampling (the multilingual alpha-sampling "
+    "of mT5/XLM-R: sampled share of language s proportional to n_s^alpha, "
+    "alpha=0.5): per-language acceptance rate (n_min/n_s)^(1-alpha) applied "
+    "via the deterministic doc_id hash — the tunable middle ground between "
+    "q_mix_equalize (alpha=0, full equalization) and no resampling "
+    "(alpha=1). The rate is one exactly-rounded division plus one exactly-"
+    "rounded sqrt (IEEE-identical on both engines, no order-dependent "
+    "float summation), emitted e6-scaled BIGINT. Same scale shape as "
+    "equalize: a few-row counts aggregate broadcasts into the filter, zero "
+    "extra corpus shuffle.",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.round(F.sqrt(F.col("m").cast("double") / F.col("n")) * 1_000_000, 0)
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate_e6"))
+        .select("doc_id", "lang", "rate_e6")
     )
