@@ -733,3 +733,112 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "ch.chunk_id", "ch.n_tokens", "ch.chunk_text")
     )
+
+
+# PII patterns kept to the regex subset where Java (Spark) and RE2 (DuckDB)
+# agree exactly: literal classes, bounded repeats, no lookaround.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+\.[a-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+PII_IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                     || source || '.example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id // 256) % 256 AS VARCHAR) || '.1'
+                ELSE '' END AS raw
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS n_phones,
+             len(regexp_extract_all(raw, '{PII_IP_RE}')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS redacted
+      FROM raw
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           CAST(len(redacted) AS BIGINT) AS red_len,
+           substr(md5(redacted), 1, 16) AS red_fp
+    FROM red
+    """,
+    doc="PII detection + redaction (the pre-release scrub every training "
+    "corpus runs): email / phone / IPv4 patterns are counted and replaced "
+    "with typed placeholders in one projection pass — zero shuffle, pure "
+    "JVM regexp inside whole-stage codegen, no Python in the path. The "
+    "synthetic corpus carries no organic PII, so the operator first plants "
+    "deterministic PII-shaped strings from (doc_id, source) — the SAME "
+    "expression on both engines — making detection counts and the redacted-"
+    "text fingerprint fully hash-checkable (patterns restricted to the "
+    "Java/RE2-identical regex subset: literal classes, bounded repeats). "
+    "At 100 TB this is a map-only stage: cost scales with bytes scanned, "
+    "nothing moves.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@"),
+                F.col("source"), F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"), F.lit("."),
+                ((did / 256).cast("long") % 256).cast("string"), F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        d.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("raw"), F.lit(PII_EMAIL_RE), F.lit(0)))
+            .cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("raw"), F.lit(PII_PHONE_RE), F.lit(0)))
+            .cast("long").alias("n_phones"),
+            F.size(F.regexp_extract_all(F.col("raw"), F.lit(PII_IP_RE), F.lit(0)))
+            .cast("long").alias("n_ips"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "doc_id", "n_emails", "n_phones", "n_ips",
+            F.length("redacted").cast("long").alias("red_len"),
+            F.substring(F.md5("redacted"), 1, 16).alias("red_fp"),
+        )
+    )
