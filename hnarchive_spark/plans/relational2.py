@@ -619,3 +619,37 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_aggregate(
         ev, "user_id", {"n_events": ("count", "*"), "total_cents": ("sum", "cents")}
     )
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Skew-safe equi-join (operators/skew.py salted_join): the big/skewed "
+    "left (events) gets a deterministic full-row-content-hash salt, the "
+    "dimension-scale right (customer) is replicated across all 16 salts, "
+    "and the join runs on (key, salt) — spreading a hot key over 16 "
+    "reducers. This is the explicit fallback for the case AQE skew-split "
+    "can't reach (e.g. a forced non-broadcast strategy or pre-Spark-3.2 "
+    "clusters); content-hash salting keeps placement stable across task "
+    "retries and AQE re-plans. The oracle is the PLAIN join: salting must "
+    "be semantically invisible, and the replicated side never changes the "
+    "row multiset.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, cust, "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "cents"
+    )
