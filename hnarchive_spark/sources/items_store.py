@@ -23,6 +23,7 @@ store therefore rewrites ~1 bucket, not the store.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -52,6 +53,34 @@ class ItemsStore:
         # store into 250 partitions; a 200-id commit touches 1-2 of them.
         self.bucket_size = max(1, bucket_size)
         os.makedirs(path, exist_ok=True)
+        # Layout metadata is PERSISTED and wins over the constructor arg:
+        # the on-disk id_bucket dirs encode one specific granularity, and a
+        # reopen with a different bucket_size would misprune merges (touched
+        # buckets computed at the new size, copy-forward listed at the old).
+        # The constructor arg only seeds a brand-new store (or a legacy one
+        # from before metadata existed — adopted on its next pointer swap).
+        persisted = self._read_meta()
+        if persisted is not None:
+            self.bucket_size = persisted
+
+    # -- layout metadata -----------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_META.json")
+
+    def _read_meta(self) -> int | None:
+        try:
+            with open(self._meta_path) as fh:
+                return int(json.load(fh)["bucket_size"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
+    def _write_meta(self) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"bucket_size": self.bucket_size}, fh)
+        os.replace(tmp, self._meta_path)
 
     # -- snapshot management -------------------------------------------------
 
@@ -126,6 +155,7 @@ class ItemsStore:
                     shutil.copy2(s, t)
 
     def _swap_pointer(self, new: int) -> None:
+        self._write_meta()  # layout granularity travels with every snapshot
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(new))
@@ -239,6 +269,38 @@ class ItemsStore:
                 self._link_forward(os.path.join(old_dir, name), os.path.join(out, name))
         self._swap_pointer(new_v)
         return removed
+
+    def compact(self, bucket_size: int) -> None:
+        """Re-bucket the store at a coarser (or finer) granularity — the
+        small-file compaction step (the plain-parquet analog of Delta
+        OPTIMIZE / Iceberg rewrite_data_files).
+
+        Years of 200-row commits leave one (id_bucket, type) leaf dir per
+        ~bucket_size ids; once the store is large and cold, a bigger bucket
+        means fewer, larger files (better scan throughput, fewer file-open
+        round trips at 100 TB) at the cost of a larger rewrite unit for
+        future merges — the classic ingest-vs-scan trade, now tunable after
+        the fact.  The rewrite is one full pass (expensive by design, run it
+        rarely); it commits as a normal versioned snapshot, so readers never
+        see a half-compacted store and time travel across the compaction
+        keeps working.  The new granularity is persisted in _META.json with
+        the same commit, keeping future merge pruning consistent."""
+        if bucket_size < 1:
+            raise ValueError("bucket_size must be >= 1")
+        item_cols = [f.name for f in ITEMS_SCHEMA.fields]
+        current = self.read().select(*item_cols).localCheckpoint(eager=True)
+        self.bucket_size = bucket_size
+        self._commit(current)
+
+    def leaf_file_count(self, version: int | None = None) -> int:
+        """Number of parquet data files in a snapshot (compaction metric)."""
+        v = self._current_version() if version is None else version
+        if v is None:
+            return 0
+        n = 0
+        for _root, _dirs, files in os.walk(self._version_dir(v)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
 
     def latest_id(self) -> int:
         """Q4 select_latest_id (offset recovery, hnarchive.py:285-290)."""

@@ -159,3 +159,57 @@ def test_store_roundtrip_schema_and_versions(spark, tmp_path):
     # partition column round-trips; full item schema present
     assert set(FX.ITEM_COLS) <= set(out.columns)
     assert store.latest_id() == max(r["id"] for r in FX.MERGE_UPDATES)
+
+
+def test_meta_persists_bucket_size_across_reopen(spark, tmp_path):
+    """The on-disk id_bucket granularity must win over a (different)
+    constructor arg on reopen — otherwise merge pruning computes touched
+    buckets at one size while copy-forward lists dirs at another."""
+    path = str(tmp_path / "store")
+    store = ItemsStore(spark, path, bucket_size=10)
+    base = [dict(r, id=1 + (i % 3) * 10 + i) for i, r in enumerate(FX.MERGE_BASE)]
+    store.merge_batch(FX.items_df_with_seq(spark, base), seq_col="seq")
+
+    reopened = ItemsStore(spark, path, bucket_size=100_000)  # wrong arg
+    assert reopened.bucket_size == 10  # persisted layout wins
+    # and a merge through the reopened handle stays consistent
+    top = max(r["id"] for r in base)
+    reopened.merge_batch(
+        FX.items_df_with_seq(spark, [dict(base[0], id=top, score=777)]),
+        seq_col="seq",
+    )
+    assert reopened.count() == len({r["id"] for r in base})
+    row = [r for r in reopened.read().collect() if r["id"] == top][0]
+    assert row["score"] == 777
+
+
+def test_compact_rebuckets_and_preserves_data(spark, tmp_path):
+    """compact() must keep the row set identical, shrink the leaf-dir/file
+    count, persist the new granularity, and leave prior versions readable."""
+    import os
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    base = [dict(r, id=1 + (i % 3) * 10 + i) for i, r in enumerate(FX.MERGE_BASE)]
+    store.merge_batch(FX.items_df_with_seq(spark, base), seq_col="seq")
+    before_rows = sorted(map(tuple, store.read().collect()))
+    before_files = store.leaf_file_count()
+    v1 = store._current_version()
+
+    store.compact(bucket_size=1000)  # everything lands in one bucket
+
+    assert sorted(map(tuple, store.read().collect())) == before_rows
+    assert store.leaf_file_count() < before_files
+    v2_dir = store._version_dir(store._current_version())
+    buckets = {n for n in os.listdir(v2_dir) if n.startswith("id_bucket=")}
+    assert buckets == {"id_bucket=0"}
+    # persisted: a reopen merges at the compacted granularity
+    reopened = ItemsStore(spark, store.path)
+    assert reopened.bucket_size == 1000
+    # time travel across the compaction still works
+    assert len(store.read(version=v1).collect()) == len(before_rows)
+    # and a post-compaction merge is still correct
+    reopened.merge_batch(
+        FX.items_df_with_seq(spark, [dict(base[0], id=5000, score=1)]),
+        seq_col="seq",
+    )
+    assert reopened.count() == len(before_rows) + 1
