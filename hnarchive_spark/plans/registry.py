@@ -62,6 +62,16 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # functions-battery/multimodal/merge/packing/as-of block, 2 rounds fresh)
 # rotates in round 6.
 _VERIFY_FIRST = [
+    # -- added this round (need a first driver row) --
+    "q_semdedup",
+    "q_ann_pq_search",
+    "q_paragraph_dedup",
+    "q_mix_temperature",
+    "q_pii_redact",
+    "q_skew_salted_join",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_market_share",
     # -- changed or added this round --
     "q_sessionize",
     "q_corpus_datacard",

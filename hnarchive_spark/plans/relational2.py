@@ -653,3 +653,200 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, cust, "user_id").select(
         "event_id", "user_id", "c_mktsegment", "cents"
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT u.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+           epoch_us(t3) AS t3_us,
+           CAST(CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                     WHEN t3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS reached
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): per user, the "
+    "first view, the first click strictly AFTER that view, and the first "
+    "purchase strictly after that click — the product-analytics staple. "
+    "Three filtered partial-aggregations chained by equi-joins on user_id "
+    "(every stage's input is pre-filtered to one event type before its "
+    "shuffle, and all shuffles share the user_id key so AQE coalesces "
+    "them); deliberately NOT a per-user collect_list fold, which would "
+    "materialize unbounded per-user event arrays at 100 TB. Stage times "
+    "emitted as epoch microseconds (BIGINT).",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    reached = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+            reached.alias("reached"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM active a JOIN first_day f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort analysis: users grouped by first-active day, "
+    "counted on each later active day offset — the (cohort x day) retention "
+    "triangle behind every engagement dashboard. Two partial-agg shuffles "
+    "(per-user first day; distinct user-days) joined on user_id, then one "
+    "small group — the per-user results are corpus-cardinality but carry "
+    "two columns each, and nothing is collected. Day offsets as BIGINT, "
+    "cohort day as a midnight timestamp.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, sn.n_name AS supp_nation,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS volume_e4
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT yr, supp_nation, CAST(volume_e4 AS BIGINT) AS volume_e4,
+           CAST(round(CAST(volume_e4 AS DOUBLE)
+                      / CAST(sum(volume_e4) OVER (PARTITION BY yr) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS share_e6
+    FROM vol
+    """,
+    doc="TPC-H Q8 shape (supplier-nation market share per year for one part "
+    "type sold into one region): the deepest star join in the inventory — "
+    "lineitem against five broadcast dims plus orders; selective filters "
+    "(p_type, r_name, date band) reach the scans so the fact shuffle only "
+    "carries qualifying rows, then one partial+final agg and a tiny window "
+    "over (year). Money as exact integer e4 units (cents x discount "
+    "percent); the share is one exactly-rounded division of two exact "
+    "integers, emitted e6-scaled BIGINT.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    cn = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    sn = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    volume_e4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == cn.n_nationkey)
+        .join(r, cn.n_regionkey == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == sn.sn_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"), "supp_nation"
+        )
+        .agg(F.sum(volume_e4).alias("volume_e4"))
+    )
+    w = Window.partitionBy("yr")
+    share_e6 = F.round(
+        F.col("volume_e4").cast("double")
+        / F.sum("volume_e4").over(w).cast("double")
+        * 1_000_000,
+        0,
+    ).cast("long")
+    return vol.select("yr", "supp_nation", "volume_e4", share_e6.alias("share_e6"))
