@@ -1,0 +1,299 @@
+"""Third relational wave: distribution / cohort-style business analytics.
+
+Shapes not yet in the inventory: outer-join histogram (TPC-H Q13), scalar
+per-group threshold + anti-join (Q22), the sole-late-supplier multi-predicate
+(Q21 re-expressed as one aggregation instead of two correlated EXISTS),
+integer-exact per-user anomaly flags, and a group-wise OLS trend with exact
+rational outputs.
+
+Every output column is integer (cents / counts / scaled rationals) so the
+driver hash cannot drift across DuckDB builds — the repo-wide determinism
+rule (see q_corpus_datacard's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+
+@query(
+    "q_orders_per_customer_dist",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    per_cust AS (
+      SELECT c.c_custkey, coalesce(cnt.n, 0) AS n_orders
+      FROM customer c LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    doc="Order-count distribution over customers (TPC-H Q13 shape: outer "
+    "join preserving zero-order customers, then a histogram of group "
+    "sizes). Orders are pre-aggregated to per-custkey counts BEFORE the "
+    "join — the shuffle carries one row per customer, not one per order "
+    "(partial agg does the heavy reduction map-side), and the outer join "
+    "keeps inactive customers via coalesce(n, 0). The final histogram agg "
+    "is over ~n_customers rows with few distinct keys — negligible. At "
+    "100 TB both sides shuffle on custkey; AQE picks the join strategy.",
+)
+def q_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per_cust = c.join(cnt, c["c_custkey"] == cnt["o_custkey"], "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+IDLE_SINCE = "2000-01-01"  # "idle" = no order on/after this date
+
+
+@query(
+    "q_idle_rich_customers",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    seg AS (
+      SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      FROM c WHERE cents > 0 GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           CAST(sum(c.cents) AS BIGINT) AS total_cents
+    FROM c JOIN seg USING (c_mktsegment)
+    WHERE c.cents * seg.n > seg.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Idle high-balance customers (TPC-H Q22 shape): customers whose "
+    "account balance beats their segment's positive-balance average and "
+    f"who placed no order since {IDLE_SINCE} (the synthetic order stream "
+    "gives every customer SOME order, so Q22's never-ordered predicate "
+    "would be vacuously empty — recency-idle keeps the anti-join shape "
+    "with real survivors). The above-average predicate is the exact "
+    "integer cross-multiplication cents*n > sum_cents (no division, no "
+    "float average), the per-segment averages are a 5-row broadcast, and "
+    "the no-orders predicate is a left-anti join on custkey (Spark's "
+    "NOT EXISTS). Orders ships only its custkey column through the "
+    "anti-join exchange.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    seg = (
+        c.filter(F.col("cents") > 0)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    rich = c.join(F.broadcast(seg), "c_mktsegment").filter(
+        F.col("cents") * F.col("n") > F.col("s")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(f"{IDLE_SINCE} 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+LATE_DAYS = 60  # order considered late when shipped > 60 days after orderdate
+
+
+@query(
+    "q_sole_late_supplier",
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS late_row
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ps AS (
+      SELECT l_orderkey, l_suppkey, max(late_row) AS late
+      FROM j GROUP BY l_orderkey, l_suppkey
+    ),
+    w AS (
+      SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             CAST(sum(late) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_late
+      FROM ps
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE w.late = 1 AND w.n_supp > 1 AND w.n_late = 1
+    GROUP BY s.s_name
+    """,
+    doc="Suppliers who alone held up multi-supplier orders (TPC-H Q21 "
+    f"shape, late = shipped >{LATE_DAYS} days after orderdate; the schema "
+    "has no commit/receipt dates — reference Q21's commitdate predicate "
+    "maps to this shipdate one). The classic form is two correlated "
+    "EXISTS/NOT EXISTS self-joins on lineitem; here both collapse into "
+    "ONE per-order aggregation — n_supp > 1 encodes EXISTS(other "
+    "supplier), n_late = 1 encodes NOT EXISTS(other late supplier) — so "
+    "lineitem is scanned once and shuffled once on orderkey instead of "
+    "three scans + two extra joins. The window reuses the groupBy's "
+    "orderkey clustering; supplier is a broadcast dim.",
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late_row"),
+    )
+    ps = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("late_row").alias("late"))
+    wo = Window.partitionBy("l_orderkey")
+    w = ps.select(
+        "*",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum("late").over(wo).alias("n_late"),
+    ).filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        w.join(F.broadcast(s), w["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+MIN_ACTIVE_DAYS = 7  # anomaly stats need a minimum per-user history
+
+
+@query(
+    "q_user_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    st AS (
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day, cnt,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) OVER (PARTITION BY user_id) AS BIGINT) AS ss
+      FROM daily
+    )
+    SELECT user_id, day, cnt
+    FROM st
+    WHERE n >= {MIN_ACTIVE_DAYS}
+      AND (n * cnt - s) > 0
+      AND (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s)
+    """,
+    doc="Per-user activity anomalies: days where a user's event count sits "
+    ">2 sigma above their own mean daily count. The 2-sigma test is exact "
+    "integer algebra — (n*cnt - s)^2 > 4*(n*ss - s^2) cross-multiplies "
+    "mean and variance away (no float, no sqrt), so both engines agree "
+    "bit-for-bit even on boundary days. Exact within int64 for any user "
+    "with daily counts below ~8e5 over a 10-year history; beyond that "
+    "envelope switch to double Welford (noted, not needed for event "
+    "streams where one user emits at human rates). One shuffle builds the "
+    "(user, day) counts; the stats window re-clusters by user only.",
+)
+def q_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wu = Window.partitionBy("user_id")
+    st = daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum("cnt").over(wu).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wu).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    return st.filter(
+        (F.col("n") >= MIN_ACTIVE_DAYS)
+        & (dev > 0)
+        & (dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+    ).select("user_id", "day", "cnt")
+
+
+@query(
+    "q_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+             count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT priority, min(day) AS d0 FROM daily GROUP BY priority
+    ),
+    xy AS (
+      SELECT d.priority,
+             CAST(date_diff('day', b.d0, d.day) AS BIGINT) AS x,
+             (2 * d.sc + d.c) // (2 * d.c) AS y
+      FROM daily d JOIN base b USING (priority)
+    )
+    SELECT priority, count(*) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+    FROM xy GROUP BY priority
+    """,
+    doc="Group-wise OLS trend of daily mean order value: per priority, the "
+    "least-squares slope of (day index, mean daily cents) emitted as the "
+    "exact rational num/den pair (slope = num/den) — no division ever "
+    "runs, so the output is hash-stable and the caller picks its own "
+    "precision. y is the round-half-up daily mean in cents ((2*sum+c)//"
+    "(2*c)) — mean, not total, keeps every covariance term inside int64 "
+    "at ANY scale factor (totals grow with volume; means don't). x is "
+    "centered per group via its min day so x*x stays ~1e6 for a decade of "
+    "days. Plan: one partial-agg shuffle to (priority, day), a 5-row "
+    "broadcast of the min days, a 5-group final agg.",
+)
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("c"))
+    )
+    base = daily.groupBy("priority").agg(F.min("day").alias("d0"))
+    xy = daily.join(F.broadcast(base), "priority").select(
+        "priority",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.expr("(2 * sc + c) div (2 * c)").alias("y"),
+    )
+    return xy.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        ).alias("slope_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).alias("slope_den"),
+    )

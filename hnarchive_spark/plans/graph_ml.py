@@ -1,0 +1,386 @@
+"""Graph + embedding-ML wave: PageRank, scalable global indexing, kNN
+classification, hard-negative mining, and an embedding-health datacard.
+
+Determinism rules of the house apply: similarity scores leave both engines
+as ``CAST(round(cos * 1e6) AS BIGINT)`` and every ranking ORDER BY uses that
+integer (never the raw double), so neighbor ranks cannot flip on a 1-ulp
+cosine difference between engines; PageRank runs entirely in scaled-integer
+arithmetic (rank_e6), so a fixed iteration count yields bit-identical ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.operators import similarity as S
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+PR_ITERS = 3  # fixed iteration count => deterministic scaled-integer ranks
+PR_SCALE = 1_000_000  # rank unit: 1.0 == 1_000_000
+
+_EDGES_SQL = """
+    seq AS (
+      SELECT event_type, user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT user_id AS src, nxt AS dst
+      FROM seq WHERE nxt IS NOT NULL AND nxt != user_id
+    ),
+    nodes AS (SELECT DISTINCT user_id FROM events),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.dst, CAST(sum({prev}.r // deg.d) AS BIGINT) AS m
+      FROM edges e JOIN deg ON deg.src = e.src
+      JOIN {prev} ON {prev}.user_id = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.user_id,
+             CAST(150000 + (17 * coalesce(c{i}.m, 0)) // 20 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.user_id
+    )
+"""
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    r0 AS (SELECT user_id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {",".join(_pr_iter_sql(i).strip() for i in range(1, PR_ITERS + 1))}
+    SELECT user_id, r AS rank_e6 FROM r{PR_ITERS}
+    """,
+    doc=f"PageRank ({PR_ITERS} iterations, damping 0.85) over the user "
+    "interaction graph — an edge links each user to the next user acting "
+    "in the same event_type stream (lead over (ts, event_id)). All "
+    "arithmetic is scaled-integer: ranks start at 1e6, each hop "
+    "contributes rank div out_degree, and the damped update is "
+    "150000 + (17*in_sum) div 20 — floor division matches between "
+    "engines, so a FIXED iteration count gives bit-identical ranks "
+    "(float PageRank would drift with summation order). Dangling-node "
+    "mass is dropped, the standard simplification for a deterministic "
+    "audit rank. Spark side: edges/deg build once (the reused-exchange "
+    "subtree), each iteration is one join-aggregate shuffled on user id "
+    "— the classic Pregel-as-DataFrame loop; at 100 TB the rank table is "
+    "one row per user (tiny next to events) and every join is key-"
+    "partitioned, nothing ever collects to the driver.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    edges = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+    nodes = e.select("user_id").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("user_id", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("user_id", "src"), "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            nodes.join(sums, nodes["user_id"] == sums["dst"], "left")
+            .select(
+                "user_id",
+                (F.lit(150000) + F.expr("(17 * coalesce(m, 0)) div 20"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("user_id", F.col("r").alias("rank_e6"))
+
+
+IDX_BUCKET = 64  # doc_id div IDX_BUCKET => order-preserving metadata buckets
+
+
+@query(
+    "q_global_index",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS token_offset,
+           n_tokens
+    FROM t
+    """,
+    doc="Contiguous global row index + corpus token offset per document — "
+    "what a pretraining loader needs to map sample i to a document and a "
+    "token position. The oracle is the trivial single-partition window; "
+    "the Spark plan is the SCALABLE two-phase form: docs bucket by "
+    f"doc_id div {IDX_BUCKET} (order-preserving), phase 1 computes "
+    "per-bucket row/token counts plus intra-bucket running sums (window "
+    "partitioned BY BUCKET — parallel), phase 2 turns the tiny per-bucket "
+    "totals into exclusive prefix offsets (a metadata-sized single-"
+    "partition window over n_buckets rows, ~1e6 rows even at 1e10 docs) "
+    "and broadcasts them back. global_idx = bucket_row_offset + local_rn "
+    "- 1; token_offset likewise. No global sort, no single-partition "
+    "pass over data rows — the anti-pattern row_number() OVER (ORDER BY "
+    "doc_id) on the full corpus is exactly what this avoids.",
+)
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    b = d.withColumn("bucket", F.expr(f"doc_id div {IDX_BUCKET}"))
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    local = b.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.row_number().over(wb).alias("rn"),
+        F.coalesce(
+            F.sum("n_tokens").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("tok_before"),
+    )
+    totals = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_tokens").alias("toks")
+    )
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("row_off"),
+        F.coalesce(F.sum("toks").over(wo), F.lit(0)).alias("tok_off"),
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("row_off") + F.col("rn") - 1).cast("long").alias("global_idx"),
+        (F.col("tok_off") + F.col("tok_before")).cast("long").alias("token_offset"),
+        "n_tokens",
+    )
+
+
+KNN_K = 5
+_E2 = "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)"
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH {_E2},
+    q AS (SELECT vec_id, v, label FROM e2 WHERE vec_id % 10 = 0),
+    t AS (SELECT vec_id, v, label FROM e2 WHERE vec_id % 10 != 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             t.vec_id AS neighbor_id, t.label AS nl,
+             CAST(round(list_cosine_similarity(q.v, t.v) * 1000000) AS BIGINT)
+               AS cos_e6
+      FROM q CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, nl AS label, count(*) AS n_votes
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY query_id, true_label, nl
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT query_id AS vec_id, true_label, label AS predicted_label, n_votes,
+           CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+    FROM best WHERE vr = 1
+    """,
+    doc=f"{KNN_K}-NN majority-vote classification: hold out vec_id %% 10 = 0 "
+    "as the labeled eval set, classify each by its nearest train "
+    "neighbors' majority label (ties: more votes wins, then smaller "
+    "label). Distances rank by integer cos_e6 with a neighbor_id "
+    "tiebreak — fully deterministic. The eval set broadcasts against one "
+    "train-corpus pass (eval sets are small by construction; a 10%%-of-"
+    "corpus holdout at 100 TB would instead chunk the query side through "
+    "the same plan). Norms are computed once per vector BEFORE the join, "
+    "not per pair.",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    q = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("qn", S.norm(F.col("qv")))
+    )
+    t = (
+        e.filter(F.col("vec_id") % 10 != 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("label").alias("nl"),
+        )
+        .withColumn("cn", S.norm(F.col("cv")))
+    )
+    scored = t.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "nl",
+        F.round(S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1e6, 0)
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
+    votes = (
+        scored.select("*", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("query_id", "true_label", F.col("nl").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.select("*", F.row_number().over(wv).alias("vr"))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            F.when(F.col("label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+        )
+    )
+
+
+HN_QUERIES = 25  # query vectors for hard-negative mining
+HN_K = 3
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_E2},
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e2
+          WHERE vec_id < {HN_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.label AS neg_label,
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT)
+               AS cos_e6
+      FROM e2 a CROSS JOIN q
+      WHERE a.label != q.ql
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {HN_K}
+    """,
+    doc=f"Hard-negative mining for contrastive training: for each of "
+    f"{HN_QUERIES} anchor vectors, the {HN_K} most-similar vectors with a "
+    "DIFFERENT label — the highest-value negatives for a triplet/infoNCE "
+    "batch. Same broadcast-anchor one-corpus-pass shape as q_ann_topk "
+    "with the label-mismatch predicate applied before ranking; ranks by "
+    "integer cos_e6 with neighbor_id tiebreak. At scale the anchor set "
+    "is a training batch (small) and the corpus pass shards freely; an "
+    "LSH/IVF-blocked variant drops in exactly like q_ann_lsh vs "
+    "q_ann_topk.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    q = (
+        e.filter(F.col("vec_id") < HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("ql"),
+        )
+        .withColumn("qn", S.norm(F.col("qv")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("neg_label"),
+    ).withColumn("cn", S.norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(
+                S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= HN_K
+    )
+
+
+@query(
+    "q_embed_dim_audit",
+    oracle="""
+    WITH vals AS (
+      SELECT unnest(range(0, len(embedding))) AS dim,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS xe6
+      FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           min(xe6) AS min_e6, max(xe6) AS max_e6,
+           CAST(sum(xe6) AS BIGINT) AS sum_e6,
+           CAST(sum(CASE WHEN abs(xe6) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_zero
+    FROM vals GROUP BY dim
+    """,
+    doc="Embedding-health datacard: per-dimension count/min/max/sum plus a "
+    "near-zero tally (|x| < 1e-4) — the audit that catches dead or "
+    "saturated dimensions before a training run. Values leave the scan "
+    "as scaled BIGINTs (round(x*1e6)), so min/max/sum are exact and "
+    "hash-stable. posexplode fans each vector into 64 (dim, value) rows, "
+    "but partial aggregation collapses them per partition before the "
+    "exchange — shuffle volume is n_partitions x n_dims tiny rows, never "
+    "n_vectors x n_dims. 64 distinct keys on 32+ reducers is acceptable "
+    "skew for a pure-agg stage; salting (operators/skew.py) drops in if "
+    "a cluster shows stragglers.",
+)
+def q_embed_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    vals = e.select(
+        F.posexplode(S.as_double(F.col("embedding"))).alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x") * 1e6, 0).cast("long").alias("xe6"),
+    )
+    return vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xe6").alias("min_e6"),
+        F.max("xe6").alias("max_e6"),
+        F.sum("xe6").alias("sum_e6"),
+        F.sum(F.when(F.abs(F.col("xe6")) < 100, 1).otherwise(0)).alias("n_near_zero"),
+    )

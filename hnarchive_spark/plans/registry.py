@@ -63,6 +63,16 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_pagerank",
+    "q_global_index",
+    "q_knn_classify",
+    "q_hard_negatives",
+    "q_embed_dim_audit",
+    "q_orders_per_customer_dist",
+    "q_idle_rich_customers",
+    "q_sole_late_supplier",
+    "q_user_anomaly",
+    "q_revenue_trend",
     "q_semdedup",
     "q_ann_pq_search",
     "q_paragraph_dedup",
@@ -169,5 +179,6 @@ def _ensure_loaded() -> None:
     from hnarchive_spark.plans import streaming_plans  # noqa: F401
     from hnarchive_spark.plans import multimodal_plans  # noqa: F401
     from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
+    from hnarchive_spark.plans import analytics, graph_ml  # noqa: F401
 
     _LOADED = True
