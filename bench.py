@@ -55,6 +55,8 @@ HEADLINE = [
     "q_pq_codes",
     "q_vocab_top_subtokens",
     "q_shard_assignment",
+    "q_pagerank",
+    "q_sole_late_supplier",
 ]
 
 

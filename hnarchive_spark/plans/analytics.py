@@ -297,3 +297,217 @@ def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("x") * F.sum("x")
         ).alias("slope_den"),
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM orders GROUP BY 1, 2
+    ),
+    span AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY priority),
+    cal AS (
+      SELECT priority, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT c.priority, CAST(c.day AS TIMESTAMP) AS day, d.sc
+      FROM cal c LEFT JOIN daily d ON d.priority = c.priority AND d.day = c.day
+    )
+    SELECT priority, day,
+           CAST(last_value(sc IGNORE NULLS)
+                OVER (PARTITION BY priority ORDER BY day) AS BIGINT)
+             AS cents_filled,
+           CASE WHEN sc IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+    doc="Calendar gap filling with forward fill: per priority, the daily "
+    "revenue series is completed over the full min..max day range "
+    "(sequence + explode generates the calendar engine-side — no driver "
+    "loop, no calendar table), missing days carry the last observed "
+    "value (last-ignore-nulls running window) and are flagged is_gap. "
+    "The calendar explode produces one row per (group, day) — tiny next "
+    "to the fact scan — and the fill window rides the same priority "
+    "clustering as the join. The first calendar day always has data "
+    "(span starts at an observed min), so the fill never emits NULL. "
+    "Time-series regularization is the precondition for any rolling-"
+    "window feature job; this is the scalable form.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("sc"))
+    )
+    span = daily.groupBy("priority").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "priority",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = cal.join(daily, ["priority", "day"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "priority",
+        "day",
+        F.last("sc", ignorenulls=True).over(w).alias("cents_filled"),
+        F.when(F.col("sc").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+@query(
+    "q_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                  AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(CASE WHEN n = 0 THEN -1 ELSE length(bin(n)) - 1 END AS BIGINT)
+             AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(n) AS min_tokens, max(n) AS max_tokens
+    FROM t GROUP BY source, 2
+    """,
+    doc="Per-source document-length histogram in log2 buckets — the "
+    "length-distribution audit behind truncation/packing decisions. "
+    "floor(log2(n)) is computed WITHOUT floating log (whose boundary "
+    "values, e.g. log2(2^k - 1), can round differently per libm build): "
+    "length(bin(n)) - 1 is the integer bit-length, exact in both "
+    "engines; empty docs land in bucket -1. Pure projection + one "
+    "partial-agg shuffle on (source, bucket).",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.functions import text as T
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(T.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    bucket = (
+        F.when(F.col("n") == 0, F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("n"))) - 1)
+        .cast("long")
+    )
+    return (
+        d.select("source", bucket.alias("log2_bucket"), "n")
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+_MED_X2 = """max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN {v} END)
+             + max(CASE WHEN rn = nn // 2 + 1 THEN {v} END)"""
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM v
+    ),
+    med AS (
+      SELECT event_type,
+             CAST({_MED_X2.format(v="cents")} AS BIGINT) AS med_x2
+      FROM r1 GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, v.event_id, v.cents,
+             abs(2 * v.cents - m.med_x2) AS dev_x2, m.med_x2
+      FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev_x2, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST({_MED_X2.format(v="dev_x2")} AS BIGINT) AS mad_x4
+      FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_type, max(d.med_x2) AS med_x2, max(mad.mad_x4) AS mad_x4,
+           count(*) AS n,
+           CAST(sum(CASE WHEN 2 * d.dev_x2 > 3 * mad.mad_x4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(coalesce(sum(CASE WHEN 2 * d.dev_x2 > 3 * mad.mad_x4
+                                  THEN d.cents END), 0) AS BIGINT)
+             AS outlier_cents
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection via median absolute deviation: per event "
+    "type, values more than 3 MAD from the median — the estimator that "
+    "survives the very outliers a mean/sigma test gets dragged by (cf. "
+    "q_user_anomaly's 2-sigma flags). Entirely integer: medians are the "
+    "exact two-order-statistic sum (med_x2 = 2*median), deviations are "
+    "dev_x2 = 2*|v - med|, the MAD median doubles again to mad_x4, and "
+    "the flag 2*dev_x2 > 3*mad_x4 is |v-med| > 3*MAD with no division "
+    "ever. Two ranked windows partitioned by event_type (the grouped "
+    "exact-median idiom from q_percentiles) + two 5-row broadcast joins "
+    "back.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def med_x2_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        wt = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(wt.orderBy(col, "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("nn"),
+        )
+        return r.groupBy("event_type").agg(
+            (
+                F.max(F.when(F.expr("rn = (nn - 1) div 2 + 1"), F.col(col)))
+                + F.max(F.when(F.expr("rn = nn div 2 + 1"), F.col(col)))
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    med = med_x2_of(e, "cents", "med_x2")
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev_x2", F.abs(2 * F.col("cents") - F.col("med_x2"))
+    )
+    mad = med_x2_of(d.select("event_type", "event_id", "dev_x2"), "dev_x2", "mad_x4")
+    flagged = d.join(F.broadcast(mad), "event_type")
+    is_out = 2 * F.col("dev_x2") > 3 * F.col("mad_x4")
+    return flagged.groupBy("event_type").agg(
+        F.max("med_x2").alias("med_x2"),
+        F.max("mad_x4").alias("mad_x4"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        F.coalesce(F.sum(F.when(is_out, F.col("cents"))), F.lit(0)).alias("outlier_cents"),
+    )

@@ -63,6 +63,12 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_bm25_lite",
+    "q_inverted_index",
+    "q_bigram_lm",
+    "q_gap_fill",
+    "q_length_histogram",
+    "q_outlier_mad",
     "q_pagerank",
     "q_global_index",
     "q_knn_classify",
@@ -179,6 +185,6 @@ def _ensure_loaded() -> None:
     from hnarchive_spark.plans import streaming_plans  # noqa: F401
     from hnarchive_spark.plans import multimodal_plans  # noqa: F401
     from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
-    from hnarchive_spark.plans import analytics, graph_ml  # noqa: F401
+    from hnarchive_spark.plans import analytics, graph_ml, search  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,225 @@
+"""Search / retrieval wave: tf-saturation relevance scoring (BM25 without
+the idf log), an inverted-index build, and a bigram language model.
+
+Log-free by design: ln/log2 doubles are the one thing two engines' libm
+builds may disagree on at the last ulp, so every score here is an exact
+integer rational — BM25's tf-saturation term is already a ratio of integer
+polynomials once avgdl is pinned to its round-half-up integer, and bigram
+conditional probabilities are (count, count) pairs scaled to e6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+BM25_TERMS = ("spark", "merge", "join")
+BM25_TOPK = 10
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4: score = tf*(k1+1) / (tf + k1*(1-b+b*dl/A))
+# with A = round_half_up(avgdl) clears to 44*tf*A / (20*tf*A + 6*A + 18*dl).
+
+
+@query(
+    "q_bm25_lite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(sum(len(ws)) AS BIGINT) AS s, count(*) AS n FROM toks
+    ),
+    terms(term) AS (VALUES {", ".join(f"({t!r})" for t in BM25_TERMS)}),
+    scored AS (
+      SELECT t.term, k.doc_id,
+             CAST(len(list_filter(k.ws, w -> w = t.term)) AS BIGINT) AS tf,
+             CAST(len(k.ws) AS BIGINT) AS dl,
+             (2 * st.s + st.n) // (2 * st.n) AS a
+      FROM toks k CROSS JOIN terms t CROSS JOIN st
+    ),
+    s2 AS (
+      SELECT term, doc_id, tf,
+             CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))
+                  // (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT) AS score_e6
+      FROM scored WHERE tf > 0
+    )
+    SELECT term, doc_id, tf, score_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score_e6 DESC, doc_id) AS rank
+      FROM s2
+    ) WHERE rank <= {BM25_TOPK}
+    """,
+    doc=f"BM25-style relevance top-{BM25_TOPK} per query term (k1=1.2, "
+    "b=0.75) WITHOUT the idf log — the tf-saturation + length-"
+    "normalization core, cleared of denominators into the exact integer "
+    "rational 44*tf*A / (20*tf*A + 6*A + 18*dl) with A the round-half-up "
+    "integer avgdl (the only corpus statistic, a broadcast scalar). "
+    "idf's ln() is deliberately out: libm doubles are the one non-"
+    "portable primitive across engines, and for a FIXED term idf is a "
+    "constant that cannot change the per-term ranking anyway. Per-doc tf "
+    "comes from an array filter on the already-tokenized row — no token "
+    "explode, no shuffle until the per-term top-k window over matching "
+    "docs only.",
+)
+def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", T.tokens(F.col("text")).alias("ws"))
+    st = d.agg(
+        F.sum(F.size("ws")).cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    scored = (
+        d.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            "doc_id",
+            F.size(F.expr("filter(ws, w -> w = term)")).cast("long").alias("tf"),
+            F.size("ws").cast("long").alias("dl"),
+            F.expr("(2 * s + n) div (2 * n)").alias("a"),
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "score_e6",
+            F.expr(
+                "CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))"
+                " div (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score_e6").desc(), "doc_id")
+    return (
+        scored.select("term", "doc_id", "tf", "score_e6")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+    )
+
+
+IDX_MIN_TERM_LEN = 4  # content-ish terms only
+IDX_POSTINGS = 10  # capped postings sample per term
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    td AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+    tc AS (
+      SELECT term, doc_id, count(*) AS c
+      FROM td WHERE length(term) >= {IDX_MIN_TERM_LEN}
+      GROUP BY term, doc_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tc
+    )
+    SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+           string_agg(CASE WHEN rn <= {IDX_POSTINGS}
+                           THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS postings
+    FROM rk GROUP BY term
+    """,
+    doc="Inverted-index build: per term, document frequency, collection "
+    f"frequency, and the first {IDX_POSTINGS} postings (ascending doc_id) "
+    "as a csv sample. The postings cap is applied with a per-term window "
+    "BEFORE any collection — collect_list only ever sees <= "
+    f"{IDX_POSTINGS} rows per term, so a stop-word with a billion "
+    "postings cannot blow an executor (the naive collect-then-slice "
+    "does). One shuffle for (term, doc) counts; the window and final agg "
+    "share the term clustering. Postings are emitted as a csv string "
+    "sorted numerically on both engines — portable across list-"
+    "formatting differences.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", T.tokens(F.col("text")).alias("ws"))
+    td = d.select("doc_id", F.explode("ws").alias("term")).filter(
+        F.length("term") >= IDX_MIN_TERM_LEN
+    )
+    tc = td.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("term").orderBy("doc_id")
+    rk = tc.withColumn("rn", F.row_number().over(wr))
+    return rk.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= IDX_POSTINGS, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+BIGRAM_TOPK = 50
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM toks WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
+    SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+           (2000000 * c12.n12 + c1.n1) // (2 * c1.n1) AS p_e6
+    FROM c12 JOIN c1 ON c1.w1 = c12.w1
+    ORDER BY c12.n12 DESC, c12.w1, c12.w2
+    LIMIT {BIGRAM_TOPK}
+    """,
+    doc=f"Bigram language model, top-{BIGRAM_TOPK} pairs: P(w2|w1) as the "
+    "exact round-half-up e6 integer n12/n1 — the count-based conditional "
+    "a data pipeline uses for boilerplate detection and cheap perplexity "
+    "proxies. Pairs come from one array zip per document (no posexplode "
+    "self-join); the unigram denominators reuse the bigram counts "
+    "(sum over w2), so the corpus is tokenized exactly once. The top-k "
+    "is orderBy+limit — Spark plans TakeOrderedAndProject (per-partition "
+    "heaps + driver merge of k rows), never a single-partition global "
+    "sort; ties are impossible in the (n12 desc, w1, w2) total order.",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(T.tokens(F.col("text")).alias("ws"))
+    bi = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            F.expr("(2000000 * n12 + n1) div (2 * n1)").alias("p_e6"),
+        )
+        .orderBy(F.col("n12").desc(), "w1", "w2")
+        .limit(BIGRAM_TOPK)
+    )
