@@ -511,3 +511,50 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         F.coalesce(F.sum(F.when(is_out, F.col("cents"))), F.lit(0)).alias("outlier_cents"),
     )
+
+
+N_DECILES = 10
+
+
+@query(
+    "q_decile_binning",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ntile({N_DECILES}) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY round(c_acctbal * 100), c_custkey)
+               AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_custs,
+           min(cents) AS min_cents, max(cents) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY c_mktsegment, decile
+    """,
+    doc="Equi-depth decile binning of account balances per market segment "
+    "(ntile over a TOTAL order — cents then custkey — so bucket "
+    "boundaries cannot flip on ties) with per-bin count/min/max/sum "
+    "audit: the feature-bucketing / monotone-binning primitive behind "
+    "WoE scoring and percentile features. ntile's fill rule (first "
+    "n mod k buckets take the extra row) is ANSI-identical across "
+    "engines given the total order. One window shuffle on segment + the "
+    "bin aggregate on the same clustering.",
+)
+def q_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    b = c.select(
+        "c_mktsegment", "cents", F.ntile(N_DECILES).over(w).cast("long").alias("decile")
+    )
+    return b.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -384,3 +384,160 @@ def q_embed_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xe6").alias("sum_e6"),
         F.sum(F.when(F.abs(F.col("xe6")) < 100, 1).otherwise(0)).alias("n_near_zero"),
     )
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a < b) edge set of the interaction graph (see q_pagerank
+    for the edge derivation)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    return (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        .select(
+            F.least("user_id", "nxt").alias("a"),
+            F.greatest("user_id", "nxt").alias("b"),
+        )
+        .distinct()
+    )
+
+
+_UND_SQL = """
+    seq AS (
+      SELECT event_type, user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    und AS (
+      SELECT DISTINCT least(user_id, nxt) AS a, greatest(user_id, nxt) AS b
+      FROM seq WHERE nxt IS NOT NULL AND nxt != user_id
+    )
+"""
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_UND_SQL},
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM member GROUP BY node
+    """,
+    doc="Per-node triangle counts over the undirected interaction graph — "
+    "the clustering-coefficient numerator and the classic abuse/cohesion "
+    "signal. Edges are canonicalized a < b, so each triangle a<b<c is "
+    "enumerated EXACTLY once by the two-join wedge-close (e1 ab, e2 bc, "
+    "e3 ac) — no 6x duplication, no post-dedup. Each node in a triangle "
+    "is credited via a 3-way unpivot + count. Both joins shuffle on a "
+    "single vertex key; at 100 TB the standard refinement is degree-"
+    "ordered orientation (redefine < by (degree, id) so every wedge "
+    "pivots at its LOWEST-degree vertex, bounding per-key fanout by "
+    "sqrt(E)) — same plan shape, one extra broadcast of the degree "
+    "table.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _und_edges(spark, sf_dir)
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+LP_TOPK = 20
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH {_UND_SQL},
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    cand AS (
+      SELECT x.u AS u, y.v AS v, count(*) AS cn
+      FROM adj x JOIN adj y ON y.u = x.v AND x.u < y.v
+      GROUP BY x.u, y.v
+    ),
+    new_pairs AS (
+      SELECT c.u, c.v, c.cn FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.u AND e.b = c.v)
+    ),
+    scored AS (
+      SELECT p.u, p.v, p.cn, du.d AS deg_u, dv.d AS deg_v,
+             (2000000 * p.cn + (du.d + dv.d - p.cn))
+               // (2 * (du.d + dv.d - p.cn)) AS jaccard_e6
+      FROM new_pairs p
+      JOIN deg du ON du.u = p.u JOIN deg dv ON dv.u = p.v
+    )
+    SELECT u, v, cn, deg_u, deg_v, jaccard_e6
+    FROM scored
+    ORDER BY cn DESC, jaccard_e6 DESC, u, v
+    LIMIT {LP_TOPK}
+    """,
+    doc=f"Link prediction, top-{LP_TOPK} candidate pairs by common-neighbor "
+    "count with neighborhood-Jaccard (round-half-up e6 integer) as the "
+    "tiebreak — non-adjacent pairs most likely to interact next. The "
+    "wedge join (adj x adj pivoting on the shared neighbor) generates "
+    "candidates with their counts in ONE shuffle; existing edges drop "
+    "via anti-join; degrees join in one-row-per-user tables. Top-k is "
+    "orderBy+limit (TakeOrderedAndProject). The wedge fanout is the "
+    "same hot-vertex quadratic every triangle/wedge algorithm has — at "
+    "scale the mitigation is capping or orienting by degree exactly as "
+    "in q_triangle_count / q_embed_dup_capped.",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("w"), F.col("v").alias("v"))
+    cand = (
+        x.join(y, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    new_pairs = cand.join(
+        und, (cand["u"] == und["a"]) & (cand["v"] == und["b"]), "left_anti"
+    )
+    scored = (
+        new_pairs.join(deg.withColumnRenamed("u", "ju"), F.col("u") == F.col("ju"))
+        .withColumnRenamed("d", "deg_u")
+        .drop("ju")
+        .join(deg.withColumnRenamed("u", "jv"), F.col("v") == F.col("jv"))
+        .withColumnRenamed("d", "deg_v")
+        .drop("jv")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(2000000 * cn + (deg_u + deg_v - cn)) div (2 * (deg_u + deg_v - cn))"
+            ).alias("jaccard_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cn").desc(), F.col("jaccard_e6").desc(), "u", "v"
+    ).limit(LP_TOPK)

@@ -129,3 +129,51 @@ def test_embed_dup_has_no_cartesian(spark):
     plan = _plan(spark, "q_embed_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orders_dist_preaggregates_before_join(spark):
+    """Q13 shape: the orders side must collapse to per-custkey counts BEFORE
+    the outer join (partial+final HashAggregate), and the orders scan must
+    read only o_custkey."""
+    plan = _plan(spark, "q_orders_per_customer_dist")
+    assert plan.count("HashAggregate") >= 4  # count-agg pair + histogram pair
+    orders_schema = [ln for ln in plan.split("\n") if "ReadSchema" in ln and "o_custkey" in ln]
+    assert orders_schema and all(ln.count(":") <= 2 for ln in orders_schema), orders_schema
+
+
+def test_bm25_has_no_token_explode(spark):
+    """q_bm25_lite computes tf via array filter on the tokenized row — a
+    Generate (explode) in the plan would mean a token-level row blowup
+    through the exchange."""
+    plan = _plan(spark, "q_bm25_lite")
+    assert "Generate" not in plan, "token explode leaked into the BM25 plan"
+    assert "CartesianProduct" not in plan  # terms+stats are broadcast joins
+
+
+def test_bigram_topk_is_take_ordered(spark):
+    """q_bigram_lm's top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a global single-partition sort."""
+    plan = _plan(spark, "q_bigram_lm")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_pagerank_joins_are_broadcast_no_cartesian(spark):
+    """Rank/degree tables are one-row-per-user — every per-iteration join
+    must be a broadcast hash join, and nothing may plan as a cartesian."""
+    plan = _plan(spark, "q_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # 2 joins x 3 iterations
+
+
+def test_global_index_windows_partition_by_bucket(spark):
+    """The data-row windows must partition by the bucket column (parallel);
+    only the metadata-sized bucket-offset window may be single-partition."""
+    plan = _plan(spark, "q_global_index")
+    assert "hashpartitioning(bucket" in plan, "data window lost its bucket partitioning"
+
+
+def test_sole_late_supplier_broadcasts_supplier_dim(spark):
+    plan = _plan(spark, "q_sole_late_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
