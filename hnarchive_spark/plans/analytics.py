@@ -558,3 +558,137 @@ def q_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+ATTR_WINDOW_DAYS = 7  # last-touch lookback
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view'
+    ),
+    cand0 AS (
+      SELECT p.purchase_id, v.view_id, v.ts AS vts,
+             (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+      FROM p JOIN v ON v.user_id = p.user_id
+       AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    cand AS (
+      SELECT purchase_id, view_id, gap_s,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY vts DESC, view_id DESC) AS rn
+      FROM cand0
+    ),
+    hit AS (SELECT * FROM cand WHERE rn = 1)
+    SELECT p.purchase_id, p.cents, h.view_id,
+           CAST(h.gap_s AS BIGINT) AS gap_s
+    FROM p LEFT JOIN hit h USING (purchase_id)
+    """,
+    doc="Last-touch attribution: each purchase credits the LATEST view by "
+    f"the same user within {ATTR_WINDOW_DAYS} days (ties on ts broken by "
+    "event_id — total order), unattributed purchases survive with NULL "
+    "view — the as-of-join business shape done as candidate-range join + "
+    "per-purchase rank-1 window. The user-key equi-join bounds "
+    "candidates to one user's history (never a time-only range scan); "
+    "join, window and the final purchase join all shuffle on the same "
+    "user/purchase keys. gap_s is an exact epoch-seconds integer.",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("vts"),
+    )
+    cand = p.join(v, "user_id").filter(
+        (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") > F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("vts").desc(), F.col("view_id").desc()
+    )
+    hit = (
+        cand.select(
+            "purchase_id",
+            "view_id",
+            F.expr("(unix_micros(pts) - unix_micros(vts)) div 1000000").alias("gap_s"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return p.select("purchase_id", "cents").join(hit, "purchase_id", "left").select(
+        "purchase_id", "cents", "view_id", F.col("gap_s").cast("long").alias("gap_s")
+    )
+
+
+RW_HALFLIFE_WEEKS = 1  # halve the weight every week of age
+RW_MAX_STEPS = 20  # floor weight at 2^0 after 20 half-lives
+
+
+@query(
+    "q_recency_weighted",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT event_type, max(day) AS d1 FROM p GROUP BY event_type),
+    wtd AS (
+      SELECT p.event_type, p.cents,
+             (CAST(1 AS BIGINT) << ({RW_MAX_STEPS} - least(
+                date_diff('day', p.day, mx.d1) // (7 * {RW_HALFLIFE_WEEKS}),
+                {RW_MAX_STEPS}))) AS w
+      FROM p JOIN mx USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(cents * w) AS BIGINT) AS weighted_num,
+           CAST(sum(w) AS BIGINT) AS weight_den
+    FROM wtd GROUP BY event_type
+    """,
+    doc="Exponential-decay recency weighting (half-life = "
+    f"{RW_HALFLIFE_WEEKS} week): each event's value is weighted "
+    "2^(20 - age_in_halflives), floored after "
+    f"{RW_MAX_STEPS} half-lives, and the recency-weighted mean is "
+    "emitted as the exact rational (weighted_num, weight_den) — the "
+    "recency-score primitive behind trending/decay rankings. Weights "
+    "are INTEGER powers of two from a bit-shift (shiftleft), never "
+    "pow() doubles, so both engines agree exactly. The per-type max "
+    "day is a 5-row broadcast; one partial-agg shuffle total.",
+)
+def q_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = e.groupBy("event_type").agg(F.max("day").alias("d1"))
+    wtd = e.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        "cents",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {RW_MAX_STEPS} - least("
+            f"datediff(d1, day) div (7 * {RW_HALFLIFE_WEEKS}), {RW_MAX_STEPS}))"
+        ).alias("w"),
+    )
+    return wtd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents") * F.col("w")).alias("weighted_num"),
+        F.sum("w").alias("weight_den"),
+    )

@@ -258,3 +258,68 @@ def q_fix_ptags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_display_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
     return ev.select("event_id", display_date(F.unix_timestamp(F.col("ts"))).alias("shown"))
+
+
+# ---------------------------------------------------------------------------
+# q_store_changelog (CDC view of one U1 merge)
+# ---------------------------------------------------------------------------
+
+
+def _changelog_oracle_sql() -> str:
+    diff_cols = [c for c in FX.ITEM_COLS if c != "id"]
+    n_changed = "\n             + ".join(
+        f"CASE WHEN m.{c} IS DISTINCT FROM b0.{c} THEN 1 ELSE 0 END"
+        for c in diff_cols
+    )
+    return f"""
+    WITH merged AS ({_merge_oracle_sql()}),
+    b0 AS ({FX.values_sql(FX.MERGE_BASE, FX.ITEM_COLS)})
+    SELECT m.id,
+           CASE WHEN b0.id IS NULL THEN 'insert'
+                WHEN ({n_changed}) > 0 THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CAST(CASE WHEN b0.id IS NULL THEN -1 ELSE ({n_changed}) END
+                AS BIGINT) AS n_changed_cols
+    FROM merged m LEFT JOIN b0 ON b0.id = m.id
+    """
+
+
+@query(
+    "q_store_changelog",
+    oracle=_changelog_oracle_sql(),
+    doc="CDC changelog of one U1 merge: post-merge state diffed against the "
+    "pre-merge store, each id classified insert / update / unchanged with "
+    "the count of columns that actually changed (IS DISTINCT FROM — "
+    "null-safe, so a NULL->value transition counts; inserts report -1). "
+    "This is the change feed a downstream consumer (cache invalidation, "
+    "search indexing, the reference's html_render refresh) tails instead "
+    "of rescanning the store. One left join on id over the same merge "
+    "plan q_merge_coalesce locks; at scale the diff join is partition-"
+    "pruned to the merge's touched id buckets exactly like "
+    "ItemsStore.merge_batch.",
+)
+def q_store_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = FX.items_df(spark, FX.MERGE_BASE)
+    updates = FX.items_df_with_seq(spark, FX.MERGE_UPDATES)
+    merged = merge_items(base, updates, seq_col="seq")
+    diff_cols = [c for c in FX.ITEM_COLS if c != "id"]
+    b = base.select(
+        F.col("id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in diff_cols],
+    )
+    j = merged.join(b, merged["id"] == b["b_id"], "left")
+    n_changed = None
+    for c in diff_cols:
+        term = F.expr(f"CASE WHEN {c} IS DISTINCT FROM b_{c} THEN 1 ELSE 0 END")
+        n_changed = term if n_changed is None else n_changed + term
+    return j.select(
+        "id",
+        F.when(F.col("b_id").isNull(), "insert")
+        .when(n_changed > 0, "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.when(F.col("b_id").isNull(), -1)
+        .otherwise(n_changed)
+        .cast("long")
+        .alias("n_changed_cols"),
+    )

@@ -63,6 +63,9 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_attribution_last_touch",
+    "q_recency_weighted",
+    "q_store_changelog",
     "q_triangle_count",
     "q_link_prediction",
     "q_decile_binning",
