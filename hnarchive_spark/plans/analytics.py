@@ -692,3 +692,162 @@ def q_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("w")).alias("weighted_num"),
         F.sum("w").alias("weight_den"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM v
+    ),
+    th AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (nn - 1) // 20 + 1 THEN cents END)
+               * (20 - max((nn - 1) % 20))
+             + max(CASE WHEN rn = least((nn - 1) // 20 + 2, nn) THEN cents END)
+               * max((nn - 1) % 20) AS lo_x20,
+             max(CASE WHEN rn = (19 * (nn - 1)) // 20 + 1 THEN cents END)
+               * (20 - max((19 * (nn - 1)) % 20))
+             + max(CASE WHEN rn = least((19 * (nn - 1)) // 20 + 2, nn) THEN cents END)
+               * max((19 * (nn - 1)) % 20) AS hi_x20
+      FROM r GROUP BY event_type
+    )
+    SELECT v.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN 20 * v.cents < th.lo_x20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN 20 * v.cents > th.hi_x20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           CAST(sum(least(greatest(20 * v.cents, th.lo_x20), th.hi_x20))
+                AS BIGINT) AS winsorized_sum_x20
+    FROM v JOIN th USING (event_type)
+    GROUP BY v.event_type
+    """,
+    doc="Winsorization audit: per event type, values clamped to the exact "
+    "[p5, p95] band before summation — the tail-robust cleaning step "
+    "upstream of any mean-based metric. Percentiles are the exact "
+    "two-order-statistic interpolation scaled x20 (q_percentiles / "
+    "q_corpus_datacard idiom), the clamp compares 20*cents against the "
+    "x20 thresholds, and the winsorized sum stays in the x20 scale — "
+    "every comparison and sum is integer-exact, so boundary values "
+    "clip identically in both engines. One ranked window per type + a "
+    "5-row broadcast of thresholds.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("nn"),
+    )
+
+    def interp_x20(scale: int) -> F.Column:
+        lo_rank = f"({scale} * (nn - 1)) div 20 + 1"
+        hi_rank = f"least(({scale} * (nn - 1)) div 20 + 2, nn)"
+        frac = f"({scale} * (nn - 1)) % 20"
+        return (
+            F.max(F.when(F.expr(f"rn = {lo_rank}"), F.col("cents")))
+            * (20 - F.max(F.expr(frac)))
+            + F.max(F.when(F.expr(f"rn = {hi_rank}"), F.col("cents")))
+            * F.max(F.expr(frac))
+        )
+
+    th = r.groupBy("event_type").agg(
+        interp_x20(1).alias("lo_x20"), interp_x20(19).alias("hi_x20")
+    )
+    j = e.join(F.broadcast(th), "event_type")
+    v20 = 20 * F.col("cents")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v20 < F.col("lo_x20"), 1).otherwise(0)).alias("n_clip_lo"),
+        F.sum(F.when(v20 > F.col("hi_x20"), 1).otherwise(0)).alias("n_clip_hi"),
+        F.sum(F.least(F.greatest(v20, F.col("lo_x20")), F.col("hi_x20"))).alias(
+            "winsorized_sum_x20"
+        ),
+    )
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    na AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS n_ab
+      FROM ut a JOIN ut b ON b.user_id = a.user_id
+       AND b.event_type != a.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ea, p.eb, x.n AS n_a, y.n AS n_b, p.n_ab, nu.n_users,
+           (2000000 * p.n_ab + x.n) // (2 * x.n) AS conf_e6,
+           CAST((2 * 1000000 * p.n_ab * nu.n_users + x.n * y.n)
+                // (2 * x.n * y.n) AS BIGINT) AS lift_e6
+    FROM pair p
+    JOIN na x ON x.event_type = p.ea
+    JOIN na y ON y.event_type = p.eb
+    CROSS JOIN nu
+    """,
+    doc="Association rules over per-user event-type baskets: for each "
+    "directed pair (A -> B), support counts, confidence P(B|A) and lift "
+    "P(AB)/(P(A)P(B)) as exact round-half-up e6 integers — the 1-level "
+    "Apriori market-basket pass. The per-user distinct-type basket is "
+    "one dedup shuffle; co-occurrence is a self-join keyed on user (the "
+    "basket join never leaves the user key, so fanout is basket-size "
+    "squared per user, bounded by the type-cardinality, not by event "
+    "volume); the type-level count tables are broadcast-sized. The "
+    "integer lift stays in int64 up to ~1e6*n_ab*n_users = 9e18 — "
+    "switch the two ratio columns to doubles beyond ~millions of users "
+    "(counts themselves never overflow).",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    nu = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    na = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("ea"))
+    b = ut.select("user_id", F.col("event_type").alias("eb"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("eb") != F.col("ea"))
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pair.join(
+            F.broadcast(na.select(F.col("event_type").alias("ea"), F.col("n").alias("n_a"))),
+            "ea",
+        )
+        .join(
+            F.broadcast(na.select(F.col("event_type").alias("eb"), F.col("n").alias("n_b"))),
+            "eb",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "ea",
+            "eb",
+            "n_a",
+            "n_b",
+            "n_ab",
+            "n_users",
+            F.expr("(2000000 * n_ab + n_a) div (2 * n_a)").alias("conf_e6"),
+            F.expr(
+                "CAST((2 * 1000000 * n_ab * n_users + n_a * n_b)"
+                " div (2 * n_a * n_b) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )

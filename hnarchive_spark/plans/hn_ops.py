@@ -323,3 +323,55 @@ def q_store_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_changed_cols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_subtree_agg (per-node subtree metrics over the full forest closure)
+# ---------------------------------------------------------------------------
+
+
+def _subtree_oracle_sql() -> str:
+    items_sql = FX.values_sql(FX.TREE_ITEMS, FX.ITEM_COLS)
+    return f"""
+    WITH RECURSIVE it AS ({items_sql}),
+    closure AS (
+      SELECT id AS root_id, id, 0 AS depth FROM it
+      UNION ALL
+      SELECT c.root_id, i.id, c.depth + 1 AS depth
+      FROM it i JOIN closure c ON i.parent = c.id
+    )
+    SELECT c.root_id AS id, count(*) AS subtree_size,
+           CAST(max(c.depth) AS BIGINT) AS subtree_height,
+           CAST(coalesce(sum(i.score), 0) AS BIGINT) AS subtree_score
+    FROM closure c JOIN it i ON i.id = c.id
+    GROUP BY c.root_id
+    """
+
+
+@query(
+    "q_subtree_agg",
+    oracle=_subtree_oracle_sql(),
+    doc="Per-node subtree metrics (size, height, score mass) for EVERY node "
+    "of the forest — the aggregate behind the reference's descendants "
+    "counter (hnarchive.py item field `descendants`) generalized to any "
+    "measure. One all-roots transitive closure (each node seeds its own "
+    "subtree; the recursive CTE runs the fixpoint engine-side exactly as "
+    "q_tree_closure) then a single groupBy on the subtree root. Closure "
+    "size is sum of subtree sizes = O(nodes * avg_depth) — bounded by "
+    "forest depth, the standard closure-table tradeoff; for the HN "
+    "comment graph depth is tens, not thousands.",
+)
+def q_subtree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = FX.items_df(spark, FX.TREE_ITEMS)
+    roots = tuple(r["id"] for r in FX.TREE_ITEMS)
+    closure = tree_closure(items, roots)
+    sc = items.select(F.col("id").alias("sid"), "score")
+    return (
+        closure.join(sc, closure["id"] == sc["sid"])
+        .groupBy(F.col("root_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.max("depth").cast("long").alias("subtree_height"),
+            F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("subtree_score"),
+        )
+    )

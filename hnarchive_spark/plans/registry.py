@@ -63,6 +63,9 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_subtree_agg",
+    "q_winsorize",
+    "q_association_rules",
     "q_attribution_last_touch",
     "q_recency_weighted",
     "q_store_changelog",

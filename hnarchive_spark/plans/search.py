@@ -193,7 +193,10 @@ BIGRAM_TOPK = 50
     "(sum over w2), so the corpus is tokenized exactly once. The top-k "
     "is orderBy+limit — Spark plans TakeOrderedAndProject (per-partition "
     "heaps + driver merge of k rows), never a single-partition global "
-    "sort; ties are impossible in the (n12 desc, w1, w2) total order.",
+    "sort; ties are impossible in the (n12 desc, w1, w2) total order. "
+    "The unigram denominators are a window over the bigram counts (one "
+    "corpus pass; a second aggregate branch would re-scan and re-"
+    "tokenize — AQE does not reuse exchanges across a join's sides).",
 )
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(T.tokens(F.col("text")).alias("ws"))
@@ -210,16 +213,19 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    # unigram denominators as a window over the bigram aggregate: ONE corpus
+    # tokenize/explode pass (a second groupBy branch re-scans the corpus —
+    # AQE does not reuse the exchange across the join's build side), at the
+    # cost of one metadata-sized re-partition of the w1/w2 counts.
+    wn = Window.partitionBy("w1")
     return (
-        c12.join(c1, "w1")
-        .select(
+        c12.select(
             "w1",
             "w2",
             "n12",
-            "n1",
-            F.expr("(2000000 * n12 + n1) div (2 * n1)").alias("p_e6"),
+            F.sum("n12").over(wn).alias("n1"),
         )
+        .withColumn("p_e6", F.expr("(2000000 * n12 + n1) div (2 * n1)"))
         .orderBy(F.col("n12").desc(), "w1", "w2")
         .limit(BIGRAM_TOPK)
     )
