@@ -851,3 +851,85 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_e6"),
         )
     )
+
+
+@query(
+    "q_expectations",
+    oracle="""
+    SELECT 'orders' AS tbl, e.expectation,
+           CAST(e.violations AS BIGINT) AS violations,
+           CAST(e.checked AS BIGINT) AS checked
+    FROM (
+      SELECT
+        count(*) AS n,
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+        count(*) - count(DISTINCT o_orderkey) AS dup_key,
+        sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+          AS bad_status,
+        sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END)
+          AS bad_date
+      FROM orders
+    ) s, LATERAL (VALUES
+      ('orderkey_not_null', s.null_key, s.n),
+      ('orderkey_unique', s.dup_key, s.n),
+      ('totalprice_positive', s.nonpos_price, s.n),
+      ('status_in_domain', s.bad_status, s.n),
+      ('orderdate_in_range', s.bad_date, s.n)
+    ) AS e(expectation, violations, checked)
+    """,
+    doc="Declarative data-quality expectations (the dbt-test / Deequ "
+    "pattern): not-null, uniqueness, positivity, domain and range checks "
+    "over orders, each emitted as (expectation, violations, checked). "
+    "ALL checks share ONE scan and one aggregation — the violation "
+    "counters are conditional aggregates computed together, then "
+    "unpivoted into report rows (a naive one-query-per-check framework "
+    "scans the table k times). Uniqueness uses count(*) - count(distinct "
+    "key), the only check needing a shuffle; everything else is map-side. "
+    "Gate a pipeline by asserting violations = 0 over this DataFrame.",
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_key"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+    )
+    checks = [
+        ("orderkey_not_null", "null_key"),
+        ("orderkey_unique", "dup_key"),
+        ("totalprice_positive", "nonpos_price"),
+        ("status_in_domain", "bad_status"),
+        ("orderdate_in_range", "bad_date"),
+    ]
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col(col).cast("long").alias("violations"),
+                F.col("n").cast("long").alias("checked"),
+            )
+            for name, col in checks
+        ]
+    )
+    return (
+        s.select(F.explode(report).alias("e"))
+        .select(
+            F.lit("orders").alias("tbl"),
+            "e.expectation",
+            "e.violations",
+            "e.checked",
+        )
+    )

@@ -63,6 +63,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_expectations",
     "q_subtree_agg",
     "q_winsorize",
     "q_association_rules",
@@ -98,26 +99,29 @@ _VERIFY_FIRST = [
     "q_retention_cohorts",
     "q_market_share",
     # -- changed or added this round --
-    "q_sessionize",
-    "q_corpus_datacard",
-    "q_select_token_budget",
-    "q_dedup_canonical",
-    "q_chunk_documents",
-    "q_heavy_hitters_exact",
-    "q_heavy_hitters_cms",
-    "q_window_range_frame",
-    "q_filtered_agg",
-    "q_having",
-    "q_window_funcs",
-    "q_correlated_subquery",
-    "q_percentiles",
     "q_pq_codes",
     "q_vocab_top_subtokens",
     "q_shard_assignment",
     "q_reservoir_per_source",
     "q_ann_ivf_append",
     "q_stream_rollup_mv",
+    "q_heavy_hitters_exact",
+    "q_heavy_hitters_cms",
+    # -- changed this round (oracle BIGINT casts / integer rework; the 50-
+    # query driver window ends around here, so everything above = never
+    # verified or changed, everything below = stale-green insurance --
+    "q_sessionize",
+    "q_corpus_datacard",
+    "q_select_token_budget",
+    "q_dedup_canonical",
+    "q_chunk_documents",
     # -- r1-green-only, unchanged --
+    "q_window_range_frame",
+    "q_filtered_agg",
+    "q_having",
+    "q_window_funcs",
+    "q_correlated_subquery",
+    "q_percentiles",
     "q_stratified_sample",
     "q_lateral_join",
     "q_unpivot",
