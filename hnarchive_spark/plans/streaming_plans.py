@@ -513,3 +513,95 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least(date_trunc('milliseconds', (SELECT max(ts) FROM p))
+                     - INTERVAL 1 HOUR,
+                   date_trunc('milliseconds', (SELECT max(ts) FROM c))
+                     - INTERVAL 2 HOUR) AS w
+    ),
+    matched AS (
+      SELECT p.purchase_id, c.click_id, p.user_id, p.cents
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ),
+    unmatched AS (
+      SELECT p.purchase_id, NULL AS click_id, p.user_id, p.cents
+      FROM p, wm
+      WHERE p.ts < wm.w AND NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc="LEFT OUTER stream-stream join: matched purchase-click pairs emit "
+    "immediately; an unmatched purchase emits null-padded only once the "
+    "watermark PROVES no qualifying click can still arrive — i.e. "
+    "p_ts < global watermark = min(max(p_ts) - 1h, max(c_ts) - 2h) "
+    "(Spark's min-policy global watermark; event time truncates to "
+    "milliseconds, hence the oracle's date_trunc). Purchases younger "
+    "than the final watermark stay in state awaiting the next trigger — "
+    "the oracle reproduces that cutoff exactly, so the driver hash "
+    "checks the ENGINE's eviction semantics, not just the inner join. "
+    "State is bounded by the watermark band on both sides; the no-data "
+    "final micro-batch (noDataMicroBatches) performs the last eviction "
+    "under availableNow.",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "cents",
+    )
+    name = f"stream_outer_join_sink_{next(_sink_counter)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
