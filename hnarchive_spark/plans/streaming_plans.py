@@ -605,3 +605,89 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "q_stream_late_drop",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b0 AS (SELECT * FROM ev WHERE event_id % 5 != 0),
+    b1 AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+    wm1 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w
+            FROM b0),
+    wm2 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w
+            FROM ev),
+    kept AS (
+      SELECT * FROM b0
+      UNION ALL
+      SELECT b1.* FROM b1, wm1
+      WHERE date_trunc('hour', b1.ts) + INTERVAL 1 HOUR > wm1.w
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT a.* FROM agg a, wm2 WHERE a.win_start + INTERVAL 1 HOUR <= wm2.w
+    """,
+    doc="Watermark LATE-DATA DROP, hash-checked: 1/5 of the events are "
+    "delivered one trigger AFTER the rest (two availableNow passes over "
+    "a shared checkpoint — guaranteed batch separation, no sleep/mtime "
+    "races), so rows whose 1-hour window already closed under the "
+    "first-pass watermark (window_end <= max(on-time ts) - 30 min, "
+    "ms-truncated) are dropped from the tumbling aggregate while late "
+    "rows into still-open windows merge normally. The oracle reproduces "
+    "both cutoffs — the drop (wm after pass 1) and the final append-mode "
+    "emission (wm after pass 2) — so the driver hash verifies the "
+    "engine's watermark filter itself, the semantics every streaming "
+    "pipeline silently relies on. Output goes through a parquet sink + "
+    "checkpoint (the production shape), not the memory sink.",
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hnarchive_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="late_drop_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    os.makedirs(src)
+    schema = ev.schema
+
+    def run_pass() -> None:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "100")
+            .parquet(f"{src}/batch=*")
+        )
+        agg = (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n", "cents")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 5 != 0).coalesce(1).write.parquet(f"{src}/batch=0")
+    run_pass()
+    ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.parquet(f"{src}/batch=1")
+    run_pass()
+    return spark.read.parquet(out)
