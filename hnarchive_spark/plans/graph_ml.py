@@ -54,6 +54,51 @@ def _pr_iter_sql(i: int) -> str:
 """
 
 
+def _consecutive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, nxt) for every consecutive event pair within an event_type
+    stream — SCALABLY.
+
+    The naive ``lead() OVER (PARTITION BY event_type ORDER BY ts)`` puts the
+    ENTIRE corpus sort on n_event_types partitions (5 here) — the one-hot-
+    partition anti-pattern that cannot scale past one executor per type.
+    Instead the window partitions by (event_type, day) — parallelism =
+    types x days — and the day-boundary pairs are stitched back from a
+    METADATA-SIZED per-(type, day) table of first/last users: day d's last
+    event links to the first event of the next day that has data (a lead()
+    over the tiny table).  The union is EXACTLY the global consecutive-pair
+    multiset; the q_pagerank / q_triangle_count oracles keep the global-
+    window formulation and hash-match it."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    wb = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    ranked = e.select(
+        "event_type",
+        "day",
+        "user_id",
+        F.lead("user_id").over(wb).alias("nxt"),
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "day")).alias("nn"),
+    )
+    within = ranked.filter(F.col("nxt").isNotNull()).select("user_id", "nxt")
+    # per-(type, day) endpoints: tiny (types x days rows)
+    ends = (
+        ranked.filter((F.col("rn") == 1) | (F.col("rn") == F.col("nn")))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("user_id"))).alias("first_u"),
+            F.max(F.when(F.col("rn") == F.col("nn"), F.col("user_id"))).alias("last_u"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    boundary = (
+        ends.select("event_type", "last_u", F.lead("first_u").over(wd).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("last_u").alias("user_id"), "nxt")
+    )
+    return within.unionAll(boundary)
+
+
 @query(
     "q_pagerank",
     oracle=f"""
@@ -64,7 +109,10 @@ def _pr_iter_sql(i: int) -> str:
     """,
     doc=f"PageRank ({PR_ITERS} iterations, damping 0.85) over the user "
     "interaction graph — an edge links each user to the next user acting "
-    "in the same event_type stream (lead over (ts, event_id)). All "
+    "in the same event_type stream. Edges derive via the DAY-BUCKETED "
+    "window + boundary stitch (_consecutive_pairs): parallelism is "
+    "types x days, not n_types hot partitions; the oracle keeps the "
+    "equivalent global-window formulation. All "
     "arithmetic is scaled-integer: ranks start at 1e6, each hop "
     "contributes rank div out_degree, and the damped update is "
     "150000 + (17*in_sum) div 20 — floor division matches between "
@@ -79,10 +127,9 @@ def _pr_iter_sql(i: int) -> str:
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = e.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    seq = _consecutive_pairs(spark, sf_dir)
     edges = (
-        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        seq.filter(F.col("nxt") != F.col("user_id"))
         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
         .distinct()
     )
@@ -386,20 +433,25 @@ def q_embed_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected (a < b) edge set of the interaction graph (see q_pagerank
-    for the edge derivation)."""
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = e.select("user_id", F.lead("user_id").over(w).alias("nxt"))
-    return (
-        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+def _und_edges(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFrame:
+    """Undirected (a < b) edge set of the interaction graph, from the
+    day-bucketed scalable pair derivation (see _consecutive_pairs).
+
+    ``materialize`` localCheckpoints the deduped edge set: the wedge/
+    triangle consumers reference it 3-4x in one plan and Spark re-derives
+    an un-materialized subtree per reference (exchange reuse does not
+    cross join sides) — for a graph query the edge list IS the working
+    set, so cut lineage once and join against the materialized rows."""
+    seq = _consecutive_pairs(spark, sf_dir)
+    und = (
+        seq.filter(F.col("nxt") != F.col("user_id"))
         .select(
             F.least("user_id", "nxt").alias("a"),
             F.greatest("user_id", "nxt").alias("b"),
         )
         .distinct()
     )
+    return und.localCheckpoint(eager=True) if materialize else und
 
 
 _UND_SQL = """
