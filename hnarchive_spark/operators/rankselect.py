@@ -1,0 +1,113 @@
+"""Histogram-prune exact rank selection (grouped order statistics at scale).
+
+The window idiom for exact grouped percentiles —
+``row_number() OVER (PARTITION BY key ORDER BY v)`` — sorts EVERY group's
+rows inside one partition, so a low-cardinality key (5 event types over a
+100 TB fact table) serializes the whole sort onto n_keys tasks.  The
+classic fix is histogram pruning (the distributed selection algorithm
+behind BlinkDB/Quickselect-style exact quantiles):
+
+1. bucket values by ``v div W`` and count per (key, bucket) — a fully
+   parallel partial aggregate; the shuffle carries one row per non-empty
+   bucket, never data rows;
+2. running-sum the bucket counts per key (a window over the METADATA-sized
+   bucket table) and locate, for every requested rank r, the single bucket
+   where cum_before < r <= cum_before + c, plus the offset r - cum_before;
+3. re-scan with a semi-join on the few (key, target-bucket) pairs — the
+   only rows ever sorted are those inside target buckets (~W-dense
+   subsets), ranked by a window partitioned by (key, bucket).
+
+Results are EXACT (same values as the full sort — selection is
+order-statistic, not approximate) and every rank lands with one extra scan
+instead of a per-key total sort.  ``q_percentiles_scalable`` hash-matches
+``q_percentiles``'s oracle through this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKET_WIDTH = 1024  # value units per histogram bucket
+
+
+def grouped_rank_values(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rank_exprs: dict[str, str],
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Per key: the exact value at each requested 1-based rank.
+
+    ``rank_exprs`` maps output-column name -> SQL expression over ``nn``
+    (the group size), e.g. ``{"p50_lo": "(nn - 1) div 2 + 1"}``.  Returns
+    one row per key with columns (key_col, nn, <one per rank name>).
+    Values must be integral (the repo's cents/e6 convention) and
+    non-negative buckets assume values >= some fixed floor — ``v div W``
+    floors negatives consistently in Spark, so negatives are fine too.
+    """
+    v = F.col(value_col)
+    base = df.select(F.col(key_col).alias("k"), v.cast("long").alias("v"))
+    # (1) parallel histogram: one row per non-empty (key, bucket)
+    bcounts = (
+        base.select("k", F.expr(f"v div {bucket_width}").alias("b"), "v")
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # (2) metadata-sized running sum + rank -> bucket routing
+    wb = Window.partitionBy("k").orderBy("b")
+    cum = bcounts.select(
+        "k",
+        "b",
+        "c",
+        F.coalesce(F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias(
+            "nn"
+        ),
+    )
+    names = list(rank_exprs)
+    targets = cum.select(
+        "k",
+        "b",
+        "c",
+        "cum_before",
+        "nn",
+        *[F.expr(e).alias(f"rk_{n}") for n, e in rank_exprs.items()],
+    )
+    melted = targets.select(
+        "k",
+        "b",
+        "cum_before",
+        "nn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("name"), F.col(f"rk_{n}").alias("rk")
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("t"),
+        F.col("c"),
+    ).select("k", "b", "cum_before", "nn", "t.name", "t.rk", "c")
+    routed = melted.filter(
+        (F.col("cum_before") < F.col("rk")) & (F.col("rk") <= F.col("cum_before") + F.col("c"))
+    ).select("k", "b", "name", "nn", (F.col("rk") - F.col("cum_before")).alias("off"))
+    # (3) candidate rows: only target buckets are ever ranked
+    tb = routed.select("k", "b").distinct()
+    cand = base.select("k", F.expr(f"v div {bucket_width}").alias("b"), "v").join(
+        F.broadcast(tb), ["k", "b"], "left_semi"
+    )
+    wr = Window.partitionBy("k", "b").orderBy("v")
+    ranked = cand.select("k", "b", "v", F.row_number().over(wr).alias("rn"))
+    picked = routed.join(ranked, ["k", "b"]).filter(F.col("rn") == F.col("off"))
+    # pivot rank names back to one row per key
+    out = picked.groupBy("k").agg(
+        F.max("nn").alias("nn"),
+        *[F.max(F.when(F.col("name") == n, F.col("v"))).alias(n) for n in names],
+    )
+    return out.withColumnRenamed("k", key_col)

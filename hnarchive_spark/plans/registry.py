@@ -63,6 +63,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # rotates in round 6.
 _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
+    "q_percentiles_scalable",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",

@@ -850,3 +850,67 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     return vol.select("yr", "supp_nation", "volume_e4", share_e6.alias("share_e6"))
+
+
+@query(
+    "q_percentiles_scalable",
+    # Same oracle as q_percentiles — selection is exact, only the physical
+    # strategy differs (histogram prune vs per-key window sort).
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nn
+      FROM cents
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN v END)
+             + max(CASE WHEN rn = nn // 2 + 1 THEN v END) AS p50_cents_x2,
+           max(CASE WHEN rn = (9 * (nn - 1)) // 10 + 1 THEN v END)
+               * (10 - max((9 * (nn - 1)) % 10))
+             + max(CASE WHEN rn = least((9 * (nn - 1)) // 10 + 2, nn) THEN v END)
+               * max((9 * (nn - 1)) % 10) AS p90_cents_x10,
+           max(CASE WHEN rn = (99 * (nn - 1)) // 100 + 1 THEN v END)
+               * (100 - max((99 * (nn - 1)) % 100))
+             + max(CASE WHEN rn = least((99 * (nn - 1)) // 100 + 2, nn) THEN v END)
+               * max((99 * (nn - 1)) % 100) AS p99_cents_x100
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Exact grouped percentiles WITHOUT the per-key window sort: "
+    "operators/rankselect.py histogram pruning. The q_percentiles window "
+    "idiom serializes each group's total sort onto one task — with 5 "
+    "event types over a 100 TB fact table that is 5 tasks doing all the "
+    "work. Here a parallel (key, v div 1024) histogram routes each "
+    "requested rank to its single bucket via a METADATA-sized running "
+    "sum, and only the few target buckets' rows are ever ranked (semi-"
+    "join + per-bucket window). Identical values — the driver hash-"
+    "checks this physical strategy against the same oracle, and "
+    "test_rankselect.py locks row equality with q_percentiles.",
+)
+def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_rank_values
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+    ranks = {
+        "p50_lo": "(nn - 1) div 2 + 1",
+        "p50_hi": "nn div 2 + 1",
+        "p90_lo": "(9 * (nn - 1)) div 10 + 1",
+        "p90_hi": "least((9 * (nn - 1)) div 10 + 2, nn)",
+        "p99_lo": "(99 * (nn - 1)) div 100 + 1",
+        "p99_hi": "least((99 * (nn - 1)) div 100 + 2, nn)",
+    }
+    rv = grouped_rank_values(ev, "event_type", "v", ranks)
+    f9 = F.expr("(9 * (nn - 1)) % 10")
+    f99 = F.expr("(99 * (nn - 1)) % 100")
+    return rv.select(
+        "event_type",
+        (F.col("p50_lo") + F.col("p50_hi")).alias("p50_cents_x2"),
+        (F.col("p90_lo") * (10 - f9) + F.col("p90_hi") * f9).alias("p90_cents_x10"),
+        (F.col("p99_lo") * (100 - f99) + F.col("p99_hi") * f99).alias("p99_cents_x100"),
+    )

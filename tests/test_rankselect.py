@@ -1,0 +1,39 @@
+"""Histogram-prune rank selection: exactness vs the window idiom."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.rankselect import grouped_rank_values
+from hnarchive_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scalable_percentiles_equal_window_idiom(spark):
+    a = {tuple(r) for r in all_queries()["q_percentiles"](spark, SF).collect()}
+    b = {tuple(r) for r in all_queries()["q_percentiles_scalable"](spark, SF).collect()}
+    assert a == b
+
+
+def test_rank_values_match_sorted_reference(spark):
+    """Every rank 1..n on a small group must equal the sorted list —
+    including ranks landing on bucket boundaries (width 4 forces many
+    buckets and boundary offsets)."""
+    vals = [7, 3, 3, 15, 2, 9, 4, 4, 21, 8, 1, 16]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    want = sorted(vals)
+    ranks = {f"r{i}": f"{i}" for i in range(1, len(vals) + 1)}
+    got = grouped_rank_values(df, "k", "v", ranks, bucket_width=4).collect()[0]
+    for i in range(1, len(vals) + 1):
+        assert got[f"r{i}"] == want[i - 1], i
+
+
+def test_negative_values_bucket_correctly(spark):
+    vals = [-9, -1, 0, 5, -20, 3]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    got = grouped_rank_values(
+        df, "k", "v", {"lo": "1", "mid": "3", "hi": "6"}, bucket_width=4
+    ).collect()[0]
+    w = sorted(vals)
+    assert (got["lo"], got["mid"], got["hi"]) == (w[0], w[2], w[5])
