@@ -111,3 +111,47 @@ def grouped_rank_values(
         *[F.max(F.when(F.col("name") == n, F.col("v"))).alias(n) for n in names],
     )
     return out.withColumnRenamed("k", key_col)
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    descending: bool = True,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Per key: the exact 1-based rank of EVERY row under
+    (value [desc], tiebreak [asc]) — without a per-key total sort.
+
+    Same two-phase shape as :func:`grouped_rank_values` but materializing
+    all ranks instead of selecting a few: rows bucket by value range, the
+    window ranking runs per (key, bucket) — parallel — and each bucket's
+    exclusive prefix count (a metadata-sized running sum) shifts local
+    ranks to global ones.  This is the scalable form of
+    ``row_number() OVER (PARTITION BY low_cardinality_key ORDER BY ...)``
+    (ntile / round-robin dealing / LPT shard assignment all derive from
+    this rank).  Ties across bucket boundaries are impossible: equal
+    values share a bucket by construction.
+    """
+    v = F.col(value_col)
+    base = df.withColumn("_b", F.expr(f"{value_col} div {bucket_width}"))
+    order = [v.desc() if descending else v.asc(), F.col(tiebreak_col).asc()]
+    wb = Window.partitionBy(key_col, "_b").orderBy(*order)
+    local = base.withColumn("_rn", F.row_number().over(wb))
+    counts = base.groupBy(key_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wo = Window.partitionBy(key_col).orderBy(
+        F.col("_b").desc() if descending else F.col("_b").asc()
+    )
+    offsets = counts.select(
+        key_col,
+        "_b",
+        F.coalesce(F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).alias(
+            "_off"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), [key_col, "_b"])
+        .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )

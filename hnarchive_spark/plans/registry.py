@@ -62,8 +62,17 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # functions-battery/multimodal/merge/packing/as-of block, 2 rounds fresh)
 # rotates in round 6.
 _VERIFY_FIRST = [
+    # -- the three round-4 hash-fails whose oracles were BIGINT-pinned this
+    # round, plus the two whose quality score was integer-reworked: these
+    # MUST land a fresh green row, so they outrank even the new queries --
+    "q_sessionize",
+    "q_corpus_datacard",
+    "q_select_token_budget",
+    "q_dedup_canonical",
+    "q_chunk_documents",
     # -- added this round (need a first driver row) --
     "q_percentiles_scalable",
+    "q_shard_assignment_scalable",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",
@@ -110,14 +119,9 @@ _VERIFY_FIRST = [
     "q_stream_rollup_mv",
     "q_heavy_hitters_exact",
     "q_heavy_hitters_cms",
-    # -- changed this round (oracle BIGINT casts / integer rework; the 50-
-    # query driver window ends around here, so everything above = never
-    # verified or changed, everything below = stale-green insurance --
-    "q_sessionize",
-    "q_corpus_datacard",
-    "q_select_token_budget",
-    "q_dedup_canonical",
-    "q_chunk_documents",
+    # -- the ~50-query driver window ends around here: everything above is
+    # never-verified or changed this round, everything below is stale-green
+    # insurance that rotates in as the window allows --
     # -- r1-green-only, unchanged --
     "q_window_range_frame",
     "q_filtered_agg",

@@ -842,3 +842,52 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5("redacted"), 1, 16).alias("red_fp"),
         )
     )
+
+
+@query(
+    "q_shard_assignment_scalable",
+    # Same oracle as q_shard_assignment: identical assignment, scalable rank.
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens
+      FROM documents
+    ),
+    assigned AS (
+      SELECT source, n_tokens,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id) - 1)
+               % 8 AS shard_id
+      FROM t
+    )
+    SELECT source, shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY source, shard_id
+    """,
+    doc="LPT shard assignment WITHOUT the per-source total sort: the "
+    "round-robin deal needs every doc's exact rank under (n_tokens desc, "
+    "doc_id), and q_shard_assignment's window puts each source's whole "
+    "sort on one task (5 sources x 100 TB = 5 tasks). "
+    "operators/rankselect.py grouped_global_rank ranks within parallel "
+    "(source, token-range-bucket) windows and shifts to global ranks via "
+    "a metadata-sized bucket prefix sum — identical shard_id for every "
+    "doc, hash-checked against the same oracle.",
+)
+def q_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    d = load(spark, sf_dir, "documents")
+    rows = d.select(
+        "source", "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    ranked = grouped_global_rank(
+        rows, "source", "n_tokens", "doc_id", descending=True, bucket_width=64
+    )
+    return (
+        ranked.select("source", "n_tokens", ((F.col("rank") - 1) % 8).alias("shard_id"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )

@@ -37,3 +37,30 @@ def test_negative_values_bucket_correctly(spark):
     ).collect()[0]
     w = sorted(vals)
     assert (got["lo"], got["mid"], got["hi"]) == (w[0], w[2], w[5])
+
+
+def test_scalable_shard_assignment_equals_window_idiom(spark):
+    a = {tuple(r) for r in all_queries()["q_shard_assignment"](spark, SF).collect()}
+    b = {
+        tuple(r)
+        for r in all_queries()["q_shard_assignment_scalable"](spark, SF).collect()
+    }
+    assert a == b
+
+
+def test_grouped_global_rank_is_a_permutation(spark):
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    vals = [(k, v, i) for i, (k, v) in enumerate(
+        [("a", 5), ("a", 5), ("a", 9), ("a", 1), ("b", 3), ("b", 3), ("b", 3)]
+    )]
+    df = spark.createDataFrame(vals, "k string, v long, id long")
+    got = grouped_global_rank(df, "k", "v", "id", descending=True, bucket_width=2)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault(r.k, []).append((r.rank, r.v, r.id))
+    for k, rows in by_key.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # rank order == (v desc, id asc) order
+        assert rows == sorted(rows, key=lambda t: (-t[1], t[2]))
