@@ -57,6 +57,8 @@ HEADLINE = [
     "q_shard_assignment",
     "q_pagerank",
     "q_sole_late_supplier",
+    "q_triangle_count",
+    "q_global_index",
 ]
 
 

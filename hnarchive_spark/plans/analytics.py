@@ -933,3 +933,60 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e.checked",
         )
     )
+
+
+@query(
+    "q_decile_binning_scalable",
+    # Same oracle as q_decile_binning: identical bins, scalable rank.
+    oracle=f"""
+    WITH b AS (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ntile({N_DECILES}) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY round(c_acctbal * 100), c_custkey)
+               AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_custs,
+           min(cents) AS min_cents, max(cents) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY c_mktsegment, decile
+    """,
+    doc="Equi-depth decile binning WITHOUT the per-segment total sort: "
+    "ntile is a pure function of (rank, n) — with q = n div k and "
+    "r = n mod k, ranks up to r*(q+1) fall in the first r (larger) "
+    "buckets and the rest split by q — so grouped_global_rank's "
+    "two-phase rank (parallel (key, value-bucket) windows + metadata "
+    "prefix shift) replaces the ANSI window entirely. Identical bins to "
+    "q_decile_binning, hash-checked against the same oracle. Completes "
+    "the scalable-twin trifecta: rank SELECTION (percentiles), FULL rank "
+    "(LPT dealing), and ntile all derive from the same two-phase "
+    "pattern.",
+)
+def q_decile_binning_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = grouped_global_rank(
+        c, "c_mktsegment", "cents", "c_custkey", descending=False, bucket_width=4096
+    )
+    wt = Window.partitionBy("c_mktsegment")
+    with_n = ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+    k = N_DECILES
+    decile = F.expr(
+        f"CASE WHEN rank <= (n % {k}) * (n div {k} + 1)"
+        f" THEN (rank - 1) div (n div {k} + 1) + 1"
+        f" ELSE (n % {k}) + (rank - (n % {k}) * (n div {k} + 1) - 1) div (n div {k}) + 1 END"
+    )
+    b = with_n.select("c_mktsegment", "cents", decile.cast("long").alias("decile"))
+    return b.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )

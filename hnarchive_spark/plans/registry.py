@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     # -- added this round (need a first driver row) --
     "q_percentiles_scalable",
     "q_shard_assignment_scalable",
+    "q_decile_binning_scalable",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",

@@ -64,3 +64,14 @@ def test_grouped_global_rank_is_a_permutation(spark):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         # rank order == (v desc, id asc) order
         assert rows == sorted(rows, key=lambda t: (-t[1], t[2]))
+
+
+def test_scalable_decile_binning_equals_window_idiom(spark):
+    SF01 = "/root/testdata/sf0.01"  # segments with n % 10 != 0 exercise the
+    # uneven-bucket branch of the ntile-from-rank formula
+    a = {tuple(r) for r in all_queries()["q_decile_binning"](spark, SF01).collect()}
+    b = {
+        tuple(r)
+        for r in all_queries()["q_decile_binning_scalable"](spark, SF01).collect()
+    }
+    assert a == b
