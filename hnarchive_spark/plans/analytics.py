@@ -469,11 +469,13 @@ _MED_X2 = """max(CASE WHEN rn = (nn - 1) // 2 + 1 THEN {v} END)
     "exact two-order-statistic sum (med_x2 = 2*median), deviations are "
     "dev_x2 = 2*|v - med|, the MAD median doubles again to mad_x4, and "
     "the flag 2*dev_x2 > 3*mad_x4 is |v-med| > 3*MAD with no division "
-    "ever. Two ranked windows partitioned by event_type (the grouped "
-    "exact-median idiom from q_percentiles) + two 5-row broadcast joins "
-    "back.",
+    "ever. Both medians come from histogram-prune rank selection "
+    "(operators/rankselect.py — no per-type total sort) + two 5-row "
+    "broadcast joins back.",
 )
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_rank_values
+
     e = load(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
@@ -481,20 +483,17 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def med_x2_of(df: DataFrame, col: str, out: str) -> DataFrame:
-        wt = Window.partitionBy("event_type")
-        r = df.select(
+        # exact median via histogram-prune rank selection — no per-type
+        # total sort (operators/rankselect.py); same two order statistics
+        # as the window idiom.
+        rv = grouped_rank_values(
+            df.select("event_type", col),
             "event_type",
-            F.col(col),
-            F.row_number().over(wt.orderBy(col, "event_id")).alias("rn"),
-            F.count(F.lit(1)).over(wt).alias("nn"),
+            col,
+            {"m_l": "(nn - 1) div 2 + 1", "m_h": "nn div 2 + 1"},
         )
-        return r.groupBy("event_type").agg(
-            (
-                F.max(F.when(F.expr("rn = (nn - 1) div 2 + 1"), F.col(col)))
-                + F.max(F.when(F.expr("rn = nn div 2 + 1"), F.col(col)))
-            )
-            .cast("long")
-            .alias(out)
+        return rv.select(
+            "event_type", (F.col("m_l") + F.col("m_h")).cast("long").alias(out)
         )
 
     med = med_x2_of(e, "cents", "med_x2")
@@ -738,36 +737,38 @@ def q_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_datacard idiom), the clamp compares 20*cents against the "
     "x20 thresholds, and the winsorized sum stays in the x20 scale — "
     "every comparison and sum is integer-exact, so boundary values "
-    "clip identically in both engines. One ranked window per type + a "
-    "5-row broadcast of thresholds.",
+    "clip identically in both engines. Thresholds come from histogram-"
+    "prune rank selection (operators/rankselect.py — no per-type total "
+    "sort over the fact rows) + a 5-row broadcast.",
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_rank_values
+
     e = load(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    wt = Window.partitionBy("event_type")
-    r = e.select(
+    # thresholds via histogram-prune rank selection (operators/rankselect.py)
+    # instead of a per-type total sort — same exact order statistics, no
+    # low-cardinality-key window over the fact rows.
+    rv = grouped_rank_values(
+        e,
         "event_type",
         "cents",
-        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("nn"),
+        {
+            "lo_l": "(nn - 1) div 20 + 1",
+            "lo_h": "least((nn - 1) div 20 + 2, nn)",
+            "hi_l": "(19 * (nn - 1)) div 20 + 1",
+            "hi_h": "least((19 * (nn - 1)) div 20 + 2, nn)",
+        },
     )
-
-    def interp_x20(scale: int) -> F.Column:
-        lo_rank = f"({scale} * (nn - 1)) div 20 + 1"
-        hi_rank = f"least(({scale} * (nn - 1)) div 20 + 2, nn)"
-        frac = f"({scale} * (nn - 1)) % 20"
-        return (
-            F.max(F.when(F.expr(f"rn = {lo_rank}"), F.col("cents")))
-            * (20 - F.max(F.expr(frac)))
-            + F.max(F.when(F.expr(f"rn = {hi_rank}"), F.col("cents")))
-            * F.max(F.expr(frac))
-        )
-
-    th = r.groupBy("event_type").agg(
-        interp_x20(1).alias("lo_x20"), interp_x20(19).alias("hi_x20")
+    f1 = F.expr("(nn - 1) % 20")
+    f19 = F.expr("(19 * (nn - 1)) % 20")
+    th = rv.select(
+        "event_type",
+        (F.col("lo_l") * (20 - f1) + F.col("lo_h") * f1).alias("lo_x20"),
+        (F.col("hi_l") * (20 - f19) + F.col("hi_h") * f19).alias("hi_x20"),
     )
     j = e.join(F.broadcast(th), "event_type")
     v20 = 20 * F.col("cents")
