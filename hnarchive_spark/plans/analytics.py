@@ -991,3 +991,43 @@ def q_decile_binning_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH vc AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cnt DESC, cents) AS rn
+      FROM vc
+    )
+    SELECT event_type, cents AS mode_cents, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    doc="Exact grouped mode (most frequent value, smallest-value tiebreak): "
+    "fact rows collapse to (key, value) counts through partial "
+    "aggregation FIRST — the ranking window then runs over the distinct-"
+    "value table (bounded by value cardinality), never over raw rows. "
+    "The descriptive statistic the mean/median/percentile family was "
+    "missing.",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    vc = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), "cents")
+    return (
+        vc.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -48,19 +48,15 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver verifies a bounded window (~50 queries) of the inventory in the
 # order all_queries() returns, so the names below — round 5's verification
 # targets — come FIRST, then everything else in registration order:
-#   * positions 1-17: queries whose code or oracle changed this round (the
-#     HUGEINT BIGINT casts, the integer quality/percentile/cents rework, the
-#     microsecond range-frame fix, the chunking empty-doc guard) plus the
-#     round-5 additions (q_heavy_hitters_exact + its rows-only sketch
-#     sibling, q_pq_codes, q_vocab_top_subtokens, q_shard_assignment,
-#     q_reservoir_per_source) — all need a first driver row;
-#   * next 8: the remaining r1-green-only queries — their last driver
-#     signal predates three testdata regenerations;
-#   * rest of the 50: the stalest r3-green block (dedup/similarity/textops),
-#     float-output-first.
-# The tail (r4-green relational/streaming/hn_ops + the r3-green
-# functions-battery/multimodal/merge/packing/as-of block, 2 rounds fresh)
-# rotates in round 6.
+#   * first 5: the round-4 hash-fails fixed this round (oracle BIGINT pins +
+#     integer quality rework) — a fresh green row is mandatory;
+#   * then every query ADDED in round 5 (both sessions: the LLM-pipeline /
+#     graph / analytics / search / streaming-semantics waves) — all need a
+#     first driver row; the ~50-query window ends just after this block;
+#   * tail: stale-green insurance (r1-green-only first, then the stalest
+#     r3-green dedup/similarity/textops block) that rotates in as windows
+#     allow. The r4-green relational/streaming/hn_ops block sits after
+#     _VERIFY_FIRST in registration order and rotates in round 6.
 _VERIFY_FIRST = [
     # -- the three round-4 hash-fails whose oracles were BIGINT-pinned this
     # round, plus the two whose quality score was integer-reworked: these
@@ -74,6 +70,7 @@ _VERIFY_FIRST = [
     "q_percentiles_scalable",
     "q_shard_assignment_scalable",
     "q_decile_binning_scalable",
+    "q_mode_per_group",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",
