@@ -232,6 +232,32 @@ def cmd_html_render(spark, args):
             print(f"wrote {args.output.format(id=rid)} ({len(html)} bytes)")
 
 
+def cmd_query(spark, args):
+    """Run any registered library query against a table directory — the CLI
+    face of ``__spark_entry__.queries()`` (155-query surface)."""
+    import os as _os
+
+    from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    if not args.name:
+        for name in sorted(REGISTRY):
+            doc = (REGISTRY[name].doc or "").split(". ")[0][:90]
+            print(f"{name}\t{doc}")
+        return 0
+    if args.name not in REGISTRY:
+        raise SystemExit(f"unknown query {args.name!r} (run `query` with no name to list)")
+    sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    df = REGISTRY[args.name].spark(spark, sf_dir)
+    if args.json:
+        rows = df if args.limit == 0 else df.limit(args.limit)
+        for line in rows.toJSON().collect():
+            print(line)
+    else:
+        df.show(n=df.count() if args.limit == 0 else args.limit, truncate=40)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hnarchive-spark")
     p.add_argument("--store", default="./hnarchive_store")
@@ -284,6 +310,13 @@ def build_parser() -> argparse.ArgumentParser:
     hr.add_argument("ids", type=int, nargs="+")
     hr.add_argument("--output", default=None, help="path template containing {id}")
     hr.set_defaults(func=cmd_html_render)
+
+    q = sub.add_parser("query", help="run a named query from the library")
+    q.add_argument("name", nargs="?", default=None, help="query slug (omit to list all)")
+    q.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR)")
+    q.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
+    q.add_argument("--json", action="store_true", help="print JSON lines instead of a table")
+    q.set_defaults(func=cmd_query)
     return p
 
 

@@ -149,3 +149,19 @@ def test_export_to_duckdb(env, capsys):
     ).fetchone()
     assert row == ("bob", "comment", 1)
     con.close()
+
+
+def test_cli_query_lists_and_runs(spark, tmp_path, capsys):
+    from hnarchive_spark import cli
+
+    args = cli.build_parser().parse_args(["query"])
+    assert cli.cmd_query(spark, args) == 0
+    listing = capsys.readouterr().out
+    assert "q_flagship" in listing and "q_pagerank" in listing
+
+    args = cli.build_parser().parse_args(
+        ["query", "q_groupby_agg", "--sf-dir", "/root/testdata/sf0.001", "--json"]
+    )
+    assert cli.cmd_query(spark, args) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[0].startswith("{")
