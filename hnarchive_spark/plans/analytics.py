@@ -1031,3 +1031,54 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, cents,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY cents, o_orderkey) AS rk
+      FROM x
+    )
+    SELECT priority, count(*) AS n,
+           CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(cents) AS BIGINT) AS gini_den
+    FROM r GROUP BY priority
+    """,
+    doc="Gini concentration of order value per priority as the exact "
+    "rational (num, den): G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) "
+    "over ascending-ranked cents — the inequality audit behind revenue-"
+    "concentration and data-contribution analyses, no division or float "
+    "ever. Ranks come from operators/rankselect.py grouped_global_rank "
+    "(parallel value-bucket windows + metadata prefix shift), NOT a "
+    "per-priority total sort. sum(rank*x) stays in int64 through "
+    "~n^2*x = 9e18 — beyond ~1e6 rows/group at these cent magnitudes, "
+    "switch the ratio to double (the counts never overflow).",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = grouped_global_rank(
+        o, "priority", "cents", "o_orderkey", descending=False, bucket_width=65536
+    )
+    return ranked.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            2 * F.sum(F.col("rank") * F.col("cents"))
+            - (F.count(F.lit(1)) + 1) * F.sum("cents")
+        ).alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("cents")).alias("gini_den"),
+    )

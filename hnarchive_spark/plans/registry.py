@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "q_shard_assignment_scalable",
     "q_decile_binning_scalable",
     "q_mode_per_group",
+    "q_gini_revenue",
+    "q_join_full_outer",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",

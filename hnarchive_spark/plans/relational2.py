@@ -914,3 +914,64 @@ def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p90_lo") * (10 - f9) + F.col("p90_hi") * f9).alias("p90_cents_x10"),
         (F.col("p99_lo") * (100 - f99) + F.col("p99_hi") * f99).alias("p99_cents_x100"),
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT date_trunc('day', min(ts)) + INTERVAL 3 DAY AS early,
+             date_trunc('day', min(ts)) + INTERVAL 27 DAY AS late
+      FROM events
+    ),
+    h1 AS (
+      SELECT user_id, count(*) AS n1 FROM events, cut
+      WHERE ts < cut.early AND event_type = 'purchase' GROUP BY user_id
+    ),
+    h2 AS (
+      SELECT user_id, count(*) AS n2 FROM events, cut
+      WHERE ts >= cut.late AND event_type = 'error' GROUP BY user_id
+    )
+    SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
+           coalesce(h1.n1, 0) AS n_before, coalesce(h2.n2, 0) AS n_after,
+           CASE WHEN h1.user_id IS NULL THEN 'new'
+                WHEN h2.user_id IS NULL THEN 'churned'
+                ELSE 'retained' END AS cohort
+    FROM h1 FULL OUTER JOIN h2 ON h2.user_id = h1.user_id
+    """,
+    doc="FULL OUTER join (the one join mode the battery was missing as a "
+    "registered read query — the merge engine uses it internally): "
+    "early purchasers vs late error-reporters (narrow data-derived windows, "
+    "so each side genuinely misses users and both null-padding paths fire), "
+    "null-padded on either "
+    "side and classified new / churned / retained. Both inputs are "
+    "partial-aggregated per-user counts before the join, so the full-"
+    "outer shuffle carries one row per user per side.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cut_df = e.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 3 DAYS")).alias("early"),
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 27 DAYS")).alias("late"),
+    )
+    e = e.crossJoin(F.broadcast(cut_df))
+    h1 = (
+        e.filter((F.col("ts") < F.col("early")) & (F.col("event_type") == "purchase"))
+        .groupBy(F.col("user_id").alias("u1"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    h2 = (
+        e.filter((F.col("ts") >= F.col("late")) & (F.col("event_type") == "error"))
+        .groupBy(F.col("user_id").alias("u2"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    j = h1.join(h2, h1["u1"] == h2["u2"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+        F.coalesce(F.col("n1"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("n2"), F.lit(0)).alias("n_after"),
+        F.when(F.col("u1").isNull(), "new")
+        .when(F.col("u2").isNull(), "churned")
+        .otherwise("retained")
+        .alias("cohort"),
+    )
