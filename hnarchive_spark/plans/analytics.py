@@ -1082,3 +1082,174 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_num"),
         (F.count(F.lit(1)) * F.sum("cents")).alias("gini_den"),
     )
+
+
+@query(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT priority, count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily
+      GROUP BY priority
+    ),
+    cum AS (
+      SELECT d.priority, d.day, st.n, st.s,
+             CAST(sum(d.y) OVER (PARTITION BY d.priority ORDER BY d.day)
+                  AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY d.priority ORDER BY d.day) AS k
+      FROM daily d JOIN st ON st.priority = d.priority
+    ),
+    dev AS (
+      SELECT priority, day, n, abs(n * c - k * s) AS d_abs
+      FROM cum
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY priority
+                                   ORDER BY d_abs DESC, day) AS rn
+      FROM dev
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_days,
+           CAST(day AS TIMESTAMP) AS peak_day,
+           CAST(d_abs AS BIGINT) AS cusum_peak
+    FROM best WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection over daily revenue: the day where the "
+    "cumulative deviation from the overall mean peaks — |n*cum_k - k*S| "
+    "maximized (the integer-cleared form of |prefix mean - global mean| "
+    "weighted by k; no division) — the standard level-shift locator for "
+    "monitoring pipelines. All windows run over the DAILY aggregate "
+    "(metadata-sized after the one partial-agg shuffle), never raw "
+    "orders; ties break to the earliest day.",
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    st = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    wd = Window.partitionBy("priority").orderBy("day")
+    cum = daily.join(F.broadcast(st), "priority").select(
+        "priority",
+        "day",
+        "n",
+        F.sum("y").over(wd).alias("c"),
+        F.row_number().over(wd).alias("k"),
+        "s",
+    )
+    dev = cum.select(
+        "priority", "day", "n", F.abs(F.col("n") * F.col("c") - F.col("k") * F.col("s")).alias("d_abs")
+    )
+    wb = Window.partitionBy("priority").orderBy(F.col("d_abs").desc(), "day")
+    return (
+        dev.select("*", F.row_number().over(wb).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            F.col("d_abs").cast("long").alias("cusum_peak"),
+        )
+    )
+
+
+@query(
+    "q_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT priority, count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily
+      GROUP BY priority
+    ),
+    dev AS (
+      SELECT d.priority, d.day,
+             d.y - (2 * st.s + st.n) // (2 * st.n) AS dv
+      FROM daily d JOIN st ON st.priority = d.priority
+    ),
+    paired AS (
+      SELECT priority, dv,
+             lead(dv) OVER (PARTITION BY priority ORDER BY day) AS dv1
+      FROM dev
+    )
+    SELECT priority, count(*) AS n_days,
+           CAST(sum(dv * dv1) AS BIGINT) AS r1_num,
+           CAST(sum(dv * dv) AS BIGINT) AS r1_den
+    FROM paired GROUP BY priority
+    """,
+    doc="Lag-1 autocorrelation of daily revenue as the exact rational "
+    "(r1_num, r1_den): deviations are taken from the ROUND-HALF-UP "
+    "integer mean (the portability-exact definition — true-mean "
+    "deviations would need m-scaled products that overflow int64 at "
+    "long histories), paired with the next day's deviation via lead(). "
+    "Positive r1 = momentum, negative = mean reversion — the "
+    "stationarity screen before any forecasting job. Daily aggregate "
+    "first; every window runs over the metadata-sized day table. "
+    "Null-lead tail rows drop from the numerator only, matching the "
+    "standard sum over n-1 pairs.",
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    st = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    dev = daily.join(F.broadcast(st), "priority").select(
+        "priority", "day", (F.col("y") - F.expr("(2 * s + n) div (2 * n)")).alias("dv")
+    )
+    wd = Window.partitionBy("priority").orderBy("day")
+    paired = dev.select("priority", "dv", F.lead("dv").over(wd).alias("dv1"))
+    return paired.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("dv") * F.col("dv1")).alias("r1_num"),
+        F.sum(F.col("dv") * F.col("dv")).alias("r1_den"),
+    )
+
+
+@query(
+    "q_dow_profile",
+    oracle="""
+    SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, isodow(ts)
+    """,
+    doc="Day-of-week seasonality profile per event type (ISO weekday, "
+    "1=Monday — Spark's weekday()+1 matches DuckDB's isodow exactly; the "
+    "engines' default dayofweek() numbering DISAGREES, Sunday-1 vs "
+    "Sunday-0, which this sidesteps). One partial-agg shuffle on "
+    "(type, dow) — 35 groups regardless of volume.",
+)
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("cents"))
+    )

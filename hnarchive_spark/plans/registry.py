@@ -73,6 +73,9 @@ _VERIFY_FIRST = [
     "q_mode_per_group",
     "q_gini_revenue",
     "q_join_full_outer",
+    "q_changepoint_cusum",
+    "q_autocorr_lag1",
+    "q_dow_profile",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",
