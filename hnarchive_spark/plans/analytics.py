@@ -1253,3 +1253,56 @@ def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("cents"))
     )
+
+
+SKEW_TOPK = 10
+
+
+@query(
+    "q_skew_report",
+    oracle=f"""
+    WITH kc AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    st AS (
+      SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    )
+    SELECT kc.o_custkey, kc.cnt, st.n_keys, st.total,
+           (2000 * st.max_cnt * st.n_keys + st.total) // (2 * st.total)
+             AS skew_x1000
+    FROM kc, st
+    ORDER BY kc.cnt DESC, kc.o_custkey
+    LIMIT {SKEW_TOPK}
+    """,
+    doc="Join-key skew diagnosis: the top heaviest custkeys with the "
+    "hot-key skew factor max_count/mean_count as a round-half-up x1000 "
+    "integer — the report an engineer reads BEFORE reaching for "
+    "operators/skew.py salting or AQE skew-join thresholds. One "
+    "partial-agg shuffle to per-key counts, a 1-row broadcast of the "
+    "corpus stats, TakeOrderedAndProject for the top-k (never a global "
+    "sort).",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    kc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    st = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        kc.crossJoin(F.broadcast(st))
+        .select(
+            "o_custkey",
+            "cnt",
+            "n_keys",
+            "total",
+            F.expr(
+                "(2000 * max_cnt * n_keys + total) div (2 * total)"
+            ).alias("skew_x1000"),
+        )
+        .orderBy(F.col("cnt").desc(), "o_custkey")
+        .limit(SKEW_TOPK)
+    )

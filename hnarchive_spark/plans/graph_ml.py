@@ -593,3 +593,94 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cn").desc(), F.col("jaccard_e6").desc(), "u", "v"
     ).limit(LP_TOPK)
+
+
+KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""
+    d{i} AS (
+      SELECT n.node, count(e.a) AS deg
+      FROM {prev} n LEFT JOIN (
+        SELECT u1.node AS a, u2.node AS b
+        FROM und JOIN {prev} u1 ON u1.node = und.a
+        JOIN {prev} u2 ON u2.node = und.b
+      ) e ON e.a = n.node OR e.b = n.node
+      GROUP BY n.node
+    ),
+    s{i} AS (SELECT d{i}.node FROM d{i}, kk WHERE d{i}.deg >= kk.k)
+"""
+
+
+@query(
+    "q_kcore_peel",
+    oracle=f"""
+    WITH {_UND_SQL},
+    nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+    kk AS (SELECT (2 * (SELECT count(*) FROM und) + (SELECT count(*) FROM nodes))
+                  // (2 * (SELECT count(*) FROM nodes)) AS k),
+    s0 AS (SELECT node FROM nodes),
+    {",".join(_kcore_round_sql(i).strip() for i in range(1, KCORE_ROUNDS + 1))}
+    SELECT n.node,
+           CAST((SELECT count(*) FROM und, s{KCORE_ROUNDS} x, s{KCORE_ROUNDS} y
+                 WHERE x.node = und.a AND y.node = und.b
+                   AND (und.a = n.node OR und.b = n.node)) AS BIGINT) AS core_deg
+    FROM s{KCORE_ROUNDS} n
+    """,
+    doc=f"Iterated k-core peeling ({KCORE_ROUNDS} rounds, k = round-half-up "
+    "HALF the average degree — data-derived, so the threshold tracks the "
+    "graph; the synthetic interaction graph is near-regular, so peeling "
+    "rarely drops nodes here and the hash check rides on the within-core "
+    "degrees — on a skewed real graph the same plan prunes hard): "
+    "each round drops nodes whose degree among SURVIVORS falls below k, "
+    "converging toward the k-core (full convergence is a fixpoint; the "
+    "fixed round count keeps both engines bit-identical, exactly the "
+    "q_pagerank determinism contract). Output: surviving nodes with "
+    "their within-core degree. Spark side: each round is one "
+    "semi-join-degree-filter over the materialized edge set, state is "
+    "one row per surviving node; the oracle unrolls the rounds as "
+    "chained CTEs. The dense-core extraction behind spam-ring and "
+    "community-seed mining.",
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _und_edges(spark, sf_dir)
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    n_edges = und.count()
+    n_nodes = nodes.count()
+    k = (2 * n_edges + n_nodes) // (2 * n_nodes)
+    surv = nodes
+    for _ in range(KCORE_ROUNDS):
+        alive_edges = (
+            und.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        deg = (
+            alive_edges.select(F.col("a").alias("node"))
+            .unionAll(alive_edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = (
+            surv.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) >= k)
+            .select("node")
+        )
+    final_edges = (
+        und.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+    )
+    core_deg = (
+        final_edges.select(F.col("a").alias("node"))
+        .unionAll(final_edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return surv.join(core_deg, "node", "left").select(
+        "node", F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg")
+    )

@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "q_changepoint_cusum",
     "q_autocorr_lag1",
     "q_dow_profile",
+    "q_skew_report",
+    "q_kcore_peel",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",
