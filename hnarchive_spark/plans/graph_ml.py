@@ -684,3 +684,94 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.join(core_deg, "node", "left").select(
         "node", F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg")
     )
+
+
+PCA_ITERS = 5
+PCA_VSCALE = 1000  # eigenvector components scaled to +-1000
+
+
+def _pca_iter_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""
+    u{i} AS (
+      SELECT g.i, CAST(sum(g.gv * {prev}.v) AS BIGINT) AS u
+      FROM gm g JOIN {prev} ON {prev}.i = g.j GROUP BY g.i
+    ),
+    m{i} AS (SELECT max(abs(u)) AS m FROM u{i}),
+    v{i} AS (
+      SELECT u{i}.i,
+             CAST(CASE WHEN u >= 0
+                       THEN (2 * {PCA_VSCALE} * u + m) // (2 * m)
+                       ELSE -((2 * {PCA_VSCALE} * (-u) + m) // (2 * m))
+                  END AS BIGINT) AS v
+      FROM u{i}, m{i}
+    )
+"""
+
+
+@query(
+    "q_pca_power",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    gm AS (
+      SELECT a.i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gv
+      FROM vals a JOIN vals b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, CAST({PCA_VSCALE} AS BIGINT) AS v
+           FROM (SELECT DISTINCT i FROM vals)),
+    {",".join(_pca_iter_sql(i).strip() for i in range(1, PCA_ITERS + 1))}
+    SELECT i AS dim, v AS comp_e3 FROM v{PCA_ITERS}
+    """,
+    doc=f"Top principal component of the embedding corpus by power "
+    f"iteration ({PCA_ITERS} fixed iterations), bit-exact across engines: "
+    "elements quantize to e3 integers, the 64x64 Gram matrix is ONE "
+    "distributed pass (dim-pair products collapse through partial agg — "
+    "at scale the Gram computation is the only data-sized job), and the "
+    "iteration itself runs over the metadata-sized matrix with integer "
+    "renormalization to +-1000 each step. Division is sign-decomposed "
+    "(abs value, then re-signed) because Spark's div TRUNCATES while "
+    "DuckDB's // FLOORS — they agree only on non-negative operands; this "
+    "is the one engine divergence every signed integer-exact recipe must "
+    "route around. The drift/whitening primitive for embedding-health "
+    "monitoring.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("x") * 1000, 0).cast("long").alias("x"),
+    )
+    a = vals.select("vec_id", F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = vals.select("vec_id", F.col("i").alias("j"), F.col("x").alias("bx"))
+    gm = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), "j")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("gv"))
+        .localCheckpoint(eager=True)  # 64x64 rows, referenced every iteration
+    )
+    v = gm.select("i").distinct().select(
+        "i", F.lit(PCA_VSCALE).cast("long").alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        u = (
+            gm.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gv") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.expr(
+                f"CAST(CASE WHEN u >= 0 THEN (2 * {PCA_VSCALE} * u + m) div (2 * m)"
+                f" ELSE -((2 * {PCA_VSCALE} * (-u) + m) div (2 * m)) END AS BIGINT)"
+            ).alias("v"),
+        )
+    return v.select(F.col("i").alias("dim"), F.col("v").alias("comp_e3"))
