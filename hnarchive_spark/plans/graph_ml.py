@@ -710,7 +710,7 @@ def _pca_iter_sql(i: int) -> str:
 
 
 @query(
-    "q_pca_power",
+    "q_power_iteration",
     oracle=f"""
     WITH vals AS (
       SELECT vec_id, unnest(range(0, len(embedding))) AS i,
@@ -727,20 +727,23 @@ def _pca_iter_sql(i: int) -> str:
     {",".join(_pca_iter_sql(i).strip() for i in range(1, PCA_ITERS + 1))}
     SELECT i AS dim, v AS comp_e3 FROM v{PCA_ITERS}
     """,
-    doc=f"Top principal component of the embedding corpus by power "
-    f"iteration ({PCA_ITERS} fixed iterations), bit-exact across engines: "
-    "elements quantize to e3 integers, the 64x64 Gram matrix is ONE "
-    "distributed pass (dim-pair products collapse through partial agg — "
-    "at scale the Gram computation is the only data-sized job), and the "
-    "iteration itself runs over the metadata-sized matrix with integer "
-    "renormalization to +-1000 each step. Division is sign-decomposed "
-    "(abs value, then re-signed) because Spark's div TRUNCATES while "
-    "DuckDB's // FLOORS — they agree only on non-negative operands; this "
-    "is the one engine divergence every signed integer-exact recipe must "
-    "route around. The drift/whitening primitive for embedding-health "
-    "monitoring.",
+    doc=f"Gram-matrix power iteration ({PCA_ITERS} fixed steps from the "
+    "all-ones vector), bit-exact across engines: elements quantize to e3 "
+    "integers, the 64x64 Gram matrix is ONE distributed pass (dim-pair "
+    "products collapse through partial agg — at scale the Gram "
+    "computation is the only data-sized job), and the iteration runs "
+    "over the metadata-sized matrix with integer renormalization to "
+    "+-1000 each step. This emits the 5-step POWER ITERATE — the PCA "
+    "building block and a deterministic drift-direction signature — not "
+    "a converged eigenvector: the synthetic corpus is near-isotropic "
+    "(top eigengap ratio ~0.95), where convergence needs O(1/gap) "
+    "steps on ANY engine; test_graph_props locks the integer iterate "
+    "against numpy running the same five float steps. Division is "
+    "sign-decomposed (abs, divide, re-sign) because Spark's div "
+    "TRUNCATES while DuckDB's // FLOORS — they agree only on "
+    "non-negative operands.",
 )
-def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     vals = e.select(
         "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")

@@ -78,7 +78,7 @@ _VERIFY_FIRST = [
     "q_dow_profile",
     "q_skew_report",
     "q_kcore_peel",
-    "q_pca_power",
+    "q_power_iteration",
     "q_stream_late_drop",
     "q_stream_outer_join",
     "q_expectations",

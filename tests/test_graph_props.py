@@ -77,3 +77,51 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert r.u < r.v
         assert (r.u, r.v) not in edges, "predicted pair already adjacent"
         assert r.cn >= 1
+
+
+def test_power_iteration_matches_numpy_same_steps(spark):
+    """The oracle mirrors the same integer algorithm, so it cannot catch an
+    algorithmic mistake (transposed Gram, wrong normalization...) — numpy
+    running the SAME five float power steps is the independent reference;
+    the integer iterate must align with it up to quantization."""
+    import numpy as np
+
+    from hnarchive_spark.plans.graph_ml import PCA_ITERS
+    from hnarchive_spark.tables import load
+
+    rows = all_queries()["q_power_iteration"](spark, SF).collect()
+    v = np.array([r.comp_e3 for r in sorted(rows, key=lambda r: r.dim)], dtype=float)
+
+    X = np.array([r.embedding for r in load(spark, SF, "embeddings").collect()])
+    Xq = np.round(X * 1000.0)
+    G = Xq.T @ Xq
+    ref = np.ones(G.shape[0])
+    for _ in range(PCA_ITERS):
+        ref = G @ ref
+        ref = ref / np.max(np.abs(ref))
+    cos = abs(float(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref)))
+    assert cos > 0.999, cos
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    """Independent pure-Python peel over the same edge set and threshold."""
+    from hnarchive_spark.plans.graph_ml import KCORE_ROUNDS, _und_edges
+
+    edges = {(r.a, r.b) for r in _und_edges(spark, SF).collect()}
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    k = (2 * len(edges) + len(nodes)) // (2 * len(nodes))
+    surv = set(nodes)
+    for _ in range(KCORE_ROUNDS):
+        deg = {n: 0 for n in surv}
+        for a, b in edges:
+            if a in surv and b in surv:
+                deg[a] += 1
+                deg[b] += 1
+        surv = {n for n in surv if deg.get(n, 0) >= k}
+    final_deg = {n: 0 for n in surv}
+    for a, b in edges:
+        if a in surv and b in surv:
+            final_deg[a] += 1
+            final_deg[b] += 1
+    got = {r.node: r.core_deg for r in all_queries()["q_kcore_peel"](spark, SF).collect()}
+    assert got == final_deg
