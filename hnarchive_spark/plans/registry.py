@@ -66,57 +66,17 @@ _VERIFY_FIRST = [
     "q_select_token_budget",
     "q_dedup_canonical",
     "q_chunk_documents",
-    # -- added this round (need a first driver row) --
+    # -- scalable twins of judged anti-patterns (new, need a first row) --
     "q_percentiles_scalable",
     "q_shard_assignment_scalable",
     "q_decile_binning_scalable",
-    "q_mode_per_group",
-    "q_gini_revenue",
-    "q_join_full_outer",
-    "q_changepoint_cusum",
-    "q_autocorr_lag1",
-    "q_dow_profile",
-    "q_skew_report",
-    "q_kcore_peel",
-    "q_power_iteration",
-    "q_stream_late_drop",
-    "q_stream_outer_join",
-    "q_expectations",
-    "q_subtree_agg",
-    "q_winsorize",
-    "q_association_rules",
-    "q_attribution_last_touch",
-    "q_recency_weighted",
-    "q_store_changelog",
-    "q_triangle_count",
-    "q_link_prediction",
-    "q_decile_binning",
-    "q_bm25_lite",
-    "q_inverted_index",
-    "q_bigram_lm",
-    "q_gap_fill",
-    "q_length_histogram",
-    "q_outlier_mad",
-    "q_pagerank",
-    "q_global_index",
-    "q_knn_classify",
-    "q_hard_negatives",
-    "q_embed_dim_audit",
-    "q_orders_per_customer_dist",
-    "q_idle_rich_customers",
-    "q_sole_late_supplier",
-    "q_user_anomaly",
-    "q_revenue_trend",
+    # -- round-5 LLM-pipeline wave (first-class components, need first rows) --
     "q_semdedup",
     "q_ann_pq_search",
     "q_paragraph_dedup",
     "q_mix_temperature",
     "q_pii_redact",
     "q_skew_salted_join",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_market_share",
-    # -- changed or added this round --
     "q_pq_codes",
     "q_vocab_top_subtokens",
     "q_shard_assignment",
@@ -125,10 +85,52 @@ _VERIFY_FIRST = [
     "q_stream_rollup_mv",
     "q_heavy_hitters_exact",
     "q_heavy_hitters_cms",
-    # -- the ~50-query driver window ends around here: everything above is
-    # never-verified or changed this round, everything below is stale-green
-    # insurance that rotates in as the window allows --
-    # -- r1-green-only, unchanged --
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_market_share",
+    # -- round-5 streaming-semantics wave --
+    "q_stream_late_drop",
+    "q_stream_outer_join",
+    # -- round-5 graph / ML wave --
+    "q_pagerank",
+    "q_global_index",
+    "q_knn_classify",
+    "q_hard_negatives",
+    "q_embed_dim_audit",
+    "q_triangle_count",
+    "q_link_prediction",
+    "q_kcore_peel",
+    "q_power_iteration",
+    # -- round-5 search / retrieval wave --
+    "q_bm25_lite",
+    "q_inverted_index",
+    "q_bigram_lm",
+    # -- round-5 analytics wave (the ~50-query window ends inside this
+    # block; the remainder gets first rows in round 6) --
+    "q_orders_per_customer_dist",
+    "q_idle_rich_customers",
+    "q_sole_late_supplier",
+    "q_user_anomaly",
+    "q_revenue_trend",
+    "q_attribution_last_touch",
+    "q_recency_weighted",
+    "q_store_changelog",
+    "q_gap_fill",
+    "q_length_histogram",
+    "q_outlier_mad",
+    "q_winsorize",
+    "q_association_rules",
+    "q_expectations",
+    "q_subtree_agg",
+    "q_decile_binning",
+    "q_mode_per_group",
+    "q_gini_revenue",
+    "q_join_full_outer",
+    "q_changepoint_cusum",
+    "q_autocorr_lag1",
+    "q_dow_profile",
+    "q_skew_report",
+    # -- r1-green-only stale insurance --
     "q_window_range_frame",
     "q_filtered_agg",
     "q_having",
