@@ -249,6 +249,9 @@ def cmd_query(spark, args):
         raise SystemExit(f"unknown query {args.name!r} (run `query` with no name to list)")
     sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     df = REGISTRY[args.name].spark(spark, sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
     if args.json:
         rows = df if args.limit == 0 else df.limit(args.limit)
         for line in rows.toJSON().collect():
@@ -316,6 +319,7 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR)")
     q.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
     q.add_argument("--json", action="store_true", help="print JSON lines instead of a table")
+    q.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     q.set_defaults(func=cmd_query)
     return p
 

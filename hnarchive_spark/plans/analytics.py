@@ -1306,3 +1306,59 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "o_custkey")
         .limit(SKEW_TOPK)
     )
+
+
+N_HIST_BINS = 10
+
+
+@query(
+    "q_histogram_equiwidth",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ext AS (
+      SELECT priority, min(cents) AS lo, max(cents) AS hi FROM v
+      GROUP BY priority
+    ),
+    binned AS (
+      SELECT v.priority,
+             least((v.cents - e.lo) * {N_HIST_BINS} // (e.hi - e.lo + 1),
+                   {N_HIST_BINS} - 1) AS bin,
+             e.lo, e.hi, v.cents
+      FROM v JOIN ext e ON e.priority = v.priority
+    )
+    SELECT priority, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+           CAST(min(cents) AS BIGINT) AS bin_min,
+           CAST(max(cents) AS BIGINT) AS bin_max
+    FROM binned GROUP BY priority, bin
+    """,
+    doc=f"Equi-width {N_HIST_BINS}-bin value histogram per group with "
+    "data-derived edges: bin = (v - lo) * k / (hi - lo + 1) in pure "
+    "integer arithmetic (the +1 keeps the max value inside the last bin "
+    "without a float epsilon; both operands non-negative so truncating "
+    "and flooring division agree). Completes the profiling family next "
+    "to the log2 histogram, deciles, and mode. Per-group extents are a "
+    "5-row broadcast; one partial-agg shuffle bins the corpus.",
+)
+def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ext = o.groupBy("priority").agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = o.join(F.broadcast(ext), "priority").select(
+        "priority",
+        "cents",
+        F.least(
+            F.expr(f"(cents - lo) * {N_HIST_BINS} div (hi - lo + 1)"),
+            F.lit(N_HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("priority", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("bin_min"),
+        F.max("cents").alias("bin_max"),
+    )

@@ -130,6 +130,7 @@ _VERIFY_FIRST = [
     "q_autocorr_lag1",
     "q_dow_profile",
     "q_skew_report",
+    "q_histogram_equiwidth",
     # -- r1-green-only stale insurance --
     "q_window_range_frame",
     "q_filtered_agg",
