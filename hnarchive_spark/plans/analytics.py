@@ -1362,3 +1362,177 @@ def q_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("bin_min"),
         F.max("cents").alias("bin_max"),
     )
+
+
+@query(
+    "q_lorenz_deciles",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, cents,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY cents, o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM x
+    ),
+    b AS (
+      SELECT priority, cents,
+             CASE WHEN rk <= (n % {N_DECILES}) * (n // {N_DECILES} + 1)
+                  THEN (rk - 1) // (n // {N_DECILES} + 1) + 1
+                  ELSE (n % {N_DECILES})
+                       + (rk - (n % {N_DECILES}) * (n // {N_DECILES} + 1) - 1)
+                         // (n // {N_DECILES}) + 1 END AS decile
+      FROM r
+    ),
+    d AS (
+      SELECT priority, CAST(decile AS BIGINT) AS decile,
+             CAST(sum(cents) AS BIGINT) AS decile_cents, count(*) AS n_orders
+      FROM b GROUP BY priority, decile
+    ),
+    t AS (SELECT priority, CAST(sum(decile_cents) AS BIGINT) AS total FROM d
+          GROUP BY priority)
+    SELECT d.priority, d.decile, d.n_orders, d.decile_cents,
+           (2000000 * d.decile_cents + t.total) // (2 * t.total) AS share_e6,
+           CAST((2000000 * sum(d.decile_cents) OVER (PARTITION BY d.priority
+                    ORDER BY d.decile) + t.total) // (2 * t.total) AS BIGINT)
+             AS cum_share_e6
+    FROM d JOIN t ON t.priority = d.priority
+    """,
+    doc="Lorenz curve by value decile: each priority's orders split into "
+    "equal-count deciles of ascending value (the ntile-from-rank formula "
+    "over the scalable grouped rank, all divisions integer // / div), "
+    "emitting each decile's revenue share and cumulative share as "
+    "round-half-up e6 integers — the inequality curve q_gini_revenue "
+    "summarizes, decile by decile. Heavy ranks come from "
+    "operators/rankselect.py; the share windows run over 10 rows per "
+    "group.",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = grouped_global_rank(
+        o, "priority", "cents", "o_orderkey", descending=False, bucket_width=65536
+    )
+    wt = Window.partitionBy("priority")
+    with_n = ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+    k = N_DECILES
+    decile = F.expr(
+        f"CASE WHEN rank <= (n % {k}) * (n div {k} + 1)"
+        f" THEN (rank - 1) div (n div {k} + 1) + 1"
+        f" ELSE (n % {k}) + (rank - (n % {k}) * (n div {k} + 1) - 1) div (n div {k}) + 1 END"
+    )
+    d = (
+        with_n.select("priority", "cents", decile.cast("long").alias("decile"))
+        .groupBy("priority", "decile")
+        .agg(F.sum("cents").alias("decile_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    t = d.groupBy("priority").agg(F.sum("decile_cents").alias("total"))
+    wd = Window.partitionBy("priority").orderBy("decile")
+    j = d.join(F.broadcast(t), "priority")
+    return j.select(
+        "priority",
+        "decile",
+        "n_orders",
+        "decile_cents",
+        F.expr("(2000000 * decile_cents + total) div (2 * total)").alias("share_e6"),
+        F.expr(
+            "CAST((2000000 * sum(decile_cents) OVER (PARTITION BY priority ORDER BY decile)"
+            " + total) div (2 * total) AS BIGINT)"
+        ).alias("cum_share_e6"),
+    )
+
+
+@query(
+    "q_percentile_rank_transform",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_id, event_type, cents,
+           CAST((2000000 * (rk - 1) + (n - 1)) // (2 * (n - 1)) AS BIGINT)
+             AS pct_e6
+    FROM r WHERE n > 1
+    """,
+    doc="Percentile-rank transform (quantile normalization): every value "
+    "maps to its within-group rank position (rk-1)/(n-1) as a round-half-"
+    "up e6 integer — the monotone, outlier-immune feature transform "
+    "behind quantile-normalized model inputs. Ranks come from "
+    "operators/rankselect.py grouped_global_rank (parallel value-bucket "
+    "windows + metadata prefix shift — NOT a per-type total sort); ties "
+    "break by event_id so the map is a bijection on both engines. "
+    "Single-row groups drop (the transform is undefined at n=1).",
+)
+def q_percentile_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = grouped_global_rank(
+        e, "event_type", "cents", "event_id", descending=False, bucket_width=65536
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.expr(
+                "CAST((2000000 * (rank - 1) + (n - 1)) div (2 * (n - 1)) AS BIGINT)"
+            ).alias("pct_e6"),
+        )
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT priority, digit, count(*) AS n
+    FROM d GROUP BY priority, digit
+    """,
+    doc="Benford first-digit audit: leading-digit counts of order amounts "
+    "per priority — the classic fabricated-numbers screen (natural "
+    "multiplicative amounts follow log10(1+1/d); uniform or spiked "
+    "digits flag synthetic or manipulated data). The digit extracts via "
+    "string head of the integer cents (pure integer->string, no "
+    "log/pow), one partial-agg shuffle over 45 groups. Callers compare "
+    "the counts against the Benford expectation downstream.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    return (
+        o.select(F.col("o_orderpriority").alias("priority"), digit.alias("digit"))
+        .groupBy("priority", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

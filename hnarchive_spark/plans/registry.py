@@ -131,6 +131,9 @@ _VERIFY_FIRST = [
     "q_dow_profile",
     "q_skew_report",
     "q_histogram_equiwidth",
+    "q_lorenz_deciles",
+    "q_percentile_rank_transform",
+    "q_benford_audit",
     # -- r1-green-only stale insurance --
     "q_window_range_frame",
     "q_filtered_agg",
