@@ -1536,3 +1536,72 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+_RT_AUDIT_ORACLE = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS text_md5_sum
+    FROM documents GROUP BY source
+"""
+
+
+def _rt_audit(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        ).alias("text_md5_sum"),
+    )
+
+
+@query(
+    "q_jsonl_roundtrip",
+    oracle=_RT_AUDIT_ORACLE,
+    doc="JSON-lines sink + source round trip: documents write to JSONL "
+    "(executor-parallel, one file per partition) and read back with an "
+    "explicit schema; the per-source audit (counts, chars, md5-prefix "
+    "content checksum) must hash-match the oracle computed from the "
+    "ORIGINAL parquet — i.e. the round trip is proven lossless, not "
+    "assumed. Schema-on-read is explicit (inference is a second full "
+    "scan AND a nondeterminism source); content equality rides on the "
+    "md5 sum, so an escaping bug in either direction flips the hash.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(d.schema).json(path)
+    return _rt_audit(back)
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle=_RT_AUDIT_ORACLE,
+    doc="CSV sink + source round trip with full quoting/escaping (header, "
+    "explicit schema on read — never inferSchema): same lossless-or-"
+    "hash-fail audit as q_jsonl_roundtrip. Completes the connector "
+    "matrix: parquet (store), JSONL, CSV, DuckDB export (unit), HTML "
+    "sink, HTTP source, plus the streaming source/sinks.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/docs"
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(d.schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return _rt_audit(back)

@@ -134,6 +134,8 @@ _VERIFY_FIRST = [
     "q_lorenz_deciles",
     "q_percentile_rank_transform",
     "q_benford_audit",
+    "q_jsonl_roundtrip",
+    "q_csv_roundtrip",
     # -- r1-green-only stale insurance --
     "q_window_range_frame",
     "q_filtered_agg",
