@@ -778,3 +778,87 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     return v.select(F.col("i").alias("dim"), F.col("v").alias("comp_e3"))
+
+
+_WEDGES_SQL = """
+    seq AS (
+      SELECT event_type, user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    wedges AS (
+      SELECT user_id AS src, nxt AS dst, count(*) AS w
+      FROM seq WHERE nxt IS NOT NULL AND nxt != user_id
+      GROUP BY user_id, nxt
+    ),
+    nodes AS (SELECT DISTINCT user_id FROM events),
+    wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM wedges GROUP BY src)
+"""
+
+
+def _wpr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.dst, CAST(sum(({prev}.r * e.w) // wdeg.d) AS BIGINT) AS m
+      FROM wedges e JOIN wdeg ON wdeg.src = e.src
+      JOIN {prev} ON {prev}.user_id = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.user_id,
+             CAST(150000 + (17 * coalesce(c{i}.m, 0)) // 20 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.user_id
+    )
+"""
+
+
+@query(
+    "q_pagerank_weighted",
+    oracle=f"""
+    WITH {_WEDGES_SQL},
+    r0 AS (SELECT user_id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {",".join(_wpr_iter_sql(i).strip() for i in range(1, PR_ITERS + 1))}
+    SELECT user_id, r AS rank_e6 FROM r{PR_ITERS}
+    """,
+    doc=f"WEIGHTED PageRank ({PR_ITERS} iterations): edges keep their "
+    "interaction MULTIPLICITY as an integer weight (the pair multiset "
+    "counts q_pagerank's distinct throws away — the production-common "
+    "weighted-graph case), and each hop distributes rank proportionally: "
+    "contribution = (r * w) div weighted_out_degree, per-edge floor "
+    "division identical on both engines, so ranks stay bit-exact. "
+    "Weights come from the same day-bucketed pair derivation "
+    "(_consecutive_pairs) aggregated instead of deduped; the oracle "
+    "keeps the global-window multiset, which is provably the same. "
+    "Same one-row-per-user state and key-partitioned joins as the "
+    "unweighted operator.",
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    seq = _consecutive_pairs(spark, sf_dir)
+    wedges = (
+        seq.filter(F.col("nxt") != F.col("user_id"))
+        .groupBy(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = e.select("user_id").distinct()
+    wdeg = wedges.groupBy("src").agg(F.sum("w").alias("d"))
+    ranks = nodes.select("user_id", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            wedges.join(wdeg, "src")
+            .join(ranks.withColumnRenamed("user_id", "src"), "src")
+            .select("dst", F.expr("(r * w) div d").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            nodes.join(sums, nodes["user_id"] == sums["dst"], "left")
+            .select(
+                "user_id",
+                (F.lit(150000) + F.expr("(17 * coalesce(m, 0)) div 20"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("user_id", F.col("r").alias("rank_e6"))

@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     "q_link_prediction",
     "q_kcore_peel",
     "q_power_iteration",
+    "q_pagerank_weighted",
     # -- round-5 search / retrieval wave --
     "q_bm25_lite",
     "q_inverted_index",
