@@ -1605,3 +1605,52 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return _rt_audit(back)
+
+
+@query(
+    "q_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority, date_trunc('week', o_orderdate) AS wk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT priority, CAST(wk AS TIMESTAMP) AS wk, y,
+             lag(y) OVER (PARTITION BY priority ORDER BY wk) AS prev
+      FROM weekly
+    )
+    SELECT priority, wk, y AS cents, prev AS prev_cents,
+           CAST(y - prev AS BIGINT) AS growth_num,
+           prev AS growth_den
+    FROM p WHERE prev IS NOT NULL
+    """,
+    doc="Week-over-week revenue growth per priority as the exact rational "
+    "(growth_num, growth_den) = (this - prev, prev) — the KPI delta "
+    "emitted without division so no rounding policy is baked in. "
+    "date_trunc('week') is ISO-Monday-anchored in BOTH engines (unlike "
+    "dayofweek numbering, which diverges — see q_dow_profile). All "
+    "windows run over the metadata-sized weekly table after one "
+    "partial-agg shuffle.",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("priority", "wk")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("priority").orderBy("wk")
+    p = weekly.select("priority", "wk", "y", F.lag("y").over(w).alias("prev"))
+    return p.filter(F.col("prev").isNotNull()).select(
+        "priority",
+        "wk",
+        F.col("y").alias("cents"),
+        F.col("prev").alias("prev_cents"),
+        (F.col("y") - F.col("prev")).cast("long").alias("growth_num"),
+        F.col("prev").alias("growth_den"),
+    )

@@ -137,6 +137,7 @@ _VERIFY_FIRST = [
     "q_benford_audit",
     "q_jsonl_roundtrip",
     "q_csv_roundtrip",
+    "q_wow_growth",
     # -- r1-green-only stale insurance --
     "q_window_range_frame",
     "q_filtered_agg",
