@@ -120,6 +120,7 @@ def grouped_global_rank(
     tiebreak_col: str,
     descending: bool = True,
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    with_count: bool = False,
 ) -> DataFrame:
     """Per key: the exact 1-based rank of EVERY row under
     (value [desc], tiebreak [asc]) — without a per-key total sort.
@@ -133,6 +134,14 @@ def grouped_global_rank(
     (ntile / round-robin dealing / LPT shard assignment all derive from
     this rank).  Ties across bucket boundaries are impossible: equal
     values share a bucket by construction.
+
+    ``with_count=True`` additionally emits ``nn`` — the key's total row
+    count — on every row.  The total falls out of the same metadata-sized
+    bucket-count table the rank offsets come from, so consumers that need
+    (rank, n) pairs (ntile, percentile-rank, Lorenz shares) never run a
+    ``count() OVER (PARTITION BY key)`` window over the ranked fact rows
+    (that window funnels every row of a key through one task — exactly the
+    anti-pattern this operator exists to remove).
     """
     v = F.col(value_col)
     base = df.withColumn("_b", F.expr(f"{value_col} div {bucket_width}"))
@@ -143,15 +152,74 @@ def grouped_global_rank(
     wo = Window.partitionBy(key_col).orderBy(
         F.col("_b").desc() if descending else F.col("_b").asc()
     )
-    offsets = counts.select(
+    off_cols = [
+        F.coalesce(F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).alias(
+            "_off"
+        ),
+    ]
+    if with_count:
+        off_cols.append(
+            F.sum("_c")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("long")
+            .alias("nn")
+        )
+    offsets = counts.select(key_col, "_b", *off_cols)
+    return (
+        local.join(F.broadcast(offsets), [key_col, "_b"])
+        .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    sum_col: str,
+    descending: bool = True,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Per key: the exact inclusive running sum of ``sum_col`` under
+    (order_col [desc], tiebreak [asc]) — without a per-key total sort.
+
+    The prefix-sum sibling of :func:`grouped_global_rank`:
+    ``sum(x) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` with a low-cardinality key serializes each key's whole
+    ordered scan onto one task.  Here rows bucket by order-value range,
+    the running sum runs per (key, bucket) — parallel — and each bucket's
+    exclusive prefix TOTAL (a metadata-sized running sum over one row per
+    non-empty bucket) shifts local sums to global ones.  Equal order
+    values share a bucket by construction, so no tie ever straddles a
+    boundary.  Budget-cutoff selection (take rows until the running total
+    passes N) is a filter on the resulting ``cum`` column.
+
+    Returns ``df`` plus a ``cum`` (BIGINT) column; input column set is
+    preserved.
+    """
+    o = F.col(order_col)
+    base = df.withColumn("_b", F.expr(f"{order_col} div {bucket_width}"))
+    order = [o.desc() if descending else o.asc(), F.col(tiebreak_col).asc()]
+    wb = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_ls", F.sum(sum_col).over(wb))
+    totals = base.groupBy(key_col, "_b").agg(F.sum(sum_col).alias("_t"))
+    wo = Window.partitionBy(key_col).orderBy(
+        F.col("_b").desc() if descending else F.col("_b").asc()
+    )
+    offsets = totals.select(
         key_col,
         "_b",
-        F.coalesce(F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).alias(
+        F.coalesce(F.sum("_t").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)).alias(
             "_off"
         ),
     )
     return (
         local.join(F.broadcast(offsets), [key_col, "_b"])
-        .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_b", "_rn", "_off")
+        .withColumn("cum", (F.col("_off") + F.col("_ls")).cast("long"))
+        .drop("_b", "_ls", "_off")
     )

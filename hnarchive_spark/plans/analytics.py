@@ -974,10 +974,10 @@ def q_decile_binning_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
     )
     ranked = grouped_global_rank(
-        c, "c_mktsegment", "cents", "c_custkey", descending=False, bucket_width=4096
+        c, "c_mktsegment", "cents", "c_custkey",
+        descending=False, bucket_width=4096, with_count=True,
     )
-    wt = Window.partitionBy("c_mktsegment")
-    with_n = ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+    with_n = ranked.withColumnRenamed("nn", "n")
     k = N_DECILES
     decile = F.expr(
         f"CASE WHEN rank <= (n % {k}) * (n div {k} + 1)"
@@ -1420,10 +1420,10 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     ranked = grouped_global_rank(
-        o, "priority", "cents", "o_orderkey", descending=False, bucket_width=65536
+        o, "priority", "cents", "o_orderkey",
+        descending=False, bucket_width=65536, with_count=True,
     )
-    wt = Window.partitionBy("priority")
-    with_n = ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+    with_n = ranked.withColumnRenamed("nn", "n")
     k = N_DECILES
     decile = F.expr(
         f"CASE WHEN rank <= (n % {k}) * (n div {k} + 1)"
@@ -1489,11 +1489,11 @@ def q_percentile_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     ranked = grouped_global_rank(
-        e, "event_type", "cents", "event_id", descending=False, bucket_width=65536
+        e, "event_type", "cents", "event_id",
+        descending=False, bucket_width=65536, with_count=True,
     )
-    wt = Window.partitionBy("event_type")
     return (
-        ranked.withColumn("n", F.count(F.lit(1)).over(wt))
+        ranked.withColumnRenamed("nn", "n")
         .filter(F.col("n") > 1)
         .select(
             "event_id",

@@ -858,21 +858,49 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order — a pseudo-uniform draw that is a pure function of the key, so "
     "re-ingestion or repartitioning can never change the sample (the "
     "fixed-COUNT complement of q_stratified_sample's fixed-RATE split; "
-    "what an eval-set builder or human-review queue needs). One shuffle on "
-    "source; at 100 TB the rank window prunes nothing but a "
-    "per-partition top-k pre-filter (k smallest hashes per partition, then "
-    "re-rank) bounds the shuffle to k rows per partition per source.",
+    "what an eval-set builder or human-review queue needs). Scale shape: "
+    "an Arrow mapInPandas pre-filter keeps the k smallest hashes per "
+    f"source WITHIN each input partition (<= {RESERVOIR_K} rows/source/"
+    "partition leave the scan — any global winner is also a within-"
+    "partition winner, so no candidate is ever lost), and only those "
+    "survivors reach the per-source rank window — the shuffle carries "
+    "k * n_partitions rows, never the corpus. The filter's survivors "
+    "depend on partitioning but the RESULT does not: the final re-rank "
+    "sees every global top-k row regardless of layout.",
 )
 def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    base = d.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
+    k = RESERVOIR_K
+
+    def _partition_topk(batches):
+        """Per input partition: k smallest (h, doc_id) rows per source.
+
+        Accumulates across Arrow batches, pruning to k per source after
+        each batch so executor-side state stays O(k * n_sources) regardless
+        of partition size."""
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat([acc, pdf])
+            acc = (
+                cur.sort_values(["source", "h", "doc_id"], kind="mergesort")
+                .groupby("source", sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    pre = base.mapInPandas(_partition_topk, schema=base.schema)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= RESERVOIR_K)
+        pre.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
     )
 
 
@@ -916,11 +944,13 @@ SELECT_TOKEN_BUDGET = 500  # per-source token budget — binds at both test scal
     "descending quality order (integer ten-thousandths score, doc_id "
     f"tiebreak) until the running token total exceeds {SELECT_TOKEN_BUDGET} "
     "— the greedy quality-first corpus selection step of a budgeted "
-    "training run. One shuffle on source; the running sum is a window "
-    "cumsum over integers, so both engines agree bit-for-bit.",
+    "training run. The running sum routes through operators/rankselect.py "
+    "grouped_prefix_sum: local cumsums per (source, quality-range bucket) "
+    "run in parallel and a metadata-sized bucket prefix shift makes them "
+    "global — no per-source ordered window ever scans fact rows. All "
+    "integers, so both engines agree bit-for-bit.",
 )
 def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
@@ -936,13 +966,18 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         T.quality_e4_int().alias("q_e4"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("q_e4").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # scalable running sum: per-(source, q_e4-range-bucket) local cumsums in
+    # parallel + a metadata-sized bucket prefix shift — NOT a per-source
+    # ordered window over fact rows (20 sources at 100 TB = 20 hot tasks)
+    from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        q, "source", "q_e4", "doc_id", "n_tokens", descending=True, bucket_width=256
     )
     return (
-        q.select("source", "doc_id", "n_tokens", "q_e4", F.sum("n_tokens").over(w).alias("cum_tokens"))
+        cum.select(
+            "source", "doc_id", "n_tokens", "q_e4", F.col("cum").alias("cum_tokens")
+        )
         .filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
     )
 

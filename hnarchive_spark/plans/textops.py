@@ -386,13 +386,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-source corpus data card: doc/token/char volumes, token-count "
     "percentiles, language spread, mean quality — the dataset-release "
-    "summary a training pipeline publishes. Window + aggregate share the "
-    "one shuffle on source. Every value on both engines is produced by "
-    "integer arithmetic only (scaled-BIGINT quality, order-statistic "
-    "percentile interpolation, integer rounded mean), so the hash cannot "
-    "depend on any engine's float or rounding behavior. At 100 TB the exact "
-    "per-source sort is the standard exact-percentile cost; swap in "
-    "approx_percentile when the data card tolerates sketched quantiles.",
+    "summary a training pipeline publishes. Every value on both engines is "
+    "produced by integer arithmetic only (scaled-BIGINT quality, order-"
+    "statistic percentile interpolation, integer rounded mean), so the hash "
+    "cannot depend on any engine's float or rounding behavior. The "
+    "percentile order statistics come from operators/rankselect.py "
+    "grouped_rank_values (histogram-prune selection: parallel per-(source, "
+    "token-bucket) counts, metadata-sized routing, re-rank only inside "
+    "target buckets) — no per-source sort of fact rows anywhere; the "
+    "volume/lang/quality columns are one partial-agg shuffle.",
 )
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -408,34 +410,41 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round_half_up(1e4 * (stop_hits/n + n/d)) in pure BIGINT arithmetic;
     # d = n + |sum_len - 5n| >= n >= 1 so the division is always defined
     quality_e4 = T.quality_e4_int()
-    wsrc = Window.partitionBy("source")
-    ranked = rows.select(
-        "source",
-        "lang",
-        "n_chars",
-        "n_tokens",
-        quality_e4.alias("quality_e4"),
-        F.row_number().over(wsrc.orderBy("n_tokens")).alias("rn"),
-        F.count(F.lit(1)).over(wsrc).alias("nn"),
-    )
-    return ranked.groupBy("source").agg(
+    agg = rows.select(
+        "source", "lang", "n_chars", "n_tokens", quality_e4.alias("quality_e4")
+    ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        (
-            F.max(F.when(F.expr("rn = (nn - 1) div 2 + 1"), F.col("n_tokens")))
-            + F.max(F.when(F.expr("rn = nn div 2 + 1"), F.col("n_tokens")))
-        ).alias("p50_tokens_x2"),
-        (
-            F.max(F.when(F.expr("rn = (19 * (nn - 1)) div 20 + 1"), F.col("n_tokens")))
-            * (20 - F.max(F.expr("(19 * (nn - 1)) % 20")))
-            + F.max(F.when(F.expr("rn = least((19 * (nn - 1)) div 20 + 2, nn)"), F.col("n_tokens")))
-            * F.max(F.expr("(19 * (nn - 1)) % 20"))
-        ).alias("p95_tokens_x20"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_docs_en"),
         F.expr("(2 * sum(quality_e4) + count(1)) div (2 * count(1))").alias("mean_quality_e4"),
     )
+    # percentile order statistics via operators/rankselect.py histogram-prune
+    # selection (parallel per-(source, token-range-bucket) work + a
+    # metadata-sized bucket prefix) — NOT a row_number/count window
+    # partitioned by the ~20-value source key over all document rows
+    from hnarchive_spark.operators.rankselect import grouped_rank_values
+
+    rv = grouped_rank_values(
+        rows.select("source", "n_tokens"),
+        "source",
+        "n_tokens",
+        {
+            "p50_lo": "(nn - 1) div 2 + 1",
+            "p50_hi": "nn div 2 + 1",
+            "p95_lo": "(19 * (nn - 1)) div 20 + 1",
+            "p95_hi": "least((19 * (nn - 1)) div 20 + 2, nn)",
+        },
+        bucket_width=32,
+    )
+    frac = F.expr("(19 * (nn - 1)) % 20")
+    pct = rv.select(
+        "source",
+        (F.col("p50_lo") + F.col("p50_hi")).alias("p50_tokens_x2"),
+        (F.col("p95_lo") * (20 - frac) + F.col("p95_hi") * frac).alias("p95_tokens_x20"),
+    )
+    return agg.join(F.broadcast(pct), "source")
 
 
 PACK_BUDGET = 128  # token budget per packed training sequence

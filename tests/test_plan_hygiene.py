@@ -177,3 +177,69 @@ def test_sole_late_supplier_broadcasts_supplier_dim(spark):
     plan = _plan(spark, "q_sole_late_supplier")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- no low-cardinality-key windows over fact rows (round-6 weak-six fix) ---
+
+_LOW_CARD_KEYS = {"source", "priority", "event_type", "c_mktsegment"}
+# operators that bound the rows a window's input can carry: a per-key window
+# is scale-safe iff one of these sits between it and the scan
+_ROW_REDUCERS = ("Aggregate [", "MapInPandas", "WindowGroupLimit")
+
+
+def _window_partition_cols(line: str) -> list[str]:
+    """Parse the partition spec (second-to-last bracket group) of an
+    optimized-plan Window line:
+    ``Window [<exprs>], [k#1, k2#2], [v#3 ASC ...]``."""
+    groups = line.rstrip().split("], [")
+    if len(groups) < 3:
+        return []
+    part = groups[-2]
+    return [c.strip().split("#")[0] for c in part.split(",") if c.strip()]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_corpus_datacard",
+        "q_select_token_budget",
+        "q_reservoir_per_source",
+        "q_decile_binning_scalable",
+        "q_lorenz_deciles",
+        "q_percentile_rank_transform",
+        "q_gini_revenue",
+        "q_mode_per_group",
+        "q_shard_assignment_scalable",
+        "q_percentiles_scalable",
+    ],
+)
+def test_no_low_card_window_over_fact_rows(spark, name):
+    """Every Window partitioned by a single low-cardinality key must run
+    over metadata-sized input (an Aggregate, a mapInPandas pre-filter, or a
+    pushed WindowGroupLimit beneath it) — the per-key fact-row sort idiom
+    that serializes a 100 TB key onto one task must not be reachable from
+    these plans.  Fact-row windows from operators/rankselect.py are fine:
+    they partition by (key, value-bucket), i.e. >= 2 columns."""
+    df = all_queries_cached()[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.split("\n")
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i, ln in enumerate(lines):
+        if "Window [" not in ln:
+            continue
+        cols = _window_partition_cols(ln)
+        if len(cols) != 1 or cols[0] not in _LOW_CARD_KEYS:
+            continue
+        d = depth(ln)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        assert any(r in s for s in subtree for r in _ROW_REDUCERS), (
+            f"{name}: Window partitioned by [{cols[0]}] runs over raw fact "
+            f"rows:\n{ln}\n" + "\n".join(subtree[:6])
+        )

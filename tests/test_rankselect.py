@@ -75,3 +75,42 @@ def test_scalable_decile_binning_equals_window_idiom(spark):
         for r in all_queries()["q_decile_binning_scalable"](spark, SF01).collect()
     }
     assert a == b
+
+
+def test_grouped_prefix_sum_equals_window_idiom(spark):
+    """Inclusive running sum must match the ANSI window cumsum exactly —
+    including ties inside a bucket and runs spanning bucket boundaries
+    (width 2 forces both)."""
+    from pyspark.sql import Window
+
+    from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+
+    rows = [
+        ("a", 9, 1, 10), ("a", 9, 2, 20), ("a", 5, 3, 7), ("a", 2, 4, 1),
+        ("a", 2, 5, 2), ("b", 4, 6, 100), ("b", 3, 7, 50), ("b", 1, 8, 25),
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, id long, x long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("v").desc(), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.id): r.cum
+        for r in df.select("k", "id", F.sum("x").over(w).alias("cum")).collect()
+    }
+    got = {
+        (r.k, r.id): r.cum
+        for r in grouped_prefix_sum(df, "k", "v", "id", "x", bucket_width=2).collect()
+    }
+    assert got == want
+
+
+def test_grouped_global_rank_with_count_emits_group_totals(spark):
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    rows = [("a", 5, 1), ("a", 9, 2), ("a", 1, 3), ("b", 3, 4), ("b", 3, 5)]
+    df = spark.createDataFrame(rows, "k string, v long, id long")
+    got = grouped_global_rank(df, "k", "v", "id", bucket_width=2, with_count=True)
+    for r in got.collect():
+        assert r.nn == {"a": 3, "b": 2}[r.k]
