@@ -95,10 +95,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard >= threshold via inverted-index self-join.
 
-    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4 decimals.
-    ``max_df`` (scale knob) drops shingles shared by more than N docs before
-    pairing — recall loss only for pairs whose entire overlap is stop-shingles.
+    Returns (d1, d2, jaccard_e4) with d1 < d2; jaccard_e4 is the
+    round-half-up ten-thousandths similarity computed in pure BIGINT
+    arithmetic — ``(2*1e4*common + union) div (2*union)`` — so the value
+    (and the threshold comparison) is engine-portable with no float
+    rounding anywhere.  ``max_df`` (scale knob) drops shingles shared by
+    more than N docs before pairing — recall loss only for pairs whose
+    entire overlap is stop-shingles.
     """
+    t_e4 = int(round(threshold * 10000))
     if max_df is not None:
         keep = shingles.groupBy("shingle").count().filter(F.col("count") <= max_df)
         shingles = shingles.join(keep.select("shingle"), "shingle")
@@ -120,13 +125,12 @@ def jaccard_pairs(
         .select(
             "d1",
             "d2",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
-                4,
-            ).alias("jaccard"),
+            F.expr(
+                "(20000 * common + (sa.n + sb.n - common))"
+                " div (2 * (sa.n + sb.n - common))"
+            ).alias("jaccard_e4"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard_e4") >= t_e4)
     )
 
 
@@ -185,8 +189,10 @@ def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     """LSH candidates verified with exact Jaccard (>= threshold).
 
     The verify join restricts the shingle self-join to candidate pairs, so
-    the expensive exact computation touches only LSH survivors.
+    the expensive exact computation touches only LSH survivors.  Emits the
+    same pure-BIGINT ``jaccard_e4`` as :func:`jaccard_pairs`.
     """
+    t_e4 = int(round(threshold * 10000))
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(shingles)
     cands = lsh_candidates(sigs)
@@ -206,13 +212,12 @@ def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         .select(
             "d1",
             "d2",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("common")),
-                4,
-            ).alias("jaccard"),
+            F.expr(
+                "(20000 * common + (sa.n + sb.n - common))"
+                " div (2 * (sa.n + sb.n - common))"
+            ).alias("jaccard_e4"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard_e4") >= t_e4)
     )
 
 

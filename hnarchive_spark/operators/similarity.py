@@ -79,8 +79,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-matches excluded).
 
-    Returns (query_id, neighbor_id, rank, cos) with a total tiebreak order
-    (cos desc, neighbor_id asc); cos rounded to 6 decimals.
+    Returns (query_id, neighbor_id, rank, cos_e6) with a total tiebreak
+    order (cos_e6 desc, neighbor_id asc); cos_e6 = round(cosine * 1e6) as
+    BIGINT — the repo's integer-output convention, engine-portable.
     """
     # no repartition: the broadcast cross join preserves the corpus scan's
     # partitioning (many splits at scale), and a shuffle of the corpus would
@@ -99,10 +100,12 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
@@ -156,10 +159,12 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
@@ -214,10 +219,12 @@ def lsh_topk_multi(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
@@ -266,7 +273,9 @@ def ivf_topk(
             "qv",
             "qn",
             "list_id",
-            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+            F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0)
+            .cast("long")
+            .alias("ccos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
@@ -279,10 +288,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(wk).alias("rank")).filter(
         F.col("rank") <= k
     )
@@ -359,10 +370,15 @@ def lsh_dup_pairs(
             "d1",
             "d2",
             F.round(
-                dot(F.col("va.v"), F.col("vb.v")) / (F.col("va.n") * F.col("vb.n")), 6
-            ).alias("cos"),
+                dot(F.col("va.v"), F.col("vb.v"))
+                / (F.col("va.n") * F.col("vb.n"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("cos_e6"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
     )
 
 
@@ -383,9 +399,11 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("d1"),
             F.col("b.vec_id").alias("d2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
     )
 
 

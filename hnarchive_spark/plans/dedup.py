@@ -18,6 +18,7 @@ from hnarchive_spark.plans.registry import query
 from hnarchive_spark.tables import load
 
 JACCARD_T = 0.5
+JACCARD_T_E4 = int(round(JACCARD_T * 10000))  # integer e4 threshold used by every oracle
 
 # Shared SQL fragments ------------------------------------------------------
 
@@ -82,13 +83,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT d1, d2, jaccard FROM (
+    SELECT d1, d2, jaccard_e4 FROM (
       SELECT d1, d2,
-             round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+             (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS jaccard_e4
       FROM pairs
       JOIN sizes sa ON sa.doc_id = d1
       JOIN sizes sb ON sb.doc_id = d2
-    ) WHERE jaccard >= {JACCARD_T}
+    ) WHERE jaccard_e4 >= {JACCARD_T_E4}
     """,
     doc="Exact n-gram Jaccard dedup via the inverted-index shingle self-join "
     "(word 3-grams); the shuffle key is the shingle.",
@@ -115,13 +117,14 @@ NGRAM_MAX_DF = 10  # drop shingles shared by more than 10 docs (stop-shingles)
       FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT d1, d2, jaccard FROM (
+    SELECT d1, d2, jaccard_e4 FROM (
       SELECT d1, d2,
-             round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+             (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS jaccard_e4
       FROM pairs
       JOIN sizes sa ON sa.doc_id = d1
       JOIN sizes sb ON sb.doc_id = d2
-    ) WHERE jaccard >= {JACCARD_T}
+    ) WHERE jaccard_e4 >= {JACCARD_T_E4}
     """,
     doc=f"Skew-safe n-gram Jaccard dedup: identical to q_dedup_ngram but with "
     f"the max_df={NGRAM_MAX_DF} stop-shingle filter ON — a shingle occurring "
@@ -170,12 +173,13 @@ def _minhash_oracle() -> str:
       JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
       GROUP BY c.d1, c.d2
     )
-    SELECT d1, d2, jaccard FROM (
-      SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+    SELECT d1, d2, jaccard_e4 FROM (
+      SELECT d1, d2, (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS jaccard_e4
       FROM common
       JOIN sizes sa ON sa.doc_id = d1
       JOIN sizes sb ON sb.doc_id = d2
-    ) WHERE jaccard >= {JACCARD_T}
+    ) WHERE jaccard_e4 >= {JACCARD_T_E4}
     """
 
 
@@ -202,9 +206,10 @@ def _clusters_oracle() -> str:
     ),
     pairs AS (
       SELECT d1, d2 FROM (
-        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        SELECT d1, d2, (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS j
         FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      ) WHERE j >= {JACCARD_T}
+      ) WHERE j >= {JACCARD_T_E4}
     ),
     edges AS (
       SELECT d1 AS a, d2 AS b FROM pairs
@@ -253,9 +258,10 @@ def _pipeline_oracle() -> str:
     ),
     pairs AS (
       SELECT d1, d2 FROM (
-        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        SELECT d1, d2, (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS j
         FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      ) WHERE j >= {JACCARD_T}
+      ) WHERE j >= {JACCARD_T_E4}
     ),
     edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
     reach(node, comp) AS (
@@ -594,9 +600,10 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT d1, d2 FROM (
-        SELECT d1, d2, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS j
+        SELECT d1, d2, (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS j
         FROM pc JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      ) WHERE j >= {JACCARD_T}
+      ) WHERE j >= {JACCARD_T_E4}
     ),
     edges AS (
       SELECT d1 AS a, d2 AS b FROM pairs
@@ -697,9 +704,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dup AS (
       SELECT bd, cd FROM (
-        SELECT bd, cd, round(common::DOUBLE / (sb.n + sc.n - common), 4) AS j
+        SELECT bd, cd, (20000 * common + (sb.n + sc.n - common))
+               // (2 * (sb.n + sc.n - common)) AS j
         FROM pc JOIN sizes sb ON sb.doc_id = bd JOIN sizes sc ON sc.doc_id = cd
-      ) WHERE j >= {JACCARD_T}
+      ) WHERE j >= {JACCARD_T_E4}
     )
     SELECT bd AS doc_id, count(*) AS n_corpus_dups
     FROM dup GROUP BY bd
@@ -733,8 +741,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sizes.withColumnRenamed("doc_id", "bd").withColumnRenamed("n", "nb"), "bd")
         .join(sizes.withColumnRenamed("doc_id", "cd").withColumnRenamed("n", "nc"), "cd")
         .filter(
-            F.round(F.col("common").cast("double") / (F.col("nb") + F.col("nc") - F.col("common")), 4)
-            >= JACCARD_T
+            F.expr(
+                "(20000 * common + (nb + nc - common))"
+                " div (2 * (nb + nc - common))"
+            )
+            >= JACCARD_T_E4
         )
     )
     return j.groupBy(F.col("bd").alias("doc_id")).agg(F.count(F.lit(1)).alias("n_corpus_dups"))

@@ -3,7 +3,9 @@
 The oracles recompute cosine in double precision (DuckDB
 list_cosine_similarity on DOUBLE[]) and the LSH oracle replays the exact
 deterministic hyperplanes, so both the exact and the approximate operators
-get full value-hash checks (both sides round cosine to 6 decimals).
+get full value-hash checks; every similarity output is the integer
+cos_e6 = round(cosine * 1e6) AS BIGINT on both engines (the repo's
+integer-output convention — no raw doubles ever reach the driver hash).
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from hnarchive_spark.plans.registry import query
 from hnarchive_spark.tables import load
 
 COS_DUP_T = 0.45
+COS_DUP_T_E6 = int(round(COS_DUP_T * 1_000_000))  # integer e6 threshold for every oracle
 ANN_K = 5
 N_QUERIES = 5  # query set = vec_id < 5
 
@@ -63,11 +66,12 @@ def _lsh_dup_oracle(max_bucket: int | None = None) -> str:
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     )
-    SELECT d1, d2, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    SELECT d1, d2,
+           CAST(round(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT) AS cos_e6
     FROM cand
     JOIN e ea ON ea.vec_id = d1
     JOIN e eb ON eb.vec_id = d2
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {COS_DUP_T}
+    WHERE CAST(round(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT) >= {COS_DUP_T_E6}
     """
 
 
@@ -114,12 +118,12 @@ def q_embed_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, a.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
       FROM e a CROSS JOIN q WHERE a.vec_id != q.query_id
     )
-    SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT query_id, neighbor_id, cos_e6, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
     """,
@@ -157,13 +161,13 @@ def _lsh_oracle() -> str:
           FROM e JOIN sigs s USING (vec_id) WHERE e.vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, a.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
       FROM e a JOIN sigs sa ON sa.vec_id = a.vec_id
       JOIN q ON q.bucket = sa.bucket AND a.vec_id != q.query_id
     )
-    SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT query_id, neighbor_id, cos_e6, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
     """
@@ -183,7 +187,7 @@ def _ivf_oracle(n_probe: int) -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {N_QUERIES}),
     routed AS (
       SELECT q.query_id, q.qv, c.list_id,
-             round(list_cosine_similarity(q.qv, c.centroid), 6) AS ccos
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
       FROM q CROSS JOIN cent c
     ),
     probes AS (
@@ -195,12 +199,12 @@ def _ivf_oracle(n_probe: int) -> str:
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+             CAST(round(list_cosine_similarity(p.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
       FROM el a JOIN probes p ON a.label = p.list_id AND a.vec_id != p.query_id
     )
-    SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT query_id, neighbor_id, cos_e6, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
     """
@@ -242,14 +246,14 @@ def _lsh_multi_oracle() -> str:
     ),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
-             round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
       FROM cand c
       JOIN q ON q.query_id = c.query_id
       JOIN e a ON a.vec_id = c.neighbor_id
     )
-    SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT query_id, neighbor_id, cos_e6, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
     """
@@ -373,7 +377,7 @@ def _ivf_append_oracle(n_probe: int) -> str:
       SELECT vec_id, v, list_id FROM (
         SELECT b.vec_id, b.v, c.list_id,
                row_number() OVER (PARTITION BY b.vec_id
-                                  ORDER BY round(list_cosine_similarity(b.v, c.centroid), 6) DESC,
+                                  ORDER BY CAST(round(list_cosine_similarity(b.v, c.centroid) * 1000000) AS BIGINT) DESC,
                                            c.list_id) AS rn
         FROM batch b CROSS JOIN cent c
       ) WHERE rn = 1
@@ -385,7 +389,7 @@ def _ivf_append_oracle(n_probe: int) -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {N_QUERIES}),
     routed AS (
       SELECT q.query_id, q.qv, c.list_id,
-             round(list_cosine_similarity(q.qv, c.centroid), 6) AS ccos
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
       FROM q CROSS JOIN cent c
     ),
     probes AS (
@@ -397,12 +401,12 @@ def _ivf_append_oracle(n_probe: int) -> str:
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+             CAST(round(list_cosine_similarity(p.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
       FROM lists a JOIN probes p ON a.list_id = p.list_id AND a.vec_id != p.query_id
     )
-    SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT query_id, neighbor_id, cos_e6, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {ANN_K}
     """

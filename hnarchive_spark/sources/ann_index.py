@@ -85,10 +85,12 @@ def probe_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
     )
@@ -164,7 +166,7 @@ def append_ivf_index(
         "v",
         "n",
         "list_id",
-        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("ccos"),
+        F.round(cosine(F.col("v"), F.col("centroid")) * 1_000_000, 0).cast("long").alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
     assigned = (
@@ -210,7 +212,7 @@ def probe_ivf_topk(
         "qv",
         "qn",
         "list_id",
-        F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("ccos"),
+        F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0).cast("long").alias("ccos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
     probes = routed.select(
@@ -224,10 +226,12 @@ def probe_ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
         )
     )
-    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(wk).alias("rank")).filter(
         F.col("rank") <= k
     )
