@@ -46,78 +46,24 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver verifies a bounded window (~50 queries) of the inventory in the
-# order all_queries() returns, so the names below — round 5's verification
-# targets — come FIRST, then everything else in registration order:
-#   * first 5: the round-4 hash-fails fixed this round (oracle BIGINT pins +
-#     integer quality rework) — a fresh green row is mandatory;
-#   * then every query ADDED in round 5 (both sessions: the LLM-pipeline /
-#     graph / analytics / search / streaming-semantics waves) — all need a
-#     first driver row; the ~50-query window ends just after this block;
-#   * tail: stale-green insurance (r1-green-only first, then the stalest
-#     r3-green dedup/similarity/textops block) that rotates in as windows
-#     allow. The r4-green relational/streaming/hn_ops block sits after
-#     _VERIFY_FIRST in registration order and rotates in round 6.
+# order all_queries() returns, so the names below — this round's verification
+# targets — come FIRST, then everything else in registration order.
 _VERIFY_FIRST = [
-    # -- the three round-4 hash-fails whose oracles were BIGINT-pinned this
-    # round, plus the two whose quality score was integer-reworked: these
-    # MUST land a fresh green row, so they outrank even the new queries --
-    "q_sessionize",
-    "q_corpus_datacard",
-    "q_select_token_budget",
-    "q_dedup_canonical",
-    "q_chunk_documents",
-    # -- scalable twins of judged anti-patterns (new, need a first row) --
-    "q_percentiles_scalable",
-    "q_shard_assignment_scalable",
-    "q_decile_binning_scalable",
-    # -- round-5 LLM-pipeline wave (first-class components, need first rows) --
-    "q_semdedup",
-    "q_ann_pq_search",
-    "q_paragraph_dedup",
-    "q_mix_temperature",
-    "q_pii_redact",
-    "q_skew_salted_join",
-    "q_pq_codes",
-    "q_vocab_top_subtokens",
-    "q_shard_assignment",
-    "q_reservoir_per_source",
-    "q_ann_ivf_append",
-    "q_stream_rollup_mv",
-    "q_heavy_hitters_exact",
-    "q_heavy_hitters_cms",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_market_share",
-    # -- round-5 streaming-semantics wave --
-    "q_stream_late_drop",
-    "q_stream_outer_join",
-    # -- round-5 graph / ML wave --
-    "q_pagerank",
-    "q_global_index",
-    "q_knn_classify",
-    "q_hard_negatives",
-    "q_embed_dim_audit",
-    "q_triangle_count",
-    "q_link_prediction",
-    "q_kcore_peel",
-    "q_power_iteration",
-    "q_pagerank_weighted",
-    # -- round-5 search / retrieval wave --
-    "q_bm25_lite",
-    "q_inverted_index",
-    "q_bigram_lm",
-    # -- round-5 analytics wave (the ~50-query window ends inside this
-    # block; the remainder gets first rows in round 6) --
-    "q_orders_per_customer_dist",
-    "q_idle_rich_customers",
-    "q_sole_late_supplier",
-    "q_user_anomaly",
-    "q_revenue_trend",
-    "q_attribution_last_touch",
-    "q_recency_weighted",
-    "q_store_changelog",
-    "q_gap_fill",
-    "q_length_histogram",
+    # Round-6 rotation. The driver verifies ~the first 50 names, so priority:
+    #   (a) the 20 analytics-tail queries that have NEVER had a driver row
+    #       (registered after round 5's window cutoff; judge-verified at
+    #       sf0.01 in VERDICT r5, but the driver row is the contract);
+    #   (b) the 4 queries whose internals were rewired through
+    #       operators/rankselect.py this round (oracles unchanged — a fresh
+    #       green row proves the rewiring);
+    #   (c) the 17 dedup/similarity queries whose OUTPUT changed to integer
+    #       jaccard_e4/cos_e6 this round — their old green rows describe an
+    #       obsolete schema, so fresh rows are mandatory;
+    #   (d) queries ADDED in round 6 — first rows;
+    #   (e) the 14 r1-green-only stragglers (unchanged code, stale green —
+    #       lowest risk, rotate in as window room allows);
+    #   (f) everything else in registration order (r3/r4-green, unchanged).
+    # -- (a) never-driver-verified analytics tail --
     "q_outlier_mad",
     "q_winsorize",
     "q_association_rules",
@@ -138,7 +84,31 @@ _VERIFY_FIRST = [
     "q_jsonl_roundtrip",
     "q_csv_roundtrip",
     "q_wow_growth",
-    # -- r1-green-only stale insurance --
+    # -- (b) rankselect rewires (round 6) --
+    "q_corpus_datacard",
+    "q_select_token_budget",
+    "q_reservoir_per_source",
+    "q_decile_binning_scalable",
+    # -- (c) integer-output conversions (round 6) --
+    "q_dedup_ngram",
+    "q_dedup_ngram_maxdf",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_dedup_incremental",
+    "q_pipeline_clean_corpus",
+    "q_embed_dup",
+    "q_embed_dup_capped",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_lsh_multi",
+    "q_ann_lsh_indexed",
+    "q_ann_ivf",
+    "q_ann_ivf_probe2",
+    "q_ann_ivf_indexed",
+    "q_ann_ivf_append",
+    # -- (d) round-6 additions (inserted here as they land) --
+    # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",
     "q_having",
@@ -153,22 +123,9 @@ _VERIFY_FIRST = [
     "q_children_sorted",
     "q_fix_ptags",
     "q_display_date",
-    # -- stalest r3-green block --
+    # -- (f) stalest remaining r3-green block --
     "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_ngram_maxdf",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_clusters",
-    "q_embed_dup",
     "q_contamination",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_ann_lsh_multi",
-    "q_ann_lsh_indexed",
-    "q_ann_ivf",
-    "q_ann_ivf_probe2",
-    "q_pipeline_clean_corpus",
     "q_sample_weighted",
     "q_mix_equalize",
     "q_text_stats",
