@@ -234,7 +234,8 @@ def cmd_html_render(spark, args):
 
 def cmd_query(spark, args):
     """Run any registered library query against a table directory — the CLI
-    face of ``__spark_entry__.queries()`` (155-query surface)."""
+    face of ``__spark_entry__.queries()`` (the full registry; run with no
+    name to list it)."""
     import os as _os
 
     from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
@@ -257,7 +258,9 @@ def cmd_query(spark, args):
         for line in rows.toJSON().collect():
             print(line)
     else:
-        df.show(n=df.count() if args.limit == 0 else args.limit, truncate=40)
+        # --limit 0 = unlimited: a huge sentinel avoids running an extra
+        # full count() job just to size show()
+        df.show(n=(1 << 31) - 1 if args.limit == 0 else args.limit, truncate=40)
     return 0
 
 

@@ -43,9 +43,13 @@ def grouped_rank_values(
     ``rank_exprs`` maps output-column name -> SQL expression over ``nn``
     (the group size), e.g. ``{"p50_lo": "(nn - 1) div 2 + 1"}``.  Returns
     one row per key with columns (key_col, nn, <one per rank name>).
-    Values must be integral (the repo's cents/e6 convention) and
-    non-negative buckets assume values >= some fixed floor — ``v div W``
-    floors negatives consistently in Spark, so negatives are fine too.
+    Values must be integral (the repo's cents/e6 convention).  Negatives
+    are fine: Spark's ``div`` truncates toward zero (not floor), but
+    truncation is still monotone in v, so bucket ids stay order-consistent
+    — negative values merely share wider boundary buckets (e.g. widths -3..3
+    all land in bucket 0 at W=4).  Don't expect these bucket ids to equal
+    DuckDB's flooring ``//``; nothing here compares bucket ids across
+    engines, only the selected values.
     """
     v = F.col(value_col)
     base = df.select(F.col(key_col).alias("k"), v.cast("long").alias("v"))

@@ -1583,9 +1583,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_RT_AUDIT_ORACLE,
     doc="CSV sink + source round trip with full quoting/escaping (header, "
     "explicit schema on read — never inferSchema): same lossless-or-"
-    "hash-fail audit as q_jsonl_roundtrip. Completes the connector "
-    "matrix: parquet (store), JSONL, CSV, DuckDB export (unit), HTML "
-    "sink, HTTP source, plus the streaming source/sinks.",
+    "hash-fail audit as q_jsonl_roundtrip. multiLine keeps quoted "
+    "embedded newlines inside one record; the \\\\N null sentinel plus "
+    "emptyValue pins on both sides disambiguate NULL from '' (Spark's "
+    "CSV defaults read both back as NULL, silently dropping md5 terms "
+    "from the checksum). Round trip is lossless for newlines, empties, "
+    "quotes, commas and NULLs — the one residual CSV ambiguity is a text "
+    "cell literally equal to the sentinel (nullValue matches post-"
+    "unquote), absent from this corpus; use JSONL/parquet when even that "
+    "must survive. Scale note: multiLine CSV files are not splittable — "
+    "an inherent cost of the format, so parallelism comes from file "
+    "count, which the executor-parallel write already provides. "
+    "Completes the connector matrix: parquet (store), JSONL, CSV, DuckDB "
+    "export (unit), HTML sink, HTTP source, plus the streaming "
+    "source/sinks.",
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -1596,12 +1607,19 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.write.mode("overwrite")
         .option("header", "true")
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
     back = (
         spark.read.schema(d.schema)
         .option("header", "true")
         .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path)
     )
     return _rt_audit(back)

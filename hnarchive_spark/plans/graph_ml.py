@@ -182,12 +182,17 @@ IDX_BUCKET = 64  # doc_id div IDX_BUCKET => order-preserving metadata buckets
     f"doc_id div {IDX_BUCKET} (order-preserving), phase 1 computes "
     "per-bucket row/token counts plus intra-bucket running sums (window "
     "partitioned BY BUCKET — parallel), phase 2 turns the tiny per-bucket "
-    "totals into exclusive prefix offsets (a metadata-sized single-"
-    "partition window over n_buckets rows, ~1e6 rows even at 1e10 docs) "
-    "and broadcasts them back. global_idx = bucket_row_offset + local_rn "
-    "- 1; token_offset likewise. No global sort, no single-partition "
-    "pass over data rows — the anti-pattern row_number() OVER (ORDER BY "
-    "doc_id) on the full corpus is exactly what this avoids.",
+    "totals into exclusive prefix offsets and broadcasts them back. "
+    f"global_idx = bucket_row_offset + local_rn - 1; token_offset "
+    f"likewise. Bucket-table sizing: at {IDX_BUCKET} docs/bucket the "
+    "offset table is n_docs/64 rows — fine at test scale and up to ~1e8 "
+    "docs; at 1e10 docs grow the bucket width (1e4-1e5 docs/bucket keeps "
+    "the table ~1e5-1e6 rows) so the single-partition offset window stays "
+    "metadata-sized and the broadcast stays a few MB — past broadcast "
+    "comfort, replace F.broadcast with a plain shuffle join on bucket. "
+    "No global sort, no single-partition pass over data rows — the "
+    "anti-pattern row_number() OVER (ORDER BY doc_id) on the full corpus "
+    "is exactly what this avoids.",
 )
 def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
