@@ -136,6 +136,26 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Drift isolation (round-5 finding): four operators whose code was
+    # untouched in round 5 ran 1.45-2.0x slower than round 4 inside the
+    # full suite. To separate plan cost from session aging (driver heap /
+    # GC / accumulated JVM state), time them FIRST — immediately after
+    # warmup, before any other plan has been built or run — and report
+    # both numbers. If isolated ~= round-4 wall while in-suite stays slow,
+    # the drift is session aging, not a plan regression.
+    ISOLATE = ["q_asof_join", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram_maxdf"]
+    isolated: dict[str, float] = {}
+    for name in ISOLATE:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        isolated[name] = round(min(runs), 3)
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -174,6 +194,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "isolated_fresh_session": isolated,
                 "sf": sf,
                 "store_merge_rows_per_sec": round(
                     MERGE_COMMITS * MERGE_BATCH_ROWS / merge_sec, 1

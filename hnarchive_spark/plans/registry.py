@@ -108,6 +108,8 @@ _VERIFY_FIRST = [
     "q_ann_ivf_indexed",
     "q_ann_ivf_append",
     # -- (d) round-6 additions (inserted here as they land) --
+    "q_zorder_box",
+    "q_stream_funnel",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",

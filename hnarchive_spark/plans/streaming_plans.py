@@ -691,3 +691,59 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.parquet(f"{src}/batch=1")
     run_pass()
     return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_funnel",
+    # Emission contract: a user's conversion row is emitted exactly ONCE, at
+    # the micro-batch where the funnel completes; users who never complete
+    # stay in state (the open-tail contract q_stream_sessionize uses).  So
+    # after an AvailableNow drain the sink holds exactly the batch funnel's
+    # reached=3 rows — the oracle below is the batch funnel restricted to
+    # completed conversions.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT s3.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+           epoch_us(t3) AS t3_us
+    FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+    """,
+    doc="Streaming ordered-funnel conversion detection (view -> click -> "
+    "purchase) via applyInPandasWithState (streaming/funnel.py): per-user "
+    "state carries the three stage times as microsecond epochs, strict "
+    "event-time comparisons replicate the batch q_funnel min/after "
+    "semantics, and each user emits exactly one conversion row at the "
+    "micro-batch where the purchase lands. AvailableNow drain; users mid-"
+    "funnel stay in state for the next batch (open-tail contract). State "
+    "is 3 longs per user — bounded, no event buffering — so at 100 TB the "
+    "operator's state size tracks active users, not event volume.",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.streaming.funnel import funnel_stream
+
+    raw = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    conv = funnel_stream(raw)
+    name = f"stream_funnel_sink_{next(_sink_counter)}"
+    q = (
+        conv.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

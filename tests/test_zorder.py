@@ -76,3 +76,31 @@ def test_zordered_read_is_lossless(spark, tmp_path):
     got = sorted(r.event_id for r in spark.read.parquet(path).collect())
     want = sorted(r.event_id for r in df.collect())
     assert got == want
+
+
+def test_zorder_box_query_skips_files(spark, tmp_path):
+    """The REGISTERED q_zorder_box box must touch a strict minority of the
+    z-ordered files (footer-stats decision, no rows read) — locks the
+    registered query's skipping claim, not just the synthetic-box one."""
+    from hnarchive_spark.plans.analytics import (
+        ZBOX_DAY_HI,
+        ZBOX_DAY_LO,
+        ZBOX_FILES,
+        ZBOX_USER_HI,
+        ZBOX_USER_LO,
+    )
+    from hnarchive_spark.tables import load
+
+    e = load(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    path = str(tmp_path / "zbox")
+    Z.write_zordered(e, path, "user_id", "day", ZBOX_FILES)
+    box = {"user_id": (ZBOX_USER_LO, ZBOX_USER_HI), "day": (ZBOX_DAY_LO, ZBOX_DAY_HI)}
+    hit, total = Z.files_matching_box(path, box)
+    assert total == ZBOX_FILES
+    assert hit < total // 2, (hit, total)
