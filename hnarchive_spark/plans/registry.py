@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     # -- (d) round-6 additions (inserted here as they land) --
     "q_zorder_box",
     "q_stream_funnel",
+    "q_triangle_count",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",

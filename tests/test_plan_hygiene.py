@@ -243,3 +243,13 @@ def test_no_low_card_window_over_fact_rows(spark, name):
             f"{name}: Window partitioned by [{cols[0]}] runs over raw fact "
             f"rows:\n{ln}\n" + "\n".join(subtree[:6])
         )
+
+
+def test_triangle_count_orients_by_broadcast_degree(spark):
+    """The degree-ordered orientation must enter the plan as broadcast
+    joins of the per-vertex degree table (never a shuffle join against the
+    edge set), and the wedge-close must stay an equi-join (no cartesian)."""
+    plan = _plan(spark, "q_triangle_count")
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
