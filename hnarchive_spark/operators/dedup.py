@@ -274,3 +274,118 @@ def simhash_pairs(docs_tokens: DataFrame, ham_max: int = SH_HAM_MAX) -> DataFram
         .distinct()
         .filter(F.col("hamming") <= ham_max)
     )
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(src in dst) =
+    |shingles(src) ∩ shingles(dst)| / |shingles(src)|.
+
+    Containment is the subset/quote detector Jaccard misses: a short doc
+    fully embedded in a long one has low Jaccard (the union is dominated
+    by the long doc) but containment ~1.0 from the short side.  Returns
+    ORDERED pairs (src, dst, containment_e4) with src != dst,
+    containment_e4 >= round(threshold * 1e4); containment_e4 is the same
+    pure-BIGINT round-half-up recipe as ``jaccard_pairs``
+    ((2*1e4*common + n_src) div (2*n_src)).
+
+    Cost shape is identical to :func:`jaccard_pairs` — ONE inverted-index
+    self-join on the shingle computes each unordered pair's intersection
+    once; both directed containments project from that single row, so the
+    asymmetric operator costs no extra shuffle.  ``max_df`` is the same
+    stop-shingle skew guard.
+    """
+    t_e4 = int(round(threshold * 10000))
+    if max_df is not None:
+        keep = shingles.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        shingles = shingles.join(keep.select("shingle"), "shingle")
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    both = (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", "common", F.col("sa.n").alias("n1"), F.col("sb.n").alias("n2"))
+    )
+    fwd = both.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        F.expr("(20000 * common + n1) div (2 * n1)").alias("containment_e4"),
+    )
+    rev = both.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        F.expr("(20000 * common + n2) div (2 * n2)").alias("containment_e4"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment_e4") >= t_e4)
+
+
+def minhash_estimate_vs_exact(shingles: DataFrame) -> DataFrame:
+    """Sketch-accuracy harness: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature components / K, as e4 integer)
+    next to the exact jaccard_e4 — the measurement that justifies (or
+    indicts) the sketch parameters (K=MH_K, MH_B bands of MH_R).
+
+    One wide-agg signature pass (shared with the LSH candidates), one
+    banded candidate join, then per-pair: the K equality indicators sum in
+    a single projection over the two joined signature rows (no per-
+    component explode), and the exact side reuses the inverted-index
+    intersection restricted to candidates.  All integers on both engines.
+    """
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(shingles).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidates(sigs)
+    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
+    matches = sum(
+        F.when(F.col(f"s1.sig_{j}") == F.col(f"s2.sig_{j}"), 1).otherwise(0)
+        for j in range(MH_K)
+    )
+    est = (
+        F.broadcast(cands)
+        .join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", matches.alias("m"))
+        .select(
+            "d1",
+            "d2",
+            F.expr(f"(20000 * m + {MH_K}) div (2 * {MH_K})").alias("est_e4"),
+        )
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        F.broadcast(cands)
+        .join(a, F.col("a.doc_id") == F.col("d1"))
+        .join(b, (F.col("b.doc_id") == F.col("d2")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    exact = (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                "(20000 * common + (sa.n + sb.n - common))"
+                " div (2 * (sa.n + sb.n - common))"
+            ).alias("jaccard_e4"),
+        )
+    )
+    # candidates with zero common shingles (pure band collision) keep
+    # jaccard_e4 = 0 via the left join + coalesce
+    return est.join(exact, ["d1", "d2"], "left").select(
+        "d1", "d2", "est_e4", F.coalesce("jaccard_e4", F.lit(0)).alias("jaccard_e4")
+    )

@@ -139,7 +139,9 @@ def q_dedup_ngram_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(D.word_shingles(d), JACCARD_T, max_df=NGRAM_MAX_DF)
 
 
-def _minhash_oracle() -> str:
+def _minhash_prefix() -> str:
+    """Shared CTE chain (shingles -> hashed -> sigs -> bands -> cands) for
+    every MinHash oracle; replays operators/dedup.py's exact constants."""
     perms = ",\n        ".join(f"({j}, {a}, {b})" for j, a, b in D.MH_PERMS)
     return f"""
     WITH {_SHINGLES},
@@ -165,7 +167,11 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-    ),
+    ),"""
+
+
+def _minhash_oracle() -> str:
+    return _minhash_prefix() + f"""
     common AS (
       SELECT c.d1, c.d2, count(*) AS common
       FROM cands c
@@ -1123,4 +1129,202 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "lang")
         .filter(bucket < F.col("rate_e6"))
         .select("doc_id", "lang", "rate_e6")
+    )
+
+
+CONTAIN_T = 0.6
+CONTAIN_T_E4 = int(round(CONTAIN_T * 10000))
+
+
+@query(
+    "q_containment_dup",
+    oracle=f"""
+    WITH {_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairsizes AS (
+      SELECT d1, d2, common, sa.n AS n1, sb.n AS n2
+      FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    ),
+    directed AS (
+      SELECT d1 AS src, d2 AS dst,
+             (20000 * common + n1) // (2 * n1) AS containment_e4 FROM pairsizes
+      UNION ALL
+      SELECT d2, d1, (20000 * common + n2) // (2 * n2) FROM pairsizes
+    )
+    SELECT src, dst, containment_e4 FROM directed
+    WHERE containment_e4 >= {CONTAIN_T_E4}
+    """,
+    doc=f"Asymmetric containment dedup (shingle containment "
+    f">= {CONTAIN_T}): C(src in dst) = |common shingles| / |src shingles| "
+    "as round-half-up e4 BIGINT — the subset/quote detector Jaccard "
+    "misses (a short doc embedded in a long one has low Jaccard but "
+    "containment ~1 from the short side; the C4-era 'contained "
+    "duplicate' filter). ONE inverted-index self-join computes each "
+    "unordered pair's intersection; both directed containments project "
+    "from that row, so asymmetry costs no extra shuffle. Same max_df "
+    "skew guard available as q_dedup_ngram_maxdf.",
+)
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.containment_pairs(D.word_shingles(d), CONTAIN_T)
+
+
+def _minhash_accuracy_oracle() -> str:
+    return _minhash_prefix() + f"""
+    est AS (
+      SELECT c.d1, c.d2,
+             sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS m
+      FROM cands c
+      JOIN sigs x ON x.doc_id = c.d1
+      JOIN sigs y ON y.doc_id = c.d2 AND y.j = x.j
+      GROUP BY c.d1, c.d2
+    ),
+    common AS (
+      SELECT c.d1, c.d2, count(*) AS common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+      GROUP BY c.d1, c.d2
+    ),
+    exact AS (
+      SELECT d1, d2, (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS jaccard_e4
+      FROM common
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+    )
+    SELECT e.d1, e.d2,
+           CAST((20000 * e.m + {D.MH_K}) // (2 * {D.MH_K}) AS BIGINT) AS est_e4,
+           coalesce(x.jaccard_e4, 0) AS jaccard_e4
+    FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
+    """
+
+
+@query(
+    "q_minhash_accuracy",
+    oracle=_minhash_accuracy_oracle(),
+    doc=f"Sketch-accuracy harness: every MinHash-LSH candidate pair with "
+    "its signature-based Jaccard ESTIMATE (matching components / "
+    f"{D.MH_K}, e4 integer) NEXT TO the exact inverted-index jaccard_e4 "
+    "— the measurement that justifies (or indicts) the sketch parameters "
+    "before anyone trusts the estimate at 100 TB, where only the sketch "
+    "is affordable corpus-wide. Estimate: one wide K-column equality "
+    "projection per candidate (no per-component explode); exact side "
+    "restricted to candidates; band-collision-only pairs keep "
+    "jaccard_e4 = 0 via left join. All integers on both engines.",
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_estimate_vs_exact(D.word_shingles(d))
+
+
+KFOLD_K = 5
+
+
+@query(
+    "q_group_kfold",
+    oracle=f"""
+    WITH f AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {KFOLD_K} AS fold,
+             user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT fold, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM f GROUP BY fold
+    """,
+    doc=f"Group {KFOLD_K}-fold cross-validation assignment: the fold is a "
+    "pure function of the GROUP key (md5(user_id) bucket), so every event "
+    "of a user lands in the same fold by construction — the structural "
+    "guarantee that eliminates group leakage between CV train/test splits "
+    "(row-hash folds would scatter one user across folds and leak). Same "
+    "keyed-hash idiom as q_split_train_eval; zero-shuffle assignment, one "
+    "partial-agg shuffle for the fold audit (user/event/value balance per "
+    "fold).",
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % KFOLD_K
+    )
+    return (
+        e.select(
+            fold.alias("fold"),
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+EMBARGO_SPLIT_TS = "2024-01-20 00:00:00"
+EMBARGO_DAYS = 2
+
+
+@query(
+    "q_time_split_embargo",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE
+               WHEN ts < TIMESTAMP '{EMBARGO_SPLIT_TS}' THEN 'train'
+               WHEN ts < TIMESTAMP '{EMBARGO_SPLIT_TS}'
+                         + INTERVAL {EMBARGO_DAYS} DAY THEN 'embargo'
+               ELSE 'test'
+             END AS split,
+             user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY split
+    """,
+    doc=f"Temporal train/test split with an {EMBARGO_DAYS}-day embargo: "
+    "events strictly before the split timestamp train, events inside the "
+    "embargo window are EXCLUDED from both sides, the rest test — the "
+    "leakage-safe evaluation protocol for any model whose features "
+    "aggregate trailing windows (a trailing-7d feature computed at "
+    "test-start would otherwise read post-split training rows; purged "
+    "walk-forward CV uses exactly this shape). Pure predicate split, "
+    "zero shuffle; one partial-agg audit per side with the time "
+    "boundaries emitted as epoch microseconds so the no-overlap "
+    "invariant is hash-checked.",
+)
+def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    split_ts = F.lit(EMBARGO_SPLIT_TS).cast("timestamp")
+    split = (
+        F.when(F.col("ts") < split_ts, "train")
+        .when(F.col("ts") < split_ts + F.expr(f"INTERVAL {EMBARGO_DAYS} DAY"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        e.select(
+            split.alias("split"),
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.unix_micros(F.min("ts")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+            F.sum("cents").alias("sum_cents"),
+        )
     )

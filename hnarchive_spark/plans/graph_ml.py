@@ -891,3 +891,82 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("user_id", F.col("r").alias("rank_e6"))
+
+
+@query(
+    "q_class_weights",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 count(*) AS k FROM c)
+    SELECT c.label, c.n,
+           t.total AS weight_num,
+           CAST(t.k * c.n AS BIGINT) AS weight_den
+    FROM c, t
+    """,
+    doc="Inverse-frequency class weights as exact rationals: weight(c) = "
+    "total / (k * n_c) emitted as (weight_num, weight_den) — the "
+    "balanced-loss reweighting every classifier trained on skewed labels "
+    "needs (sklearn's 'balanced' heuristic), with no division so no "
+    "rounding policy is baked in. One partial-agg shuffle over labels; "
+    "the totals row is a broadcast scalar.",
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.col("total").cast("long").alias("weight_num"),
+        (F.col("k") * F.col("n")).cast("long").alias("weight_den"),
+    )
+
+
+@query(
+    "q_knn_confusion",
+    oracle=f"""
+    WITH {_E2},
+    q AS (SELECT vec_id, v, label FROM e2 WHERE vec_id % 10 = 0),
+    t AS (SELECT vec_id, v, label FROM e2 WHERE vec_id % 10 != 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             t.vec_id AS neighbor_id, t.label AS nl,
+             CAST(round(list_cosine_similarity(q.v, t.v) * 1000000) AS BIGINT)
+               AS cos_e6
+      FROM q CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, nl AS label, count(*) AS n_votes
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY query_id, true_label, nl
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT true_label, label AS predicted_label, count(*) AS n
+    FROM best WHERE vr = 1
+    GROUP BY true_label, label
+    """,
+    doc=f"Confusion matrix of the {KNN_K}-NN classifier (true x predicted "
+    "label counts over the held-out eval set) — the evaluation artifact "
+    "behind precision/recall/error analysis; q_knn_classify's per-row "
+    "verdicts collapse through one more partial aggregation (label "
+    "cardinality bounds the output, so the matrix is metadata-sized at "
+    "any corpus scale). Same deterministic ranking/voting as "
+    "q_knn_classify; the oracle replays it and aggregates identically.",
+)
+def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_knn_classify(spark, sf_dir)
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

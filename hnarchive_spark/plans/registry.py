@@ -111,6 +111,12 @@ _VERIFY_FIRST = [
     "q_zorder_box",
     "q_stream_funnel",
     "q_triangle_count",
+    "q_containment_dup",
+    "q_minhash_accuracy",
+    "q_group_kfold",
+    "q_time_split_embargo",
+    "q_class_weights",
+    "q_knn_confusion",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",
