@@ -278,20 +278,29 @@ def _pipeline_oracle() -> str:
     dropped AS (
       SELECT node AS doc_id FROM reach GROUP BY node HAVING min(comp) <> node
     ),
-    quality AS (
-      SELECT doc_id, lang,
-             round(
-               0.5 * (len(list_filter(ws, w -> w IN ({stop_list})))::DOUBLE / len(ws))
-               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-                                  / len(ws) - 5.0)), 4) AS quality_score
+    qraw AS (
+      SELECT doc_id, lang, len(ws) AS n_tokens,
+             len(list_filter(ws, w -> w IN ({stop_list}))) AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM (SELECT doc_id, lang,
                    list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
+    ),
+    quality AS (
+      -- pure-BIGINT round_half_up quality (the q_corpus_datacard recipe):
+      -- 1e4 * (0.5*stop/n + 0.5*n/(n + |sum_len - 5n|)) with no float
+      -- anywhere, so no round-tie / 1-ulp drift across engines or builds
+      SELECT doc_id, lang,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS quality_e4
+      FROM qraw
     )
-    SELECT q.doc_id, q.lang, q.quality_score
+    SELECT q.doc_id, q.lang, q.quality_e4
     FROM quality q
     LEFT JOIN dropped d ON d.doc_id = q.doc_id
-    WHERE d.doc_id IS NULL AND q.quality_score >= 0.12
+    WHERE d.doc_id IS NULL AND q.quality_e4 >= 1200
     """
 
 
@@ -299,9 +308,10 @@ def _pipeline_oracle() -> str:
     "q_pipeline_clean_corpus",
     oracle=_pipeline_oracle(),
     doc="The training-data pipeline composed end-to-end in ONE declarative "
-    "plan: quality scoring -> near-dup clustering -> drop non-keepers -> "
-    "quality threshold. Catalyst fuses the stages; nothing materializes "
-    "between them except the persisted shingle index.",
+    "plan: quality scoring (pure-BIGINT quality_e4, threshold 0.12 -> "
+    ">= 1200) -> near-dup clustering -> drop non-keepers -> quality "
+    "threshold. Catalyst fuses the stages; nothing materializes between "
+    "them except the persisted shingle index.",
 )
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnarchive_spark.operators.components import connected_components
@@ -313,19 +323,16 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
     quality = d.select(
         "doc_id",
         "lang",
-        F.round(
-            0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4
-        ).alias("quality_score"),
-    )
+        F.size(ws).cast("long").alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
+    ).select("doc_id", "lang", T.quality_e4_int().alias("quality_e4"))
     return (
         quality.join(dropped, "doc_id", "left_anti")
-        .filter(F.col("quality_score") >= 0.12)
+        .filter(F.col("quality_e4") >= 1200)
     )
 
 

@@ -107,6 +107,59 @@ def test_no_hugeint_oracle_outputs():
     assert not offenders, f"oracles with non-portable output types: {offenders}"
 
 
+# Legacy queries still emitting DOUBLE output columns, by risk class:
+#   * pass-through: raw parquet column values, zero arithmetic on either
+#     engine -> bit-identical by construction;
+#   * engineered-float: computed doubles where both engines share the exact
+#     expression; green since r1-r4 but scheduled for integer conversion as
+#     they rotate into a future driver verification window (round-7 work —
+#     changing them NOW would invalidate their standing green rows while the
+#     round-6 window is already full).
+# The integer-output convention (cents / _e4 / _e6 / exact rationals) is
+# mandatory for every NEW query: this pin makes adding a float output a test
+# failure instead of a silent drift risk.
+_LEGACY_DOUBLE_OUTPUTS = {
+    # pass-through raw columns
+    "q_fk_filter", "q_fk_filter_2", "q_point_lookup", "q_topk",
+    "q_window_rank", "q_sample_hash", "q_lateral_join", "q_join_fk",
+    "q_topk_per_group", "q_null_handling",
+    # engineered-float aggregates (TPC-H block) — r7 conversion slate
+    "q_flagship", "q_groupby_agg", "q_agg_cube", "q_agg_rollup",
+    "q_grouping_sets", "q_join_broadcast", "q_shipping_priority",
+    "q_running_sum",
+    # engineered-float text/pipeline block — r7 conversion slate
+    "q_contamination", "q_mix_equalize", "q_sample_weighted",
+    "q_text_quality", "q_text_stats", "q_quality_repetition",
+    "q_tfidf_top_terms", "q_pandas_udf_score", "q_pandas_udaf_weighted",
+    "q_stream_stream_join",
+}
+
+
+def test_no_new_double_oracle_outputs():
+    """Every query OUTSIDE the pinned legacy set must emit only integer /
+    string / timestamp / boolean outputs — the convention that removed the
+    round-2/3 float-parity failure class.  A new query emitting DOUBLE
+    fails here at authoring time."""
+    con = _duck()
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name in _LEGACY_DOUBLE_OUTPUTS:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if "DOUBLE" in t or "FLOAT" in t]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"new float outputs outside the legacy pin: {offenders}"
+    # the pin must not rot: every listed name still exists and still emits
+    # a double (else it was converted and should leave the list)
+    for name in sorted(_LEGACY_DOUBLE_OUTPUTS):
+        spec = REGISTRY[name]
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        assert any("DOUBLE" in t or "FLOAT" in t for _, t, *_ in desc), (
+            f"{name} no longer emits a double — remove it from the pin"
+        )
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as e
 
