@@ -1744,3 +1744,105 @@ def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "q_rolling_active_users",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs),
+    rolled AS (
+      SELECT d.day, p.user_id
+      FROM days d JOIN pairs p
+        ON p.day <= d.day AND p.day > d.day - {ROLLING_DAYS}
+      GROUP BY d.day, p.user_id
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           count(*) AS active_users_{ROLLING_DAYS}d
+    FROM rolled GROUP BY day
+    """,
+    doc=f"Rolling {ROLLING_DAYS}-day active users per day (the DAU/WAU "
+    "family): COUNT DISTINCT over a sliding window is not window-function-"
+    "expressible, and the naive per-day re-scan reads the corpus once per "
+    "day. Scalable shape: events collapse FIRST to distinct (user, day) "
+    "pairs (one partial-agg shuffle — the only pass over fact rows), then "
+    f"each pair explodes to the <= {ROLLING_DAYS} days it covers and a "
+    "second distinct+count runs on the pair table (users x days rows, "
+    "metadata-sized relative to events; the explode factor is the window "
+    "length, applied AFTER the collapse). The oracle computes the same "
+    "windows by range join over the distinct pairs.",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), ROLLING_DAYS - 1)
+            )
+        ).alias("day"),
+    ).join(F.broadcast(days), "day", "left_semi")
+    return (
+        covered.distinct()
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.count(F.lit(1)).alias(f"active_users_{ROLLING_DAYS}d"))
+    )
+
+
+@query(
+    "q_corr_rational",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(date_part('hour', ts) AS BIGINT) AS h
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(count(*) * sum(v * h) - sum(v) * sum(h) AS BIGINT) AS corr_num,
+           CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_v_n2,
+           CAST(count(*) * sum(h * h) - sum(h) * sum(h) AS BIGINT) AS var_h_n2
+    FROM x GROUP BY event_type
+    """,
+    doc="Pearson correlation pieces per event type as EXACT integers: "
+    "corr = corr_num / sqrt(var_v_n2 * var_h_n2) with corr_num = "
+    "n*Sxy - Sx*Sy and the two n^2-scaled variances — the feature-"
+    "correlation audit (does value correlate with hour-of-day?) emitted "
+    "without sqrt or division, so the hash is engine-exact and the "
+    "caller picks the final float precision. One partial-agg shuffle; "
+    "every sum is a BIGINT over cents x hour products. Overflow bound: "
+    "n * sum(v^2) <= n^2 * max_cents^2 — exact through ~3e4 rows/group "
+    "at 1e5-cent values in int64; past that, compute per-partition "
+    "partial rationals or switch to double Welford (the audit then "
+    "tolerates float).",
+)
+def q_corr_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    n = F.count(F.lit(1))
+    return x.groupBy("event_type").agg(
+        n.alias("n"),
+        (n * F.sum(F.col("v") * F.col("h")) - F.sum("v") * F.sum("h"))
+        .cast("long")
+        .alias("corr_num"),
+        (n * F.sum(F.col("v") * F.col("v")) - F.sum("v") * F.sum("v"))
+        .cast("long")
+        .alias("var_v_n2"),
+        (n * F.sum(F.col("h") * F.col("h")) - F.sum("h") * F.sum("h"))
+        .cast("long")
+        .alias("var_h_n2"),
+    )

@@ -117,6 +117,8 @@ _VERIFY_FIRST = [
     "q_time_split_embargo",
     "q_class_weights",
     "q_knn_confusion",
+    "q_rolling_active_users",
+    "q_corr_rational",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",
