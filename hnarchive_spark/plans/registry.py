@@ -93,9 +93,7 @@ _VERIFY_FIRST = [
     "q_dedup_ngram",
     "q_dedup_ngram_maxdf",
     "q_dedup_minhash",
-    "q_dedup_clusters",
     "q_dedup_canonical",
-    "q_dedup_incremental",
     "q_pipeline_clean_corpus",
     "q_embed_dup",
     "q_embed_dup_capped",
@@ -119,6 +117,11 @@ _VERIFY_FIRST = [
     "q_knn_confusion",
     "q_rolling_active_users",
     "q_corr_rational",
+    # -- positions 51-52: output schemas unchanged by the integerization
+    # (only the internal pair filter moved to the math-equivalent integer
+    # form); first in line if the driver window exceeds 50 --
+    "q_dedup_clusters",
+    "q_dedup_incremental",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",
