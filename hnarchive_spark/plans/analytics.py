@@ -1846,3 +1846,60 @@ def q_corr_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_h_n2"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_id % 2 = 1
+                  THEN 'ch' || CAST(user_id % 3 AS VARCHAR) END AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, '<pre-evolution>') AS channel,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id
+    FROM v GROUP BY 1
+    """,
+    doc="Parquet schema evolution round trip: batch 1 lands WITHOUT the "
+    "channel column (the pre-migration writer), batch 2 lands WITH it, "
+    "and one mergeSchema read unions both vintages — old rows surface "
+    "channel as NULL, audited per channel against an oracle computed "
+    "straight from the source table (lossless-or-hash-fail, like the "
+    "JSONL/CSV round trips). The additive-column migration every "
+    "long-lived 100 TB table undergoes; mergeSchema's footer-union cost "
+    "is per-FILE metadata, data files are never rewritten, and a "
+    "production table would pin the merged schema in a catalog rather "
+    "than re-deriving it per read.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(path)
+    (
+        e.filter(F.col("event_id") % 2 == 1)
+        .withColumn(
+            "channel", F.concat(F.lit("ch"), (F.col("user_id") % 3).cast("string"))
+        )
+        .write.mode("append").parquet(path)
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("channel"), F.lit("<pre-evolution>")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

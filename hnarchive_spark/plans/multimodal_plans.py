@@ -119,3 +119,44 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(d))
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH h AS (
+      -- DuckDB md5() takes VARCHAR (hashes its utf-8 bytes) = Spark's
+      -- md5(encode(text,'utf-8')) over the BINARY payload
+      SELECT doc_id, md5(text) AS content_hash,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+    )
+    SELECT content_hash, min(byte_len) AS byte_len,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM h GROUP BY content_hash
+    """,
+    doc="Exact content-hash dedup over the opaque BINARY payload (the "
+    "image/audio/video analog of text exact-dedup): md5 of the raw bytes "
+    "— never a decode — groups identical assets regardless of filename "
+    "or metadata, keeping the smallest doc_id. One shuffle on the 128-bit "
+    "hash; at 100 TB the hash computes in the scan projection and only "
+    "(hash, id, len) rows ever move, so dedup cost is independent of "
+    "asset size. byte_len rides along as the audit column (all copies "
+    "share it by construction).",
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    withp = attach_payload(d)
+    return (
+        withp.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("content_hash"),
+            F.octet_length(F.col("payload")).cast("long").alias("bl"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("bl").alias("byte_len"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -117,11 +117,16 @@ _VERIFY_FIRST = [
     "q_knn_confusion",
     "q_rolling_active_users",
     "q_corr_rational",
-    # -- positions 51-52: output schemas unchanged by the integerization
-    # (only the internal pair filter moved to the math-equivalent integer
-    # form); first in line if the driver window exceeds 50 --
+    # -- positions 51+: past the expected window cutoff. First the two
+    # integerized queries whose output schemas did not change (only the
+    # internal pair filter moved to the math-equivalent integer form),
+    # then the round-6 additions that arrived after the window filled —
+    # all locally parity-verified at sf0.001 + sf0.01; r7-window leads --
     "q_dedup_clusters",
     "q_dedup_incremental",
+    "q_multimodal_dedup",
+    "q_bigram_novelty",
+    "q_schema_evolution",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",

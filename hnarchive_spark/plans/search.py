@@ -229,3 +229,79 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n12").desc(), "w1", "w2")
         .limit(BIGRAM_TOPK)
     )
+
+
+NOVELTY_RARE_MAX = 1  # a bigram occurring <= this many times corpus-wide is "rare"
+
+
+@query(
+    "q_bigram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM toks WHERE len(ws) >= 2
+    ),
+    corpus AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+    per_doc AS (
+      SELECT b.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN c.n12 <= {NOVELTY_RARE_MAX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rare
+      FROM bi b JOIN corpus c ON c.w1 = b.w1 AND c.w2 = b.w2
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           (20000 * n_rare + n_bigrams) // (2 * n_bigrams) AS novelty_e4
+    FROM per_doc
+    """,
+    doc=f"Per-document LM-novelty score: the fraction of a doc's bigrams "
+    f"seen <= {NOVELTY_RARE_MAX} time(s) corpus-wide, as round-half-up e4 "
+    "BIGINT — the count-based stand-in for the perplexity filter (CCNet-"
+    "style): high novelty flags gibberish / OCR noise / wrong-language "
+    "text whose word transitions the corpus LM has never seen, with no "
+    "log() (not bit-portable across engines) anywhere. One tokenize "
+    "pass feeds both the corpus bigram table and the per-doc join; the "
+    "join key is the bigram (uniform-ish; the same max_df-style cap "
+    "applies if a corpus had degenerate repeated bigrams).",
+)
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("ws")
+    )
+    bi = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .persist()
+    )
+    corpus = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    per_doc = (
+        bi.join(corpus, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("n12") <= NOVELTY_RARE_MAX, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        F.expr("(20000 * n_rare + n_bigrams) div (2 * n_bigrams)").alias("novelty_e4"),
+    )
