@@ -1903,3 +1903,58 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+FUZZY_LEV_MAX = 2
+
+
+@query(
+    "q_fuzzy_match_blocked",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand
+      FROM part
+    )
+    SELECT a.p_partkey AS p1, b.p_partkey AS p2, a.p_brand AS brand,
+           a.p_name AS name_1, b.p_name AS name_2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_LEV_MAX}
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
+    """,
+    doc=f"Blocked fuzzy matching (entity resolution): part-name pairs "
+    f"within edit distance {FUZZY_LEV_MAX}, compared ONLY inside a "
+    "blocking key (brand) with the cheap length-difference filter ahead "
+    "of the O(len^2) Levenshtein — the classic record-linkage shape "
+    "(typo'd product names, near-identical author strings). Both "
+    "engines' levenshtein is classical unit-cost edit distance, so the "
+    "integer output hashes exactly. The equi-key part of the join "
+    "(brand) is the shuffle; the quadratic compare is bounded per "
+    "block. At 100 TB the blocking key gets finer (brand x name-length "
+    "bucket x first-token, unioned over neighbor buckets for boundary "
+    "recall) so blocks stay O(1000) — same plan, finer key; a hot block "
+    "gets the same cap treatment as the shingle/band indexes.",
+)
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= FUZZY_LEV_MAX
+        )
+        & (lev <= FUZZY_LEV_MAX),
+    ).select(
+        F.col("a.p_partkey").alias("p1"),
+        F.col("b.p_partkey").alias("p2"),
+        F.col("a.p_brand").alias("brand"),
+        F.col("a.p_name").alias("name_1"),
+        F.col("b.p_name").alias("name_2"),
+        lev.cast("long").alias("lev"),
+    )
