@@ -253,3 +253,13 @@ def test_triangle_count_orients_by_broadcast_degree(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_blocked_is_hash_join(spark):
+    """The fuzzy compare must ride a hash join on the blocking key (brand)
+    with Levenshtein as a join residual — never a nested-loop/cartesian
+    all-pairs compare."""
+    plan = _plan(spark, "q_fuzzy_match_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
