@@ -87,3 +87,59 @@ def test_merge_matches_python_reference(spark, upd_dicts):
         actual = got[b["id"]]
         for c in FX.ITEM_COLS:
             assert actual[c] == expect[c], (b["id"], c)
+
+
+# --- rankselect operators vs a pure-Python reference fold ---
+
+_RS_ROW = st.tuples(
+    st.sampled_from(["a", "b", "c"]),                 # key
+    st.integers(min_value=-50, max_value=50),         # order value (incl. neg)
+    st.integers(min_value=0, max_value=20),           # summand
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_RS_ROW, min_size=1, max_size=40))
+def test_grouped_prefix_sum_matches_python_fold(spark, rows):
+    """grouped_prefix_sum must equal the per-key ordered running sum for
+    ARBITRARY data: negative order values, heavy ties, single-row keys,
+    all values inside one bucket and spread across many (width 4)."""
+    from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+
+    data = [(k, v, i, x) for i, (k, v, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v long, id long, x long")
+    got = {
+        r.id: r.cum
+        for r in grouped_prefix_sum(df, "k", "v", "id", "x", bucket_width=4).collect()
+    }
+    by_key: dict[str, list] = {}
+    for k, v, i, x in data:
+        by_key.setdefault(k, []).append((v, i, x))
+    for k, items in by_key.items():
+        items.sort(key=lambda t: (-t[0], t[1]))  # v desc, id asc
+        run = 0
+        for v, i, x in items:
+            run += x
+            assert got[i] == run, (k, i, got[i], run)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_RS_ROW, min_size=1, max_size=40))
+def test_grouped_global_rank_with_count_matches_python_sort(spark, rows):
+    from hnarchive_spark.operators.rankselect import grouped_global_rank
+
+    data = [(k, v, i) for i, (k, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v long, id long")
+    got = {
+        r.id: (r.rank, r.nn)
+        for r in grouped_global_rank(
+            df, "k", "v", "id", descending=False, bucket_width=4, with_count=True
+        ).collect()
+    }
+    by_key: dict[str, list] = {}
+    for k, v, i in data:
+        by_key.setdefault(k, []).append((v, i))
+    for k, items in by_key.items():
+        items.sort()  # v asc, id asc
+        for rank0, (v, i) in enumerate(items):
+            assert got[i] == (rank0 + 1, len(items)), (k, i, got[i])
