@@ -970,3 +970,78 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "predicted_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    v{i} AS (
+      SELECT a.u, {prev}.lab, count(*) AS c
+      FROM adj a JOIN {prev} ON {prev}.u = a.v
+      GROUP BY a.u, {prev}.lab
+    ),
+    l{i} AS (
+      SELECT u, lab FROM (
+        SELECT u, lab, row_number() OVER (PARTITION BY u
+                                          ORDER BY c DESC, lab) AS rn
+        FROM v{i}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_lpa_communities",
+    oracle=f"""
+    WITH {_UND_SQL},
+    adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    l0 AS (SELECT DISTINCT u, u AS lab FROM adj),
+    {",".join(_lpa_iter_sql(i).strip() for i in range(1, LPA_ITERS + 1))}
+    SELECT l{LPA_ITERS}.u AS user_id, l{LPA_ITERS}.lab AS community,
+           count(*) OVER (PARTITION BY l{LPA_ITERS}.lab) AS community_size
+    FROM l{LPA_ITERS}
+    """,
+    doc=f"Label-propagation community detection ({LPA_ITERS} semi-"
+    "synchronous iterations): every node starts as its own label and "
+    "each round adopts its neighbors' MOST FREQUENT label (ties -> "
+    "smallest label), the classic near-linear community algorithm — "
+    "deterministic here because the update is simultaneous (no "
+    "sequential node order) and the tiebreak is total, so a FIXED "
+    "iteration count is bit-identical on both engines. Complements "
+    "connected components (pure reachability) with density-based "
+    "groupings. Each iteration is one join + partial-agg + per-node "
+    "mode (the ranking window partitions by node — high-cardinality, "
+    "parallel); labels are one row per node, tiny next to edges. "
+    "community_size comes from a groupBy + broadcast join back (one row "
+    "per community) — NOT count() OVER (PARTITION BY label), which would "
+    "funnel a giant community's nodes through one task (the oracle keeps "
+    "the window form single-node DuckDB is fine with). At 100 TB: same "
+    "Pregel-as-DataFrame loop as q_pagerank, edge table reused across "
+    "iterations via the materialized lineage cut.",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = adj.select("u").distinct().select("u", F.col("u").alias("lab"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            adj.join(labels.select(F.col("u").alias("v"), "lab"), "v")
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), "lab")
+        labels = (
+            votes.select("u", "lab", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("u", "lab")
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(F.broadcast(sizes), "lab").select(
+        F.col("u").alias("user_id"),
+        F.col("lab").alias("community"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )

@@ -128,6 +128,7 @@ _VERIFY_FIRST = [
     "q_bigram_novelty",
     "q_schema_evolution",
     "q_fuzzy_match_blocked",
+    "q_lpa_communities",
     # -- (e) r1-green-only stragglers --
     "q_window_range_frame",
     "q_filtered_agg",
