@@ -114,3 +114,60 @@ def test_grouped_global_rank_with_count_emits_group_totals(spark):
     got = grouped_global_rank(df, "k", "v", "id", bucket_width=2, with_count=True)
     for r in got.collect():
         assert r.nn == {"a": 3, "b": 2}[r.k]
+
+
+def test_reservoir_result_is_partitioning_invariant(spark):
+    """The mapInPandas pre-filter's SURVIVORS depend on the input layout,
+    but the reservoir RESULT must not: any global per-source top-k row is
+    also a within-partition top-k row, so 1-partition, many-partition and
+    shuffled layouts must all yield the identical sample."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.plans.registry import all_queries
+    from hnarchive_spark.tables import load
+
+    base = {
+        tuple(r)
+        for r in all_queries()["q_reservoir_per_source"](spark, SF).collect()
+    }
+    d = load(spark, SF, "documents")
+    for layout in (
+        d.repartition(1),
+        d.repartition(64),
+        d.repartition(F.col("doc_id") % 7),
+    ):
+        import hnarchive_spark.plans.dedup as DP
+
+        # rebuild the same query over the altered layout
+        k = DP.RESERVOIR_K
+        pre_base = layout.select(
+            "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+
+        def _topk(batches, k=k):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                cur = pdf if acc is None else pd.concat([acc, pdf])
+                acc = (
+                    cur.sort_values(["source", "h", "doc_id"], kind="mergesort")
+                    .groupby("source", sort=False)
+                    .head(k)
+                )
+            if acc is not None and len(acc):
+                yield acc
+
+        from pyspark.sql import Window
+
+        pre = pre_base.mapInPandas(_topk, schema=pre_base.schema)
+        w = Window.partitionBy("source").orderBy("h", "doc_id")
+        got = {
+            tuple(r)
+            for r in pre.select(
+                "source", "doc_id", F.row_number().over(w).alias("rk")
+            )
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+        assert got == base
