@@ -49,87 +49,57 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # order all_queries() returns, so the names below — this round's verification
 # targets — come FIRST, then everything else in registration order.
 _VERIFY_FIRST = [
-    # Round-6 rotation. The driver verifies ~the first 50 names, so priority:
-    #   (a) the 20 analytics-tail queries that have NEVER had a driver row
-    #       (registered after round 5's window cutoff; judge-verified at
-    #       sf0.01 in VERDICT r5, but the driver row is the contract);
-    #   (b) the 4 queries whose internals were rewired through
-    #       operators/rankselect.py this round (oracles unchanged — a fresh
-    #       green row proves the rewiring);
-    #   (c) the 17 dedup/similarity queries whose OUTPUT changed to integer
-    #       jaccard_e4/cos_e6 this round — their old green rows describe an
-    #       obsolete schema, so fresh rows are mandatory;
-    #   (d) queries ADDED in round 6 — first rows;
-    #   (e) the 14 r1-green-only stragglers (unchanged code, stale green —
-    #       lowest risk, rotate in as window room allows);
-    #   (f) everything else in registration order (r3/r4-green, unchanged).
-    # -- (a) never-driver-verified analytics tail --
-    "q_outlier_mad",
-    "q_winsorize",
-    "q_association_rules",
-    "q_expectations",
-    "q_subtree_agg",
-    "q_decile_binning",
-    "q_mode_per_group",
-    "q_gini_revenue",
-    "q_join_full_outer",
-    "q_changepoint_cusum",
-    "q_autocorr_lag1",
-    "q_dow_profile",
-    "q_skew_report",
-    "q_histogram_equiwidth",
-    "q_lorenz_deciles",
-    "q_percentile_rank_transform",
-    "q_benford_audit",
-    "q_jsonl_roundtrip",
-    "q_csv_roundtrip",
-    "q_wow_growth",
-    # -- (b) rankselect rewires (round 6) --
-    "q_corpus_datacard",
-    "q_select_token_budget",
-    "q_reservoir_per_source",
-    "q_decile_binning_scalable",
-    # -- (c) integer-output conversions (round 6) --
-    "q_dedup_ngram",
-    "q_dedup_ngram_maxdf",
-    "q_dedup_minhash",
-    "q_dedup_canonical",
-    "q_pipeline_clean_corpus",
-    "q_embed_dup",
-    "q_embed_dup_capped",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_ann_lsh_multi",
-    "q_ann_lsh_indexed",
-    "q_ann_ivf",
-    "q_ann_ivf_probe2",
-    "q_ann_ivf_indexed",
-    "q_ann_ivf_append",
-    # -- (d) round-6 additions (inserted here as they land) --
-    "q_zorder_box",
-    "q_stream_funnel",
-    "q_triangle_count",
-    "q_containment_dup",
-    "q_minhash_accuracy",
-    "q_group_kfold",
-    "q_time_split_embargo",
-    "q_class_weights",
-    "q_knn_confusion",
-    "q_rolling_active_users",
-    "q_corr_rational",
-    # -- positions 51+: past the expected window cutoff. First the two
-    # integerized queries whose output schemas did not change (only the
-    # internal pair filter moved to the math-equivalent integer form),
-    # then the round-6 additions that arrived after the window filled —
-    # all locally parity-verified at sf0.001 + sf0.01; r7-window leads --
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_multimodal_dedup",
+    # Round-8 rotation. The driver verifies ~the first 50 names, so priority:
+    #   (a) the 5 queries that have NEVER had a driver row (registered past
+    #       the round-6 window cutoff; locally parity-green at sf0.001 and
+    #       sf0.01 but the driver row is the contract);
+    #   (b) the 2 queries integerized in round 6 whose rewired internals
+    #       were never driver-re-verified (output schemas unchanged);
+    #   (c) the 28 legacy-DOUBLE queries converted to integer outputs this
+    #       round — their old green rows describe an obsolete schema, so
+    #       fresh rows are mandatory;
+    #   (d) r1-green-only stragglers not already covered by (c);
+    #   (e) everything else in registration order (cumulative-green,
+    #       unchanged code).
+    # -- (a) never-driver-verified --
     "q_bigram_novelty",
-    "q_schema_evolution",
     "q_fuzzy_match_blocked",
     "q_lpa_communities",
-    # -- (e) r1-green-only stragglers --
+    "q_multimodal_dedup",
+    "q_schema_evolution",
+    # -- (b) round-6 integer rewires, no driver row for the new internals --
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    # -- (c) round-8 DOUBLE->integer conversions (schema changed) --
+    "q_flagship",
+    "q_groupby_agg",
+    "q_shipping_priority",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_grouping_sets",
+    "q_running_sum",
+    "q_join_broadcast",
+    "q_point_lookup",
+    "q_fk_filter",
+    "q_fk_filter_2",
+    "q_topk",
+    "q_window_rank",
+    "q_sample_hash",
+    "q_lateral_join",
+    "q_join_fk",
+    "q_topk_per_group",
+    "q_null_handling",
+    "q_contamination",
+    "q_mix_equalize",
+    "q_sample_weighted",
+    "q_text_quality",
+    "q_text_stats",
+    "q_quality_repetition",
+    "q_tfidf_top_terms",
+    "q_pandas_udf_score",
+    "q_pandas_udaf_weighted",
+    "q_stream_stream_join",
+    # -- (d) r1-green-only stragglers not in (c) --
     "q_window_range_frame",
     "q_filtered_agg",
     "q_having",
@@ -137,24 +107,15 @@ _VERIFY_FIRST = [
     "q_correlated_subquery",
     "q_percentiles",
     "q_stratified_sample",
-    "q_lateral_join",
     "q_unpivot",
-    "q_topk_per_group",
     "q_setops_all",
     "q_children_sorted",
     "q_fix_ptags",
     "q_display_date",
-    # -- (f) stalest remaining r3-green block --
+    # -- (e) stalest remaining r3-green block fills the window tail --
     "q_dedup_exact",
-    "q_contamination",
-    "q_sample_weighted",
-    "q_mix_equalize",
-    "q_text_stats",
-    "q_text_quality",
-    "q_quality_repetition",
     "q_token_count",
     "q_lang_id",
-    "q_tfidf_top_terms",
 ]
 
 
