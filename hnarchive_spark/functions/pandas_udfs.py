@@ -9,7 +9,6 @@ Arrow batch path end-to-end.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
@@ -17,29 +16,27 @@ from pyspark.sql.functions import pandas_udf
 # a DataType INSTANCE, not the "double" DDL string: the string form is
 # parsed lazily and can end up parsed inside a Python worker where no
 # SparkSession exists (module-level UDFs pickled to executors)
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import LongType
 
 
-def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
-    """SQL-style rounding (half away from zero); np.round is half-even and
-    diverges from DuckDB/Spark round() on exact .5 ties."""
-    scale = 10.0**decimals
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
-
-
-@pandas_udf(DoubleType())
-def readability_score(text: pd.Series) -> pd.Series:
+@pandas_udf(LongType())
+def readability_score_e4(text: pd.Series) -> pd.Series:
     """Scalar pandas UDF: a Flesch-like score from mean word length and
-    sentence-less text shape, computed vectorized over the Arrow batch."""
+    sentence-less text shape, vectorized over the Arrow batch in exact
+    int64 e4 units: 1e6 - (5e4*(chars - spaces)) // n_words - 1e3*n_words
+    (numerators nonnegative, so numpy floor-div == DuckDB //)."""
     words = text.str.split(" ")
-    n_words = words.str.len().astype("float64")
-    n_chars = text.str.len().astype("float64")
-    mean_wl = (n_chars - (n_words - 1)) / n_words  # chars net of separators
-    return pd.Series(_round_half_away((100.0 - 5.0 * mean_wl - 0.1 * n_words).to_numpy(), 4))
+    n_words = words.str.len().astype("int64")
+    n_chars = text.str.len().astype("int64")
+    net_chars = n_chars - (n_words - 1)  # chars net of separators
+    return 1_000_000 - (50_000 * net_chars) // n_words - 1_000 * n_words
 
 
-@pandas_udf(DoubleType())
-def weighted_mean(value: pd.Series, weight: pd.Series) -> float:
-    """Grouped-aggregate pandas UDF: weight-averaged value per group."""
-    x = float((value * weight).sum()) / float(weight.sum())
-    return float(_round_half_away(np.array([x]), 4)[0])
+@pandas_udf(LongType())
+def weighted_mean_e4(value_cents: pd.Series, weight: pd.Series) -> int:
+    """Grouped-aggregate pandas UDF: weight-averaged value per group, exact
+    int64 — (sum(cents*w) * 100) // sum(w) = the weighted mean in e4 dollar
+    units (nonnegative, so floor-div == DuckDB //)."""
+    num = int((value_cents.astype("int64") * weight.astype("int64")).sum())
+    den = int(weight.sum())
+    return (num * 100) // den

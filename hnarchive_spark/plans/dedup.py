@@ -339,38 +339,50 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_weighted",
     oracle="""
-    WITH q AS (
+    WITH m AS (
       SELECT doc_id,
-             round(
-               0.5 * (len(list_filter(ws, w -> w IN ('the','a','of','and','is')))::DOUBLE / len(ws))
-               + 0.5 / (1.0 + abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-                                  / len(ws) - 5.0)), 4) AS quality_score
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS BIGINT)
+               AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
             FROM documents)
+    ),
+    q AS (
+      SELECT doc_id,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS quality_e4
+      FROM m
     )
-    SELECT doc_id, quality_score
+    SELECT doc_id, CAST(quality_e4 AS BIGINT) AS quality_e4
     FROM q
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
-          < CAST(quality_score * 3000 AS BIGINT)
+          < (quality_e4 * 3) // 10
     """,
     doc="Quality-weighted acceptance sampling: each doc kept with probability "
-    "proportional to its quality score, via the deterministic key hash — the "
-    "upsampling-good-data stage of a training pipeline, reproducible across "
-    "runs and engines.",
+    "proportional to its quality score (pure-BIGINT quality_e4; acceptance "
+    "threshold (quality_e4*3) div 10 of 1000 hash buckets), via the "
+    "deterministic key hash — the upsampling-good-data stage of a training "
+    "pipeline, reproducible across runs and engines with no float anywhere.",
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
-    quality = F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4)
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 1000
     return (
-        d.select("doc_id", quality.alias("quality_score"), bucket.alias("_b"))
-        .filter(F.col("_b") < (F.col("quality_score") * 3000).cast("long"))
+        d.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+            T.sum_token_len(F.col("text")).alias("sum_len"),
+            bucket.alias("_b"),
+        )
+        .select("doc_id", T.quality_e4_int().alias("quality_e4"), "_b")
+        .filter(F.col("_b") < F.expr("(quality_e4 * 3) div 10"))
         .drop("_b")
     )
 
@@ -383,13 +395,13 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rates AS (
       SELECT lang,
-             (SELECT min(n) FROM counts)::DOUBLE / n AS rate
+             CAST(((SELECT min(n) FROM counts) * 1000000) // n AS BIGINT) AS rate_e6
       FROM counts
     )
-    SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+    SELECT d.doc_id, d.lang, r.rate_e6
     FROM documents d JOIN rates r USING (lang)
     WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
-          < CAST(round(round(r.rate, 6) * 1000000) AS BIGINT)
+          < r.rate_e6
     """,
     doc="Language-mix equalization (the data-mixing step of corpus assembly): "
     "per-language acceptance rate = min_lang_count / lang_count, applied via "
@@ -398,27 +410,25 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Data-DEPENDENT rates distinguish this from the fixed-rate samplers: "
     "one tiny counts aggregate broadcasts into the filter. At 100 TB the "
     "counts side is a few rows per language — broadcast join, zero extra "
-    "shuffle of the corpus.",
+    "shuffle of the corpus. The rate is an exact e6 integer "
+    "((min_n * 1e6) div n), so the hash-bucket threshold never touches a "
+    "float on either engine.",
 )
 def q_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     min_n = counts.agg(F.min("n").alias("m"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
-        "lang", F.round(F.col("m").cast("double") / F.col("n"), 6).alias("rate")
+        "lang", F.expr("(m * 1000000) div n").alias("rate_e6")
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 1_000_000
     )
-    # round-then-cast on BOTH engines: rate*1e6 lands within 1e-9 of an
-    # integer, and a bare long cast truncates in Spark but rounds in a
-    # DuckDB CAST — an off-by-one threshold whenever the product falls just
-    # below the integer.  Explicit round() on both sides removes the flip.
     return (
         d.join(F.broadcast(rates), "lang")
-        .filter(bucket < F.round(F.col("rate") * 1_000_000, 0).cast("long"))
-        .select("doc_id", "lang", "rate")
+        .filter(bucket < F.col("rate_e6"))
+        .select("doc_id", "lang", "rate_e6")
     )
 
 
@@ -499,7 +509,8 @@ def _contamination_oracle() -> str:
     )
     SELECT tot.doc_id, tot.n_shingles,
            coalesce(hit.n_hits, 0) AS n_hits,
-           round(coalesce(hit.n_hits, 0)::DOUBLE / tot.n_shingles, 4) AS contamination
+           CAST((coalesce(hit.n_hits, 0) * 10000) // tot.n_shingles AS BIGINT)
+             AS contamination_e4
     FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
     """
     )
@@ -550,9 +561,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_shingles"), 4
-        ).alias("contamination"),
+        F.expr("(coalesce(n_hits, 0) * 10000) div n_shingles").alias("contamination_e4"),
     )
 
 

@@ -162,22 +162,26 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
-           CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE round(o_totalprice, 0) END AS price_or_flag,
+           CASE WHEN o_totalprice IS NULL THEN CAST(-1 AS BIGINT)
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+           END AS price_cents_or_flag,
            (o_orderstatus IS DISTINCT FROM 'F') AS not_f,
-           greatest(o_totalprice, 100000.0) AS floored_price
+           greatest(CAST(round(o_totalprice * 100) AS BIGINT),
+                    CAST(10000000 AS BIGINT)) AS floored_price_cents
     FROM orders WHERE o_orderkey < 300
     """,
     doc="Null-handling battery: NULLIF/COALESCE, CASE flagging, "
-    "IS DISTINCT FROM, greatest.",
+    "IS DISTINCT FROM, greatest — money as exact integer cents.",
 )
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return o.select(
         "o_orderkey",
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
-        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
-        .otherwise(F.round("o_totalprice", 0))
-        .alias("price_or_flag"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1).cast("long"))
+        .otherwise(cents)
+        .alias("price_cents_or_flag"),
         F.col("o_orderstatus").eqNullSafe(F.lit("F")).__invert__().alias("not_f"),
-        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored_price"),
+        F.greatest(cents, F.lit(10000000).cast("long")).alias("floored_price_cents"),
     )

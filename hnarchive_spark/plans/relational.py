@@ -24,30 +24,84 @@ from hnarchive_spark.tables import load
 # ---------------------------------------------------------------------------
 
 
+# Exact-integer money convention (retires the round-2/3 float-parity class):
+# every 2-decimal source double becomes CAST(round(x*100) AS BIGINT) cents /
+# pct at the scan (the *100 product is within 1e-9 of an integer, so the
+# round is unambiguous on both engines), and all downstream arithmetic stays
+# BIGINT — discounted price = cents*(100-disc_pct) (cents x100), charge =
+# cents*(100-disc_pct)*(100+tax_pct) (cents x10000), averages via integer
+# `div` with nonnegative numerators (trunc == floor, so Spark div == DuckDB //).
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
 @query(
     "q_point_lookup",
-    oracle="SELECT * FROM orders WHERE o_orderkey = 42",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey = 42
+    """,
     doc="Q1 select_item (hnarchive.py:280-283): point equi-filter on the key; "
     "parquet predicate pushdown + min-max file skipping at scale.",
 )
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            _cents("o_totalprice").alias("o_totalprice_cents"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
 
 
 @query(
     "q_fk_filter",
-    oracle="SELECT * FROM lineitem WHERE l_orderkey = 100",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           CAST(round(l_quantity) AS BIGINT)            AS l_quantity_units,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice_cents,
+           CAST(round(l_discount * 100) AS BIGINT)      AS l_discount_pct,
+           CAST(round(l_tax * 100) AS BIGINT)           AS l_tax_pct,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem WHERE l_orderkey = 100
+    """,
     doc="Q2 select_child_items (hnarchive.py:264-270): FK equi-filter "
     "(children-of-parent pattern).",
 )
 def q_fk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 100)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 100)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity"), 0).cast("long").alias("l_quantity_units"),
+            _cents("l_extendedprice").alias("l_extendedprice_cents"),
+            _cents("l_discount").alias("l_discount_pct"),
+            _cents("l_tax").alias("l_tax_pct"),
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
 
 
 @query(
     "q_fk_filter_2",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
     FROM orders WHERE o_custkey = 42 AND o_custkey IS NOT NULL
     """,
     doc="Q3 select_poll_options (hnarchive.py:272-278): second edge type with "
@@ -57,7 +111,9 @@ def q_fk_filter_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_custkey").isNotNull() & (F.col("o_custkey") == 42))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .select(
+            "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("o_totalprice_cents")
+        )
     )
 
 
@@ -74,19 +130,22 @@ def q_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY o_totalprice_cents DESC, o_orderkey
     LIMIT 10
     """,
     doc="Q4 generalized top-k: Spark plans TakeOrderedAndProject — "
-    "per-partition heap + driver merge, no global sort.",
+    "per-partition heap + driver merge, no global sort. Ordering by integer "
+    "cents is identical to ordering by the source double (x -> round(100x) "
+    "is monotone on 2-decimal data).",
 )
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", _cents("o_totalprice").alias("o_totalprice_cents"))
+        .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey"))
         .limit(10)
     )
 
@@ -153,7 +212,9 @@ def q_window_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_fk",
     oracle="""
-    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderdate, o.o_orderpriority
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS l_extendedprice_cents,
+           o.o_orderdate, o.o_orderpriority
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F' AND l.l_quantity > 45
     """,
@@ -164,7 +225,11 @@ def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_orderpriority"
+        "l_orderkey",
+        "l_linenumber",
+        _cents("l_extendedprice").alias("l_extendedprice_cents"),
+        "o_orderdate",
+        "o_orderpriority",
     )
 
 
@@ -230,23 +295,29 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_broadcast",
     oracle="""
-    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_c100,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 20
     GROUP BY p.p_brand
     """,
     doc="Broadcast hash join with a dimension table: the 100 TB-critical "
-    "pattern — no shuffle of the fact side for the join itself.",
+    "pattern — no shuffle of the fact side for the join itself. Revenue is "
+    "exact integer cents x100 (cents * (100 - disc_pct)), summation-order "
+    "and engine independent.",
 )
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(rev).alias("revenue_c100"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -260,36 +331,58 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_groupby_agg",
     oracle="""
+    WITH li AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT)            AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_discount * 100) AS BIGINT)      AS dp,
+             CAST(round(l_tax * 100) AS BIGINT)           AS tp
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                    AS avg_qty,
-           round(avg(l_extendedprice), 2)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
-           count(*)                                                     AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sum(qty) AS BIGINT)                        AS sum_qty,
+           CAST(sum(cents) AS BIGINT)                      AS sum_base_price_cents,
+           CAST(sum(cents * (100 - dp)) AS BIGINT)         AS sum_disc_price_c100,
+           CAST(sum(cents * (100 - dp) * (100 + tp)) AS BIGINT) AS sum_charge_c10000,
+           CAST((sum(qty) * 10000) // count(*) AS BIGINT)  AS avg_qty_e4,
+           CAST((sum(cents) * 100) // count(*) AS BIGINT)  AS avg_price_e4,
+           CAST((sum(dp) * 10000) // count(*) AS BIGINT)   AS avg_disc_e6,
+           count(*)                                        AS count_order
+    FROM li GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: map-side partial aggregation then a tiny exchange — "
-    "the canonical scale-friendly aggregate.",
+    "the canonical scale-friendly aggregate. All measures exact BIGINT: "
+    "cents / cents-x100 / cents-x10000 sums, averages as floor-divided "
+    "e4/e6 integers (nonnegative numerators, so Spark div == DuckDB //).",
 )
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    cents = _cents("l_extendedprice")
+    dp = _cents("l_discount")
+    tp = _cents("l_tax")
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_price_cents"),
+        F.sum(cents * (100 - dp)).alias("sum_disc_price_c100"),
+        F.sum(cents * (100 - dp) * (100 + tp)).alias("sum_charge_c10000"),
+        F.sum(dp).alias("_sum_dp"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_cents",
+        "sum_disc_price_c100",
+        "sum_charge_c10000",
+        F.expr("(sum_qty * 10000) div count_order").alias("avg_qty_e4"),
+        F.expr("(sum_base_price_cents * 100) div count_order").alias("avg_price_e4"),
+        F.expr("(_sum_dp * 10000) div count_order").alias("avg_disc_e6"),
+        "count_order",
     )
 
 
@@ -297,14 +390,16 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_rollup",
     oracle="""
     SELECT r.r_name, n.n_name,
-           round(sum(c.c_acctbal), 2) AS total_bal, count(*) AS n_cust
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_cents,
+           count(*) AS n_cust
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
     """,
     doc="Hierarchical rollup (region -> nation -> grand total) over a "
-    "broadcast-dim star join.",
+    "broadcast-dim star join. Balances summed as exact signed integer cents.",
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -315,7 +410,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(_cents("c_acctbal")).alias("total_bal_cents"),
             F.count(F.lit(1)).alias("n_cust"),
         )
     )
@@ -376,20 +471,26 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank",
     oracle="""
     SELECT * FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                                ORDER BY o_totalprice_cents DESC, o_orderkey) AS rk
       FROM orders
     ) WHERE rk <= 3
     """,
     doc="Top-N per group via ranked window — the scalable 'largest order per "
-    "customer' pattern (no driver collect).",
+    "customer' pattern (no driver collect). Ranking on integer cents is "
+    "order-identical to the source double.",
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    cents = _cents("o_totalprice").alias("o_totalprice_cents")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice_cents").desc(), F.col("o_orderkey")
+    )
     return (
         load(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .select("o_custkey", "o_orderkey", cents)
+        .select("*", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
     )
 
@@ -398,12 +499,14 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_value_cents
     FROM events WHERE event_type = 'purchase'
     """,
-    doc="Cumulative window frame per user (running spend).",
+    doc="Cumulative window frame per user (running spend) in exact integer "
+    "cents — the prefix sum is summation-order independent.",
 )
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -414,7 +517,9 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+        .select(
+            "user_id", "event_id", F.sum(_cents("value")).over(w).alias("running_value_cents")
+        )
     )
 
 
@@ -480,7 +585,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_flagship",
     oracle="""
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_c100
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -494,7 +602,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 shape (local-supplier revenue by nation): the flagship "
     "star-join — dims broadcast, facts shuffle once on the join key, "
-    "partial agg before the final exchange.",
+    "partial agg before the final exchange. Revenue is exact integer "
+    "cents x100.",
 )
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -514,7 +623,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_c100")
         )
     )
 
@@ -523,7 +632,9 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_c100,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -532,11 +643,12 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1999-01-01'
       AND l.l_shipdate  > TIMESTAMP '1999-01-01'
     GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue_c100 DESC, l_orderkey
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: filtered 3-way join + grouped revenue + "
-    "deterministic top-10 (tiebreak on the key).",
+    "deterministic top-10 (tiebreak on the key). Revenue is exact integer "
+    "cents x100 so the ordering itself is engine-independent.",
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -551,9 +663,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_c100")
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(F.col("revenue_c100").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select("l_orderkey", "revenue_c100", "o_orderdate")
     )

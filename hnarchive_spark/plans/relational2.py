@@ -16,12 +16,15 @@ from hnarchive_spark.tables import load
     "q_agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     doc="CUBE over two dimensions (all 4 grouping combinations in one pass "
-    "via Expand — one shuffle, not four queries).",
+    "via Expand — one shuffle, not four queries). Totals as exact integer "
+    "cents.",
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -29,7 +32,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_cents"),
         )
     )
 
@@ -38,11 +41,12 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    doc="Explicit GROUPING SETS (flag-only, status-only, grand total).",
+    doc="Explicit GROUPING SETS (flag-only, status-only, grand total). "
+    "Quantities are integral-valued doubles, summed as exact BIGINT units.",
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -50,7 +54,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -60,7 +64,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_hash",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
     FROM orders
     WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
     """,
@@ -73,7 +78,11 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
-    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.filter(bucket < 10).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_totalprice_cents"),
+    )
 
 
 @query(
@@ -200,18 +209,20 @@ def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_lateral_join",
     oracle="""
-    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice_cents
     FROM nation n,
     LATERAL (
-      SELECT o.o_orderkey, o.o_totalprice
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_nationkey = n.n_nationkey
-      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      ORDER BY o_totalprice_cents DESC, o.o_orderkey
       LIMIT 2
     ) t
     """,
     doc="LATERAL correlated subquery join: top-2 orders per nation computed "
-    "per outer row (Catalyst plans a DomainJoin/decorrelated limit).",
+    "per outer row (Catalyst plans a DomainJoin/decorrelated limit). Prices "
+    "as integer cents (order-identical to the source double).",
 )
 def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lj")
@@ -219,13 +230,14 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lj")
     return spark.sql(
         """
-        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice_cents
         FROM nation_lj n,
         LATERAL (
-          SELECT o.o_orderkey, o.o_totalprice
+          SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_cents
           FROM orders_lj o JOIN customer_lj c ON o.o_custkey = c.c_custkey
           WHERE c.c_nationkey = n.n_nationkey
-          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          ORDER BY o_totalprice_cents DESC, o.o_orderkey
           LIMIT 2
         ) t
         """
@@ -458,25 +470,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_per_group",
     oracle="""
-    WITH best AS (
-      SELECT o_custkey, max(o_totalprice) AS best_price
-      FROM orders GROUP BY o_custkey
+    WITH oc AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    best AS (
+      SELECT o_custkey, max(cents) AS best_price_cents
+      FROM oc GROUP BY o_custkey
     )
-    SELECT o.o_custkey, b.best_price, min(o.o_orderkey) AS best_orderkey
-    FROM orders o JOIN best b
-      ON o.o_custkey = b.o_custkey AND o.o_totalprice = b.best_price
-    GROUP BY o.o_custkey, b.best_price
+    SELECT o.o_custkey, b.best_price_cents, min(o.o_orderkey) AS best_orderkey
+    FROM oc o JOIN best b
+      ON o.o_custkey = b.o_custkey AND o.cents = b.best_price_cents
+    GROUP BY o.o_custkey, b.best_price_cents
     """,
     doc="Top-1 per group via aggregate-then-join-back (the window-free "
     "formulation — cheaper when groups are huge because the partial agg "
-    "collapses before any row movement).",
+    "collapses before any row movement). Prices compared and emitted as "
+    "exact integer cents.",
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").alias("o")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    ).alias("o")
     best = (
         load(spark, sf_dir, "orders")
+        .select("o_custkey", cents.alias("cents"))
         .groupBy("o_custkey")
-        .agg(F.max("o_totalprice").alias("best_price"))
+        .agg(F.max("cents").alias("best_price_cents"))
         .withColumnRenamed("o_custkey", "b_custkey")
         .alias("b")
     )
@@ -484,9 +506,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(
             best,
             (F.col("o.o_custkey") == F.col("b.b_custkey"))
-            & (F.col("o.o_totalprice") == F.col("b.best_price")),
+            & (F.col("o.cents") == F.col("b.best_price_cents")),
         )
-        .groupBy(F.col("o.o_custkey").alias("o_custkey"), F.col("b.best_price"))
+        .groupBy(F.col("o.o_custkey").alias("o_custkey"), F.col("b.best_price_cents"))
         .agg(F.min(F.col("o.o_orderkey")).alias("best_orderkey"))
     )
 

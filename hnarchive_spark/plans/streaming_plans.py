@@ -226,7 +226,8 @@ def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-           p.user_id, round(p.value, 2) AS purchase_value
+           p.user_id,
+           CAST(round(p.value * 100) AS BIGINT) AS purchase_value_cents
     FROM events p JOIN events c
       ON p.user_id = c.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -268,7 +269,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
-        F.round("p_value", 2).alias("purchase_value"),
+        F.round(F.col("p_value") * 100, 0).cast("long").alias("purchase_value_cents"),
     )
     name = f"stream_stream_join_sink_{next(_sink_counter)}"
     q = (

@@ -32,26 +32,33 @@ def _sql_list(words) -> str:
     SELECT doc_id, n_chars,
            len(ws) AS n_tokens,
            len(list_distinct(ws)) AS n_uniq,
-           round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS ttr,
-           round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
-             AS avg_tok_len
+           CAST((len(list_distinct(ws)) * 10000) // len(ws) AS BIGINT) AS ttr_e4,
+           CAST((CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) * 10000)
+                // len(ws) AS BIGINT) AS avg_tok_len_e4
     FROM toks
     """,
     doc="Per-document token statistics (counts, type-token ratio, mean token "
-    "length) as array expressions over the scan — no explode, no shuffle.",
+    "length) as array expressions over the scan — no explode, no shuffle. "
+    "Ratios as floor-divided e4 integers (nonnegative, so div == //).",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws)
-    nu = F.size(F.array_distinct(ws))
+    n = F.size(ws).cast("long")
+    nu = F.size(F.array_distinct(ws)).cast("long")
     return d.select(
         "doc_id",
         "n_chars",
         n.alias("n_tokens"),
         nu.alias("n_uniq"),
-        F.round(nu.cast("double") / n, 4).alias("ttr"),
-        F.round(T.sum_token_len(F.col("text")).cast("double") / n, 4).alias("avg_tok_len"),
+        (T.sum_token_len(F.col("text"))).alias("_sum_len"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_uniq",
+        F.expr("(n_uniq * 10000) div n_tokens").alias("ttr_e4"),
+        F.expr("(_sum_len * 10000) div n_tokens").alias("avg_tok_len_e4"),
     )
 
 
@@ -71,25 +78,29 @@ REP_DUP_2GRAM_MAX = 0.4
       SELECT doc_id, ws,
              list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2
       FROM toks
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n,
+             CAST(list_max(list_transform(list_distinct(ws),
+                     x -> len(list_filter(ws, w -> w = x)))) AS BIGINT) AS top_cnt,
+             CAST(len(g2) AS BIGINT) AS g,
+             CAST(len(list_distinct(g2)) AS BIGINT) AS gd
+      FROM grams
     )
     SELECT doc_id,
-           round(list_max(list_transform(list_distinct(ws),
-                   x -> len(list_filter(ws, w -> w = x))))::DOUBLE / len(ws), 4)
-             AS top_word_frac,
-           round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
-             AS dup_2gram_frac,
-           (round(list_max(list_transform(list_distinct(ws),
-                   x -> len(list_filter(ws, w -> w = x))))::DOUBLE / len(ws), 4)
-              <= {REP_TOP_WORD_MAX}
-            AND round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
-              <= {REP_DUP_2GRAM_MAX}) AS keep
-    FROM grams
+           CAST((top_cnt * 10000) // n AS BIGINT) AS top_word_frac_e4,
+           CAST(((g - gd) * 10000) // g AS BIGINT) AS dup_2gram_frac_e4,
+           (top_cnt * 10000 <= {int(REP_TOP_WORD_MAX * 10000)} * n
+            AND (g - gd) * 10000 <= {int(REP_DUP_2GRAM_MAX * 10000)} * g) AS keep
+    FROM m
     """,
     doc="Repetition-based quality gates (the Gopher-rule family): most-common-"
     "word fraction and duplicate-2gram fraction per document, with the keep "
     "verdict. Pure array expressions over the scan — zero shuffle, "
     "whole-stage codegen; the within-document twin of the cross-document "
-    "dedup operators.",
+    "dedup operators. Fractions as floor-divided e4 integers; the keep gate "
+    "is an exact cross-multiplied integer comparison (no float anywhere).",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -105,13 +116,22 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
     )
-    top_frac = F.round(top_cnt.cast("double") / n, 4)
-    dup_frac = F.round(1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 4)
+    top_max_e4 = int(REP_TOP_WORD_MAX * 10000)
+    dup_max_e4 = int(REP_DUP_2GRAM_MAX * 10000)
     return d.select(
         "doc_id",
-        top_frac.alias("top_word_frac"),
-        dup_frac.alias("dup_2gram_frac"),
-        ((top_frac <= REP_TOP_WORD_MAX) & (dup_frac <= REP_DUP_2GRAM_MAX)).alias("keep"),
+        n.cast("long").alias("_n"),
+        top_cnt.cast("long").alias("_top"),
+        F.size(g2).cast("long").alias("_g"),
+        F.size(F.array_distinct(g2)).cast("long").alias("_gd"),
+    ).select(
+        "doc_id",
+        F.expr("(_top * 10000) div _n").alias("top_word_frac_e4"),
+        F.expr("((_g - _gd) * 10000) div _g").alias("dup_2gram_frac_e4"),
+        (
+            (F.col("_top") * 10000 <= top_max_e4 * F.col("_n"))
+            & ((F.col("_g") - F.col("_gd")) * 10000 <= dup_max_e4 * F.col("_g"))
+        ).alias("keep"),
     )
 
 
@@ -144,34 +164,40 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT doc_id,
-             len(ws) AS n,
-             len(list_filter(ws, w -> w IN ({_sql_list(T.EN_STOPWORDS)}))) AS stop_hits,
-             list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_len
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws, w -> w IN ({_sql_list(T.EN_STOPWORDS)}))) AS BIGINT)
+               AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
       FROM toks
     )
     SELECT doc_id,
-           round(stop_hits::DOUBLE / n, 4) AS stopword_ratio,
-           round(mean_len, 4) AS mean_tok_len,
-           round(0.5 * (stop_hits::DOUBLE / n) + 0.5 / (1.0 + abs(mean_len - 5.0)), 4)
-             AS quality_score
+           CAST((stop_hits * 10000) // n_tokens AS BIGINT) AS stopword_ratio_e4,
+           CAST((sum_len * 10000) // n_tokens AS BIGINT) AS mean_tok_len_e4,
+           CAST((2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                      + 5000 * n_tokens * n_tokens)
+                 + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+                // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS BIGINT)
+             AS quality_e4
     FROM m
     """,
     doc="Heuristic quality scoring: stopword ratio + token-length shape, "
-    "composable per-row (the doc-filtering stage of a data pipeline).",
+    "composable per-row (the doc-filtering stage of a data pipeline). "
+    "quality_e4 is the pure-BIGINT round_half_up rational recipe shared "
+    "with q_pipeline_clean_corpus / q_corpus_datacard — no float anywhere.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = T.tokens(F.col("text"))
-    n = F.size(ws).cast("double")
-    stop_hits = T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("double")
-    mean_len = T.sum_token_len(F.col("text")).cast("double") / n
     return d.select(
         "doc_id",
-        F.round(stop_hits / n, 4).alias("stopword_ratio"),
-        F.round(mean_len, 4).alias("mean_tok_len"),
-        F.round(0.5 * (stop_hits / n) + 0.5 / (1.0 + F.abs(mean_len - 5.0)), 4).alias(
-            "quality_score"
-        ),
+        F.size(ws).cast("long").alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
+    ).select(
+        "doc_id",
+        F.expr("(stop_hits * 10000) div n_tokens").alias("stopword_ratio_e4"),
+        F.expr("(sum_len * 10000) div n_tokens").alias("mean_tok_len_e4"),
+        T.quality_e4_int().alias("quality_e4"),
     )
 
 
@@ -220,42 +246,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pandas_udf_score",
     oracle="""
     SELECT doc_id,
-           round(100.0 - 5.0 * ((length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
-                                / len(string_split(text, ' ')))
-                 - 0.1 * len(string_split(text, ' ')), 4) AS readability
+           CAST(1000000
+                - (50000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+                  // len(string_split(text, ' '))
+                - 1000 * len(string_split(text, ' ')) AS BIGINT) AS readability_e4
     FROM documents
     """,
     doc="Scalar pandas UDF (Arrow-vectorized numpy math) — the sanctioned "
-    "Python path; oracle replays the same arithmetic in SQL.",
+    "Python path; oracle replays the same exact-int64 arithmetic in SQL.",
 )
 def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.functions.pandas_udfs import readability_score
+    from hnarchive_spark.functions.pandas_udfs import readability_score_e4
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", readability_score(F.col("text")).alias("readability"))
+    return d.select("doc_id", readability_score_e4(F.col("text")).alias("readability_e4"))
 
 
 @query(
     "q_pandas_udaf_weighted",
     oracle="""
     SELECT event_type,
-           round(sum(value * (CAST(props->>'$.k' AS DOUBLE) + 1.0))
-                 / sum(CAST(props->>'$.k' AS DOUBLE) + 1.0), 4) AS wmean
+           CAST((sum(CAST(round(value * 100) AS BIGINT)
+                     * (CAST(props->>'$.k' AS BIGINT) + 1)) * 100)
+                // sum(CAST(props->>'$.k' AS BIGINT) + 1) AS BIGINT) AS wmean_e4
     FROM events GROUP BY event_type
     """,
     doc="Grouped-aggregate pandas UDF: weighted mean per group through the "
-    "Arrow grouped-agg path.",
+    "Arrow grouped-agg path, in exact e4 integer units (cents-weighted "
+    "integer sum, floor-divided).",
 )
 def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.functions.pandas_udfs import weighted_mean
+    from hnarchive_spark.functions.pandas_udfs import weighted_mean_e4
 
     ev = load(spark, sf_dir, "events").select(
         "event_type",
-        "value",
-        (F.get_json_object("props", "$.k").cast("double") + 1.0).alias("wt"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        (F.get_json_object("props", "$.k").cast("long") + 1).alias("wt"),
     )
     return ev.groupBy("event_type").agg(
-        weighted_mean(F.col("value"), F.col("wt")).alias("wmean")
+        weighted_mean_e4(F.col("value_cents"), F.col("wt")).alias("wmean_e4")
     )
 
 
@@ -272,18 +301,22 @@ def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.w AS term,
-             round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+             CAST(round(tf.tf * ln(n.n_docs::DOUBLE / df.df) * 1000000) AS BIGINT)
+               AS tfidf_e6
       FROM tf JOIN df USING (w) CROSS JOIN n
     )
-    SELECT doc_id, term, tfidf, rnk FROM (
+    SELECT doc_id, term, tfidf_e6, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term) AS rnk
+                                   ORDER BY tfidf_e6 DESC, term) AS rnk
       FROM scored
     ) WHERE rnk <= 3
     """,
     doc="TF-IDF top-3 terms per document: term frequencies and document "
     "frequencies are two partial-aggregated shuffles over the exploded "
-    "tokens; the corpus size joins in as a broadcast scalar.",
+    "tokens; the corpus size joins in as a broadcast scalar. The score is "
+    "rounded to integer e6 units BEFORE ranking so rank boundaries are "
+    "integer comparisons (ln() is the one unavoidable float; e6 rounding "
+    "of a <=1-ulp-different double flips only within 1e-9 of a tie).",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -300,11 +333,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("w").alias("term"),
             F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("tfidf_e6"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_e6").desc(), F.col("term"))
     return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= 3
     )

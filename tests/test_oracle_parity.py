@@ -118,21 +118,10 @@ def test_no_hugeint_oracle_outputs():
 # The integer-output convention (cents / _e4 / _e6 / exact rationals) is
 # mandatory for every NEW query: this pin makes adding a float output a test
 # failure instead of a silent drift risk.
-_LEGACY_DOUBLE_OUTPUTS = {
-    # pass-through raw columns
-    "q_fk_filter", "q_fk_filter_2", "q_point_lookup", "q_topk",
-    "q_window_rank", "q_sample_hash", "q_lateral_join", "q_join_fk",
-    "q_topk_per_group", "q_null_handling",
-    # engineered-float aggregates (TPC-H block) — r7 conversion slate
-    "q_flagship", "q_groupby_agg", "q_agg_cube", "q_agg_rollup",
-    "q_grouping_sets", "q_join_broadcast", "q_shipping_priority",
-    "q_running_sum",
-    # engineered-float text/pipeline block — r7 conversion slate
-    "q_contamination", "q_mix_equalize", "q_sample_weighted",
-    "q_text_quality", "q_text_stats", "q_quality_repetition",
-    "q_tfidf_top_terms", "q_pandas_udf_score", "q_pandas_udaf_weighted",
-    "q_stream_stream_join",
-}
+# Round 8: emptied — the final 28 legacy queries were converted to exact
+# integer outputs (cents / cents-x100 / cents-x10000 / e4 / e6), retiring
+# the only output class that ever produced cross-engine hash flips (r2/r3).
+_LEGACY_DOUBLE_OUTPUTS: set[str] = set()
 
 
 def test_no_new_double_oracle_outputs():
