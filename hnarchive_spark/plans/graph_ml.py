@@ -502,7 +502,9 @@ _UND_SQL = """
     "is bounded by the oriented out-degree <= sqrt(2E) even when a "
     "celebrity vertex has 1e8 neighbors (a plain a<b canonicalization "
     "leaves low-id hubs with full fanout). The degree table (one row per "
-    "vertex) joins in by broadcast. The oracle keeps the orientation-"
+    "vertex, so |V|-sized — 25M+ rows at 100x) joins in WITHOUT a "
+    "broadcast hint; AQE picks broadcast when it fits and shuffle when "
+    "it doesn't. The oracle keeps the orientation-"
     "free formulation: the triangle multiset is orientation-invariant, "
     "so the scalable plan is hash-checked against the direct one. Each "
     "node in a triangle is credited via a 3-way unpivot + count.",
@@ -516,9 +518,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orient: src = lower (degree, id) endpoint, dst = higher
     da, db = F.col("da"), F.col("db")
     a_first = (da < db) | ((da == db) & (F.col("a") < F.col("b")))
+    # deg is one row per vertex — small at test SF but 25M+ rows at 100x
+    # scale, so no forced broadcast: plain joins, AQE size-gates the
+    # strategy at runtime (broadcast when it fits, shuffle when it doesn't).
     oriented = (
-        und.join(F.broadcast(deg.select(F.col("u").alias("a"), F.col("d").alias("da"))), "a")
-        .join(F.broadcast(deg.select(F.col("u").alias("b"), F.col("d").alias("db"))), "b")
+        und.join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -1014,8 +1019,10 @@ def _lpa_iter_sql(i: int) -> str:
     "groupings. Each iteration is one join + partial-agg + per-node "
     "mode (the ranking window partitions by node — high-cardinality, "
     "parallel); labels are one row per node, tiny next to edges. "
-    "community_size comes from a groupBy + broadcast join back (one row "
-    "per community) — NOT count() OVER (PARTITION BY label), which would "
+    "community_size comes from a groupBy + shuffle join back on lab (one "
+    "row per community, but the community count is bounded only by |V|, "
+    "so no broadcast hint — AQE upgrades small cases at runtime) — NOT "
+    "count() OVER (PARTITION BY label), which would "
     "funnel a giant community's nodes through one task (the oracle keeps "
     "the window form single-node DuckDB is fine with). At 100 TB: same "
     "Pregel-as-DataFrame loop as q_pagerank, edge table reused across "
@@ -1039,8 +1046,12 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("u", "lab")
         )
+    # sizes is one row per community — bounded only by |V| (every node can
+    # be its own community early on / adversarially), so it must NOT be
+    # force-broadcast: plain shuffle join on lab, AQE upgrades to broadcast
+    # at runtime when the table actually is small.
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
-    return labels.join(F.broadcast(sizes), "lab").select(
+    return labels.join(sizes, "lab").select(
         F.col("u").alias("user_id"),
         F.col("lab").alias("community"),
         F.col("community_size").cast("long").alias("community_size"),

@@ -245,14 +245,41 @@ def test_no_low_card_window_over_fact_rows(spark, name):
         )
 
 
-def test_triangle_count_orients_by_broadcast_degree(spark):
-    """The degree-ordered orientation must enter the plan as broadcast
-    joins of the per-vertex degree table (never a shuffle join against the
-    edge set), and the wedge-close must stay an equi-join (no cartesian)."""
+def _analyzed(spark, name):
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_triangle_count_oriented_no_cartesian_no_forced_broadcast(spark):
+    """The degree-ordered orientation must be in the plan (the dst_deg
+    tiebreak column the wedge filter compares on), the wedge-close must
+    stay an equi-join (no cartesian), and the per-vertex degree table —
+    |V| rows, 25M+ at 100x scale — must NOT carry a forced broadcast
+    hint: AQE size-gates the join strategy at runtime instead."""
     plan = _plan(spark, "q_triangle_count")
-    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    # the degree-tiebreak orientation CASE survives into the physical plan
+    # (the dst_deg alias itself is collapsed by projection pruning)
+    assert "CASE WHEN ((da" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "ResolvedHint" not in _analyzed(spark, "q_triangle_count")
+
+
+def test_lpa_no_forced_broadcast_of_community_sizes(spark):
+    """The per-community size table is bounded only by |V| (every node can
+    start as its own community), so the join back onto labels must be a
+    plain shuffle join — no forced broadcast hint anywhere in the LPA plan."""
+    assert "ResolvedHint" not in _analyzed(spark, "q_lpa_communities")
+
+
+def test_link_prediction_no_forced_broadcast_of_degrees(spark):
+    """Link prediction attaches the same |V|-row degree table twice — both
+    attaches must stay hint-free (AQE decides), and the wedge generation
+    must remain an equi-join."""
+    plan = _plan(spark, "q_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ResolvedHint" not in _analyzed(spark, "q_link_prediction")
 
 
 def test_fuzzy_match_blocked_is_hash_join(spark):
