@@ -1908,11 +1908,22 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_LEV_MAX = 2
 
 
+FUZZY_LBKT_WIDTH = 4  # name-length bucket width; must be > FUZZY_LEV_MAX so
+# a |len diff| <= FUZZY_LEV_MAX pair is always in the same or adjacent bucket
+
+
 @query(
     "q_fuzzy_match_blocked",
+    # The oracle states the SEMANTICS (pairs within edit distance 2 sharing
+    # brand + first name token); the Spark plan implements the scalable
+    # candidate generation. The blocking is complete w.r.t. these
+    # semantics: bucket width 4 > lev_max 2 guarantees any qualifying pair
+    # sits in the same or an adjacent length bucket, which the probe-side
+    # neighbor union covers exactly once.
     oracle=f"""
     WITH p AS (
-      SELECT p_partkey, p_name, p_brand
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[1] AS ftok
       FROM part
     )
     SELECT a.p_partkey AS p1, b.p_partkey AS p2, a.p_brand AS brand,
@@ -1920,35 +1931,50 @@ FUZZY_LEV_MAX = 2
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
     FROM p a JOIN p b
       ON a.p_brand = b.p_brand
+     AND a.ftok = b.ftok
      AND a.p_partkey < b.p_partkey
      AND abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_LEV_MAX}
      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
     """,
     doc=f"Blocked fuzzy matching (entity resolution): part-name pairs "
-    f"within edit distance {FUZZY_LEV_MAX}, compared ONLY inside a "
-    "blocking key (brand) with the cheap length-difference filter ahead "
-    "of the O(len^2) Levenshtein — the classic record-linkage shape "
-    "(typo'd product names, near-identical author strings). Both "
-    "engines' levenshtein is classical unit-cost edit distance, so the "
-    "integer output hashes exactly. The equi-key part of the join "
-    "(brand) is the shuffle; the quadratic compare is bounded per "
-    "block. At 100 TB the blocking key gets finer (brand x name-length "
-    "bucket x first-token, unioned over neighbor buckets for boundary "
-    "recall) so blocks stay O(1000) — same plan, finer key; a hot block "
-    "gets the same cap treatment as the shingle/band indexes.",
+    f"within edit distance {FUZZY_LEV_MAX}, compared ONLY inside the "
+    "fine blocking key brand x name-length-bucket x first-token (the "
+    "probe side unions its own and both neighbor length buckets, so "
+    "every |len diff| <= 2 pair is generated exactly once), with the "
+    "cheap length-difference filter ahead of the O(len^2) Levenshtein "
+    "— the classic record-linkage shape (typo'd product names, "
+    "near-identical author strings). Both engines' levenshtein is "
+    "classical unit-cost edit distance, so the integer output hashes "
+    "exactly. The equi-join key is the full composite block, so the "
+    "quadratic compare is bounded per fine block (sf0.01: max block 17 "
+    "vs 96 brand-only — ~32x fewer candidate compares), at the "
+    "documented recall cost of requiring the first token to match "
+    "exactly; a still-hot block gets the same cap treatment as the "
+    "shingle/band indexes.",
 )
 def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a, b = p.alias("a"), p.alias("b")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ")[0].alias("ftok"),
+        F.length("p_name").alias("nlen"),
+        F.expr(f"length(p_name) div {FUZZY_LBKT_WIDTH}").alias("lbkt"),
+    )
+    # probe side emits its own + both neighbor buckets; the build side keeps
+    # its single bucket, so each qualifying pair matches on exactly one key
+    probe = p.withColumn(
+        "blk", F.explode(F.array(F.col("lbkt") - 1, F.col("lbkt"), F.col("lbkt") + 1))
+    )
+    a, b = probe.alias("a"), p.alias("b")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.ftok") == F.col("b.ftok"))
+        & (F.col("a.blk") == F.col("b.lbkt"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (
-            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
-            <= FUZZY_LEV_MAX
-        )
+        & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= FUZZY_LEV_MAX)
         & (lev <= FUZZY_LEV_MAX),
     ).select(
         F.col("a.p_partkey").alias("p1"),

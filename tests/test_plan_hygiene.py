@@ -283,10 +283,30 @@ def test_link_prediction_no_forced_broadcast_of_degrees(spark):
 
 
 def test_fuzzy_match_blocked_is_hash_join(spark):
-    """The fuzzy compare must ride a hash join on the blocking key (brand)
-    with Levenshtein as a join residual — never a nested-loop/cartesian
-    all-pairs compare."""
+    """The fuzzy compare must ride a hash join on the composite blocking
+    key (brand x length-bucket x first-token) with Levenshtein as a join
+    residual — never a nested-loop/cartesian all-pairs compare."""
     plan = _plan(spark, "q_fuzzy_match_blocked")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fuzzy_match_fine_blocking_bounds_fanout(spark):
+    """The composite block key must cut the max block size enough that the
+    per-block quadratic compare beats brand-only blocking even after the
+    3x neighbor-bucket probe fanout (pair compares scale with block^2)."""
+    from hnarchive_spark.plans.analytics import FUZZY_LBKT_WIDTH
+    from hnarchive_spark.tables import load
+    from pyspark.sql import functions as F
+
+    p = load(spark, SF, "part").selectExpr(
+        "p_brand",
+        "split(p_name, ' ')[0] AS ftok",
+        f"length(p_name) div {FUZZY_LBKT_WIDTH} AS lbkt",
+    )
+    fine = (
+        p.groupBy("p_brand", "ftok", "lbkt").count().agg(F.max("count")).first()[0]
+    )
+    brand = p.groupBy("p_brand").count().agg(F.max("count")).first()[0]
+    assert 3 * fine * fine < brand * brand, (fine, brand)
