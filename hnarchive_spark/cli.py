@@ -213,11 +213,17 @@ def cmd_delete(spark, args):
 
 
 def cmd_export(spark, args):
-    from hnarchive_spark.sources.export import export_to_duckdb
+    from hnarchive_spark.sources.export import export_to_duckdb, export_to_sqlite
 
     store = _store(spark, args)
-    n = export_to_duckdb(store, args.to)
-    print(f"exported {n} rows to {args.to}")
+    fmt = args.format
+    if fmt is None:
+        fmt = "sqlite" if args.to.endswith((".sqlite", ".db")) else "duckdb"
+    if fmt == "sqlite":
+        n = export_to_sqlite(store, args.to)
+    else:
+        n = export_to_duckdb(store, args.to)
+    print(f"exported {n} rows to {args.to} ({fmt})")
 
 
 def cmd_html_render(spark, args):
@@ -309,7 +315,14 @@ def build_parser() -> argparse.ArgumentParser:
     dl.set_defaults(func=cmd_delete)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")
-    ex.add_argument("--to", required=True, help="output .duckdb path")
+    ex.add_argument("--to", required=True, help="output .duckdb / .sqlite path")
+    ex.add_argument(
+        "--format",
+        choices=("duckdb", "sqlite"),
+        default=None,
+        help="output format; defaults by extension (.sqlite/.db -> sqlite, "
+        "else duckdb — the reference's own file is hnarchive.db)",
+    )
     ex.set_defaults(func=cmd_export)
 
     hr = sub.add_parser("html_render", help="render item trees to HTML (E5)")

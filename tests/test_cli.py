@@ -151,6 +151,50 @@ def test_export_to_duckdb(env, capsys):
     con.close()
 
 
+def test_export_to_sqlite_reference_schema_roundtrip(env, capsys):
+    """The .sqlite export must carry the reference's exact physical schema
+    (hnarchive.py:34-60: items DDL + six indexes + user_version=1) and
+    round-trip the store snapshot value-for-value."""
+    import sqlite3
+
+    _run(env, "get", "--lower", "1", "--upper", "3")
+    db = str(env["tmp"] / "hnarchive.db")
+    assert _run(env, "export", "--to", db) == 0
+    assert "exported 3 rows" in capsys.readouterr().out
+
+    con = sqlite3.connect(db)
+    assert con.execute("PRAGMA user_version").fetchone()[0] == 1
+    idx = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type = 'index' AND name LIKE 'index_items_%'"
+    )}
+    assert idx == {
+        "index_items_id", "index_items_parent", "index_items_poll",
+        "index_items_time", "index_items_type_time",
+        "index_items_age_at_retrieval",
+    }
+    cols = [r[1] for r in con.execute("PRAGMA table_info(items)")]
+    assert cols == [
+        "id", "deleted", "type", "author", "time", "text", "dead",
+        "parent", "poll", "url", "score", "title", "descendants", "retrieved",
+    ]
+    # value round-trip vs the store snapshot (parent lands in a TEXT-affinity
+    # column, exactly like the reference's own INSERT path)
+    rows = con.execute(
+        "SELECT id, author, type, parent, time, deleted FROM items ORDER BY id"
+    ).fetchall()
+    assert rows == [
+        (1, "alice", "story", None, T0, 0),
+        (2, "bob", "comment", "1", T0 + 60, 0),
+        (3, "eve", "comment", "2", T0 + 90, 0),
+    ]
+    # the expression index is usable (the reference's staleness-scan path)
+    plan = con.execute(
+        "EXPLAIN QUERY PLAN SELECT id FROM items WHERE retrieved - time > 100"
+    ).fetchall()
+    assert any("index_items_age_at_retrieval" in str(r) for r in plan), plan
+    con.close()
+
+
 def test_cli_query_lists_and_runs(spark, tmp_path, capsys):
     from hnarchive_spark import cli
 
