@@ -629,6 +629,110 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(LP_TOPK)
 
 
+LP_PIVOT_CAP_X = 4  # wedge pivots (shared neighbors) with degree above
+# LP_PIVOT_CAP_X * mean_degree are skipped: a mega-hub pivot contributes
+# deg^2 candidate rows while carrying almost no linkage signal (everyone
+# co-occurs with the celebrity). Data-dependent (vs a fixed cap) so the
+# same query is lossless on dense-but-uniform graphs and bounded on
+# celebrity graphs.
+
+
+@query(
+    "q_link_prediction_capped",
+    oracle=f"""
+    WITH {_UND_SQL},
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    cap AS (SELECT ({LP_PIVOT_CAP_X} * sum(d)) // count(*) AS maxd FROM deg),
+    cand AS (
+      SELECT x.u AS u, y.v AS v, count(*) AS cn
+      FROM adj x
+      JOIN deg dw ON dw.u = x.v AND dw.d <= (SELECT maxd FROM cap)
+      JOIN adj y ON y.u = x.v AND x.u < y.v
+      GROUP BY x.u, y.v
+    ),
+    new_pairs AS (
+      SELECT c.u, c.v, c.cn FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.u AND e.b = c.v)
+    ),
+    scored AS (
+      SELECT p.u, p.v, p.cn, du.d AS deg_u, dv.d AS deg_v,
+             (2000000 * p.cn + (du.d + dv.d - p.cn))
+               // (2 * (du.d + dv.d - p.cn)) AS jaccard_e6
+      FROM new_pairs p
+      JOIN deg du ON du.u = p.u JOIN deg dv ON dv.u = p.v
+    )
+    SELECT u, v, cn, deg_u, deg_v, jaccard_e6
+    FROM scored
+    ORDER BY cn DESC, jaccard_e6 DESC, u, v
+    LIMIT {LP_TOPK}
+    """,
+    doc=f"Link prediction with a data-dependent pivot-degree cap — the "
+    "registered 100 TB scale path for q_link_prediction: wedges are "
+    f"generated only through shared neighbors of degree <= "
+    f"{LP_PIVOT_CAP_X}x the mean degree, bounding the per-pivot "
+    "candidate fanout at cap^2 instead of the celebrity vertex's deg^2 "
+    "(SCALE.md: 1668x fewer wedge rows on the 10k-node hub graph, "
+    "lossless on the uniform organic graph where no node exceeds the "
+    "cap). The excluded evidence is the weakest kind — co-occurrence "
+    "through a mega-hub — the same reasoning as max_df n-gram blocking "
+    "and the embed-dup hot-bucket cap; degrees in the Jaccard tiebreak "
+    "stay UNCAPPED so scores for surviving pairs are unchanged. The "
+    "cap is one broadcast scalar row; the oracle replays it, so parity "
+    "holds on any input.",
+)
+def q_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _und_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cap = deg.agg(F.expr(f"({LP_PIVOT_CAP_X} * sum(d)) div count(*)").alias("maxd"))
+    # keep only edges whose neighbor endpoint (the wedge pivot) is sub-cap
+    adjc = (
+        adj.join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("dv") <= F.col("maxd"))
+        .select("u", "v")
+    )
+    x = adjc.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    y = adjc.select(F.col("v").alias("w"), F.col("u").alias("v"))
+    cand = (
+        x.join(y, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    new_pairs = cand.join(
+        und, (cand["u"] == und["a"]) & (cand["v"] == und["b"]), "left_anti"
+    )
+    scored = (
+        new_pairs.join(deg.withColumnRenamed("u", "ju"), F.col("u") == F.col("ju"))
+        .withColumnRenamed("d", "deg_u")
+        .drop("ju")
+        .join(deg.withColumnRenamed("u", "jv"), F.col("v") == F.col("jv"))
+        .withColumnRenamed("d", "deg_v")
+        .drop("jv")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(2000000 * cn + (deg_u + deg_v - cn)) div (2 * (deg_u + deg_v - cn))"
+            ).alias("jaccard_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cn").desc(), F.col("jaccard_e6").desc(), "u", "v"
+    ).limit(LP_TOPK)
+
+
 KCORE_ROUNDS = 3
 
 
@@ -1017,8 +1121,9 @@ def _lpa_iter_sql(i: int) -> str:
     "iteration count is bit-identical on both engines. Complements "
     "connected components (pure reachability) with density-based "
     "groupings. Each iteration is one join + partial-agg + per-node "
-    "mode (the ranking window partitions by node — high-cardinality, "
-    "parallel); labels are one row per node, tiny next to edges. "
+    "argmax as a pure max-of-(count,-label)-struct AGGREGATE (partial-"
+    "combines map-side; no per-node window task even for celebrity "
+    "nodes); labels are one row per node, tiny next to edges. "
     "community_size comes from a groupBy + shuffle join back on lab (one "
     "row per community, but the community count is bounded only by |V|, "
     "so no broadcast hint — AQE upgrades small cases at runtime) — NOT "
@@ -1040,11 +1145,16 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("u").orderBy(F.col("c").desc(), "lab")
+        # per-node argmax as a PURE AGGREGATE (max of (count, -label) struct),
+        # not a row_number window: the aggregate partial-combines map-side, so
+        # a celebrity node whose neighbors carry millions of distinct labels
+        # never funnels all its vote rows through one window task.  The
+        # struct max is (most votes, then smallest label) — identical to the
+        # oracle's row_number() tiebreak.
         labels = (
-            votes.select("u", "lab", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("u", "lab")
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("u", (-F.col("m.nl")).alias("lab"))
         )
     # sizes is one row per community — bounded only by |V| (every node can
     # be its own community early on / adversarially), so it must NOT be

@@ -67,6 +67,8 @@ _VERIFY_FIRST = [
     "q_lpa_communities",
     "q_multimodal_dedup",
     "q_schema_evolution",
+    # -- (a2) added in round 8 — first rows --
+    "q_link_prediction_capped",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",
