@@ -69,6 +69,15 @@ _VERIFY_FIRST = [
     "q_schema_evolution",
     # -- (a2) added in round 8 — first rows --
     "q_link_prediction_capped",
+    "q_priority_pipeline",
+    "q_volume_shipping",
+    "q_returned_items",
+    "q_shipmode_priority",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_disjunctive_filter",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",
@@ -162,6 +171,6 @@ def _ensure_loaded() -> None:
     from hnarchive_spark.plans import streaming_plans  # noqa: F401
     from hnarchive_spark.plans import multimodal_plans  # noqa: F401
     from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
-    from hnarchive_spark.plans import analytics, graph_ml, search  # noqa: F401
+    from hnarchive_spark.plans import analytics, graph_ml, search, tpch_extra  # noqa: F401
 
     _LOADED = True
