@@ -78,6 +78,8 @@ _VERIFY_FIRST = [
     "q_small_qty_revenue",
     "q_large_orders",
     "q_disjunctive_filter",
+    "q_stream_dedup_bounded",
+    "q_bpe_merge_pairs",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",

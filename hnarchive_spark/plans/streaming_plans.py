@@ -101,6 +101,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_bounded",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+    "evicts seen keys once the watermark passes their event time, so the "
+    "state store holds only the active horizon instead of every key ever "
+    "seen — the form of q_stream_dedup that survives an unbounded stream "
+    "at 100 TB (plain dropDuplicates state grows forever). The delay here "
+    "(35 days) exceeds the drained corpus's 30-day span, so no key is "
+    "evicted mid-drain and the result is exactly batch DISTINCT — "
+    "deterministic for the oracle while the bounded-state plumbing "
+    "(watermark tracking + state TTL) is genuinely exercised.",
+)
+def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_bounded_sink_{next(_sink_counter)}"
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "q_sessionize",
     oracle=f"""
     WITH flagged AS (

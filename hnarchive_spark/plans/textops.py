@@ -722,6 +722,54 @@ def q_vocab_top_subtokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= VOCAB_TOP_K)
 
 
+BPE_TOP_PAIRS = 20  # merge candidates per BPE induction round
+
+
+@query(
+    "q_bpe_merge_pairs",
+    oracle=f"""
+    WITH st AS (
+      SELECT regexp_extract_all(text, '{T.SUBTOKEN_PATTERN}') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS pair
+      FROM st
+    ),
+    counts AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM counts
+    )
+    SELECT pair, n_occurrences, rank FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+    doc=f"One BPE merge round: the top {BPE_TOP_PAIRS} most frequent "
+    "ADJACENT subtoken pairs across the corpus (the statistic byte-pair "
+    "encoding greedily merges on) — composes with q_vocab_top_subtokens "
+    "into the tokenizer-training loop. Pair construction is an in-row "
+    "array transform (no self-join, no window over the corpus); one "
+    "partial-agg shuffle collapses to |distinct pairs| rows before the "
+    "single-partition top-k window sorts only the aggregate.",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ts = T.subtokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+    )
+    counts = (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return counts.select(
+        "pair", "n_occurrences", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= BPE_TOP_PAIRS)
+
+
 CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
 
 
