@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_disjunctive_filter",
     "q_stream_dedup_bounded",
     "q_bpe_merge_pairs",
+    "q_ann_recall",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",

@@ -302,6 +302,95 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {N_QUERIES}),
+    xscored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
+      FROM el a CROSS JOIN q WHERE a.vec_id != q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        FROM xscored
+      ) WHERE rank <= {ANN_K}
+    ),
+    vecs AS (
+      SELECT vec_id, label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM vecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    routed AS (
+      SELECT q.query_id, q.qv, c.list_id,
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= 1
+    ),
+    ascored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(p.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
+      FROM el a JOIN probes p ON a.label = p.list_id AND a.vec_id != p.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        FROM ascored
+      ) WHERE rank <= {ANN_K}
+    )
+    SELECT e.query_id,
+           count(a2.neighbor_id) AS n_hits,
+           CAST((count(a2.neighbor_id) * 10000) // {ANN_K} AS BIGINT) AS recall_e4
+    FROM exact e
+    LEFT JOIN approx a2
+      ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc=f"ANN recall harness: recall@{ANN_K} of the IVF probe-1 scale path "
+    "against the exact brute-force top-k, per query, as a floor-divided "
+    "e4 integer — the evaluation loop that tells you whether an index's "
+    "recall/cost point is acceptable before rolling it over the full "
+    "corpus (the companion of q_minhash_accuracy for the vector side). "
+    "Both arms reuse the registered operators (operators/similarity.py), "
+    "so this measures the production code path, not a reimplementation; "
+    "the left join counts overlap without dropping zero-recall queries.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.cosine_topk(e, qset, ANN_K).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(e, qset, ANN_K).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_qid) & (exact.neighbor_id == approx.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
+        )
+    )
+
+
+@query(
     "q_ann_lsh",
     oracle=_lsh_oracle(),
     doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
