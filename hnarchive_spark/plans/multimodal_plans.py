@@ -160,3 +160,86 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+PHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+PHASH_HAM_MAX = 3  # pigeonhole-complete: <= 3 flipped bits leave a band intact
+
+
+@query(
+    "q_multimodal_phash_dup",
+    # The oracle replays the tile arithmetic byte-for-byte: the corpus is
+    # pure ASCII, so ord(text[i]) == the payload byte and length(text) ==
+    # octet_length — asserted cheap by the n >= 32 tiles being non-empty.
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    tiles AS (
+      SELECT doc_id, t.j,
+             coalesce(list_sum(list_transform(
+               range((t.j * n) // {32} + 1, ((t.j + 1) * n) // {32} + 1),
+               i -> ord(text[i]))), 0) AS ts
+      FROM d0, range(0, {32}) t(j)
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ts * {32} > total THEN (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM (SELECT *, sum(ts) OVER (PARTITION BY doc_id) AS total FROM tiles)
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, phash, t.band,
+             (phash >> (t.band * 8)) & 255 AS band_val
+      FROM ph, range(0, {PHASH_BANDS}) t(band)
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           bit_count(xor(x.phash, y.phash)) AS hamming
+    FROM banded x
+    JOIN banded y ON x.band = y.band AND x.band_val = y.band_val
+                 AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.phash, y.phash)) <= {PHASH_HAM_MAX}
+    """,
+    doc=f"Multimodal NEAR-dup by perceptual hash (the aHash recipe): the "
+    "binary payload's 32 byte-tile sums become one bit each (tile sum "
+    "strictly above the payload mean, cross-multiplied to pure-integer "
+    "ts*32 > total), computed inside the Arrow mapInPandas kernel "
+    f"(operators/multimodal.py:perceptual_hash); {PHASH_BANDS} 8-bit "
+    f"bands bound the pair space (pigeonhole-complete for Hamming <= "
+    f"{PHASH_HAM_MAX}) exactly like SimHash text dedup. Complements "
+    "q_multimodal_dedup (exact md5): a re-encoded/slightly-edited asset "
+    "changes the md5 but usually not the tile profile. At 100 TB only "
+    "(doc_id, phash) rows shuffle — signature cost rides the scan.",
+)
+def q_multimodal_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.multimodal import perceptual_hash
+
+    d = load(spark, sf_dir, "documents")
+    ph = perceptual_hash(attach_payload(d))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), b * 8).bitwiseAND(F.lit(255))
+                .cast("long")
+                .alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    banded = ph.select("doc_id", "phash", F.explode(bands).alias("bb")).select(
+        "doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val")
+    )
+    x = banded.select(
+        F.col("doc_id").alias("d1"), F.col("phash").alias("p1"), "band", "band_val"
+    )
+    y = banded.select(
+        F.col("doc_id").alias("d2"), F.col("phash").alias("p2"), "band", "band_val"
+    )
+    ham = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+    return (
+        x.join(y, ["band", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .distinct()
+    )

@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "q_stream_dedup_bounded",
     "q_bpe_merge_pairs",
     "q_ann_recall",
+    "q_multimodal_phash_dup",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",
