@@ -59,6 +59,11 @@ HEADLINE = [
     "q_sole_late_supplier",
     "q_triangle_count",
     "q_global_index",
+    # round-8 additions
+    "q_link_prediction_capped",
+    "q_multimodal_phash_dup",
+    "q_bpe_merge_pairs",
+    "q_returned_items",
 ]
 
 

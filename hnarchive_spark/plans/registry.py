@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "q_bpe_merge_pairs",
     "q_ann_recall",
     "q_multimodal_phash_dup",
+    "q_forecast_revenue",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",

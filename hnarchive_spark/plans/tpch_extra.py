@@ -398,3 +398,38 @@ def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).alias("revenue_c100"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@query(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_delta_c100,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): the pure scan-bound "
+    "single-table aggregate — date range + discount band + quantity cap, "
+    "summing extendedprice*discount as exact cents-x100 integers. Every "
+    "predicate except the derived discount band pushes into the parquet "
+    "scan (min-max row-group skipping on l_shipdate at scale); no join, "
+    "no wide shuffle — one partial+final agg. The discount band compares "
+    "the rounded integer pct on both engines so the float third-decimal "
+    "noise in the stored double can't flip boundary rows.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100, 0).cast("long").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_cents("l_extendedprice") * _cents("l_discount")).alias("revenue_delta_c100"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
