@@ -310,3 +310,36 @@ def test_fuzzy_match_fine_blocking_bounds_fanout(spark):
     )
     brand = p.groupBy("p_brand").count().agg(F.max("count")).first()[0]
     assert 3 * fine * fine < brand * brand, (fine, brand)
+
+
+def test_forecast_revenue_is_scan_bound_aggregate(spark):
+    """TPC-H Q6 must stay joinless: full predicate pushdown into the scan
+    and a partial+final aggregate — nothing else."""
+    plan = _plan(spark, "q_forecast_revenue")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert pushed and any("GreaterThanOrEqual(l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_priority_pipeline_is_semi_join(spark):
+    """TPC-H Q4's EXISTS must plan as a semi join (never a full join +
+    dedup, never a cartesian); the 60-day lag rides as the residual."""
+    plan = _plan(spark, "q_priority_pipeline")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_orders_preaggregates_lineitem(spark):
+    """TPC-H Q18's HAVING must collapse lineitem to qualifying order keys
+    BEFORE the orders/customer joins — the partial+final aggregate pair
+    sits under the first join in the plan tree."""
+    plan = _plan(spark, "q_large_orders")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    # in the formatted tree the aggregate feeding the join appears above
+    # (as a deeper child of) the join operator's header line
+    tree = plan.split("== Physical Plan ==")[1]
+    first_join = tree.index("BroadcastHashJoin") if "BroadcastHashJoin" in tree else tree.index("SortMergeJoin")
+    assert "HashAggregate" in tree[:first_join + 2000]
