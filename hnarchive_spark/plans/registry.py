@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "q_ann_recall",
     "q_multimodal_phash_dup",
     "q_forecast_revenue",
+    "q_interval_overlap",
     # -- (b) round-6 integer rewires, no driver row for the new internals --
     "q_dedup_clusters",
     "q_dedup_incremental",

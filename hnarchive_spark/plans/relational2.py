@@ -116,6 +116,71 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_LEN_DAYS = 30  # fulfillment-window length; also the bucket width
+
+
+@query(
+    "q_interval_overlap",
+    # Semantic oracle: same-customer order pairs whose 30-day fulfillment
+    # windows overlap (equal-length intervals overlap iff |start diff| <
+    # length). The Spark plan is the bucketed candidate generation: with
+    # bucket width == interval length, a qualifying pair's start buckets
+    # differ by at most 1, so the probe side's {b-1, b, b+1} union is
+    # complete and hits each pair on exactly one equi-key.
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS d
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+           CAST({INTERVAL_LEN_DAYS} - abs(b.d - a.d) AS BIGINT) AS overlap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(b.d - a.d) < {INTERVAL_LEN_DAYS}
+    """,
+    doc=f"Interval-overlap self join: same-customer orders whose "
+    f"{INTERVAL_LEN_DAYS}-day fulfillment windows overlap, with the "
+    "overlap length in whole days. The naive plan is an equi-join on the "
+    "customer alone with a quadratic per-customer compare; the registered "
+    "plan adds the interval START BUCKET (width = interval length) to the "
+    "equi-key with a 3-bucket neighbor union on the probe side — the "
+    "standard interval-join blocking that bounds per-key fanout by "
+    "orders-per-customer-per-month instead of orders-per-customer-ever. "
+    "Day arithmetic is integer microseconds-per-day division on both "
+    "engines (timestamps are midnight-exact).",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate arrives as TIMESTAMP_NTZ; the session is pinned UTC, so
+        # the cast is wall-clock-identical to DuckDB's epoch_us
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias("d"),
+    ).withColumn("bkt", F.expr(f"d div {INTERVAL_LEN_DAYS}"))
+    probe = o.withColumn(
+        "blk", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+    )
+    a, b = probe.alias("a"), o.alias("b")
+    diff = F.abs(F.col("b.d") - F.col("a.d"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.blk") == F.col("b.bkt"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (diff < INTERVAL_LEN_DAYS),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("o1"),
+            F.col("b.o_orderkey").alias("o2"),
+            (INTERVAL_LEN_DAYS - diff).alias("overlap_days"),
+        )
+    )
+
+
 @query(
     "q_window_range_frame",
     # Frame ordered by MICROSECONDS on both engines: every event in the
