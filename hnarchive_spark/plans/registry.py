@@ -84,10 +84,9 @@ _VERIFY_FIRST = [
     "q_multimodal_phash_dup",
     "q_forecast_revenue",
     "q_interval_overlap",
-    # -- (b) round-6 integer rewires, no driver row for the new internals --
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    # -- (c) round-8 DOUBLE->integer conversions (schema changed) --
+    # -- (c) round-8 DOUBLE->integer conversions (schema changed — their
+    # old green rows describe an obsolete schema, so fresh rows are
+    # mandatory and outrank the schema-unchanged rewires in (b) below) --
     "q_flagship",
     "q_groupby_agg",
     "q_shipping_priority",
@@ -116,6 +115,10 @@ _VERIFY_FIRST = [
     "q_pandas_udf_score",
     "q_pandas_udaf_weighted",
     "q_stream_stream_join",
+    # -- (b) round-6 integer rewires, no driver row for the new internals
+    # (output schemas unchanged, so these rank below the schema changes) --
+    "q_dedup_clusters",
+    "q_dedup_incremental",
     # -- (d) r1-green-only stragglers not in (c) --
     "q_window_range_frame",
     "q_filtered_agg",
