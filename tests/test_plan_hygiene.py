@@ -343,3 +343,15 @@ def test_large_orders_preaggregates_lineitem(spark):
     tree = plan.split("== Physical Plan ==")[1]
     first_join = tree.index("BroadcastHashJoin") if "BroadcastHashJoin" in tree else tree.index("SortMergeJoin")
     assert "HashAggregate" in tree[:first_join + 2000]
+
+
+def test_interval_overlap_is_bucketed_hash_join(spark):
+    """The interval-overlap join must ride the (custkey, bucket) equi-key
+    with the day-distance predicate as a residual — never a cartesian or
+    a custkey-only join that re-creates per-customer-lifetime fanout."""
+    plan = _plan(spark, "q_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the bucket column participates in the equi-join keys
+    assert "bkt" in plan and "blk" in plan
