@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "q_multimodal_phash_dup",
     "q_forecast_revenue",
     "q_interval_overlap",
+    "q_k_anonymity",
     # -- (c) round-8 DOUBLE->integer conversions (schema changed — their
     # old green rows describe an obsolete schema, so fresh rows are
     # mandatory and outrank the schema-unchanged rewires in (b) below) --

@@ -984,3 +984,49 @@ def q_shard_assignment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("shard_tokens"),
         )
     )
+
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+KA_LEN_BUCKET = 256  # n_chars bucket width in the quasi-identifier
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(n_chars // {KA_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             count(*) AS n_docs,
+             min(doc_id) AS min_doc_id
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, n_docs, min_doc_id,
+           n_docs < {K_ANON} AS at_risk
+    FROM g
+    """,
+    doc=f"k-anonymity audit (the privacy gate before a corpus release): "
+    f"every (lang, source, length-bucket) quasi-identifier combination "
+    f"with its population, flagging groups below k={K_ANON} whose members "
+    "are re-identifiable by those attributes alone. One partial-agg "
+    "shuffle over the scan; the quasi-identifier projection prunes to "
+    "three columns, so at 100 TB only metadata-width rows move. "
+    "Downstream, at_risk groups are suppressed or generalized (coarser "
+    "buckets) — the audit itself is the operator here.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {KA_LEN_BUCKET}").alias("len_bucket"),
+            "doc_id",
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .select("*", (F.col("n_docs") < K_ANON).alias("at_risk"))
+    )
