@@ -194,6 +194,22 @@ def test_export_to_sqlite_reference_schema_roundtrip(env, capsys):
     assert any("index_items_age_at_retrieval" in str(r) for r in plan), plan
     con.close()
 
+    # multi-batch streaming path produces the identical file contents
+    import sqlite3 as _sq
+
+    from hnarchive_spark.sources.export import export_to_sqlite
+    from hnarchive_spark.sources.items_store import ItemsStore
+
+    store = ItemsStore(cli.get_spark(), env["store"])
+    db2 = str(env["tmp"] / "hnarchive_b2.db")
+    assert export_to_sqlite(store, db2, batch_rows=1) == 3
+    c2 = _sq.connect(db2)
+    assert (
+        c2.execute("SELECT * FROM items ORDER BY id").fetchall()
+        == _sq.connect(db).execute("SELECT * FROM items ORDER BY id").fetchall()
+    )
+    c2.close()
+
 
 def test_cli_query_lists_and_runs(spark, tmp_path, capsys):
     from hnarchive_spark import cli
