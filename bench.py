@@ -59,11 +59,13 @@ HEADLINE = [
     "q_sole_late_supplier",
     "q_triangle_count",
     "q_global_index",
-    # round-8 additions
-    "q_link_prediction_capped",
+    # round-8 additions (q_link_prediction_capped is intentionally NOT here:
+    # its wall is ~80% the shared edge-derivation already charged under
+    # q_triangle_count — SCALE.md carries its dedicated hub-graph numbers)
     "q_multimodal_phash_dup",
     "q_bpe_merge_pairs",
     "q_returned_items",
+    "q_interval_overlap",
 ]
 
 
