@@ -270,6 +270,49 @@ def cmd_query(spark, args):
     return 0
 
 
+def cmd_oracle_check(spark, args):
+    """Run registered queries side-by-side with their DuckDB oracles and
+    report MATCH/MISMATCH — the driver's correctness gate as a user-facing
+    command (compares sorted-by-name columns, order-insensitive stringified
+    rows, exactly like the driver)."""
+    import os as _os
+
+    import duckdb
+
+    from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = args.names or sorted(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    n_fail = 0
+    for name in names:
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            print(f"{name}\tSKIP (no oracle — rows-only operator)")
+            continue
+        sdf = spec.spark(spark, sf_dir)
+        order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+        srows = sorted(tuple(str(r[i]) for i in order) for r in sdf.collect())
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        orows = sorted(tuple(str(r[i]) for i in oorder) for r in res.fetchall())
+        ok = srows == orows
+        n_fail += 0 if ok else 1
+        print(f"{name}\t{'MATCH' if ok else 'MISMATCH'}\t{len(srows)} rows")
+    return 1 if n_fail else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hnarchive-spark")
     p.add_argument("--store", default="./hnarchive_store")
@@ -337,6 +380,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--json", action="store_true", help="print JSON lines instead of a table")
     q.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     q.set_defaults(func=cmd_query)
+
+    oc = sub.add_parser(
+        "oracle_check",
+        help="hash-check registered queries against their DuckDB oracles",
+    )
+    oc.add_argument("names", nargs="*", default=None, help="query slugs (omit for all oracled)")
+    oc.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR or sf0.01)")
+    oc.set_defaults(func=cmd_oracle_check)
     return p
 
 

@@ -225,3 +225,18 @@ def test_cli_query_lists_and_runs(spark, tmp_path, capsys):
     assert cli.cmd_query(spark, args) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and out[0].startswith("{")
+
+
+def test_cli_oracle_check(spark, tmp_path, capsys, monkeypatch):
+    from hnarchive_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "--store", str(tmp_path / "s"), "oracle_check",
+        "q_point_lookup", "q_max_key",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q_point_lookup\tMATCH" in out and "q_max_key\tMATCH" in out
