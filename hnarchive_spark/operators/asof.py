@@ -32,9 +32,15 @@ def asof_join(
     right_time: str,
     payload_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; payload columns from the matched right row (NULLs if
-    no right row precedes the left row and ``how='left'``; 'inner' drops)."""
+    no right row precedes the left row and ``how='left'``; 'inner' drops).
+
+    ``direction='backward'`` (default) matches the latest right row with
+    ``r.t <= l.t``; ``direction='forward'`` matches the EARLIEST right row
+    with ``r.t >= l.t`` — the time-reversed scan (descending order, min
+    payload tiebreak at equal right timestamps), same single shuffle."""
     rpay = F.struct(*[F.col(c) for c in payload_cols])
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -52,12 +58,20 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # _rrow in the sort is a deterministic tiebreak: equal right timestamps
-    # carry the max payload struct instead of an engine-arbitrary row.
-    # Callers should still dedupe the right side per (key, time) when the
-    # oracle/engine being matched has its own tie rule.
+    # carry the max (backward) / min (forward) payload struct instead of an
+    # engine-arbitrary row.  Callers should still dedupe the right side per
+    # (key, time) when the oracle/engine being matched has its own tie rule.
+    if direction == "backward":
+        order = [F.col("_t"), F.col("_is_left"), F.col("_rrow")]
+    elif direction == "forward":
+        # descending time scan: right rows at the SAME timestamp must still
+        # precede left rows (r.t >= l.t is inclusive), so _is_left ascends
+        order = [F.col("_t").desc(), F.col("_is_left"), F.col("_rrow").desc()]
+    else:
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_rrow"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))

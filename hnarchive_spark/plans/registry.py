@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "q_forecast_revenue",
     "q_interval_overlap",
     "q_k_anonymity",
+    "q_asof_join_forward",
     # -- (c) round-8 DOUBLE->integer conversions (schema changed — their
     # old green rows describe an obsolete schema, so fresh rows are
     # mandatory and outrank the schema-unchanged rewires in (b) below) --

@@ -457,6 +457,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_join_forward",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, min(event_id) AS event_id
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts AS event_ts
+    FROM orders o
+    ASOF LEFT JOIN e
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="FORWARD as-of join (earliest event per user at or after each order "
+    "date) — the time-reversed twin of q_asof_join: the same union-and-"
+    "carry single-shuffle plan scanned in descending time order "
+    "(operators/asof.py direction='forward'). The reaction-to-an-order "
+    "lookup a backward as-of cannot express. Right side deduplicated per "
+    "(user, ts) so the tied-timestamp match is deterministic on both "
+    "engines.",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), F.col("ts").alias("event_ts"))
+        .agg(F.min("event_id").alias("event_id"))
+        .select("o_custkey", "event_id", "event_ts")
+    )
+    return asof_join(
+        o,
+        e,
+        key="o_custkey",
+        left_time="o_orderdate",
+        right_time="event_ts",
+        payload_cols=["event_id", "event_ts"],
+        direction="forward",
+    )
+
+
+@query(
     "q_stream_sliding",
     # Each event falls into TWO hopping windows (2-day length, 1-day hop,
     # epoch-aligned): the one starting at its own day and the one starting
