@@ -85,7 +85,6 @@ _VERIFY_FIRST = [
     "q_forecast_revenue",
     "q_interval_overlap",
     "q_k_anonymity",
-    "q_asof_join_forward",
     # -- (c) round-8 DOUBLE->integer conversions (schema changed — their
     # old green rows describe an obsolete schema, so fresh rows are
     # mandatory and outrank the schema-unchanged rewires in (b) below) --
@@ -117,6 +116,9 @@ _VERIFY_FIRST = [
     "q_pandas_udf_score",
     "q_pandas_udaf_weighted",
     "q_stream_stream_join",
+    # newest round-8 addition — first name past the ~50 cutoff so every
+    # schema-changed conversion above keeps a guaranteed slot
+    "q_asof_join_forward",
     # -- (b) round-6 integer rewires, no driver row for the new internals
     # (output schemas unchanged, so these rank below the schema changes) --
     "q_dedup_clusters",
