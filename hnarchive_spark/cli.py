@@ -212,6 +212,17 @@ def cmd_delete(spark, args):
     print(f"deleted {n} row(s); store now {store.count()} rows")
 
 
+def cmd_compact(spark, args):
+    store = _store(spark, args)
+    before = store.leaf_file_count()
+    store.compact(args.bucket_size)
+    after = store.leaf_file_count()
+    print(
+        f"compacted to bucket_size={args.bucket_size}: "
+        f"{before} -> {after} data files, {store.count()} rows"
+    )
+
+
 def cmd_export(spark, args):
     from hnarchive_spark.sources.export import export_to_duckdb, export_to_sqlite
 
@@ -356,6 +367,13 @@ def build_parser() -> argparse.ArgumentParser:
     dl = sub.add_parser("delete", help="hard-delete ids from the store (bucket-pruned rewrite)")
     dl.add_argument("ids", type=int, nargs="+")
     dl.set_defaults(func=cmd_delete)
+
+    cp = sub.add_parser(
+        "compact",
+        help="re-bucket the store (small-file compaction, OPTIMIZE analog)",
+    )
+    cp.add_argument("--bucket-size", type=int, required=True, help="new ids-per-bucket granularity")
+    cp.set_defaults(func=cmd_compact)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")
     ex.add_argument("--to", required=True, help="output .duckdb / .sqlite path")

@@ -240,3 +240,15 @@ def test_cli_oracle_check(spark, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 0
     assert "q_point_lookup\tMATCH" in out and "q_max_key\tMATCH" in out
+
+
+def test_cli_compact(env, capsys):
+    from hnarchive_spark.sources.items_store import ItemsStore
+
+    _run(env, "get", "--lower", "1", "--upper", "3")
+    capsys.readouterr()
+    assert _run(env, "compact", "--bucket-size", "1000000") == 0
+    out = capsys.readouterr().out
+    assert "compacted to bucket_size=1000000" in out and "3 rows" in out
+    store = ItemsStore(cli.get_spark(), env["store"])
+    assert store.count() == 3 and store.latest_id() == 3
