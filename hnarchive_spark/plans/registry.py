@@ -119,6 +119,7 @@ _VERIFY_FIRST = [
     # newest round-8 addition — first name past the ~50 cutoff so every
     # schema-changed conversion above keeps a guaranteed slot
     "q_asof_join_forward",
+    "q_corpus_drift",
     # -- (b) round-6 integer rewires, no driver row for the new internals
     # (output schemas unchanged, so these rank below the schema changes) --
     "q_dedup_clusters",

@@ -1041,3 +1041,73 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("*", (F.col("n_docs") < K_ANON).alias("at_risk"))
     )
+
+
+DRIFT_LEN_BUCKET = 256  # distribution dimension: n_chars bucket width
+
+
+@query(
+    "q_corpus_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(n_chars // {DRIFT_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+               AS in_a
+      FROM documents
+    ),
+    dist AS (
+      SELECT len_bucket,
+             count(CASE WHEN in_a THEN 1 END) AS n_a,
+             count(CASE WHEN NOT in_a THEN 1 END) AS n_b
+      FROM tagged GROUP BY len_bucket
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM dist)
+    SELECT CAST(t.ta AS BIGINT) AS total_a, CAST(t.tb AS BIGINT) AS total_b,
+           count(*) AS n_buckets,
+           CAST((1000000 * sum(abs(d.n_a * t.tb - d.n_b * t.ta)))
+                // (2 * t.ta * t.tb) AS BIGINT) AS tvd_e6
+    FROM dist d CROSS JOIN tot t
+    GROUP BY t.ta, t.tb
+    """,
+    doc="Corpus drift gate: total-variation distance between the length "
+    "distributions of two deterministic hash-split halves, as an exact "
+    "e6 integer — TVD = 0.5 * sum |p_i - q_i| cross-multiplied onto the "
+    "common denominator (1e6 * sum|n_a*T_b - n_b*T_a|) div (2*T_a*T_b), "
+    "so no float touches either engine. In production the two sides are "
+    "last week's and this week's snapshot and the gate fails the release "
+    "when tvd exceeds a threshold; the hash split makes the operator "
+    "hash-checkable on a single table. One metadata-width partial-agg "
+    "shuffle; the totals row is a broadcast scalar.",
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    in_a = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    dist = (
+        d.select(
+            F.expr(f"n_chars div {DRIFT_LEN_BUCKET}").alias("len_bucket"),
+            in_a.alias("in_a"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+            F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        )
+    )
+    tot = dist.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.abs(F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta"))).alias("_sad"),
+        )
+        .select(
+            F.col("ta").alias("total_a"),
+            F.col("tb").alias("total_b"),
+            "n_buckets",
+            F.expr("(1000000 * _sad) div (2 * ta * tb)").alias("tvd_e6"),
+        )
+    )
