@@ -7,7 +7,8 @@ Design rules applied throughout (these are what make the plans scale):
   ``F.broadcast`` — no shuffle for the small side at any scale factor;
 * filters sit directly on base scans so parquet pushdown sees them;
 * projections are minimal so ReadSchema stays narrow;
-* every float aggregate is rounded identically to the oracle;
+* no float ever reaches an output: money is integer cents at the scan and
+  every aggregate/ratio is exact BIGINT (see the conversion note below);
 * every top-k has a total order (tiebreak on a key column).
 """
 
