@@ -82,9 +82,13 @@ def export_to_sqlite(
     missing = [c for c in _SQLITE_COLS if c not in dataset.schema.names]
     if missing:
         raise ValueError(f"store snapshot missing columns {missing}")
-    if os.path.exists(db_path):
-        os.remove(db_path)
-    con = sqlite3.connect(db_path)
+    # write to a sibling temp file and rename into place, so a crashed
+    # export never leaves a torn .sqlite where the previous one was (the
+    # same atomic-swap discipline as the store's version pointer)
+    tmp_path = db_path + ".tmp"
+    if os.path.exists(tmp_path):
+        os.remove(tmp_path)
+    con = sqlite3.connect(tmp_path)
     try:
         con.executescript(_SQLITE_DDL)
         placeholders = ",".join("?" * len(_SQLITE_COLS))
@@ -95,8 +99,13 @@ def export_to_sqlite(
             con.executemany(ins, rows)
             n += len(rows)
         con.commit()
-    finally:
+    except BaseException:
         con.close()
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        raise
+    con.close()
+    os.replace(tmp_path, db_path)
     return n
 
 
