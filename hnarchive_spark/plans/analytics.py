@@ -1626,6 +1626,29 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orc_roundtrip",
+    oracle=_RT_AUDIT_ORACLE,
+    doc="ORC sink + source round trip (Spark's native ORC reader/writer — "
+    "the other columnar interchange format a warehouse migration meets "
+    "beside parquet): same lossless-or-hash-fail audit as "
+    "q_jsonl_roundtrip. Columnar-to-columnar, so unlike CSV/JSONL there "
+    "is no escaping surface — the audit instead proves type fidelity "
+    "(long/string round-trip bit-exact) and that predicate-capable ORC "
+    "stripes come back splittable and complete. Extends the connector "
+    "matrix: parquet (store), ORC, JSONL, CSV, DuckDB + SQLite exports, "
+    "HTML sink, HTTP source, streaming source/sinks.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.schema(d.schema).orc(path)
+    return _rt_audit(back)
+
+
+@query(
     "q_wow_growth",
     oracle="""
     WITH weekly AS (

@@ -120,6 +120,7 @@ _VERIFY_FIRST = [
     # schema-changed conversion above keeps a guaranteed slot
     "q_asof_join_forward",
     "q_corpus_drift",
+    "q_orc_roundtrip",
     # -- (b) round-6 integer rewires, no driver row for the new internals
     # (output schemas unchanged, so these rank below the schema changes) --
     "q_dedup_clusters",
