@@ -49,83 +49,25 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # order all_queries() returns, so the names below — this round's verification
 # targets — come FIRST, then everything else in registration order.
 _VERIFY_FIRST = [
-    # Round-8 rotation. The driver verifies ~the first 50 names, so priority:
-    #   (a) the 5 queries that have NEVER had a driver row (registered past
-    #       the round-6 window cutoff; locally parity-green at sf0.001 and
-    #       sf0.01 but the driver row is the contract);
-    #   (b) the 2 queries integerized in round 6 whose rewired internals
-    #       were never driver-re-verified (output schemas unchanged);
-    #   (c) the 28 legacy-DOUBLE queries converted to integer outputs this
-    #       round — their old green rows describe an obsolete schema, so
-    #       fresh rows are mandatory;
-    #   (d) r1-green-only stragglers not already covered by (c);
-    #   (e) everything else in registration order (cumulative-green,
-    #       unchanged code).
-    # -- (a) never-driver-verified --
-    "q_bigram_novelty",
-    "q_fuzzy_match_blocked",
-    "q_lpa_communities",
-    "q_multimodal_dedup",
-    "q_schema_evolution",
-    # -- (a2) added in round 8 — first rows --
-    "q_link_prediction_capped",
-    "q_priority_pipeline",
-    "q_volume_shipping",
-    "q_returned_items",
-    "q_shipmode_priority",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_disjunctive_filter",
-    "q_stream_dedup_bounded",
-    "q_bpe_merge_pairs",
-    "q_ann_recall",
-    "q_multimodal_phash_dup",
-    "q_forecast_revenue",
-    "q_interval_overlap",
-    "q_k_anonymity",
-    # -- (c) round-8 DOUBLE->integer conversions (schema changed — their
-    # old green rows describe an obsolete schema, so fresh rows are
-    # mandatory and outrank the schema-unchanged rewires in (b) below) --
-    "q_flagship",
-    "q_groupby_agg",
-    "q_shipping_priority",
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_grouping_sets",
-    "q_running_sum",
-    "q_join_broadcast",
-    "q_point_lookup",
-    "q_fk_filter",
-    "q_fk_filter_2",
-    "q_topk",
-    "q_window_rank",
-    "q_sample_hash",
-    "q_lateral_join",
-    "q_join_fk",
-    "q_topk_per_group",
-    "q_null_handling",
-    "q_contamination",
-    "q_mix_equalize",
-    "q_sample_weighted",
-    "q_text_quality",
-    "q_text_stats",
-    "q_quality_repetition",
-    "q_tfidf_top_terms",
-    "q_pandas_udf_score",
-    "q_pandas_udaf_weighted",
-    "q_stream_stream_join",
-    # newest round-8 addition — first name past the ~50 cutoff so every
-    # schema-changed conversion above keeps a guaranteed slot
+    # Round-9 rotation: evidence completion.  After round 8's fully green
+    # 50-name window, the remaining priorities (VERDICT r8 "Next round" #1):
+    #   (a) the 3 late-r8 queries with NO driver row ever;
+    #   (b) the 2 round-6 internal rewires (schemas unchanged) whose current
+    #       internals have never been driver-verified;
+    #   (c) everything else ordered by staleness of its latest green driver
+    #       row — the 12 r1-green stragglers, then the r3-green block, then
+    #       the r4-green block (computed from CORRECTNESS_r01..r08).
+    # The ~50-name window covers through the r3 block and into r4; the tail
+    # rolls into round 10.  Names verified green in r7/r8 need no fresh row
+    # and sit after this list in registration order.
+    # -- (a) never-driver-verified (added late round 8) --
     "q_asof_join_forward",
     "q_corpus_drift",
     "q_orc_roundtrip",
-    # -- (b) round-6 integer rewires, no driver row for the new internals
-    # (output schemas unchanged, so these rank below the schema changes) --
+    # -- (b) round-6 rewires, current internals never driver-verified --
     "q_dedup_clusters",
     "q_dedup_incremental",
-    # -- (d) r1-green-only stragglers not in (c) --
+    # -- (c) r1-green-only stragglers (rows predate 7 rounds of refactors) --
     "q_window_range_frame",
     "q_filtered_agg",
     "q_having",
@@ -138,10 +80,53 @@ _VERIFY_FIRST = [
     "q_children_sorted",
     "q_fix_ptags",
     "q_display_date",
-    # -- (e) stalest remaining r3-green block fills the window tail --
+    # -- (c) r3-green block --
     "q_dedup_exact",
     "q_token_count",
     "q_lang_id",
+    "q_dedup_simhash",
+    "q_doc_fingerprint",
+    "q_pack_sequences",
+    "q_pack_sequences_sharded",
+    "q_asof_join_inner",
+    "q_asof_join",
+    "q_multimodal_meta",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_multimodal_features",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_regexp_funcs",
+    "q_map_funcs",
+    "q_array_funcs",
+    "q_merge_coalesce",
+    "q_wire_normalize",
+    "q_tree_closure",
+    # -- (c) r4-green block (window tail; overflow rolls to round 10) --
+    "q_boilerplate_ngrams",
+    "q_split_train_eval",
+    "q_kmeans_assign",
+    "q_embed_quantize",
+    "q_winnow_fingerprint",
+    "q_stream_tumbling",
+    "q_stream_dedup",
+    "q_stream_dim_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_session_window_builtin",
+    "q_max_key",
+    "q_derived_pred",
+    "q_staleness",
+    "q_window_sort",
+    "q_self_join",
+    "q_join_semi",
+    "q_join_anti",
+    "q_distinct_count",
+    "q_pivot_status",
+    "q_setops",
+    "q_json_extract",
+    "q_range_join",
+    "q_skew_salted_agg",
 ]
 
 
