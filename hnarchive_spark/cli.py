@@ -230,6 +230,10 @@ def cmd_export(spark, args):
     fmt = args.format
     if fmt is None:
         fmt = "sqlite" if args.to.endswith((".sqlite", ".db")) else "duckdb"
+        # .db is ambiguous (the reference's own file is hnarchive.db, so it
+        # maps to sqlite) — say which engine was inferred so a user who
+        # wanted DuckDB notices and passes --format explicitly.
+        print(f"export: no --format given, inferred {fmt!r} from {args.to!r}")
     if fmt == "sqlite":
         n = export_to_sqlite(store, args.to)
     else:
@@ -284,8 +288,10 @@ def cmd_query(spark, args):
 def cmd_oracle_check(spark, args):
     """Run registered queries side-by-side with their DuckDB oracles and
     report MATCH/MISMATCH — the driver's correctness gate as a user-facing
-    command (compares sorted-by-name columns, order-insensitive stringified
-    rows, exactly like the driver)."""
+    command (compares sorted-by-name columns, order-insensitive rows).
+    Each cell compares as (type, value), not str(value), so 1 vs '1' and
+    None vs 'None' are mismatches here just as they are under the driver's
+    schema+hash check."""
     import os as _os
 
     import duckdb
@@ -311,13 +317,16 @@ def cmd_oracle_check(spark, args):
         if spec.oracle is None:
             print(f"{name}\tSKIP (no oracle — rows-only operator)")
             continue
+        def _cell(x):
+            return (type(x).__name__, str(x))
+
         sdf = spec.spark(spark, sf_dir)
         order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
-        srows = sorted(tuple(str(r[i]) for i in order) for r in sdf.collect())
+        srows = sorted(tuple(_cell(r[i]) for i in order) for r in sdf.collect())
         res = con.execute(spec.oracle)
         ocols = [d[0] for d in res.description]
         oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        orows = sorted(tuple(str(r[i]) for i in oorder) for r in res.fetchall())
+        orows = sorted(tuple(_cell(r[i]) for i in oorder) for r in res.fetchall())
         ok = srows == orows
         n_fail += 0 if ok else 1
         print(f"{name}\t{'MATCH' if ok else 'MISMATCH'}\t{len(srows)} rows")

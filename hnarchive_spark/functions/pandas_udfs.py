@@ -24,19 +24,36 @@ def readability_score_e4(text: pd.Series) -> pd.Series:
     """Scalar pandas UDF: a Flesch-like score from mean word length and
     sentence-less text shape, vectorized over the Arrow batch in exact
     int64 e4 units: 1e6 - (5e4*(chars - spaces)) // n_words - 1e3*n_words
-    (numerators nonnegative, so numpy floor-div == DuckDB //)."""
-    words = text.str.split(" ")
+    (numerators nonnegative, so numpy floor-div == DuckDB //).
+
+    NULL text -> NULL score (nullable Int64 result; a real corpus has
+    missing fields and a NaN->int64 cast would kill the whole Arrow batch).
+    """
+    null_mask = text.isna()
+    filled = text.fillna("")
+    words = filled.str.split(" ")
     n_words = words.str.len().astype("int64")
-    n_chars = text.str.len().astype("int64")
+    n_chars = filled.str.len().astype("int64")
     net_chars = n_chars - (n_words - 1)  # chars net of separators
-    return 1_000_000 - (50_000 * net_chars) // n_words - 1_000 * n_words
+    score = 1_000_000 - (50_000 * net_chars) // n_words - 1_000 * n_words
+    return score.astype("Int64").mask(null_mask)
 
 
 @pandas_udf(LongType())
-def weighted_mean_e4(value_cents: pd.Series, weight: pd.Series) -> int:
+def weighted_mean_e4(value_cents: pd.Series, weight: pd.Series) -> int | None:
     """Grouped-aggregate pandas UDF: weight-averaged value per group, exact
     int64 — (sum(cents*w) * 100) // sum(w) = the weighted mean in e4 dollar
-    units (nonnegative, so floor-div == DuckDB //)."""
-    num = int((value_cents.astype("int64") * weight.astype("int64")).sum())
-    den = int(weight.sum())
+    units (nonnegative, so floor-div == DuckDB //).
+
+    SQL-aggregate null semantics: rows with a NULL value or weight are
+    ignored; a group with no usable rows (or zero weight sum) yields NULL
+    instead of raising from inside the executor batch.
+    """
+    ok = value_cents.notna() & weight.notna()
+    v = value_cents[ok]
+    w = weight[ok]
+    den = int(w.sum()) if len(w) else 0
+    if den == 0:
+        return None
+    num = int((v.astype("int64") * w.astype("int64")).sum())
     return (num * 100) // den

@@ -1569,10 +1569,10 @@ def _rt_audit(df: DataFrame) -> DataFrame:
     "md5 sum, so an escaping bug in either direction flips the hash.",
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     d = load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    path = scratch_dir("jsonl_rt") + "/docs"
     d.write.mode("overwrite").json(path)
     back = spark.read.schema(d.schema).json(path)
     return _rt_audit(back)
@@ -1599,10 +1599,10 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source/sinks.",
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     d = load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="csv_rt_") + "/docs"
+    path = scratch_dir("csv_rt") + "/docs"
     (
         d.write.mode("overwrite")
         .option("header", "true")
@@ -1639,10 +1639,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HTML sink, HTTP source, streaming source/sinks.",
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     d = load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    path = scratch_dir("orc_rt") + "/docs"
     d.write.mode("overwrite").orc(path)
     back = spark.read.schema(d.schema).orc(path)
     return _rt_audit(back)
@@ -1739,7 +1739,7 @@ ZBOX_FILES = 16
     "corpus.",
 )
 def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.sources.zorder import write_zordered
 
@@ -1752,7 +1752,7 @@ def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="zorder_box_") + "/events_z"
+    path = scratch_dir("zorder_box") + "/events_z"
     write_zordered(e, path, "user_id", "day", ZBOX_FILES)
     z = spark.read.parquet(path)
     return (
@@ -1898,14 +1898,14 @@ def q_corr_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
     "than re-deriving it per read.",
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     e = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    path = scratch_dir("schema_evo") + "/t"
     e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(path)
     (
         e.filter(F.col("event_id") % 2 == 1)

