@@ -133,6 +133,34 @@ def bench_store_merge(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_store_merge_bulk(spark, sf_dir: str) -> tuple[float, int]:
+    """Store WRITE path at BULK cadence: one merge commit updating the whole
+    items corpus (100k rows at sf0.1, every id bucket touched). The 5x200
+    bench above times the reference's 200-id commit_period — that number is
+    per-commit overhead (version swap, bucket listing, hardlink pass), not
+    a scan rate, and says nothing about backfill ingest. This one does:
+    rows/s here is the store's real bulk throughput, and the gap between
+    the two cadences IS the fixed per-commit cost (measured per-bucket in
+    tools/merge_throughput_probe.py; see BENCH_NOTES.md r9)."""
+    import shutil
+    import tempfile
+
+    from hnarchive_spark.sources.items_store import ItemsStore
+
+    items = _items_from_events(spark, sf_dir)
+    n_rows = items.count()
+    tmp = tempfile.mkdtemp(prefix="bench_store_merge_bulk_")
+    try:
+        store = ItemsStore(spark, tmp, bucket_size=10_000)
+        store.merge_batch(items.withColumn("seq", F.lit(0)), seq_col="seq")
+        upd = items.withColumn("score", F.col("score") + 1).withColumn("seq", F.lit(1))
+        t0 = time.perf_counter()
+        store.merge_batch(upd, seq_col="seq")
+        return time.perf_counter() - t0, n_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -192,6 +220,12 @@ def main() -> None:
     timings["store_merge_5x200"] = round(merge_sec, 3)
     spreads["store_merge_5x200"] = 0.0
 
+    # store WRITE path at bulk cadence: one whole-corpus merge commit —
+    # the backfill-ingest number the 200-row cadence cannot show
+    bulk_sec, bulk_rows = bench_store_merge_bulk(spark, sf_dir)
+    timings["store_merge_bulk"] = round(bulk_sec, 3)
+    spreads["store_merge_bulk"] = 0.0
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -206,6 +240,8 @@ def main() -> None:
                 "store_merge_rows_per_sec": round(
                     MERGE_COMMITS * MERGE_BATCH_ROWS / merge_sec, 1
                 ),
+                "store_merge_bulk_rows": bulk_rows,
+                "store_merge_bulk_rows_per_sec": round(bulk_rows / bulk_sec, 1),
             }
         )
     )
