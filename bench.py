@@ -66,6 +66,9 @@ HEADLINE = [
     "q_bpe_merge_pairs",
     "q_returned_items",
     "q_interval_overlap",
+    # round 9
+    "q_ann_ivfpq",
+    "q_vocab_coverage",
 ]
 
 

@@ -252,3 +252,90 @@ def pq_adc_topk(
         )
         .filter(F.col("rank") <= topk)
     )
+
+
+def ivf_pq_adc_topk(
+    vectors: DataFrame,
+    n_queries: int,
+    n_sub: int,
+    k: int,
+    iters: int,
+    topk: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ search — the composition of the two registered scale paths
+    and the standard production ANN architecture (FAISS IVFPQ with
+    by_residual=false): coarse IVF routing picks ``n_probe`` inverted
+    lists per query, then PQ asymmetric-distance scoring runs over the
+    integer codes of THOSE lists only.
+
+    Cost per query at 100 TB: n_lists centroid rows for routing (broadcast
+    scalar) + n_probe/n_lists of the corpus touched as ~n_sub-byte codes —
+    the two pruning levers multiply: IVF prunes which vectors are read,
+    PQ shrinks what is read per vector.  Both halves keep their exact
+    determinism contracts (cosine-e6 routing with list-id tiebreak;
+    e6-integer ADC sums with (adc ASC, id ASC) total ranking), so the
+    compound approximate operator is still value-hash oracle-checkable.
+    Vectors in probed lists are excluded only by identity, exactly like
+    pq_adc_topk."""
+    from hnarchive_spark.operators.similarity import ivf_probes
+
+    sub = dim // n_sub
+    spark = vectors.sparkSession
+    codes, centroids = pq_assign(
+        vectors, n_sub, k, iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        return_codebook=True,
+    )
+    cent_df = spark.createDataFrame(
+        centroids, "m int, list_id long, centroid array<double>"
+    )
+    queries = vectors.filter(F.col(id_col) < n_queries)
+    probes = ivf_probes(
+        vectors, queries, id_col=id_col, vec_col=vec_col, list_col=list_col,
+        n_probe=n_probe,
+    )
+    q_sub = probes.select("query_id", "qv").distinct().select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsub"),
+    )
+    dtab = q_sub.join(F.broadcast(cent_df), "m").select(
+        "query_id",
+        "m",
+        F.col("list_id").alias("code"),
+        F.round(_sq_dist(F.col("qsub"), F.col("centroid")) * 1_000_000, 0)
+        .cast("long")
+        .alias("d_e6"),
+    )
+    # candidate set: corpus ids in the query's probed lists — the join that
+    # implements "read only n_probe inverted lists"
+    labels = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(list_col).alias("list_id")
+    )
+    cand = labels.join(
+        F.broadcast(probes.select("query_id", "list_id")), "list_id"
+    ).filter(F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
+    stack = ", ".join(f"{m}, code_{m}" for m in range(n_sub))
+    code_long = codes.select(
+        "vec_id", F.expr(f"stack({n_sub}, {stack}) AS (m, code)")
+    )
+    scored = (
+        cand.join(code_long, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e6", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_e6",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= topk)
+    )

@@ -230,6 +230,49 @@ def lsh_topk_multi(
     )
 
 
+def ivf_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Coarse IVF routing shared by ivf_topk and the IVF-PQ composition:
+    per-list mean centroids, each query routed to its ``n_probe`` nearest
+    lists by cosine (ccos DESC, list_id tiebreak — a total order, so the
+    probe set is deterministic).  Returns (query_id, qv, qn, list_id, pr)
+    — one row per (query, probed list); centroid count is n_lists, so the
+    cross join is broadcast-scalar."""
+    c = corpus.select(
+        as_double(F.col(vec_col)).alias("cv"), F.col(list_col).alias("list_id")
+    )
+    # centroid per list: element-wise mean = sum of vectors / count
+    dim_cols = [F.avg(F.col("cv")[i]).alias(f"c{i}") for i in range(DIM)]
+    centroids = c.groupBy("list_id").agg(*dim_cols).select(
+        "list_id", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0)
+            .cast("long")
+            .alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
+    return routed.select(
+        "query_id", "qv", "qn", "list_id", F.row_number().over(w).alias("pr")
+    ).filter(F.col("pr") <= n_probe)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,30 +301,10 @@ def ivf_topk(
         as_double(F.col(vec_col)).alias("cv"),
         F.col(list_col).alias("list_id"),
     ).withColumn("cn", norm(F.col("cv")))
-    # centroid per list: element-wise mean = sum of vectors / count
-    dim_cols = [F.avg(F.col("cv")[i]).alias(f"c{i}") for i in range(DIM)]
-    centroids = c.groupBy("list_id").agg(*dim_cols).select(
-        "list_id", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("centroid")
+    probes = ivf_probes(
+        corpus, queries, id_col=id_col, vec_col=vec_col, list_col=list_col,
+        n_probe=n_probe,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    routed = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            "list_id",
-            F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0)
-            .cast("long")
-            .alias("ccos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
-    probes = routed.select(
-        "query_id", "qv", "qn", "list_id", F.row_number().over(w).alias("pr")
-    ).filter(F.col("pr") <= n_probe)
     scored = (
         c.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

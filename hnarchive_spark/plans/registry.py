@@ -127,6 +127,11 @@ _VERIFY_FIRST = [
     "q_json_extract",
     "q_range_join",
     "q_skew_salted_agg",
+    # -- round-9 additions (first driver rows whenever the window reaches
+    # them; everything above outranks them because it is re-proof of
+    # already-shipped code, these two are new and locally parity-green) --
+    "q_ann_ivfpq",
+    "q_vocab_coverage",
 ]
 
 

@@ -792,6 +792,108 @@ def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K)
 
 
+IVFPQ_N_PROBE = 2
+
+
+def _ivfpq_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
+) -> str:
+    """IVF-PQ oracle: the q_ann_ivf coarse-routing CTEs (per-label mean
+    centroids, cosine-e6 probe ranking) spliced onto the q_ann_pq_search
+    chain (unrolled PQ Lloyd training, per-query LUTs) — the adc join
+    gains one restriction: the corpus vector's label must be one of the
+    query's probed lists.  CTE namespaces are disjoint (el/cent/probes vs
+    e{m}/s{m}*/qd{m}), so both generators compose verbatim."""
+    parts = _pq_cte_parts(k, iters, n_sub, sub_dim)
+    parts.append(f"""el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    lvecs AS (
+      SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM lvecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    ivfq AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {n_queries}),
+    routed AS (
+      SELECT q.query_id, c.list_id,
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
+      FROM ivfq q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= {n_probe}
+    )""")
+    for m in range(n_sub):
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) "
+            "* 1000000)" % (sub_dim + 1)
+        )
+        parts.append(f"""qd{m} AS (
+      SELECT q.vec_id AS query_id, c.list_id AS code,
+             CAST({dist} AS BIGINT) AS d_e6
+      FROM e{m} q CROSS JOIN s{m}c{iters - 1} c WHERE q.vec_id < {n_queries}
+    )""")
+    code_joins = " ".join(
+        f"JOIN s{m}a{iters} a{m} USING (vec_id)" for m in range(1, n_sub)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{m} ON qd{m}.query_id = qd0.query_id AND qd{m}.code = a{m}.list_id"
+        for m in range(1, n_sub)
+    )
+    adc = " + ".join(f"qd{m}.d_e6" for m in range(n_sub))
+    parts.append(f"""adc AS (
+      SELECT qd0.query_id, a0.vec_id, {adc} AS adc_e6
+      FROM s0a{iters} a0 {code_joins}
+      JOIN el lv ON lv.vec_id = a0.vec_id
+      JOIN qd0 ON qd0.code = a0.list_id {qd_joins}
+      JOIN probes p ON p.query_id = qd0.query_id AND p.list_id = lv.label
+      WHERE a0.vec_id != qd0.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id AS neighbor_id, adc_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e6, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@query(
+    "q_ann_ivfpq",
+    oracle=_ivfpq_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc=f"IVF-PQ top-k search (operators/kmeans.py ivf_pq_adc_topk) — the "
+    "composition of the two registered scale paths and the standard "
+    "production ANN architecture (FAISS IVFPQ, by_residual=false): coarse "
+    f"IVF routing picks {IVFPQ_N_PROBE} inverted lists per query "
+    "(broadcast-scalar centroid table, cosine-e6 ranking), then PQ "
+    "asymmetric-distance scoring runs over the integer codes of those "
+    "lists only. The two pruning levers MULTIPLY at 100 TB: IVF prunes "
+    "which vectors are read (n_probe/n_lists of the corpus), PQ shrinks "
+    "what is read per vector (~M bytes of codes, no raw vectors move). "
+    "Exact-integer ADC sums and total (adc ASC, id ASC) ranking keep the "
+    "compound approximate operator value-hash checkable; the oracle "
+    "splices the q_ann_ivf routing CTEs onto the q_ann_pq_search Lloyd "
+    "chain.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_pq_adc_topk(
+        e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
+    )
+
+
 @query(
     "q_embed_quantize",
     # Per-vector symmetric int8 quantization: scale = 127/max|v|, q_i =

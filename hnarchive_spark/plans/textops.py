@@ -727,6 +727,85 @@ def q_vocab_top_subtokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= VOCAB_TOP_K)
 
 
+# The synthetic corpus draws from ~31 distinct subtokens, so the top-200
+# induction vocabulary would cover 100% of occurrences and the audit would
+# be a constant (hash-checkable but proving nothing). A 16-entry audit
+# vocabulary keeps both branches of the coverage arithmetic live.
+VOCAB_COVER_K = 16
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(regexp_extract_all(text, '{T.SUBTOKEN_PATTERN}')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT tok, count(*) AS total_count
+      FROM toks GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY total_count DESC, tok) AS rank
+        FROM agg
+      ) WHERE rank <= {VOCAB_COVER_K}
+    ),
+    st AS (
+      SELECT t.source, t.tok, count(*) AS n,
+             CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.source, t.tok, iv
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(n * iv) AS BIGINT) AS in_vocab_tokens,
+           CAST(sum(n * (1 - iv)) AS BIGINT) AS oov_tokens,
+           CAST(sum(1 - iv) AS BIGINT) AS oov_types,
+           CAST(sum(n * iv) * 1000000 // sum(n) AS BIGINT) AS coverage_e6
+    FROM st GROUP BY source
+    """,
+    doc=f"Tokenizer-vocabulary coverage audit: per source, what fraction of "
+    f"token OCCURRENCES the induced top-{VOCAB_COVER_K} vocabulary "
+    "(q_vocab_top_subtokens, identical ranking) covers, plus the OOV "
+    "occurrence and type counts — the eval that decides whether a trained "
+    "tokenizer fits a new corpus slice before a run wastes compute on "
+    "<unk> floods. Coverage is exact-integer e6 floor division "
+    "(nonnegative, so Spark div == DuckDB //). Scale shape: the corpus "
+    "collapses to (source, tok) rows in ONE partial-agg shuffle before "
+    "the audit vocab joins in AS A BROADCAST — the per-token join never "
+    "touches raw occurrences, and the top-k window sorts only the "
+    "aggregated vocabulary, exactly like the induction query it audits.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(T.subtokens(F.col("text"))).alias("tok")
+    )
+    # (source, tok) occurrence counts: the ONLY corpus-sized shuffle
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    # global vocab from the per-source aggregate (re-aggregation is
+    # |distinct tok| rows, not corpus rows)
+    agg = st.groupBy("tok").agg(F.sum("n").alias("total_count"))
+    w = Window.orderBy(F.col("total_count").desc(), "tok")
+    vocab = (
+        agg.select("tok", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= VOCAB_COVER_K)
+        .select("tok")
+    )
+    # vocab is VOCAB_TOP_K rows by construction — broadcast is bounded
+    joined = st.join(
+        F.broadcast(vocab.withColumn("iv", F.lit(1))), "tok", "left"
+    ).withColumn("iv", F.coalesce(F.col("iv"), F.lit(0)))
+    return joined.groupBy("source").agg(
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.col("n") * F.col("iv")).alias("in_vocab_tokens"),
+        F.sum(F.col("n") * (1 - F.col("iv"))).alias("oov_tokens"),
+        F.sum(1 - F.col("iv")).alias("oov_types"),
+        F.expr("sum(n * iv) * 1000000 div sum(n)").alias("coverage_e6"),
+    )
+
+
 BPE_TOP_PAIRS = 20  # merge candidates per BPE induction round
 
 
