@@ -89,3 +89,44 @@ def test_lsh_dup_pairs_subset_and_recall(spark):
     # 13/14 at sf0.01 — the bound leaves headroom without going vacuous
     assert len(brute) > 0
     assert len(lsh & brute) / len(brute) >= 0.9
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """IVF-PQ graceful degradation: probing ALL lists must make the
+    composed operator row-identical to plain PQ-ADC search (same codes,
+    same LUTs, same ranking) — so, as with IVF-over-exact above, the
+    composition's ONLY error source vs q_ann_pq_search is skipped lists,
+    never the coarse routing, encoding, or ADC arithmetic. Also locks
+    recall-monotonicity in n_probe against the PQ-ADC reference."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk, pq_adc_topk
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    n_queries, n_sub, k, iters, topk = 5, 4, 8, 2, 5
+    ref = {
+        (r.query_id, r.neighbor_id, r.adc_e6, r.rank)
+        for r in pq_adc_topk(e, n_queries, n_sub, k, iters, topk).collect()
+        if r.query_id < n_queries
+    }
+    assert ref, "PQ-ADC reference must be non-empty"
+
+    hits = []
+    for n_probe in (1, 2):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_adc_topk(
+                e, n_queries, n_sub, k, iters, topk, n_probe=n_probe
+            ).collect()
+        }
+        hits.append(len(got & {(q, n) for q, n, _, _ in ref}))
+    assert hits == sorted(hits), f"recall not monotone in n_probe: {hits}"
+
+    n_lists = e.select("label").distinct().count()
+    full = {
+        (r.query_id, r.neighbor_id, r.adc_e6, r.rank)
+        for r in ivf_pq_adc_topk(
+            e, n_queries, n_sub, k, iters, topk, n_probe=n_lists
+        ).collect()
+    }
+    assert full == ref, "full probe must equal PQ-ADC exactly (values and ranks)"
