@@ -73,7 +73,18 @@ def main() -> None:
         amp_docs = amp_docs.unionAll(c)
     amp_docs.write.mode("overwrite").parquet(os.path.join(amp, "documents.parquet"))
 
-    for name in ("q_interval_overlap", "q_multimodal_phash_dup"):
+    # embeddings: copies under offset vec_ids, SAME label (each inverted
+    # list grows N-fold — the axis IVF-PQ must absorb: routing cost is
+    # unchanged, candidate volume per probe grows linearly)
+    v = load(spark, sf_dir, "embeddings")
+    off_vec = 1_000_000
+    vcopies = [v.withColumn("vec_id", F.col("vec_id") + F.lit(i * off_vec)) for i in range(n)]
+    amp_vecs = vcopies[0]
+    for c in vcopies[1:]:
+        amp_vecs = amp_vecs.unionAll(c)
+    amp_vecs.write.mode("overwrite").parquet(os.path.join(amp, "embeddings.parquet"))
+
+    for name in ("q_interval_overlap", "q_multimodal_phash_dup", "q_ann_ivfpq"):
         base = qs[name](spark, sf_dir)
         t1 = timed_noop(base)  # warm (first run also JIT-warms the plan)
         t1 = min(t1, timed_noop(base))
