@@ -111,6 +111,52 @@ def cosine_topk(
     )
 
 
+def sq_dist(a, b) -> F.Column:
+    """Squared Euclidean distance — sequential fold, same summation order
+    as DuckDB's list_sum(list_transform(...)), so e6-rounded outputs are
+    engine-portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k neighbors per query (self-matches excluded) —
+    the ground-truth arm for evaluating the DISTANCE-metric approximate
+    paths (PQ-ADC, IVF-PQ), as cosine_topk is for the cosine paths.
+    Returns (query_id, neighbor_id, d2_e6, rank) with the same total
+    (d2 ASC, id ASC) ranking the ADC operators use."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sq_dist(F.col("qv"), F.col("cv")) * 1_000_000, 0)
+            .cast("long")
+            .alias("d2_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_e6", "neighbor_id")
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_signature(vec_col, planes: list[list[float]] | None = None) -> F.Column:
     """8-bit sign signature: bit p set iff dot(v, plane_p) > 0."""
     sig = F.lit(0).cast("long")

@@ -132,6 +132,7 @@ _VERIFY_FIRST = [
     # already-shipped code, these two are new and locally parity-green) --
     "q_ann_ivfpq",
     "q_vocab_coverage",
+    "q_ann_ivfpq_recall",
 ]
 
 

@@ -795,15 +795,16 @@ def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_N_PROBE = 2
 
 
-def _ivfpq_oracle(
-    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
-) -> str:
-    """IVF-PQ oracle: the q_ann_ivf coarse-routing CTEs (per-label mean
-    centroids, cosine-e6 probe ranking) spliced onto the q_ann_pq_search
-    chain (unrolled PQ Lloyd training, per-query LUTs) — the adc join
-    gains one restriction: the corpus vector's label must be one of the
-    query's probed lists.  CTE namespaces are disjoint (el/cent/probes vs
-    e{m}/s{m}*/qd{m}), so both generators compose verbatim."""
+def _ivfpq_parts(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, n_probe: int
+) -> list[str]:
+    """IVF-PQ oracle CTEs through ``adc``: the q_ann_ivf coarse-routing
+    CTEs (per-label mean centroids, cosine-e6 probe ranking) spliced onto
+    the q_ann_pq_search chain (unrolled PQ Lloyd training, per-query
+    LUTs) — the adc join gains one restriction: the corpus vector's label
+    must be one of the query's probed lists.  CTE namespaces are disjoint
+    (el/cent/probes vs e{m}/s{m}*/qd{m}), so both generators compose
+    verbatim.  Shared by the q_ann_ivfpq oracle and the recall harness."""
     parts = _pq_cte_parts(k, iters, n_sub, sub_dim)
     parts.append(f"""el AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -854,6 +855,13 @@ def _ivfpq_oracle(
       JOIN probes p ON p.query_id = qd0.query_id AND p.list_id = lv.label
       WHERE a0.vec_id != qd0.query_id
     )""")
+    return parts
+
+
+def _ivfpq_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
+) -> str:
+    parts = _ivfpq_parts(k, iters, n_sub, sub_dim, n_queries, n_probe)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -863,6 +871,52 @@ def _ivfpq_oracle(
                                    ORDER BY adc_e6, vec_id) AS rank
       FROM adc
     ) WHERE rank <= {topk}"""
+    )
+
+
+def _ivfpq_recall_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
+) -> str:
+    """Recall of IVF-PQ against the exact squared-L2 top-k: ground truth
+    must use the same metric family the ADC sum approximates (L2), not
+    cosine — an unnormalized corpus orders differently under the two, and
+    a mixed-metric "recall" would conflate quantization error with metric
+    mismatch.  Same structure as q_ann_recall's oracle: exact arm, approx
+    arm, left-join overlap count (zero-recall queries kept)."""
+    dim = n_sub * sub_dim
+    parts = _ivfpq_parts(k, iters, n_sub, sub_dim, n_queries, n_probe)
+    parts.append(f"""xd AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(round(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (a.v[i] - q.v[i]) * (a.v[i] - q.v[i]))) * 1000000) AS BIGINT) AS d2_e6
+      FROM el a CROSS JOIN el q
+      WHERE q.vec_id < {n_queries} AND a.vec_id != q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2_e6, neighbor_id) AS rank
+        FROM xd
+      ) WHERE rank <= {topk}
+    ),
+    approx AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_e6, vec_id) AS rank
+        FROM adc
+      ) WHERE rank <= {topk}
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT e.query_id,
+           count(a2.neighbor_id) AS n_hits,
+           CAST((count(a2.neighbor_id) * 10000) // {topk} AS BIGINT) AS recall_e4
+    FROM exact e
+    LEFT JOIN approx a2
+      ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
     )
 
 
@@ -891,6 +945,46 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return ivf_pq_adc_topk(
         e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
+    )
+
+
+@query(
+    "q_ann_ivfpq_recall",
+    oracle=_ivfpq_recall_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc=f"IVF-PQ recall harness: recall@{ANN_K} of q_ann_ivfpq against the "
+    "exact squared-L2 top-k (operators/similarity.py l2_topk), per query, "
+    "as a floor-divided e4 integer — q_ann_recall's companion for the "
+    "distance-metric index. Ground truth is L2, the metric family the ADC "
+    "sum approximates: an unnormalized corpus orders differently under "
+    "cosine, and a mixed-metric recall would conflate quantization error "
+    "with metric mismatch. Both arms are the registered operators, so the "
+    "number evaluates the production path (IVF pruning + PQ quantization "
+    "together); the left join keeps zero-recall queries.",
+)
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.l2_topk(e, qset, ANN_K).select("query_id", "neighbor_id")
+    approx = ivf_pq_adc_topk(
+        e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_qid) & (exact.neighbor_id == approx.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
+        )
     )
 
 
