@@ -355,3 +355,33 @@ def test_interval_overlap_is_bucketed_hash_join(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     # the bucket column participates in the equi-join keys
     assert "bkt" in plan and "blk" in plan
+
+
+def test_ivfpq_no_cartesian_and_bounded_broadcasts(spark):
+    """IVF-PQ (round 9): the only nested-loop joins allowed are the
+    broadcast-scalar routing cross joins (queries x n_lists centroids /
+    n_sub x k codebook rows — both metadata-sized by construction); the
+    corpus may never enter one. The corpus-shaped cand-codes join must be
+    a hash-family join on vec_id, and a raw CartesianProduct (neither
+    side broadcast) must never appear anywhere."""
+    plan = _plan(spark, "q_ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    # corpus-shaped joins present as hash-family joins
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # every nested-loop join is a BROADCAST nested loop with the scalar
+    # centroid table as the broadcast side; the probes subtree (which
+    # contains the routing cross join) is instantiated twice (LUT build +
+    # candidate restriction), giving 4 in the static plan. A refactor
+    # that pushes the CORPUS into a nested loop raises this count.
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 4, f"unexpected nested-loop joins: {bnlj}"
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The audit vocabulary (bounded at VOCAB_COVER_K rows by the rank
+    filter) must join the (source, tok) aggregate as a broadcast — a
+    shuffled vocab join would re-partition the corpus-derived aggregate
+    for a 16-row table."""
+    plan = _plan(spark, "q_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
