@@ -24,15 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hnarchive_spark.operators.similarity import DIM, as_double
-
-
-def _sq_dist(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+from hnarchive_spark.operators.similarity import DIM, as_double, sq_dist as _sq_dist
 
 
 def kmeans_assign(

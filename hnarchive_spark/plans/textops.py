@@ -793,7 +793,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= VOCAB_COVER_K)
         .select("tok")
     )
-    # vocab is VOCAB_TOP_K rows by construction — broadcast is bounded
+    # vocab is VOCAB_COVER_K rows by construction — broadcast is bounded
     joined = st.join(
         F.broadcast(vocab.withColumn("iv", F.lit(1))), "tok", "left"
     ).withColumn("iv", F.coalesce(F.col("iv"), F.lit(0)))

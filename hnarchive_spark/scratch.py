@@ -19,6 +19,15 @@ Trade-off vs mkdtemp: two processes running the SAME query concurrently
 would clobber each other. The driver, bench, and pytest all run queries
 serially within a process and per-user paths avoid cross-user clashes —
 acceptable for test scaffolding (production sinks take explicit paths).
+
+Live-DataFrame hazard (same trade-off, in-process): because Spark
+DataFrames are lazy, a still-unmaterialized DataFrame (or a running
+streaming query) that reads this path from a PREVIOUS invocation of the
+same query will observe the delete — empty reads or FileNotFound —
+if the next invocation clears the path first. Every current caller
+fully materializes (collect / toPandas / awaitTermination+stop) before
+the query can be re-invoked, so this is latent; new callers must keep
+that ordering or version their subdirectory themselves.
 """
 
 from __future__ import annotations
