@@ -69,6 +69,9 @@ HEADLINE = [
     # round 9
     "q_ann_ivfpq",
     "q_vocab_coverage",
+    # round 10: persisted IVF-PQ — warmup run builds the index (one-time
+    # cost by design), timed runs measure the production probe-only path
+    "q_ann_ivfpq_indexed",
 ]
 
 

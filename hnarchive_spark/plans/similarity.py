@@ -988,6 +988,53 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# build-once cache: sf basename -> persisted index path.  The whole point of
+# the indexed form is that training/encoding amortize over probes, so within a
+# process the index is built on FIRST invocation only and every later
+# invocation is probe-only (what bench.py's min-of-3 then measures — the
+# warmup run pays the build).  Keyed by sf basename so parity sweeps over
+# multiple scale factors never probe a stale corpus' index; a fresh process
+# always rebuilds (scratch_dir clears any previous process' leftovers).
+_IVFPQ_BUILT: dict[str, str] = {}
+
+
+@query(
+    "q_ann_ivfpq_indexed",
+    oracle=_ivfpq_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc="IVF-PQ search against a PERSISTED index (sources/ann_index.py "
+    "build_ivfpq_index/probe_ivfpq_topk) — the production form of "
+    "q_ann_ivfpq: codebook training and corpus encoding happen ONCE at "
+    "build time, and the PQ codes are written INSIDE the list_id "
+    "partitions, so a probe is routing against n_lists persisted centroid "
+    "rows + a partition-pruned scan of the probed lists' integer codes + "
+    "a broadcast ADC lookup table from the persisted codebooks — zero "
+    "training at query time (the inline form re-runs Lloyd per "
+    "invocation, an index rebuild per query at 100 TB). Same quantizers "
+    "and metrics as the inline form -> identical rows, shared oracle; "
+    "incremental appends via append_ivfpq_index leave existing files "
+    "byte-untouched (tests/test_ann_append.py).",
+)
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    key = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _IVFPQ_BUILT.get(key)
+    if path is None:
+        path = scratch_dir(f"ivfpq_index_{key}")
+        build_ivfpq_index(e, path, PQ_M, PQ_K, PQ_ITERS)
+        _IVFPQ_BUILT[key] = path
+    return probe_ivfpq_topk(
+        spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, PQ_M,
+        n_probe=IVFPQ_N_PROBE,
+    )
+
+
 @query(
     "q_embed_quantize",
     # Per-vector symmetric int8 quantization: scale = 127/max|v|, q_i =

@@ -60,3 +60,75 @@ def test_append_leaves_existing_files_untouched(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
     assert pf and any("list_id" in ln for ln in pf), pf
+
+
+def test_ivfpq_append_leaves_existing_files_untouched(spark, tmp_path):
+    """IVF-PQ incremental append (append_ivfpq_index): O(batch) — frozen
+    quantizers, pre-existing code files byte-untouched, new codes only
+    appended into list partitions, and probes still partition-prune."""
+    from hnarchive_spark.sources.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_topk,
+    )
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    n_sub, k, iters = 4, 8, 2
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_sub, k, iters)
+    before = _files(f"{path}/codes")
+    cent_before = _files(f"{path}/centroids")
+    cb_before = _files(f"{path}/codebooks")
+    assert before, "index build produced no code files"
+
+    append_ivfpq_index(spark, e.filter(F.col("vec_id") % 2 == 1), path, n_sub)
+
+    after = _files(f"{path}/codes")
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    assert len(after) > len(before), "append added no files"
+    # both quantizers frozen — not even re-written
+    assert _files(f"{path}/centroids") == cent_before
+    assert _files(f"{path}/codebooks") == cb_before
+
+    # the appended index serves all vectors, each encoded exactly once
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == e.count()
+    assert codes.select("vec_id").distinct().count() == e.count()
+    # appended codes are valid codebook entries
+    for m in range(n_sub):
+        bad = codes.filter((F.col(f"code_{m}") < 0) | (F.col(f"code_{m}") >= k)).count()
+        assert bad == 0
+
+    # probing still prunes partitions on list_id
+    probe = probe_ivfpq_topk(
+        spark, path, e.filter(F.col("vec_id") < 5), 5, n_sub, n_probe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("list_id" in ln for ln in pf), pf
+
+
+def test_ivfpq_indexed_probe_matches_inline(spark, tmp_path):
+    """The persisted-index probe must return rows IDENTICAL to the inline
+    ivf_pq_adc_topk composition (same quantizers, same metrics) — the
+    contract that lets q_ann_ivfpq_indexed share the q_ann_ivfpq oracle."""
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_ident")
+    n_sub, k, iters, topk, n_probe, n_queries = 4, 8, 2, 5, 2, 5
+    build_ivfpq_index(e, path, n_sub, k, iters)
+    idx_rows = sorted(
+        tuple(r) for r in probe_ivfpq_topk(
+            spark, path, e.filter(F.col("vec_id") < n_queries), topk, n_sub,
+            n_probe=n_probe,
+        ).collect()
+    )
+    inline_rows = sorted(
+        tuple(r) for r in ivf_pq_adc_topk(
+            e, n_queries, n_sub, k, iters, topk, n_probe=n_probe
+        ).collect()
+    )
+    assert idx_rows == inline_rows and idx_rows

@@ -385,3 +385,22 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     plan = _plan(spark, "q_vocab_coverage")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_indexed_prunes_partitions_no_training(spark):
+    """The persisted-IVF-PQ probe (round 10): the codes scan must carry a
+    list_id partition filter (only probed lists' files are read), the ADC
+    lookup table and probe set must join as broadcasts, and no
+    CartesianProduct may appear. Nested-loop joins are allowed only for
+    the broadcast-scalar routing cross join (queries x n_lists persisted
+    centroid rows), whose subtree is instantiated three times (LUT build,
+    candidate restriction, rank input) — 6 in the formatted plan's
+    tree+detail text. A refactor that pushes the CORPUS into a
+    nested loop raises this count."""
+    plan = _plan(spark, "q_ann_ivfpq_indexed")
+    assert "CartesianProduct" not in plan
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("list_id" in ln for ln in pf), pf
+    assert "BroadcastHashJoin" in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 6, f"unexpected nested-loop joins: {bnlj}"
