@@ -48,73 +48,24 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver verifies a bounded window (~50 queries) of the inventory in the
 # order all_queries() returns, so the names below — this round's verification
 # targets — come FIRST, then everything else in registration order.
+# The driver round this window was built FOR: rotation_order(before_round=
+# _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
+# after this round's own file lands.  Bump when rotating.
+_ROTATION_BUILT_FOR_ROUND = 10
+
 _VERIFY_FIRST = [
-    # Round-9 rotation: evidence completion.  After round 8's fully green
-    # 50-name window, the remaining priorities (VERDICT r8 "Next round" #1):
-    #   (a) the 3 late-r8 queries with NO driver row ever;
-    #   (b) the 2 round-6 internal rewires (schemas unchanged) whose current
-    #       internals have never been driver-verified;
-    #   (c) everything else ordered by staleness of its latest green driver
-    #       row — the 12 r1-green stragglers, then the r3-green block, then
-    #       the r4-green block (computed from CORRECTNESS_r01..r08).
-    # The ~50-name window covers through the r3 block and into r4; the tail
-    # rolls into round 10.  Names verified green in r7/r8 need no fresh row
-    # and sit after this list in registration order.
-    # -- (a) never-driver-verified (added late round 8) --
-    "q_asof_join_forward",
-    "q_corpus_drift",
-    "q_orc_roundtrip",
-    # -- (b) round-6 rewires, current internals never driver-verified --
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    # -- (c) r1-green-only stragglers (rows predate 7 rounds of refactors) --
-    "q_window_range_frame",
-    "q_filtered_agg",
-    "q_having",
-    "q_window_funcs",
-    "q_correlated_subquery",
-    "q_percentiles",
-    "q_stratified_sample",
-    "q_unpivot",
-    "q_setops_all",
-    "q_children_sorted",
-    "q_fix_ptags",
-    "q_display_date",
-    # -- (c) r3-green block --
-    "q_dedup_exact",
-    "q_token_count",
-    "q_lang_id",
-    "q_dedup_simhash",
-    "q_doc_fingerprint",
-    "q_pack_sequences",
-    "q_pack_sequences_sharded",
-    "q_asof_join_inner",
-    "q_asof_join",
-    "q_multimodal_meta",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_multimodal_features",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_regexp_funcs",
-    "q_map_funcs",
-    "q_array_funcs",
-    "q_merge_coalesce",
-    "q_wire_normalize",
-    "q_tree_closure",
-    # -- (c) r4-green block (window tail; overflow rolls to round 10) --
-    "q_boilerplate_ngrams",
-    "q_split_train_eval",
-    "q_kmeans_assign",
-    "q_embed_quantize",
-    "q_winnow_fingerprint",
-    "q_stream_tumbling",
-    "q_stream_dedup",
-    "q_stream_dim_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_session_window_builtin",
-    "q_max_key",
+    # Round-10 rotation — generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=10)[:50] and locked
+    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 4
+    # queries with no driver row ever (the round-9 additions plus this
+    # round's q_ann_ivfpq_indexed), then the 12 names last green in round
+    # 4, then the first 34 of the 42 names last green in round 5
+    # (ascending staleness, registration-order tiebreak).  The 8 remaining
+    # r5 names roll into round 11 and finish the evidence ledger.
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_recall",
+    "q_ann_ivfpq_indexed",
+    "q_vocab_coverage",
     "q_derived_pred",
     "q_staleness",
     "q_window_sort",
@@ -127,12 +78,40 @@ _VERIFY_FIRST = [
     "q_json_extract",
     "q_range_join",
     "q_skew_salted_agg",
-    # -- round-9 additions (first driver rows whenever the window reaches
-    # them; everything above outranks them because it is re-proof of
-    # already-shipped code, these two are new and locally parity-green) --
-    "q_ann_ivfpq",
-    "q_vocab_coverage",
-    "q_ann_ivfpq_recall",
+    "q_shard_assignment",
+    "q_paragraph_dedup",
+    "q_mix_temperature",
+    "q_semdedup",
+    "q_pq_codes",
+    "q_ann_pq_search",
+    "q_vocab_top_subtokens",
+    "q_chunk_documents",
+    "q_pii_redact",
+    "q_shard_assignment_scalable",
+    "q_sessionize",
+    "q_stream_rollup_mv",
+    "q_stream_outer_join",
+    "q_stream_late_drop",
+    "q_store_changelog",
+    "q_heavy_hitters_exact",
+    "q_skew_salted_join",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_market_share",
+    "q_percentiles_scalable",
+    "q_orders_per_customer_dist",
+    "q_idle_rich_customers",
+    "q_sole_late_supplier",
+    "q_user_anomaly",
+    "q_revenue_trend",
+    "q_gap_fill",
+    "q_length_histogram",
+    "q_attribution_last_touch",
+    "q_recency_weighted",
+    "q_pagerank",
+    "q_global_index",
+    "q_knn_classify",
+    "q_hard_negatives",
 ]
 
 

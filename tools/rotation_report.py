@@ -4,11 +4,16 @@ round (green = rows_match and hash_match-or-None and no err), and prints
 the staleness-ordered rotation candidate list for the next round's
 _VERIFY_FIRST (hnarchive_spark/plans/registry.py).
 
-Policy (the one used in rounds 8-9): never-driver-verified oracled
-queries first, then everything by ascending latest-green round; names
-green in the most recent 1-2 rounds need no slot. Rows-only-by-design
-queries (no oracle) are listed separately — they can only ever earn a
-rows-only row.
+Policy (the one used since round 8): never-driver-verified oracled
+queries first (registration order), then everything by ascending latest-
+green round; names green in the most recent 1-2 rounds need no slot.
+Rows-only-by-design queries (no oracle) are listed separately — they can
+only ever earn a rows-only row.
+
+:func:`rotation_order` is the canonical ordering; the registry's
+_VERIFY_FIRST must be its prefix (tests/test_rotation_consistency.py
+asserts exactly that, so rotations are mechanical and can't silently
+skip a name).
 
 Run: python tools/rotation_report.py
 """
@@ -24,11 +29,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
 
+_REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
-def latest_green() -> dict[str, int]:
+
+def _correctness_files() -> list[tuple[int, str]]:
+    out = []
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        out.append((int(f.rsplit("_r", 1)[1].split(".")[0]), f))
+    return out
+
+
+def max_round() -> int:
+    """Highest driver round with a CORRECTNESS file on disk."""
+    files = _correctness_files()
+    return max(r for r, _ in files) if files else 0
+
+
+def latest_green(before_round: int | None = None) -> dict[str, int]:
+    """name -> latest green driver round, over files with round <
+    ``before_round`` (all files if None).  The bound makes a rotation
+    reproducible after the NEXT round's file lands: the round-N window
+    was computed from rounds 1..N-1."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
-        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+    for rnd, f in _correctness_files():
+        if before_round is not None and rnd >= before_round:
+            continue
         for name, rec in json.load(open(f)).items():
             green = (
                 rec.get("rows_match")
@@ -40,21 +65,35 @@ def latest_green() -> dict[str, int]:
     return latest
 
 
+def rotation_order(before_round: int | None = None) -> list[str]:
+    """Canonical candidate order for _VERIFY_FIRST: never-driver-verified
+    oracled queries in registration order, then every driver-green name
+    by (ascending latest-green round, registration order)."""
+    _ensure_loaded()
+    latest = latest_green(before_round)
+    reg = list(REGISTRY)
+    rows_only = {n for n in reg if REGISTRY[n].oracle is None}
+    never = [n for n in reg if n not in latest and n not in rows_only]
+    stale = sorted(
+        (n for n in reg if n in latest), key=lambda n: (latest[n], reg.index(n))
+    )
+    return never + stale
+
+
 def main() -> None:
     _ensure_loaded()
     latest = latest_green()
     reg = list(REGISTRY)
     rows_only = [n for n in reg if REGISTRY[n].oracle is None]
-    never = [n for n in reg if n not in latest and n not in rows_only]
-    stale = sorted(
-        (n for n in reg if n in latest), key=lambda n: (latest[n], reg.index(n))
-    )
+    order = rotation_order()
+    never = [n for n in order if n not in latest]
     print(f"# registered: {len(reg)}  oracled: {len(reg) - len(rows_only)}")
     print(f"# rows-only by design (weaker check only): {rows_only}")
     print(f"# never driver-verified (rotate FIRST): {never}")
     print("# staleness order (latest green round, name):")
-    for n in stale:
-        print(f"    {latest[n]}  {n}")
+    for n in order:
+        if n in latest:
+            print(f"    {latest[n]}  {n}")
 
 
 if __name__ == "__main__":
