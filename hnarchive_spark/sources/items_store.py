@@ -30,10 +30,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import LongType, StructField, StructType
+
 from hnarchive_spark.operators.merge import merge_items
 from hnarchive_spark.schema import ITEMS_SCHEMA
 
 _BUCKET_COL = "id_bucket"
+
+# Snapshot schema as written by _write_snapshot: the items columns plus the
+# id_bucket partition column (``type`` doubles as the second partition key
+# but keeps its ITEMS_SCHEMA slot).  Used to skip footer schema inference
+# on every bucketed read.
+_RAW_SCHEMA = StructType(
+    list(ITEMS_SCHEMA.fields) + [StructField(_BUCKET_COL, LongType())]
+)
 
 
 class ItemsStore:
@@ -118,7 +128,16 @@ class ItemsStore:
             raise ValueError(
                 f"version {version} not retained (have {self.versions()})"
             )
-        return self.spark.read.parquet(self._version_dir(v))
+        d = self._version_dir(v)
+        # Bucketed layouts (every snapshot this class writes) are read with
+        # the schema PINNED: the store knows its own schema, so paying
+        # parquet-footer inference on every commit is pure per-commit floor
+        # (measured ~84 ms/commit at sf0.1 — tools/merge_floor_probe.py,
+        # BENCH_NOTES r10).  Legacy un-bucketed dirs keep inference so the
+        # migration fallback in merge_batch still sees the true columns.
+        if any(name.startswith(f"{_BUCKET_COL}=") for name in os.listdir(d)):
+            return self.spark.read.schema(_RAW_SCHEMA).parquet(d)
+        return self.spark.read.parquet(d)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the current snapshot, or a retained past one (time travel).
@@ -206,6 +225,17 @@ class ItemsStore:
                 F.expr(f"id div {self.bucket_size}").alias("b")
             ).distinct().collect()
         )
+        if not touched:
+            # Zero-row batch (an idle livestream tick committing on cadence):
+            # the merge is the identity, so skip the merge plan and the
+            # snapshot write JOB entirely — hardlink the whole previous
+            # snapshot forward and swap. Drops the commit floor from ~0.64 s
+            # to the link+swap cost (~0.01 s); see tools/merge_floor_probe.py.
+            new_v = old_v + 1
+            out = self._version_dir(new_v)
+            self._link_forward(self._version_dir(old_v), out)
+            self._swap_pointer(new_v)
+            return
         current = raw.filter(F.col(_BUCKET_COL).isin(touched)).select(*item_cols)
         merged = merge_items(current, updates, seq_col=seq_col)
         new_v = old_v + 1

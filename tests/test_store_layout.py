@@ -213,3 +213,36 @@ def test_compact_rebuckets_and_preserves_data(spark, tmp_path):
         seq_col="seq",
     )
     assert reopened.count() == len(before_rows) + 1
+
+
+def test_zero_row_merge_fast_path(spark, tmp_path):
+    """A batch touching no buckets (an idle livestream tick committing on
+    cadence) must still produce a commit — new version, identical data —
+    but via the no-Spark-job fast path: every file of the new snapshot is
+    a hardlink of the previous one (same inode), nothing is rewritten."""
+    import os
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
+    v1 = store._current_version()
+    n1 = store.count()
+
+    empty = FX.items_df_with_seq(spark, FX.MERGE_BASE).filter("id < 0")
+    store.merge_batch(empty, seq_col="seq")
+
+    v2 = store._current_version()
+    assert v2 == v1 + 1  # the commit IS a version
+    assert store.count() == n1
+    v1_dir, v2_dir = store._version_dir(v1), store._version_dir(v2)
+
+    def inodes(root):
+        out = {}
+        for dirpath, _d, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    i1, i2 = inodes(v1_dir), inodes(v2_dir)
+    assert i1 and i1 == i2  # every data file hardlinked, none rewritten
