@@ -59,59 +59,60 @@ _VERIFY_FIRST = [
     # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 4
     # queries with no driver row ever (the round-9 additions plus this
     # round's q_ann_ivfpq_indexed), then the 12 names last green in round
-    # 4, then the first 34 of the 42 names last green in round 5
-    # (ascending staleness, registration-order tiebreak).  The 8 remaining
-    # r5 names roll into round 11 and finish the evidence ledger.
+    # 4, then the first 34 of the 42 names last green in round 5 —
+    # ascending staleness, ALPHABETICAL tiebreak (registration order would
+    # depend on which module a test imported first).  The 8 remaining r5
+    # names roll into round 11 and finish the evidence ledger.
     "q_ann_ivfpq",
-    "q_ann_ivfpq_recall",
     "q_ann_ivfpq_indexed",
+    "q_ann_ivfpq_recall",
     "q_vocab_coverage",
     "q_derived_pred",
+    "q_distinct_count",
+    "q_join_anti",
+    "q_join_semi",
+    "q_json_extract",
+    "q_pivot_status",
+    "q_range_join",
+    "q_self_join",
+    "q_setops",
+    "q_skew_salted_agg",
     "q_staleness",
     "q_window_sort",
-    "q_self_join",
-    "q_join_semi",
-    "q_join_anti",
-    "q_distinct_count",
-    "q_pivot_status",
-    "q_setops",
-    "q_json_extract",
-    "q_range_join",
-    "q_skew_salted_agg",
-    "q_shard_assignment",
-    "q_paragraph_dedup",
-    "q_mix_temperature",
-    "q_semdedup",
-    "q_pq_codes",
     "q_ann_pq_search",
-    "q_vocab_top_subtokens",
-    "q_chunk_documents",
-    "q_pii_redact",
-    "q_shard_assignment_scalable",
-    "q_sessionize",
-    "q_stream_rollup_mv",
-    "q_stream_outer_join",
-    "q_stream_late_drop",
-    "q_store_changelog",
-    "q_heavy_hitters_exact",
-    "q_skew_salted_join",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_market_share",
-    "q_percentiles_scalable",
-    "q_orders_per_customer_dist",
-    "q_idle_rich_customers",
-    "q_sole_late_supplier",
-    "q_user_anomaly",
-    "q_revenue_trend",
-    "q_gap_fill",
-    "q_length_histogram",
     "q_attribution_last_touch",
-    "q_recency_weighted",
-    "q_pagerank",
+    "q_bigram_lm",
+    "q_bm25_lite",
+    "q_chunk_documents",
+    "q_embed_dim_audit",
+    "q_funnel",
+    "q_gap_fill",
     "q_global_index",
-    "q_knn_classify",
     "q_hard_negatives",
+    "q_heavy_hitters_exact",
+    "q_idle_rich_customers",
+    "q_inverted_index",
+    "q_kcore_peel",
+    "q_knn_classify",
+    "q_length_histogram",
+    "q_link_prediction",
+    "q_market_share",
+    "q_mix_temperature",
+    "q_orders_per_customer_dist",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_paragraph_dedup",
+    "q_percentiles_scalable",
+    "q_pii_redact",
+    "q_power_iteration",
+    "q_pq_codes",
+    "q_recency_weighted",
+    "q_retention_cohorts",
+    "q_revenue_trend",
+    "q_semdedup",
+    "q_sessionize",
+    "q_shard_assignment",
+    "q_shard_assignment_scalable",
 ]
 
 

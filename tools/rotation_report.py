@@ -67,16 +67,17 @@ def latest_green(before_round: int | None = None) -> dict[str, int]:
 
 def rotation_order(before_round: int | None = None) -> list[str]:
     """Canonical candidate order for _VERIFY_FIRST: never-driver-verified
-    oracled queries in registration order, then every driver-green name
-    by (ascending latest-green round, registration order)."""
+    oracled queries first, then every driver-green name by ascending
+    latest-green round.  Ties break ALPHABETICALLY — registration order
+    would be import-order-dependent (a test importing one plan module
+    directly before _ensure_loaded reorders REGISTRY), and the order here
+    must be reproducible from any process."""
     _ensure_loaded()
     latest = latest_green(before_round)
     reg = list(REGISTRY)
     rows_only = {n for n in reg if REGISTRY[n].oracle is None}
-    never = [n for n in reg if n not in latest and n not in rows_only]
-    stale = sorted(
-        (n for n in reg if n in latest), key=lambda n: (latest[n], reg.index(n))
-    )
+    never = sorted(n for n in reg if n not in latest and n not in rows_only)
+    stale = sorted((n for n in reg if n in latest), key=lambda n: (latest[n], n))
     return never + stale
 
 
