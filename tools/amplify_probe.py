@@ -84,7 +84,15 @@ def main() -> None:
         amp_vecs = amp_vecs.unionAll(c)
     amp_vecs.write.mode("overwrite").parquet(os.path.join(amp, "embeddings.parquet"))
 
-    for name in ("q_interval_overlap", "q_multimodal_phash_dup", "q_ann_ivfpq"):
+    # q_ann_ivfpq_indexed: the FIRST timed run pays the one-time index build
+    # (then min-of-2 reports the cached probe-only wall — the production
+    # number; the build cost is the inline form's whole point of comparison)
+    for name in (
+        "q_interval_overlap",
+        "q_multimodal_phash_dup",
+        "q_ann_ivfpq",
+        "q_ann_ivfpq_indexed",
+    ):
         base = qs[name](spark, sf_dir)
         t1 = timed_noop(base)  # warm (first run also JIT-warms the plan)
         t1 = min(t1, timed_noop(base))
