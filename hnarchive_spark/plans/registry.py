@@ -56,14 +56,15 @@ _ROTATION_BUILT_FOR_ROUND = 10
 _VERIFY_FIRST = [
     # Round-10 rotation — generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=10)[:50] and locked
-    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 4
+    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 5
     # queries with no driver row ever (the round-9 additions plus this
-    # round's q_ann_ivfpq_indexed), then the 12 names last green in round
-    # 4, then the first 34 of the 42 names last green in round 5 —
+    # round's q_ann_ivfpq_indexed/_append), then the 12 names last green in
+    # round 4, then the first 33 of the 42 names last green in round 5 —
     # ascending staleness, ALPHABETICAL tiebreak (registration order would
     # depend on which module a test imported first).  The 8 remaining r5
     # names roll into round 11 and finish the evidence ledger.
     "q_ann_ivfpq",
+    "q_ann_ivfpq_append",
     "q_ann_ivfpq_indexed",
     "q_ann_ivfpq_recall",
     "q_vocab_coverage",
@@ -112,7 +113,6 @@ _VERIFY_FIRST = [
     "q_semdedup",
     "q_sessionize",
     "q_shard_assignment",
-    "q_shard_assignment_scalable",
 ]
 
 

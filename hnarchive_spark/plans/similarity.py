@@ -646,13 +646,17 @@ PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2
 
 
-def _pq_cte_parts(k: int, iters: int, n_sub: int, sub_dim: int) -> list[str]:
+def _pq_cte_parts(
+    k: int, iters: int, n_sub: int, sub_dim: int, where: str = ""
+) -> list[str]:
     """Product-quantization oracle CTEs: the q_kmeans_assign unrolled-Lloyd
     chain replayed once per subspace over the sliced vectors.  Same
     determinism contract: k-smallest-ids init, 6-decimal rounded distances,
     list-id tiebreak, fixed iterations.  Exposes per-subspace final
     assignments ``s{m}a{iters}`` and the codebook the final assignment used
-    ``s{m}c{iters-1}`` so ADC search can build on the same chain."""
+    ``s{m}c{iters-1}`` so ADC search can build on the same chain.
+    ``where`` restricts the TRAINING corpus (e.g. the even-id half for the
+    frozen-quantizer append oracle)."""
     parts = []
     for m in range(n_sub):
         lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
@@ -662,7 +666,8 @@ def _pq_cte_parts(k: int, iters: int, n_sub: int, sub_dim: int) -> list[str]:
             % (sub_dim + 1)
         )
         parts.append(
-            f"e{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings)"
+            f"e{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            f"FROM embeddings{where})"
         )
         parts.append(f"""s{m}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
@@ -985,6 +990,162 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
         )
+    )
+
+
+def _ivfpq_append_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
+) -> str:
+    """Incremental IVF-PQ oracle: BOTH quantizers frozen from the even-id
+    half — the PQ Lloyd chain trains on even ids only (``where`` on
+    _pq_cte_parts) and the coarse centroids are the even half's per-label
+    means — then the odd batch is encoded/routed against them exactly as
+    ``append_ivfpq_index`` does (squared-L2 6-decimal + code tiebreak;
+    cosine-e6 DESC + list-id tiebreak), and probes run over the combined
+    codes.  The _ivf_append_oracle structure with PQ-ADC scoring."""
+    parts = _pq_cte_parts(k, iters, n_sub, sub_dim, where=" WHERE vec_id % 2 = 0")
+    # odd batch: encode each subvector against the FROZEN even-trained codebook
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (b.v[i] - c.centroid[i]) * (b.v[i] - c.centroid[i]))), 6)"
+            % (sub_dim + 1)
+        )
+        parts.append(
+            f"b{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            f"FROM embeddings WHERE vec_id % 2 = 1)"
+        )
+        parts.append(f"""ba{m} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT b.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM b{m} b CROSS JOIN s{m}c{iters - 1} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""ca{m} AS (
+      SELECT vec_id, list_id FROM s{m}a{iters}
+      UNION ALL SELECT vec_id, list_id FROM ba{m}
+    )""")
+    # coarse quantizer frozen from the even half; odd batch routed to it
+    parts.append(f"""el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    base AS (SELECT * FROM el WHERE vec_id % 2 = 0),
+    batch AS (SELECT * FROM el WHERE vec_id % 2 = 1),
+    bvecs AS (
+      SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM base
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM bvecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    cassigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT b.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY CAST(round(list_cosine_similarity(b.v, c.centroid) * 1000000) AS BIGINT) DESC,
+                                           c.list_id) AS rn
+        FROM batch b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    clists AS (
+      SELECT vec_id, label AS list_id FROM base
+      UNION ALL SELECT vec_id, list_id FROM cassigned
+    ),
+    ivfq AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {n_queries}),
+    routed AS (
+      SELECT q.query_id, c.list_id,
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
+      FROM ivfq q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= {n_probe}
+    )""")
+    # ADC lookup tables: query subvectors come from the FULL corpus (the
+    # even-only e{m} training CTEs would drop odd-id queries)
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) "
+            "* 1000000)" % (sub_dim + 1)
+        )
+        parts.append(
+            f"qv{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            f"FROM embeddings WHERE vec_id < {n_queries})"
+        )
+        parts.append(f"""qd{m} AS (
+      SELECT q.vec_id AS query_id, c.list_id AS code,
+             CAST({dist} AS BIGINT) AS d_e6
+      FROM qv{m} q CROSS JOIN s{m}c{iters - 1} c
+    )""")
+    code_joins = " ".join(
+        f"JOIN ca{m} a{m} USING (vec_id)" for m in range(1, n_sub)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{m} ON qd{m}.query_id = qd0.query_id AND qd{m}.code = a{m}.list_id"
+        for m in range(1, n_sub)
+    )
+    adc = " + ".join(f"qd{m}.d_e6" for m in range(n_sub))
+    parts.append(f"""adc AS (
+      SELECT qd0.query_id, a0.vec_id, {adc} AS adc_e6
+      FROM ca0 a0 {code_joins}
+      JOIN clists lv ON lv.vec_id = a0.vec_id
+      JOIN qd0 ON qd0.code = a0.list_id {qd_joins}
+      JOIN probes p ON p.query_id = qd0.query_id AND p.list_id = lv.list_id
+      WHERE a0.vec_id != qd0.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id AS neighbor_id, adc_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e6, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@query(
+    "q_ann_ivfpq_append",
+    oracle=_ivfpq_append_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc="Incremental IVF-PQ index maintenance as a hash-checked query: the "
+    "index is built from half the corpus (even vec_ids — BOTH quantizers "
+    "train on that half only), the other half arrives as a batch APPENDED "
+    "via sources/ann_index.py append_ivfpq_index — encoded against the "
+    "FROZEN codebooks (6-decimal squared-L2, code tiebreak) and routed to "
+    "the FROZEN coarse centroids (cosine-e6, list-id tiebreak), written "
+    "into the existing list partitions with every pre-existing file left "
+    "byte-untouched (inode-locked in tests/test_ann_append.py). Probes "
+    "then read the combined codes partition-pruned. This is the ingest "
+    "path that keeps a 100 TB compressed ANN index current between "
+    "periodic rebuilds; the oracle replays both frozen-quantizer "
+    "assignments in SQL (q_ann_ivf_append's structure + the PQ-ADC "
+    "scoring chain trained on the even half).",
+)
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = scratch_dir("ivfpq_append_q")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, PQ_M, PQ_K, PQ_ITERS)
+    append_ivfpq_index(spark, e.filter(F.col("vec_id") % 2 == 1), path, PQ_M)
+    return probe_ivfpq_topk(
+        spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, PQ_M,
+        n_probe=IVFPQ_N_PROBE,
     )
 
 
