@@ -157,6 +157,62 @@ def l2_topk(
     )
 
 
+def int8_quantize(vec_col) -> F.Column:
+    """Per-vector symmetric int8 quantization (q_embed_quantize's recipe):
+    q_i = round(v_i * 127 / max|v|), emitted as a BIGINT array.  Half-away-
+    from-zero rounding on both engines makes the codes engine-portable."""
+    v = as_double(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.transform(v, lambda x: F.round(x * 127 / maxabs, 0).cast("long"))
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INT8-quantized dot product — the serving-side search over
+    the compressed vectors q_embed_quantize produces: the corpus moves as
+    ~dim bytes/vector (4x smaller than fp32) and every score is an exact
+    integer dot product (integer-SIMD hardware path on a real deployment;
+    here, exact BIGINT sums that hash identically on both engines).
+
+    Approximation contract: per-vector scales (127/max|v|) differ across
+    candidates, so the integer dot ranks by dot(v_q, v_c)/(maxq*maxc) —
+    the standard symmetric-quantization tradeoff; the quantization error
+    is the operator's honesty gap vs q_ann_topk, measurable the same way
+    the recall harnesses measure IVF/PQ. Determinism: integer scores,
+    total (dot DESC, id ASC) order. At 100 TB this composes with IVF
+    routing exactly as PQ codes do (quantize inside the list partitions).
+
+    Returns (query_id, neighbor_id, dot_q, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), int8_quantize(F.col(vec_col)).alias("cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("qq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("cq"), F.col("qq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_signature(vec_col, planes: list[list[float]] | None = None) -> F.Column:
     """8-bit sign signature: bit p set iff dot(v, plane_p) > 0."""
     sig = F.lit(0).cast("long")

@@ -1244,3 +1244,54 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
         F.size(F.filter(qv, lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
     )
+
+
+@query(
+    "q_ann_int8",
+    # Exact-integer oracle: the quantization is q_embed_quantize's recipe
+    # (identical double expressions, half-away-from-zero round on both
+    # engines), and every score is a BIGINT dot product of the quantized
+    # lists — no float ever reaches the ranking, so the hash check is as
+    # strong as for an exact operator even though the SEARCH is an
+    # approximation of fp32 dot-product ranking.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+      FROM m
+    ),
+    qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < {N_QUERIES}),
+    s AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {S.DIM + 1}),
+                 i -> c.qv[i] * qq.qqv[i])) AS BIGINT) AS dot_q
+      FROM q8 c CROSS JOIN qq
+      WHERE c.vec_id != qq.query_id
+    )
+    SELECT query_id, neighbor_id, dot_q, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {ANN_K}
+    """,
+    doc=f"INT8 quantized-vector top-{ANN_K} search (operators/similarity.py "
+    "int8_topk) — the serving-side path over the compressed vectors "
+    "q_embed_quantize produces: per-vector symmetric scale 127/max|v|, "
+    "then ranking by the EXACT INTEGER dot product of the int8 codes "
+    "(integer-SIMD on real hardware; 4x less corpus moved than fp32). "
+    "The per-vector scales make the ranking an approximation of fp32 "
+    "dot ranking — the standard symmetric-quantization tradeoff, "
+    "measurable against q_ann_topk exactly as the PQ harnesses measure "
+    "their paths. Integer scores + total (dot DESC, id ASC) order keep "
+    "the approximate operator fully value-hash checkable. At 100 TB this "
+    "composes with IVF routing like PQ codes do (quantize inside the "
+    "list partitions).",
+)
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.int8_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
