@@ -10,7 +10,7 @@ integer-output convention — no raw doubles ever reach the driver hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnarchive_spark.operators import similarity as S
@@ -1295,3 +1295,107 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.int8_topk(e, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
+
+
+@query(
+    "q_ann_int8_fidelity",
+    # Both arms integer: the exact arm ranks by round(dot * 1e6) (the
+    # sequential-fold double sum matches DuckDB list_sum order — the same
+    # portability contract sq_dist documents), the approx arm is the
+    # registered int8 search; the left join keeps zero-overlap queries.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qset AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    xd AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(round(list_sum(list_transform(range(1, {S.DIM + 1}),
+                 i -> c.v[i] * q.qv[i])) * 1000000) AS BIGINT) AS dot_e6
+      FROM e c CROSS JOIN qset q WHERE c.vec_id != q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_e6 DESC, neighbor_id) AS rank
+        FROM xd
+      ) WHERE rank <= {ANN_K}
+    ),
+    m AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+      FROM m
+    ),
+    qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < {N_QUERIES}),
+    s8 AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {S.DIM + 1}),
+                 i -> c.qv[i] * qq.qqv[i])) AS BIGINT) AS dot_q
+      FROM q8 c CROSS JOIN qq WHERE c.vec_id != qq.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, neighbor_id) AS rank
+        FROM s8
+      ) WHERE rank <= {ANN_K}
+    )
+    SELECT x.query_id,
+           count(a.neighbor_id) AS n_hits,
+           CAST((count(a.neighbor_id) * 10000) // {ANN_K} AS BIGINT) AS recall_e4
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+    doc=f"INT8 quantization fidelity harness: overlap@{ANN_K} of q_ann_int8 "
+    "against the exact fp32 DOT-product top-k (the metric family int8 "
+    "codes approximate — a cosine ground truth would conflate "
+    "quantization error with metric mismatch, same argument as the "
+    "IVF-PQ recall harness), per query as an e4 integer. This is the "
+    "published number that tells a pipeline whether 4x-compressed "
+    "serving is safe for its corpus; both arms are exact integer math "
+    "so the harness itself is fully hash-checked.",
+)
+def q_ann_int8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < N_QUERIES)
+    c = e.select("vec_id", S.as_double(F.col("embedding")).alias("cv"))
+    q = qset.select(
+        F.col("vec_id").alias("query_id"), S.as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.dot(F.col("qv"), F.col("cv")) * 1_000_000, 0)
+            .cast("long")
+            .alias("dot_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_e6").desc(), F.col("neighbor_id"))
+    exact = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = S.int8_topk(e, qset, ANN_K).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_qid) & (exact.neighbor_id == approx.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
+        )
+    )
