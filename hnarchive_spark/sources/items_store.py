@@ -133,11 +133,20 @@ class ItemsStore:
         # the schema PINNED: the store knows its own schema, so paying
         # parquet-footer inference on every commit is pure per-commit floor
         # (measured ~84 ms/commit at sf0.1 — tools/merge_floor_probe.py,
-        # BENCH_NOTES r10).  Legacy un-bucketed dirs keep inference so the
+        # BENCH_NOTES r10).  Only a LEGACY un-bucketed dir (loose parquet
+        # files, no id_bucket= partitions) keeps inference, so the
         # migration fallback in merge_batch still sees the true columns.
-        if any(name.startswith(f"{_BUCKET_COL}=") for name in os.listdir(d)):
-            return self.spark.read.schema(_RAW_SCHEMA).parquet(d)
-        return self.spark.read.parquet(d)
+        # A zero-row snapshot (no partition dirs at all — a store whose
+        # first commit was an empty batch) also takes the pinned path:
+        # inference would fail on it, the pinned read correctly returns
+        # an empty frame.
+        names = os.listdir(d)
+        legacy = any(n.endswith(".parquet") for n in names) and not any(
+            n.startswith(f"{_BUCKET_COL}=") for n in names
+        )
+        if legacy:
+            return self.spark.read.parquet(d)
+        return self.spark.read.schema(_RAW_SCHEMA).parquet(d)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the current snapshot, or a retained past one (time travel).

@@ -246,3 +246,19 @@ def test_zero_row_merge_fast_path(spark, tmp_path):
 
     i1, i2 = inodes(v1_dir), inodes(v2_dir)
     assert i1 and i1 == i2  # every data file hardlinked, none rewritten
+
+
+def test_empty_first_commit_store_still_readable(spark, tmp_path):
+    """A brand-new store whose FIRST commit is an empty batch (a
+    livestream that started during an idle stretch) writes a zero-row
+    snapshot with no partition dirs; reads must return an empty frame
+    with the items schema (pinned-schema read — footer inference would
+    fail on the dir), and a later real merge must work normally."""
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    empty = FX.items_df_with_seq(spark, FX.MERGE_BASE).filter("id < 0")
+    store.merge_batch(empty, seq_col="seq")
+    assert store.count() == 0
+    assert store.read().columns  # schema present, not an inference error
+
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
+    assert store.count() == len(FX.MERGE_BASE)
