@@ -1149,13 +1149,15 @@ def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# build-once cache: sf basename -> persisted index path.  The whole point of
-# the indexed form is that training/encoding amortize over probes, so within a
-# process the index is built on FIRST invocation only and every later
-# invocation is probe-only (what bench.py's min-of-3 then measures — the
-# warmup run pays the build).  Keyed by sf basename so parity sweeps over
-# multiple scale factors never probe a stale corpus' index; a fresh process
-# always rebuilds (scratch_dir clears any previous process' leftovers).
+# build-once cache: realpath(sf_dir) -> persisted index path.  The whole
+# point of the indexed form is that training/encoding amortize over probes,
+# so within a process the index is built on FIRST invocation only and every
+# later invocation is probe-only (what bench.py's min-of-3 then measures —
+# the warmup run pays the build).  Keyed by the full real path so distinct
+# corpora never probe each other's index even when their directory basenames
+# collide; a fresh process always rebuilds (scratch_dir clears any previous
+# process' leftovers).  Data regenerated IN PLACE mid-process is not
+# detected — rebuild the process (or corpus fingerprinting) for that.
 _IVFPQ_BUILT: dict[str, str] = {}
 
 
@@ -1178,16 +1180,22 @@ _IVFPQ_BUILT: dict[str, str] = {}
     "byte-untouched (tests/test_ann_append.py).",
 )
 def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
     import os as _os
 
     from hnarchive_spark.scratch import scratch_dir
     from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
 
     e = load(spark, sf_dir, "embeddings")
-    key = _os.path.basename(_os.path.normpath(sf_dir))
+    # key by the FULL normalized path, not the basename — two corpora whose
+    # directories share a basename must never probe each other's index;
+    # the basename is kept only to make the scratch dir human-readable
+    key = _os.path.realpath(sf_dir)
     path = _IVFPQ_BUILT.get(key)
     if path is None:
-        path = scratch_dir(f"ivfpq_index_{key}")
+        tag = _hashlib.sha256(key.encode()).hexdigest()[:12]
+        base = _os.path.basename(_os.path.normpath(sf_dir))
+        path = scratch_dir(f"ivfpq_index_{base}_{tag}")
         build_ivfpq_index(e, path, PQ_M, PQ_K, PQ_ITERS)
         _IVFPQ_BUILT[key] = path
     return probe_ivfpq_topk(

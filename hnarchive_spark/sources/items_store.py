@@ -238,8 +238,18 @@ class ItemsStore:
             # Zero-row batch (an idle livestream tick committing on cadence):
             # the merge is the identity, so skip the merge plan and the
             # snapshot write JOB entirely — hardlink the whole previous
-            # snapshot forward and swap. Drops the commit floor from ~0.64 s
-            # to the link+swap cost (~0.01 s); see tools/merge_floor_probe.py.
+            # snapshot forward and swap. Drops the measured commit floor
+            # from ~0.64 s to ~0.14 s (snapshot open, batch checkpoint and
+            # bucket listing are still paid before this point; link+swap
+            # itself is ~0.01 s — tools/merge_floor_probe.py, BENCH_NOTES
+            # r10). Schema errors must still fail FAST on idle ticks — a
+            # misconfigured stream would otherwise commit versions happily
+            # until the first non-empty batch — so validate the batch
+            # columns exactly as the merge plan would (analysis only, no
+            # job).
+            if seq_col is not None and seq_col not in updates.columns:
+                raise ValueError(f"seq_col {seq_col!r} not in batch columns")
+            updates.select(*item_cols)  # raises AnalysisException if missing
             new_v = old_v + 1
             out = self._version_dir(new_v)
             self._link_forward(self._version_dir(old_v), out)

@@ -84,8 +84,9 @@ def main() -> None:
         amp_vecs = amp_vecs.unionAll(c)
     amp_vecs.write.mode("overwrite").parquet(os.path.join(amp, "embeddings.parquet"))
 
-    # q_ann_ivfpq_indexed: the FIRST timed run pays the one-time index build
-    # (then min-of-2 reports the cached probe-only wall — the production
+    # q_ann_ivfpq_indexed: the one-time index build runs EAGERLY inside
+    # qs[name](...) at query construction, i.e. before either timer starts —
+    # every timed sample below is the probe-only wall (the production
     # number; the build cost is the inline form's whole point of comparison)
     for name in (
         "q_interval_overlap",

@@ -5,8 +5,9 @@ the staleness-ordered rotation candidate list for the next round's
 _VERIFY_FIRST (hnarchive_spark/plans/registry.py).
 
 Policy (the one used since round 8): never-driver-verified oracled
-queries first (registration order), then everything by ascending latest-
-green round; names green in the most recent 1-2 rounds need no slot.
+queries first, then everything by ascending latest-green round — ties
+break alphabetically (see rotation_order); names green in the most
+recent 1-2 rounds need no slot.
 Rows-only-by-design queries (no oracle) are listed separately — they can
 only ever earn a rows-only row.
 
