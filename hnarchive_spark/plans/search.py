@@ -305,3 +305,57 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rare",
         F.expr("(20000 * n_rare + n_bigrams) div (2 * n_bigrams)").alias("novelty_e4"),
     )
+
+
+@query(
+    "q_bm25_indexed",
+    # identical rows to q_bm25_lite (same tokenizer, same integer scoring,
+    # same corpus stats) -> the oracle is shared verbatim
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(sum(len(ws)) AS BIGINT) AS s, count(*) AS n FROM toks
+    ),
+    terms(term) AS (VALUES {", ".join(f"({t!r})" for t in BM25_TERMS)}),
+    scored AS (
+      SELECT t.term, k.doc_id,
+             CAST(len(list_filter(k.ws, w -> w = t.term)) AS BIGINT) AS tf,
+             CAST(len(k.ws) AS BIGINT) AS dl,
+             (2 * st.s + st.n) // (2 * st.n) AS a
+      FROM toks k CROSS JOIN terms t CROSS JOIN st
+    ),
+    s2 AS (
+      SELECT term, doc_id, tf,
+             CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))
+                  // (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT) AS score_e6
+      FROM scored WHERE tf > 0
+    )
+    SELECT term, doc_id, tf, score_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score_e6 DESC, doc_id) AS rank
+      FROM s2
+    ) WHERE rank <= {BM25_TOPK}
+    """,
+    doc=f"BM25 top-{BM25_TOPK} against a PERSISTED full-text index "
+    "(sources/text_index.py build_text_index/bm25_topk) — the production "
+    "form of q_bm25_lite, which re-tokenizes the whole corpus per query "
+    "(the text-side twin of the per-query IVF-training critique): "
+    "postings (term, doc_id, tf, dl) are written ONCE partitioned by "
+    "md5-term bucket, the one-row corpus stats beside them, and a query "
+    "scans only its terms' bucket partitions (buckets computed "
+    "driver-side — no job) with the exact-term filter pushed to the "
+    "reader. Scoring is the identical integer rational, so rows equal "
+    "q_bm25_lite's and the oracle is shared. Query cost scales with the "
+    "query's postings, not the corpus.",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.text_index import bm25_topk, build_text_index
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("text_index")
+    build_text_index(d, path)
+    return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)

@@ -404,3 +404,16 @@ def test_ivfpq_indexed_prunes_partitions_no_training(spark):
     assert "BroadcastHashJoin" in plan
     bnlj = plan.count("BroadcastNestedLoopJoin")
     assert bnlj <= 6, f"unexpected nested-loop joins: {bnlj}"
+
+
+def test_bm25_indexed_prunes_buckets_and_pushes_terms(spark):
+    """The persisted-text-index probe (round 10): the postings scan must
+    carry a bucket partition filter (query-term buckets computed driver-
+    side) AND push the exact-term filter to the parquet reader; the only
+    cross join is the broadcast one-row stats table."""
+    plan = _plan(spark, "q_bm25_indexed")
+    assert "CartesianProduct" not in plan
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), pf
+    push = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert push and any("term" in ln for ln in push), push
