@@ -23,9 +23,12 @@ BM25_TOPK = 10
 # with A = round_half_up(avgdl) clears to 44*tf*A / (20*tf*A + 6*A + 18*dl).
 
 
-@query(
-    "q_bm25_lite",
-    oracle=f"""
+
+# One oracle for the whole BM25 family: the on-the-fly form, the
+# persisted-index probe, and the appended-index probe all contract to
+# return IDENTICAL rows (same tokenizer, same integer scoring, same
+# corpus stats), so they share this SQL verbatim.
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
       FROM documents
@@ -52,7 +55,11 @@ BM25_TOPK = 10
                                    ORDER BY score_e6 DESC, doc_id) AS rank
       FROM s2
     ) WHERE rank <= {BM25_TOPK}
-    """,
+    """
+
+@query(
+    "q_bm25_lite",
+    oracle=_BM25_ORACLE,
     doc=f"BM25-style relevance top-{BM25_TOPK} per query term (k1=1.2, "
     "b=0.75) WITHOUT the idf log — the tf-saturation + length-"
     "normalization core, cleared of denominators into the exact integer "
@@ -309,36 +316,7 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bm25_indexed",
-    # identical rows to q_bm25_lite (same tokenizer, same integer scoring,
-    # same corpus stats) -> the oracle is shared verbatim
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
-      FROM documents
-    ),
-    st AS (
-      SELECT CAST(sum(len(ws)) AS BIGINT) AS s, count(*) AS n FROM toks
-    ),
-    terms(term) AS (VALUES {", ".join(f"({t!r})" for t in BM25_TERMS)}),
-    scored AS (
-      SELECT t.term, k.doc_id,
-             CAST(len(list_filter(k.ws, w -> w = t.term)) AS BIGINT) AS tf,
-             CAST(len(k.ws) AS BIGINT) AS dl,
-             (2 * st.s + st.n) // (2 * st.n) AS a
-      FROM toks k CROSS JOIN terms t CROSS JOIN st
-    ),
-    s2 AS (
-      SELECT term, doc_id, tf,
-             CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))
-                  // (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT) AS score_e6
-      FROM scored WHERE tf > 0
-    )
-    SELECT term, doc_id, tf, score_e6, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY term
-                                   ORDER BY score_e6 DESC, doc_id) AS rank
-      FROM s2
-    ) WHERE rank <= {BM25_TOPK}
-    """,
+    oracle=_BM25_ORACLE,
     doc=f"BM25 top-{BM25_TOPK} against a PERSISTED full-text index "
     "(sources/text_index.py build_text_index/bm25_topk) — the production "
     "form of q_bm25_lite, which re-tokenizes the whole corpus per query "
@@ -358,4 +336,33 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     path = scratch_dir("text_index")
     build_text_index(d, path)
+    return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)
+
+
+@query(
+    "q_bm25_append",
+    oracle=_BM25_ORACLE,
+    doc=f"Incremental text-index maintenance as a hash-checked query: the "
+    "BM25 index is built from half the corpus (even doc_ids), the other "
+    "half arrives via sources/text_index.py append_text_index — postings "
+    "appended into the existing term-bucket partitions (pre-existing "
+    "files byte-untouched, inode-locked in tests/test_text_index.py), "
+    "corpus stats rewritten exactly — then probed. Because postings are "
+    "complete and stats exact, the appended index returns EXACTLY the "
+    "full-build rows, so this query shares the whole BM25 family's "
+    "oracle: a green row proves the ingest path end-to-end against SQL, "
+    "not just against the repo's own full build.",
+)
+def q_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.text_index import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("text_index_append")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), path)
     return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)

@@ -127,3 +127,49 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def append_text_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental text-index maintenance: add a document batch O(batch).
+
+    The batch's postings are APPENDED into the existing term-bucket
+    partitions (doc_ids are new, so no posting collides; every
+    pre-existing postings file stays byte-untouched — inode-locked in
+    tests/test_text_index.py), and the one-row corpus stats are
+    REWRITTEN with the combined totals (stats are metadata, the same
+    class of artifact as the store's `_CURRENT` pointer — rewriting one
+    row is the cost of keeping BM25's length normalization exact).
+    Because postings are complete and stats exact, a probe after an
+    append returns EXACTLY what a full rebuild would — q_bm25_indexed's
+    shared-oracle contract extends to the appended index."""
+    toks = batch.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
+    postings = (
+        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", _bucket_col(F.col("term")))
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    add = toks.agg(
+        F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    combined = spark.createDataFrame(
+        [(int(old["s"]) + int(add["s"]), int(old["n"]) + int(add["n"]))], "s long, n long"
+    )
+    # stats live in their own dir, so the overwrite never touches postings
+    combined.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

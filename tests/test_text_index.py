@@ -1,0 +1,56 @@
+"""Persisted BM25 text index (sources/text_index.py): the probe must equal
+the on-the-fly q_bm25_lite rows (shared-oracle contract), and appends must
+be O(batch) — postings files byte-untouched, stats exact."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.search import BM25_TERMS, BM25_TOPK
+from hnarchive_spark.sources.text_index import (
+    append_text_index,
+    bm25_topk,
+    build_text_index,
+)
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _files(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_ino, st.st_size)
+    return out
+
+
+def test_append_equals_full_build_and_leaves_files_untouched(spark, tmp_path):
+    d = load(spark, SF, "documents")
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    full = sorted(
+        tuple(r) for r in bm25_topk(spark, full_path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    assert full
+
+    inc_path = str(tmp_path / "inc")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), inc_path)
+    before = _files(f"{inc_path}/postings")
+    assert before
+    append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), inc_path)
+    after = _files(f"{inc_path}/postings")
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing postings file changed: {rel}"
+    assert len(after) > len(before), "append added no postings files"
+
+    # stats exact -> appended index returns EXACTLY the full-build rows
+    inc = sorted(
+        tuple(r) for r in bm25_topk(spark, inc_path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    assert inc == full
