@@ -331,3 +331,116 @@ def ivf_pq_adc_topk(
         )
         .filter(F.col("rank") <= topk)
     )
+
+
+def ivf_pq_residual_topk(
+    vectors: DataFrame,
+    n_queries: int,
+    n_sub: int,
+    k: int,
+    iters: int,
+    topk: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (FAISS ``by_residual=true``, the
+    production default): PQ codebooks train on and codes encode
+    ``v - centroid[list(v)]`` instead of ``v``.  Residuals are centered
+    near the origin regardless of which list a vector sits in, so one
+    shared codebook spends its levels on local structure rather than on
+    re-describing coarse cluster positions — the recall upgrade over
+    ``ivf_pq_adc_topk`` at identical code size.
+
+    The search-side consequence: the ADC lookup table becomes per
+    (query, probed list) — the query's OWN residual differs per probed
+    list (q - centroid[that list]) — so the LUT has
+    n_queries * n_probe * n_sub * k rows, still broadcast-scalar.  All
+    determinism contracts carry over (6-decimal distances with code
+    tiebreak in training, e6-integer ADC sums, total (adc ASC, id ASC)
+    ranking), so the operator is value-hash oracle-checkable like its
+    non-residual sibling.  Cost at 100 TB is identical to the plain
+    composition: routing against n_lists centroid rows, only probed
+    lists' ~n_sub-byte codes move."""
+    from hnarchive_spark.operators.similarity import ivf_probes
+
+    sub = dim // n_sub
+    spark = vectors.sparkSession
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.col(list_col).alias("list_id"),
+    )
+    # per-list mean centroids (the coarse quantizer — same means ivf_probes
+    # routes against)
+    dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+    centroids = e.groupBy("list_id").agg(*dim_cols).select(
+        "list_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+    )
+    # residuals: v - centroid[list(v)] — the corpus PQ trains/encodes on
+    resid = (
+        e.join(F.broadcast(centroids), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("r"),
+        )
+    )
+    codes, codebook = pq_assign(
+        resid, n_sub, k, iters, id_col="vec_id", vec_col="r", dim=dim,
+        return_codebook=True,
+    )
+    cent_df = spark.createDataFrame(
+        codebook, "m int, code long, centroid array<double>"
+    )
+    queries = vectors.filter(F.col(id_col) < n_queries)
+    probes = ivf_probes(
+        vectors, queries, id_col=id_col, vec_col=vec_col, list_col=list_col,
+        n_probe=n_probe,
+    )
+    # per-(query, probed list) residual -> per-(query, list) ADC LUT
+    q_res = probes.join(F.broadcast(centroids), "list_id").select(
+        "query_id",
+        "list_id",
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, c: x - c).alias("qr"),
+    )
+    q_sub = q_res.select(
+        "query_id",
+        "list_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col("qr"),
+    ).select("query_id", "list_id", "m", F.expr(f"slice(qr, m * {sub} + 1, {sub})").alias("qsub"))
+    dtab = q_sub.join(F.broadcast(cent_df), "m").select(
+        "query_id",
+        "list_id",
+        "m",
+        "code",
+        F.round(_sq_dist(F.col("qsub"), F.col("centroid")) * 1_000_000, 0)
+        .cast("long")
+        .alias("d_e6"),
+    )
+    # candidates: corpus codes restricted to the query's probed lists; the
+    # codes rows already carry list_id via the residual frame
+    stack = ", ".join(f"{m}, code_{m}" for m in range(n_sub))
+    code_long = codes.join(
+        resid.select("vec_id", "list_id"), "vec_id"
+    ).select("vec_id", "list_id", F.expr(f"stack({n_sub}, {stack}) AS (m, code)"))
+    scored = (
+        code_long.join(F.broadcast(probes.select("query_id", "list_id")), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "list_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e6", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_e6",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= topk)
+    )

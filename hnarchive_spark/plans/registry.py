@@ -56,12 +56,12 @@ _ROTATION_BUILT_FOR_ROUND = 10
 _VERIFY_FIRST = [
     # Round-10 rotation — generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=10)[:50] and locked
-    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 9
+    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 10
     # queries with no driver row ever (the round-9 additions plus this
-    # round's q_ann_int8 / q_ann_int8_fidelity / q_ann_ivfpq_indexed /
-    # q_ann_ivfpq_append / q_bm25_indexed / q_bm25_append), then the 12
-    # names last green in round 4, then the first 29 of the 42 names
-    # last green in round 5 —
+    # round's q_ann_int8[_fidelity], q_ann_ivfpq_{indexed,append,
+    # residual}, q_bm25_{indexed,append}), then the 12 names last green
+    # in round 4, then the first 28 of the 42 names last green in round
+    # 5 —
     # ascending staleness, ALPHABETICAL tiebreak (registration order would
     # depend on which module a test imported first).  The 8 remaining r5
     # names roll into round 11 and finish the evidence ledger.
@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "q_ann_ivfpq_append",
     "q_ann_ivfpq_indexed",
     "q_ann_ivfpq_recall",
+    "q_ann_ivfpq_residual",
     "q_bm25_append",
     "q_bm25_indexed",
     "q_vocab_coverage",
@@ -114,7 +115,6 @@ _VERIFY_FIRST = [
     "q_power_iteration",
     "q_pq_codes",
     "q_recency_weighted",
-    "q_retention_cohorts",
 ]
 
 

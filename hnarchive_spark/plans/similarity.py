@@ -647,7 +647,13 @@ PQ_ITERS = 2
 
 
 def _pq_cte_parts(
-    k: int, iters: int, n_sub: int, sub_dim: int, where: str = ""
+    k: int,
+    iters: int,
+    n_sub: int,
+    sub_dim: int,
+    where: str = "",
+    src: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
 ) -> list[str]:
     """Product-quantization oracle CTEs: the q_kmeans_assign unrolled-Lloyd
     chain replayed once per subspace over the sliced vectors.  Same
@@ -656,7 +662,8 @@ def _pq_cte_parts(
     assignments ``s{m}a{iters}`` and the codebook the final assignment used
     ``s{m}c{iters-1}`` so ADC search can build on the same chain.
     ``where`` restricts the TRAINING corpus (e.g. the even-id half for the
-    frozen-quantizer append oracle)."""
+    frozen-quantizer append oracle); ``src``/``vec_expr`` redirect training
+    to another CTE (e.g. the residual frame for by_residual PQ)."""
     parts = []
     for m in range(n_sub):
         lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
@@ -666,8 +673,8 @@ def _pq_cte_parts(
             % (sub_dim + 1)
         )
         parts.append(
-            f"e{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
-            f"FROM embeddings{where})"
+            f"e{m} AS (SELECT vec_id, ({vec_expr})[{lo}:{hi}] AS v "
+            f"FROM {src}{where})"
         )
         parts.append(f"""s{m}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
@@ -1406,4 +1413,121 @@ def q_ann_int8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
         )
+    )
+
+
+def _ivfpq_residual_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
+) -> str:
+    """IVF-PQ by_residual oracle: the coarse-quantizer CTEs first, a
+    residual frame (v - centroid[label]) on top, then the SAME unrolled
+    PQ Lloyd chain retargeted at the residuals (_pq_cte_parts src/vec_expr)
+    and a per-(query, probed list) ADC LUT — the query's residual differs
+    per probed list, which is the one structural difference from
+    _ivfpq_parts."""
+    dim = n_sub * sub_dim
+    parts = [f"""el AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    lvecs AS (
+      SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
+    ),
+    centd AS (SELECT label, d, avg(val) AS a FROM lvecs GROUP BY label, d),
+    cent AS (SELECT label AS list_id, list(a ORDER BY d) AS centroid
+             FROM centd GROUP BY label),
+    resid AS (
+      SELECT e.vec_id, e.label AS list_id,
+             list_transform(range(1, {dim + 1}), i -> e.v[i] - c.centroid[i]) AS r
+      FROM el e JOIN cent c ON c.list_id = e.label
+    )"""]
+    parts += _pq_cte_parts(k, iters, n_sub, sub_dim, src="resid", vec_expr="r")
+    parts.append(f"""ivfq AS (SELECT vec_id AS query_id, v AS qv FROM el WHERE vec_id < {n_queries}),
+    routed AS (
+      SELECT q.query_id, c.list_id,
+             CAST(round(list_cosine_similarity(q.qv, c.centroid) * 1000000) AS BIGINT) AS ccos
+      FROM ivfq q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, list_id) AS pr
+        FROM routed
+      ) WHERE pr <= {n_probe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.list_id,
+             list_transform(range(1, {dim + 1}), i -> q.qv[i] - c.centroid[i]) AS qr
+      FROM probes p
+      JOIN ivfq q ON q.query_id = p.query_id
+      JOIN cent c ON c.list_id = p.list_id
+    )""")
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        dist = (
+            "round(list_sum(list_transform(range(1, %d), "
+            "i -> (s.v[i] - c.centroid[i]) * (s.v[i] - c.centroid[i]))) "
+            "* 1000000)" % (sub_dim + 1)
+        )
+        parts.append(
+            f"qs{m} AS (SELECT query_id, list_id, qr[{lo}:{hi}] AS v FROM qres)"
+        )
+        parts.append(f"""qd{m} AS (
+      SELECT s.query_id, s.list_id, c.list_id AS code,
+             CAST({dist} AS BIGINT) AS d_e6
+      FROM qs{m} s CROSS JOIN s{m}c{iters - 1} c
+    )""")
+    code_joins = " ".join(
+        f"JOIN s{m}a{iters} a{m} USING (vec_id)" for m in range(1, n_sub)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{m} ON qd{m}.query_id = qd0.query_id AND qd{m}.list_id = rv.list_id "
+        f"AND qd{m}.code = a{m}.list_id"
+        for m in range(1, n_sub)
+    )
+    adc = " + ".join(f"qd{m}.d_e6" for m in range(n_sub))
+    parts.append(f"""adc AS (
+      SELECT qd0.query_id, a0.vec_id, {adc} AS adc_e6
+      FROM s0a{iters} a0 {code_joins}
+      JOIN resid rv ON rv.vec_id = a0.vec_id
+      JOIN probes p ON p.list_id = rv.list_id
+      JOIN qd0 ON qd0.query_id = p.query_id AND qd0.list_id = rv.list_id
+              AND qd0.code = a0.list_id {qd_joins}
+      WHERE a0.vec_id != p.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id AS neighbor_id, adc_e6, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_e6, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@query(
+    "q_ann_ivfpq_residual",
+    oracle=_ivfpq_residual_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc="IVF-PQ with RESIDUAL encoding (operators/kmeans.py "
+    "ivf_pq_residual_topk; FAISS by_residual=true, the production "
+    "default): PQ codebooks train on and codes encode v - "
+    "centroid[list(v)], so one shared codebook spends its levels on "
+    "LOCAL structure instead of re-describing coarse cluster positions — "
+    "the recall upgrade over q_ann_ivfpq at identical code size. The ADC "
+    "lookup table becomes per-(query, probed list) because the query's "
+    "own residual differs per probed list — still broadcast-scalar "
+    "(n_queries x n_probe x M x K rows). Same determinism contracts as "
+    "the plain composition, so the compound operator stays value-hash "
+    "checkable; the oracle stacks the coarse-quantizer CTEs, a residual "
+    "frame, and the PQ Lloyd chain retargeted at it.",
+)
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_residual_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk(
+        e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
     )
