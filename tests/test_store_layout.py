@@ -262,3 +262,26 @@ def test_empty_first_commit_store_still_readable(spark, tmp_path):
 
     store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
     assert store.count() == len(FX.MERGE_BASE)
+
+
+def test_pinned_snapshot_schema_matches_written_layout(spark, tmp_path):
+    """_read_raw pins _RAW_SCHEMA instead of paying footer inference; if
+    _write_snapshot's layout ever drifts from it (a column added or
+    retyped), the pinned read would silently null out or misread data —
+    lock the pinned schema against what inference actually sees."""
+    from hnarchive_spark.sources.items_store import _RAW_SCHEMA
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
+    d = store._version_dir(store._current_version())
+    inferred = spark.read.parquet(d).schema
+    pinned = {(f.name, f.dataType.simpleString()) for f in _RAW_SCHEMA.fields}
+    seen = {(f.name, f.dataType.simpleString()) for f in inferred.fields}
+    # partition columns come back with inferred types (id_bucket int vs
+    # long is a known widening the pinned read performs) — compare names
+    # exactly and non-partition types exactly
+    assert {n for n, _ in pinned} == {n for n, _ in seen}
+    part_cols = {"id_bucket", "type"}
+    assert {x for x in pinned if x[0] not in part_cols} == {
+        x for x in seen if x[0] not in part_cols
+    }

@@ -54,3 +54,21 @@ def test_append_equals_full_build_and_leaves_files_untouched(spark, tmp_path):
         tuple(r) for r in bm25_topk(spark, inc_path, list(BM25_TERMS), BM25_TOPK).collect()
     )
     assert inc == full
+
+
+def test_python_and_spark_bucket_hashes_agree(spark):
+    """bm25_topk prunes partitions using buckets computed DRIVER-SIDE in
+    Python; build_text_index assigns them JVM-side. If the two md5
+    recipes ever diverge, probes scan the wrong partitions and terms
+    silently vanish — lock the equality over a varied term sample."""
+    from hnarchive_spark.sources.text_index import _bucket_col, _bucket_py
+
+    terms = [
+        "spark", "merge", "join", "a", "zz", "Queensbury", "ésumé",
+        "123", "tok_%d", "", "the", "UPPER", "mixedCase", "x" * 64,
+    ] + [f"t{i}" for i in range(50)]
+    terms = [t for t in terms if t]  # empty string never tokenizes
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["b"] for r in df.select("term", _bucket_col(F.col("term")).alias("b")).collect()}
+    for t in terms:
+        assert got[t] == _bucket_py(t), t
