@@ -72,3 +72,17 @@ def test_python_and_spark_bucket_hashes_agree(spark):
     got = {r["term"]: r["b"] for r in df.select("term", _bucket_col(F.col("term")).alias("b")).collect()}
     for t in terms:
         assert got[t] == _bucket_py(t), t
+
+
+def test_probe_with_absent_terms_returns_present_terms_only(spark, tmp_path):
+    """Query terms with no postings (possibly pointing at bucket
+    partitions that don't exist on disk) must not error or pollute
+    results — the probe returns rows only for terms that hit."""
+    d = load(spark, SF, "documents")
+    path = str(tmp_path / "abs")
+    build_text_index(d, path)
+    rows = bm25_topk(
+        spark, path, ["spark", "zzz_not_a_term", "qqqqq"], BM25_TOPK
+    ).collect()
+    assert rows
+    assert {r["term"] for r in rows} == {"spark"}
