@@ -364,7 +364,7 @@ def ivf_pq_residual_topk(
     non-residual sibling.  Cost at 100 TB is identical to the plain
     composition: routing against n_lists centroid rows, only probed
     lists' ~n_sub-byte codes move."""
-    from hnarchive_spark.operators.similarity import ivf_probes
+    from hnarchive_spark.operators.similarity import cosine
 
     sub = dim // n_sub
     spark = vectors.sparkSession
@@ -373,8 +373,11 @@ def ivf_pq_residual_topk(
         as_double(F.col(vec_col)).alias("v"),
         F.col(list_col).alias("list_id"),
     )
-    # per-list mean centroids (the coarse quantizer — same means ivf_probes
-    # routes against)
+    # per-list mean centroids — computed ONCE and shared by the residual
+    # frame AND query routing below: the oracle derives both from a single
+    # cent CTE, and two independently aggregated float averages could
+    # disagree at the last ulp and flip an e6-rounded cell (review
+    # finding, round 10) — besides costing a second corpus-wide pass
     dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
     centroids = e.groupBy("list_id").agg(*dim_cols).select(
         "list_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
@@ -395,11 +398,23 @@ def ivf_pq_residual_topk(
     cent_df = spark.createDataFrame(
         codebook, "m int, code long, centroid array<double>"
     )
-    queries = vectors.filter(F.col(id_col) < n_queries)
-    probes = ivf_probes(
-        vectors, queries, id_col=id_col, vec_col=vec_col, list_col=list_col,
-        n_probe=n_probe,
+    # routing inline against the SAME centroids frame (ivf_probes would
+    # re-aggregate them from the corpus): cosine-e6 DESC, list-id tiebreak
+    q = vectors.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    routed = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "list_id",
+        F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0)
+        .cast("long")
+        .alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
+    probes = routed.select(
+        "query_id", "qv", "list_id", F.row_number().over(wp).alias("pr")
+    ).filter(F.col("pr") <= n_probe)
     # per-(query, probed list) residual -> per-(query, list) ADC LUT
     q_res = probes.join(F.broadcast(centroids), "list_id").select(
         "query_id",

@@ -63,7 +63,7 @@ _VERIFY_FIRST = [
     # in round 4, then the first 28 of the 42 names last green in round
     # 5 —
     # ascending staleness, ALPHABETICAL tiebreak (registration order would
-    # depend on which module a test imported first).  The 8 remaining r5
+    # depend on which module a test imported first).  The 14 remaining r5
     # names roll into round 11 and finish the evidence ledger.
     "q_ann_int8",
     "q_ann_int8_fidelity",

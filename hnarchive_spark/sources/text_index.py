@@ -27,6 +27,8 @@ already relies on it being portable (split hashing).
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -49,37 +51,69 @@ def _bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % N_TERM_BUCKETS
 
 
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
+
+
+def _postings(toks: DataFrame) -> DataFrame:
+    return (
+        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", _bucket_col(F.col("term")))
+    )
+
+
+def _stats(toks: DataFrame) -> tuple[int, int]:
+    row = toks.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["s"]), int(row["n"])
+
+
+def _write_stats(path: str, s: int, n: int) -> None:
+    """Atomic stats publish: tiny JSON + os.replace — the same pointer
+    discipline the items store's `_CURRENT` uses, so a crash mid-update
+    never leaves a readable index with missing or half-written stats."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_STATS.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"s": s, "n": n}, fh)
+    os.replace(tmp, os.path.join(path, "_STATS.json"))
+
+
+def _read_stats(path: str) -> tuple[int, int]:
+    with open(os.path.join(path, "_STATS.json")) as fh:
+        d = json.load(fh)
+    return int(d["s"]), int(d["n"])
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Write the bucket-partitioned BM25 index (one corpus pass)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("ws")
-    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
-    postings = (
-        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", _bucket_col(F.col("term")))
-    )
-    (
-        postings.repartition("bucket")
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
-    (
-        toks.agg(
-            F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    """Write the bucket-partitioned BM25 index: ONE tokenize pass (the
+    tokenized frame is persisted so the postings write and the stats
+    aggregate share it), postings partitioned by term bucket, stats
+    published atomically as a JSON pointer file."""
+    toks = _tokenized(docs, id_col, text_col).persist()
+    try:
+        (
+            _postings(toks).repartition("bucket")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
-    )
+        s, n = _stats(toks)
+    finally:
+        toks.unpersist()
+    _write_stats(path, s, n)
 
 
 def bm25_topk(
@@ -103,7 +137,8 @@ def bm25_topk(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
     )
-    stats = spark.read.parquet(f"{index_path}/stats")
+    s_tot, n_tot = _read_stats(index_path)
+    stats = spark.createDataFrame([(s_tot, n_tot)], "s long, n long")
     scored = (
         p.crossJoin(F.broadcast(stats))
         .select(
@@ -147,29 +182,25 @@ def append_text_index(
     row is the cost of keeping BM25's length normalization exact).
     Because postings are complete and stats exact, a probe after an
     append returns EXACTLY what a full rebuild would — q_bm25_indexed's
-    shared-oracle contract extends to the appended index."""
-    toks = batch.select(
-        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("ws")
-    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
-    postings = (
-        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", _bucket_col(F.col("term")))
-    )
-    (
-        postings.repartition("bucket")
-        .write.mode("append")
-        .option("compression", "zstd")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
-    add = toks.agg(
-        F.sum("dl").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    combined = spark.createDataFrame(
-        [(int(old["s"]) + int(add["s"]), int(old["n"]) + int(add["n"]))], "s long, n long"
-    )
-    # stats live in their own dir, so the overwrite never touches postings
-    combined.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    shared-oracle contract extends to the appended index.  An EMPTY
+    batch is a no-op (an ingest tick with no new docs must not touch
+    the index, and must certainly not crash it)."""
+    toks = _tokenized(batch, id_col, text_col).persist()
+    try:
+        s_add, n_add = _stats(toks)
+        if n_add == 0:
+            return
+        (
+            _postings(toks).repartition("bucket")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        toks.unpersist()
+    s_old, n_old = _read_stats(path)
+    # atomic pointer swap — a crash before this line leaves the OLD stats
+    # with extra postings (scores slightly off until retry), never a
+    # missing/half-written stats artifact
+    _write_stats(path, s_old + s_add, n_old + n_add)

@@ -86,3 +86,18 @@ def test_probe_with_absent_terms_returns_present_terms_only(spark, tmp_path):
     ).collect()
     assert rows
     assert {r["term"] for r in rows} == {"spark"}
+
+
+def test_empty_append_is_a_noop(spark, tmp_path):
+    """An ingest tick with no new docs must leave the index byte-identical
+    (no crash on NULL sums, no stats drift, no empty postings files)."""
+    d = load(spark, SF, "documents")
+    path = str(tmp_path / "noop")
+    build_text_index(d, path)
+    before = _files(path)
+    from hnarchive_spark.sources.text_index import _read_stats
+
+    stats_before = _read_stats(path)
+    append_text_index(spark, d.filter("doc_id < 0"), path)
+    assert _files(path) == before
+    assert _read_stats(path) == stats_before

@@ -24,9 +24,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import duckdb
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# reuse the canonical table list and the driver-compare normalization from
+# the parity test — two independent recipes WILL drift (review finding r10)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+from hnarchive_spark.tables import TABLE_NAMES as TABLES  # noqa: E402
+from test_oracle_parity import _norm_rows  # noqa: E402
 
 
 def main() -> int:
@@ -54,15 +56,13 @@ def main() -> int:
             total += time.perf_counter() - t0
             continue
         sdf = qs[name](spark, sf_dir)
-        cols = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
-        srows = sorted(tuple(str(r[i]) for i in cols) for r in sdf.collect())
+        s_cols, s_vals = _norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
         res = con.execute(osql[name])
-        ocols = [d[0] for d in res.description]
-        oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        orows = sorted(tuple(str(r[i]) for i in oo) for r in res.fetchall())
+        o_cols, o_vals = _norm_rows([d[0] for d in res.description], res.fetchall())
         dt = time.perf_counter() - t0
         total += dt
-        ok = srows == orows
+        ok = s_cols == o_cols and s_vals == o_vals
+        srows = s_vals
         n_fail += 0 if ok else 1
         print(f"{name}\t{'MATCH' if ok else 'MISMATCH'}\t{len(srows)} rows\t{dt:.2f}s")
     print(f"# window total {total:.1f}s, {n_fail} mismatches")
