@@ -22,6 +22,9 @@ hyperplanes) — locked by tests and by sharing the q_ann_lsh oracle.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -248,6 +251,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     list_col: str = "label",
     dim: int = DIM,
+    by_residual: bool = False,
 ) -> None:
     """Write the IVF-PQ index: PQ codes INSIDE the list partitions, plus
     both quantizers persisted beside them.
@@ -272,17 +276,43 @@ def build_ivfpq_index(
     Codebooks come from the same deterministic ``pq_assign`` training the
     inline form uses (k-smallest-ids init, 6-decimal distances, code
     tiebreak, fixed iterations), so probes return rows IDENTICAL to
-    ``ivf_pq_adc_topk`` and share the q_ann_ivfpq oracle."""
+    ``ivf_pq_adc_topk`` and share the q_ann_ivfpq oracle.
+
+    ``by_residual=True`` stores the FAISS-default variant instead: PQ
+    trains on and codes encode ``v - centroid[list(v)]`` (the recall-per-
+    bit upgrade on clustered corpora; see ``ivf_pq_residual_topk``).  The
+    mode is persisted in ``<path>/_META.json`` so probes and appends pick
+    the matching scoring path automatically — probes then return rows
+    identical to ``ivf_pq_residual_topk``."""
     from hnarchive_spark.operators.kmeans import pq_assign
 
     spark = embeddings.sparkSession
-    codes, codebook = pq_assign(
-        embeddings, n_sub, k, iters, id_col=id_col, vec_col=vec_col, dim=dim,
-        return_codebook=True,
+    e_full = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.col(list_col).alias("list_id"),
     )
-    labels = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(list_col).alias("list_id")
+    dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+    centroids = e_full.groupBy("list_id").agg(*dim_cols).select(
+        "list_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
     )
+    if by_residual:
+        train = e_full.join(F.broadcast(centroids), "list_id").select(
+            "vec_id",
+            "list_id",
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("r"),
+        )
+        codes, codebook = pq_assign(
+            train, n_sub, k, iters, id_col="vec_id", vec_col="r", dim=dim,
+            return_codebook=True,
+        )
+        labels = train.select("vec_id", "list_id")
+    else:
+        codes, codebook = pq_assign(
+            embeddings, n_sub, k, iters, id_col=id_col, vec_col=vec_col, dim=dim,
+            return_codebook=True,
+        )
+        labels = e_full.select("vec_id", "list_id")
     (
         codes.join(labels, "vec_id")
         .repartition("list_id")
@@ -291,14 +321,8 @@ def build_ivfpq_index(
         .partitionBy("list_id")
         .parquet(f"{path}/codes")
     )
-    e = embeddings.select(
-        as_double(F.col(vec_col)).alias("v"), F.col(list_col).alias("list_id")
-    )
-    dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
     (
-        e.groupBy("list_id")
-        .agg(*dim_cols)
-        .select("list_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"))
+        centroids
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
@@ -309,6 +333,18 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/codebooks")
     )
+    tmp = os.path.join(path, "_META.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"by_residual": bool(by_residual)}, fh)
+    os.replace(tmp, os.path.join(path, "_META.json"))
+
+
+def _ivfpq_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, "_META.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:  # pre-meta indexes are plain-encoding
+        return {"by_residual": False}
 
 
 def append_ivfpq_index(
@@ -330,8 +366,11 @@ def append_ivfpq_index(
     the same quantizers would give it): coarse routing by 6-decimal
     cosine with list-id tiebreak (as :func:`append_ivf_index`), PQ
     encoding by 6-decimal squared-L2 with code tiebreak (as
-    ``pq_assign``'s per-iteration assignment)."""
+    ``pq_assign``'s per-iteration assignment).  On a ``by_residual``
+    index (``_META.json``) the PQ step encodes the batch vector's
+    residual w.r.t. its ASSIGNED frozen centroid."""
     sub = dim // n_sub
+    residual = bool(_ivfpq_meta(path).get("by_residual"))
     centroids = spark.read.parquet(f"{path}/centroids")
     codebooks = spark.read.parquet(f"{path}/codebooks")
     b = batch.select(
@@ -350,6 +389,15 @@ def append_ivfpq_index(
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "list_id")
     )
+    if residual:
+        assigned = assigned.join(
+            F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
+            assigned.list_id == F.col("cl"),
+        ).select(
+            "vec_id",
+            "list_id",
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("v"),
+        )
     # PQ codes: nearest frozen codebook entry per subvector
     b_sub = assigned.select(
         "vec_id",
@@ -411,8 +459,12 @@ def probe_ivfpq_topk(
     lookups into exact ADC distances.  The only corpus-shaped data that
     moves is the probed lists' integer codes.  Results are identical to
     ``ivf_pq_adc_topk`` (same quantizers, same metrics), so the query
-    shares the q_ann_ivfpq oracle."""
+    shares the q_ann_ivfpq oracle.  On a ``by_residual`` index
+    (``_META.json``) the LUT is built per (query, probed list) from the
+    query's per-list residual and results match
+    ``ivf_pq_residual_topk``."""
     sub = dim // n_sub
+    residual = bool(_ivfpq_meta(index_path).get("by_residual"))
     centroids = spark.read.parquet(f"{index_path}/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -429,15 +481,35 @@ def probe_ivfpq_topk(
     ).filter(F.col("pr") <= n_probe)
     lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
     codes = spark.read.parquet(f"{index_path}/codes").filter(F.col("list_id").isin(lists))
-    # per-query ADC lookup table from the persisted codebooks
+    # per-query ADC lookup table from the persisted codebooks; on a
+    # residual index the query's residual differs per probed list, so
+    # the LUT carries list_id and the scoring join keys on it too
     codebooks = spark.read.parquet(f"{index_path}/codebooks")
-    q_sub = probes.select("query_id", "qv").distinct().select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
-        F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsub"),
-    )
+    if residual:
+        q_res = probes.join(
+            F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
+            probes.list_id == F.col("cl"),
+        ).select(
+            "query_id",
+            "list_id",
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, c: x - c).alias("qr"),
+        )
+        q_sub = q_res.select(
+            "query_id",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            F.expr(f"slice(qr, m * {sub} + 1, {sub})").alias("qsub"),
+        )
+        lut_keys = ["query_id", "list_id", "m", "code"]
+    else:
+        q_sub = probes.select("query_id", "qv").distinct().select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsub"),
+        )
+        lut_keys = ["query_id", "m", "code"]
     dtab = q_sub.join(F.broadcast(codebooks), "m").select(
-        "query_id",
+        *[c for c in ("query_id", "list_id") if c in q_sub.columns],
         "m",
         "code",
         F.round(sq_dist(F.col("qsub"), F.col("centroid")) * 1_000_000, 0)
@@ -451,7 +523,7 @@ def probe_ivfpq_topk(
     scored = (
         code_long.join(F.broadcast(probes.select("query_id", "list_id")), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .join(F.broadcast(dtab), lut_keys)
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d_e6").alias("adc_e6"))
     )

@@ -132,3 +132,48 @@ def test_ivfpq_indexed_probe_matches_inline(spark, tmp_path):
         ).collect()
     )
     assert idx_rows == inline_rows and idx_rows
+
+
+def test_residual_index_probe_matches_inline_residual(spark, tmp_path):
+    """build_ivfpq_index(by_residual=True): the persisted-index probe must
+    return rows IDENTICAL to the inline ivf_pq_residual_topk composition
+    (mode persisted in _META.json, probe auto-selects the per-(query,
+    list) residual LUT), and a frozen-quantizer append on a residual
+    index must leave pre-existing files byte-untouched."""
+    from hnarchive_spark.operators.kmeans import ivf_pq_residual_topk
+    from hnarchive_spark.sources.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_topk,
+    )
+
+    e = load(spark, SF, "embeddings")
+    n_sub, k, iters, topk, n_probe, n_queries = 4, 8, 2, 5, 2, 5
+    path = str(tmp_path / "ivfpq_res")
+    build_ivfpq_index(e, path, n_sub, k, iters, by_residual=True)
+    idx_rows = sorted(
+        tuple(r) for r in probe_ivfpq_topk(
+            spark, path, e.filter(F.col("vec_id") < n_queries), topk, n_sub,
+            n_probe=n_probe,
+        ).collect()
+    )
+    inline_rows = sorted(
+        tuple(r) for r in ivf_pq_residual_topk(
+            e, n_queries, n_sub, k, iters, topk, n_probe=n_probe
+        ).collect()
+    )
+    assert idx_rows == inline_rows and idx_rows
+
+    # frozen-quantizer append on the residual index: files only added
+    path2 = str(tmp_path / "ivfpq_res_app")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 2 == 0), path2, n_sub, k, iters, by_residual=True
+    )
+    before = _files(f"{path2}/codes")
+    append_ivfpq_index(spark, e.filter(F.col("vec_id") % 2 == 1), path2, n_sub)
+    after = _files(f"{path2}/codes")
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    codes = spark.read.parquet(f"{path2}/codes")
+    assert codes.count() == e.count()
+    assert codes.select("vec_id").distinct().count() == e.count()
