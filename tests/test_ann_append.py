@@ -177,3 +177,22 @@ def test_residual_index_probe_matches_inline_residual(spark, tmp_path):
     codes = spark.read.parquet(f"{path2}/codes")
     assert codes.count() == e.count()
     assert codes.select("vec_id").distinct().count() == e.count()
+
+
+def test_residual_index_probe_partition_prunes(spark, tmp_path):
+    """The residual-index probe's extra LUT key (list_id) must not cost
+    the plan its shape: codes scan still partition-pruned to probed
+    lists, no CartesianProduct, LUT still a broadcast join."""
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_res_plan")
+    build_ivfpq_index(e, path, 4, 8, 2, by_residual=True)
+    probe = probe_ivfpq_topk(
+        spark, path, e.filter(F.col("vec_id") < 5), 5, 4, n_probe=2
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("list_id" in ln for ln in pf), pf
+    assert "BroadcastHashJoin" in plan
