@@ -808,6 +808,12 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv.join(deg, "node", "left")
             .filter(F.coalesce(F.col("deg"), F.lit(0)) >= k)
             .select("node")
+            # one row per surviving node (metadata-sized, the q_pagerank /
+            # q_power_iteration contract): cut the lineage each round —
+            # un-checkpointed, round i's plan re-evaluates round i-1's
+            # joins once per reference (surv appears 3x per round), which
+            # measured 14.7 s at sf0.01 for this tiny graph
+            .localCheckpoint(eager=True)
         )
     final_edges = (
         und.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
