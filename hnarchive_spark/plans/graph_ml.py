@@ -914,12 +914,20 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("gv") * F.col("v")).alias("u"))
         )
         m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        v = u.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.expr(
-                f"CAST(CASE WHEN u >= 0 THEN (2 * {PCA_VSCALE} * u + m) div (2 * m)"
-                f" ELSE -((2 * {PCA_VSCALE} * (-u) + m) div (2 * m)) END AS BIGINT)"
-            ).alias("v"),
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr(
+                    f"CAST(CASE WHEN u >= 0 THEN (2 * {PCA_VSCALE} * u + m) div (2 * m)"
+                    f" ELSE -((2 * {PCA_VSCALE} * (-u) + m) div (2 * m)) END AS BIGINT)"
+                ).alias("v"),
+            )
+            # dim rows — metadata-sized.  u is referenced TWICE per round
+            # (renormalizer + next v), so an un-truncated lineage doubles
+            # the evaluation tree every iteration (2^PCA_ITERS re-runs of
+            # the Gram multiply); same contract as the k-core fix.
+            .localCheckpoint(eager=True)
         )
     return v.select(F.col("i").alias("dim"), F.col("v").alias("comp_e3"))
 
