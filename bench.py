@@ -233,23 +233,43 @@ def main() -> None:
     spreads["store_merge_bulk"] = 0.0
 
     total = round(sum(timings.values()), 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # stdout = EXACTLY ONE compact JSON line (VERDICT r10 #6): the driver
+    # stores only a bounded tail of this process's output, and the full
+    # per-query dict + spread + isolated blocks (~5 KB) overflowed that
+    # window in rounds 8-10, leaving "parsed": null in BENCH_r{N}.json.
+    # Totals + slowest-10 fit in <1 KB under any truncation anchor; the
+    # complete table goes to stderr (and to BENCH_local_r{N}.json, which
+    # BASELINE.md references for the full round-over-round comparison).
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "isolated_fresh_session": isolated,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf,
                 "store_merge_rows_per_sec": round(
                     MERGE_COMMITS * MERGE_BATCH_ROWS / merge_sec, 1
                 ),
-                "store_merge_bulk_rows": bulk_rows,
                 "store_merge_bulk_rows_per_sec": round(bulk_rows / bulk_sec, 1),
             }
-        )
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "detail": "full_per_query_timings",
+                "queries": timings,
+                "spread": spreads,
+                "isolated_fresh_session": isolated,
+                "store_merge_bulk_rows": bulk_rows,
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
     )
     spark.stop()
 

@@ -163,7 +163,13 @@ def int8_quantize(vec_col) -> F.Column:
     from-zero rounding on both engines makes the codes engine-portable."""
     v = as_double(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    return F.transform(v, lambda x: F.round(x * 127 / maxabs, 0).cast("long"))
+    # maxabs == 0 (an all-zero embedding) would make the division NULL on
+    # Spark but NaN on DuckDB — divergent codes and broken ranking on that
+    # data edge.  A safe denominator pins the edge to all-zero codes on
+    # both engines (every numerator is 0 there anyway); the SQL oracles
+    # carry the matching CASE guard.
+    safe = F.when(maxabs == F.lit(0.0), F.lit(1.0)).otherwise(maxabs)
+    return F.transform(v, lambda x: F.round(x * 127 / safe, 0).cast("long"))
 
 
 def int8_topk(

@@ -19,8 +19,31 @@ from hnarchive_spark.tables import load
 
 BM25_TERMS = ("spark", "merge", "join")
 BM25_TOPK = 10
-# k1 = 1.2 = 6/5, b = 0.75 = 3/4: score = tf*(k1+1) / (tf + k1*(1-b+b*dl/A))
-# with A = round_half_up(avgdl) clears to 44*tf*A / (20*tf*A + 6*A + 18*dl).
+
+# ---- the ONE definition of the BM25 integer score (ADVICE r10) -----------
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4:
+#   score = tf*(k1+1) / (tf + k1*(1 - b + b*dl/A)),  A = round_half_up(avgdl)
+# cleared of denominators, e6-scaled, with round-half-up division:
+#   score_e6 = (2*44e6*tf*A + D) div (2*D),   D = 20*tf*A + 6*A + 18*dl.
+# The whole family — q_bm25_lite, the persisted-index probe
+# (sources/text_index.bm25_topk), and the shared DuckDB oracle — renders
+# these SAME strings (Spark `div`, DuckDB `//`; identical semantics here
+# because every operand is nonnegative), so a constant can't drift in one
+# copy and silently break the shared-oracle contract.
+
+
+def bm25_avgdl_sql(div: str = "div", s: str = "s", n: str = "n") -> str:
+    """Round-half-up integer avgdl ``A`` from corpus stats (s, n)."""
+    return f"(2 * {s} + {n}) {div} (2 * {n})"
+
+
+def bm25_score_sql(div: str = "div") -> str:
+    """e6-scaled integer BM25 score from columns (tf, dl, a) — BIGINT on
+    both engines."""
+    return (
+        "CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))"
+        f" {div} (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT)"
+    )
 
 
 
@@ -41,13 +64,12 @@ _BM25_ORACLE = f"""
       SELECT t.term, k.doc_id,
              CAST(len(list_filter(k.ws, w -> w = t.term)) AS BIGINT) AS tf,
              CAST(len(k.ws) AS BIGINT) AS dl,
-             (2 * st.s + st.n) // (2 * st.n) AS a
+             {bm25_avgdl_sql(div='//', s='st.s', n='st.n')} AS a
       FROM toks k CROSS JOIN terms t CROSS JOIN st
     ),
     s2 AS (
       SELECT term, doc_id, tf,
-             CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))
-                  // (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT) AS score_e6
+             {bm25_score_sql(div='//')} AS score_e6
       FROM scored WHERE tf > 0
     )
     SELECT term, doc_id, tf, score_e6, rank FROM (
@@ -87,15 +109,12 @@ def q_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(F.expr("filter(ws, w -> w = term)")).cast("long").alias("tf"),
             F.size("ws").cast("long").alias("dl"),
-            F.expr("(2 * s + n) div (2 * n)").alias("a"),
+            F.expr(bm25_avgdl_sql()).alias("a"),
         )
         .filter(F.col("tf") > 0)
         .withColumn(
             "score_e6",
-            F.expr(
-                "CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))"
-                " div (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT)"
-            ),
+            F.expr(bm25_score_sql()),
         )
     )
     w = Window.partitionBy("term").orderBy(F.col("score_e6").desc(), "doc_id")

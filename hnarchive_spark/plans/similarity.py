@@ -1229,7 +1229,7 @@ def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT vec_id,
              CAST(round(maxabs * 1000000) AS BIGINT) AS maxabs_e6,
-             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+             list_transform(v, x -> CAST(round(x * 127 / (CASE WHEN maxabs = 0 THEN 1 ELSE maxabs END)) AS BIGINT)) AS qv
       FROM m
     )
     SELECT vec_id, maxabs_e6,
@@ -1251,7 +1251,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = S.as_double(F.col("embedding"))
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     rows = e.select("vec_id", v.alias("v"), maxabs.alias("maxabs"))
-    qv = F.transform(F.col("v"), lambda x: F.round(x * 127 / F.col("maxabs"), 0).cast("long"))
+    # zero-vector guard: same safe denominator as int8_quantize / the oracle
+    safe = F.when(F.col("maxabs") == F.lit(0.0), F.lit(1.0)).otherwise(F.col("maxabs"))
+    qv = F.transform(F.col("v"), lambda x: F.round(x * 127 / safe, 0).cast("long"))
     return rows.select(
         "vec_id",
         F.round(F.col("maxabs") * 1_000_000, 0).cast("long").alias("maxabs_e6"),
@@ -1277,7 +1279,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q8 AS (
       SELECT vec_id,
-             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+             list_transform(v, x -> CAST(round(x * 127 / (CASE WHEN maxabs = 0 THEN 1 ELSE maxabs END)) AS BIGINT)) AS qv
       FROM m
     ),
     qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < {N_QUERIES}),
@@ -1339,7 +1341,7 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q8 AS (
       SELECT vec_id,
-             list_transform(v, x -> CAST(round(x * 127 / maxabs) AS BIGINT)) AS qv
+             list_transform(v, x -> CAST(round(x * 127 / (CASE WHEN maxabs = 0 THEN 1 ELSE maxabs END)) AS BIGINT)) AS qv
       FROM m
     ),
     qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < {N_QUERIES}),

@@ -144,6 +144,42 @@ def build_ivf_index(
     )
 
 
+def _reject_duplicate_ids(spark, assigned: DataFrame, data_dir: str) -> None:
+    """Guard the frozen-quantizer appends against re-delivered ids (ADVICE
+    r10): the surrounding system re-delivers ids by design (store merges,
+    update re-crawls), and a duplicate row here silently corrupts results
+    — twice-counted ADC partial sums in ``probe_ivfpq_topk``'s groupBy-sum,
+    duplicate candidates in IVF probes.
+
+    The check is partition-pruned: an id re-delivered with the SAME vector
+    routes to the same list, so scanning only the batch's own ``list_id``
+    partitions finds it — O(touched lists), not O(index).  (An id whose
+    vector CHANGED may route elsewhere and escape this check; that case is
+    an update, which no append-only index supports — rebuild handles it.)
+    ``assigned`` must be (vec_id, list_id, ...) and already persisted (it
+    is re-consumed by the caller's write)."""
+    touched = sorted(r[0] for r in assigned.select("list_id").distinct().collect())
+    if not touched:
+        return
+    existing = (
+        spark.read.parquet(data_dir)
+        .filter(F.col("list_id").isin(touched))
+        .select("vec_id")
+    )
+    dup = [
+        r[0]
+        for r in existing.join(
+            assigned.select("vec_id").distinct(), "vec_id", "left_semi"
+        ).limit(5).collect()
+    ]
+    if dup:
+        raise ValueError(
+            f"append: batch contains already-indexed vec_ids (sample: {dup}); "
+            "appending would double their contribution in probes. Dedupe the "
+            "batch upstream or rebuild the index."
+        )
+
+
 def append_ivf_index(
     spark,
     batch: DataFrame,
@@ -179,14 +215,19 @@ def append_ivf_index(
         )
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "n", "list_id")
+        .persist()
     )
-    (
-        assigned.repartition("list_id")
-        .write.mode("append")
-        .option("compression", "zstd")
-        .partitionBy("list_id")
-        .parquet(f"{path}/lists")
-    )
+    try:
+        _reject_duplicate_ids(spark, assigned, f"{path}/lists")
+        (
+            assigned.repartition("list_id")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("list_id")
+            .parquet(f"{path}/lists")
+        )
+    finally:
+        assigned.unpersist()
 
 
 def probe_ivf_topk(
@@ -388,7 +429,10 @@ def append_ivfpq_index(
         routed.select("vec_id", "v", "list_id", F.row_number().over(wl).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "list_id")
+        .persist()
     )
+    _reject_duplicate_ids(spark, assigned, f"{path}/codes")
+    routed_batch = assigned  # keep the persisted handle for unpersist
     if residual:
         assigned = assigned.join(
             F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
@@ -427,13 +471,16 @@ def append_ivfpq_index(
             "list_id",
         )
     )
-    (
-        codes.repartition("list_id")
-        .write.mode("append")
-        .option("compression", "zstd")
-        .partitionBy("list_id")
-        .parquet(f"{path}/codes")
-    )
+    try:
+        (
+            codes.repartition("list_id")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("list_id")
+            .parquet(f"{path}/codes")
+        )
+    finally:
+        routed_batch.unpersist()
 
 
 def probe_ivfpq_topk(

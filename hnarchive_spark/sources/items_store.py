@@ -244,12 +244,26 @@ class ItemsStore:
             # itself is ~0.01 s — tools/merge_floor_probe.py, BENCH_NOTES
             # r10). Schema errors must still fail FAST on idle ticks — a
             # misconfigured stream would otherwise commit versions happily
-            # until the first non-empty batch — so validate the batch
-            # columns exactly as the merge plan would (analysis only, no
-            # job).
+            # until the first non-empty batch — so run the SAME analysis
+            # the real merge performs: build (never execute) the merge plan
+            # against a 0-row current.  Spark analyzes DataFrames eagerly,
+            # so missing columns AND type mismatches the join/coalesce spec
+            # would reject surface here, on the idle tick.
             if seq_col is not None and seq_col not in updates.columns:
                 raise ValueError(f"seq_col {seq_col!r} not in batch columns")
-            updates.select(*item_cols)  # raises AnalysisException if missing
+            probe = merge_items(raw.select(*item_cols).limit(0), updates, seq_col=seq_col)
+            # analysis alone lets Spark COERCE a mistyped column (a string
+            # score coalesces to string) — exactly the drift a non-empty
+            # merge would then write into the snapshot schema.  Reject any
+            # batch whose merged plan doesn't come out at ITEMS_SCHEMA.
+            expect = {f.name: f.dataType for f in ITEMS_SCHEMA.fields}
+            got = {f.name: f.dataType for f in probe.schema.fields}
+            if got != expect:
+                bad = sorted(c for c in expect if got.get(c) != expect[c])
+                raise ValueError(
+                    f"idle-tick batch schema would drift the store: "
+                    f"{[(c, str(got.get(c)), str(expect[c])) for c in bad]}"
+                )
             new_v = old_v + 1
             out = self._version_dir(new_v)
             self._link_forward(self._version_dir(old_v), out)

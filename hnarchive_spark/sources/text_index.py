@@ -86,9 +86,78 @@ def _write_stats(path: str, s: int, n: int) -> None:
 
 
 def _read_stats(path: str) -> tuple[int, int]:
+    if os.path.exists(_journal_path(path)):
+        raise RuntimeError(
+            f"text index at {path} has an unfinished append (journal "
+            "present): postings and stats may disagree. Run "
+            "recover_text_index(spark, path) before probing or appending."
+        )
     with open(os.path.join(path, "_STATS.json")) as fh:
         d = json.load(fh)
     return int(d["s"]), int(d["n"])
+
+
+def _journal_path(path: str) -> str:
+    return os.path.join(path, "_APPEND_JOURNAL.json")
+
+
+def _write_journal(path: str, s_add: int, n_add: int) -> None:
+    """Append intent marker, published atomically BEFORE the postings
+    append: records the batch's exact stats delta so a crash between the
+    postings job and the stats rewrite is DETECTABLE (the r10 advice —
+    previously that window silently left scores drifting) and recoverable
+    without guessing."""
+    tmp = _journal_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"s_add": s_add, "n_add": n_add}, fh)
+    os.replace(tmp, _journal_path(path))
+
+
+def recover_text_index(spark, path: str) -> str:
+    """Complete or roll forward an append interrupted between the postings
+    job and the stats publish.
+
+    Postings are the source of truth: Spark's job-commit protocol makes
+    the append all-or-nothing (task files live under ``_temporary`` until
+    job commit), so on recovery the postings either include the journaled
+    batch or don't.  Recompute exact stats from the postings' distinct
+    ``(doc_id, dl)`` pairs (a full postings scan — recovery-only cost),
+    verify the result matches one of the two legal states the journal
+    describes, publish, and clear the journal.  Returns ``"committed"``
+    (batch postings present, stats rolled forward) or ``"absent"``
+    (append never committed, old stats were already right)."""
+    jp = _journal_path(path)
+    if not os.path.exists(jp):
+        return "clean"
+    with open(jp) as fh:
+        j = json.load(fh)
+    with open(os.path.join(path, "_STATS.json")) as fh:
+        d = json.load(fh)
+    s_old, n_old = int(d["s"]), int(d["n"])
+    row = (
+        spark.read.parquet(f"{path}/postings")
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    s_now, n_now = int(row["s"]), int(row["n"])
+    if (s_now, n_now) == (s_old + int(j["s_add"]), n_old + int(j["n_add"])):
+        _write_stats(path, s_now, n_now)
+        outcome = "committed"
+    elif (s_now, n_now) == (s_old, n_old):
+        outcome = "absent"
+    else:
+        raise RuntimeError(
+            f"text index at {path} is in a state the journal cannot "
+            f"explain: stats=({s_old},{n_old}) journal=+({j['s_add']},"
+            f"{j['n_add']}) postings=({s_now},{n_now}). Rebuild the index."
+        )
+    os.remove(jp)
+    return outcome
 
 
 def build_text_index(
@@ -131,6 +200,8 @@ def bm25_topk(
     re-tokenized.  Scoring is q_bm25_lite's exact integer rational
     (k1=1.2, b=0.75, A = round-half-up avgdl), so rows are identical to
     the on-the-fly operator and the oracle is shared."""
+    from hnarchive_spark.plans.search import bm25_avgdl_sql, bm25_score_sql
+
     buckets = sorted({_bucket_py(t) for t in terms})
     p = (
         spark.read.parquet(f"{index_path}/postings")
@@ -146,15 +217,9 @@ def bm25_topk(
             "doc_id",
             "tf",
             "dl",
-            F.expr("(2 * s + n) div (2 * n)").alias("a"),
+            F.expr(bm25_avgdl_sql()).alias("a"),
         )
-        .withColumn(
-            "score_e6",
-            F.expr(
-                "CAST((2 * 44000000 * tf * a + (20 * tf * a + 6 * a + 18 * dl))"
-                " div (2 * (20 * tf * a + 6 * a + 18 * dl)) AS BIGINT)"
-            ),
-        )
+        .withColumn("score_e6", F.expr(bm25_score_sql()))
     )
     w = Window.partitionBy("term").orderBy(F.col("score_e6").desc(), "doc_id")
     return (
@@ -174,33 +239,77 @@ def append_text_index(
     """Incremental text-index maintenance: add a document batch O(batch).
 
     The batch's postings are APPENDED into the existing term-bucket
-    partitions (doc_ids are new, so no posting collides; every
-    pre-existing postings file stays byte-untouched — inode-locked in
-    tests/test_text_index.py), and the one-row corpus stats are
-    REWRITTEN with the combined totals (stats are metadata, the same
-    class of artifact as the store's `_CURRENT` pointer — rewriting one
-    row is the cost of keeping BM25's length normalization exact).
+    partitions (every pre-existing postings file stays byte-untouched —
+    inode-locked in tests/test_text_index.py), and the one-row corpus
+    stats are REWRITTEN with the combined totals (stats are metadata, the
+    same class of artifact as the store's `_CURRENT` pointer — rewriting
+    one row is the cost of keeping BM25's length normalization exact).
     Because postings are complete and stats exact, a probe after an
     append returns EXACTLY what a full rebuild would — q_bm25_indexed's
     shared-oracle contract extends to the appended index.  An EMPTY
     batch is a no-op (an ingest tick with no new docs must not touch
-    the index, and must certainly not crash it)."""
+    the index, and must certainly not crash it).
+
+    Two safety rails (ADVICE r10):
+
+    * **Duplicate-id rejection.** The surrounding system re-delivers ids
+      (`ItemsStore.merge_batch`, `update_items` re-crawls), so an
+      already-indexed id arriving here is the EXPECTED misuse — and it
+      would silently corrupt scores (inflated tf + drifted stats).  The
+      batch ids are anti-checked against the index before any write:
+      a semi-join restricted to the batch's OWN term-bucket partitions
+      (a re-delivered doc tokenizes to the same terms, so its existing
+      postings live exactly in those buckets), which keeps the check
+      O(touched buckets), not O(index).  Overlap raises ``ValueError``.
+    * **Append journal.** The postings job and the stats rewrite are two
+      publishes; a crash between them is recorded by a journal written
+      FIRST (exact stats delta), so the gap is detected on the next
+      probe/append (``_read_stats`` raises) and repaired exactly by
+      :func:`recover_text_index` — a blind retry would duplicate the
+      batch's postings."""
+    # journal check FIRST: a torn index (crashed prior append) must be
+    # reported as such, not as the overlap its own half-landed postings
+    # would otherwise trigger
+    s_old, n_old = _read_stats(path)
     toks = _tokenized(batch, id_col, text_col).persist()
     try:
         s_add, n_add = _stats(toks)
         if n_add == 0:
             return
-        (
-            _postings(toks).repartition("bucket")
-            .write.mode("append")
-            .option("compression", "zstd")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
-        )
+        posts = _postings(toks).persist()
+        try:
+            touched = sorted(
+                r[0] for r in posts.select("bucket").distinct().collect()
+            )
+            existing = (
+                spark.read.parquet(f"{path}/postings")
+                .filter(F.col("bucket").isin(touched))
+                .select("doc_id")
+            )
+            dup = [
+                r[0]
+                for r in existing.join(
+                    posts.select("doc_id").distinct(), "doc_id", "left_semi"
+                ).limit(5).collect()
+            ]
+            if dup:
+                raise ValueError(
+                    f"append_text_index: batch contains already-indexed "
+                    f"doc_ids (sample: {dup}); appending would duplicate "
+                    "postings and corrupt tf/stats. Delete-and-rebuild or "
+                    "dedupe the batch upstream."
+                )
+            _write_journal(path, s_add, n_add)
+            (
+                posts.repartition("bucket")
+                .write.mode("append")
+                .option("compression", "zstd")
+                .partitionBy("bucket")
+                .parquet(f"{path}/postings")
+            )
+        finally:
+            posts.unpersist()
     finally:
         toks.unpersist()
-    s_old, n_old = _read_stats(path)
-    # atomic pointer swap — a crash before this line leaves the OLD stats
-    # with extra postings (scores slightly off until retry), never a
-    # missing/half-written stats artifact
     _write_stats(path, s_old + s_add, n_old + n_add)
+    os.remove(_journal_path(path))

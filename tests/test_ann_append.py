@@ -196,3 +196,41 @@ def test_residual_index_probe_partition_prunes(spark, tmp_path):
     pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
     assert pf and any("list_id" in ln for ln in pf), pf
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_append_duplicate_ids_rejected(spark, tmp_path):
+    """ADVICE r10: a re-delivered id appended into a frozen index silently
+    doubles its contribution in probes. The guard rejects the batch before
+    any write, pruned to the batch's own list partitions."""
+    import pytest
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_dup")
+    build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    before = _files(f"{path}/lists")
+    bad = e.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") == 0))
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_ivf_index(spark, bad, path)
+    assert _files(f"{path}/lists") == before, "rejected append must not write"
+    # a clean batch still appends fine afterwards
+    append_ivf_index(spark, e.filter(F.col("vec_id") % 2 == 1), path)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.select("vec_id").distinct().count() == e.count()
+
+
+def test_ivfpq_append_duplicate_ids_rejected(spark, tmp_path):
+    """Same rail for the PQ-coded index: duplicate code rows would double a
+    vector's ADC partial sums in probe_ivfpq_topk's groupBy-sum."""
+    import pytest
+
+    from hnarchive_spark.sources.ann_index import append_ivfpq_index, build_ivfpq_index
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_dup")
+    n_sub, k, iters = 4, 8, 2
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_sub, k, iters)
+    before = _files(f"{path}/codes")
+    bad = e.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") == 2))
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_ivfpq_index(spark, bad, path, n_sub)
+    assert _files(f"{path}/codes") == before, "rejected append must not write"

@@ -130,3 +130,34 @@ def test_ivfpq_full_probe_equals_pq_adc(spark):
         ).collect()
     }
     assert full == ref, "full probe must equal PQ-ADC exactly (values and ranks)"
+
+
+def test_int8_quantize_zero_vector_gives_zero_codes(spark):
+    """ADVICE r10 data edge: an all-zero embedding made the 127/max|v|
+    divisor NULL on Spark (NaN on DuckDB). The guard must pin the edge to
+    all-zero codes — defined, identical on both engines — while leaving
+    nonzero vectors' codes untouched."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", S.int8_quantize(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert got[0] == [0, 0, 0, 0]
+    assert got[1] == [64, -127, 32, 0]
+    # the SQL oracle's guard produces the same codes
+    duck = duckdb.sql(
+        """
+        SELECT list_transform(v, x -> CAST(round(x * 127 /
+                 (CASE WHEN maxabs = 0 THEN 1 ELSE maxabs END)) AS BIGINT)) AS q
+        FROM (SELECT v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+              FROM (VALUES ([0.0,0.0,0.0,0.0]), ([1.0,-2.0,0.5,0.0])) t(v))
+        ORDER BY q[2] DESC
+        """
+    ).fetchall()
+    assert [list(r[0]) for r in duck] == [got[0], got[1]]

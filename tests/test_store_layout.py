@@ -285,3 +285,36 @@ def test_pinned_snapshot_schema_matches_written_layout(spark, tmp_path):
     assert {x for x in pinned if x[0] not in part_cols} == {
         x for x in seen if x[0] not in part_cols
     }
+
+
+def test_zero_row_merge_rejects_mistyped_batch(spark, tmp_path):
+    """ADVICE r10: an idle tick from a MISTYPED stream must fail fast, not
+    commit versions happily until the first non-empty batch. The fast path
+    now builds (never executes) the real merge plan against a 0-row
+    current AND pins the merged schema to ITEMS_SCHEMA — a string `score`
+    that Spark would silently coerce is rejected on the idle tick."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    store = ItemsStore(spark, str(tmp_path / "store"), bucket_size=10)
+    store.merge_batch(FX.items_df_with_seq(spark, FX.MERGE_BASE), seq_col="seq")
+    v1 = store._current_version()
+
+    good_empty = FX.items_df_with_seq(spark, FX.MERGE_BASE).filter("id < 0")
+
+    # missing column: analysis of the merge plan fails
+    with pytest.raises(Exception):
+        store.merge_batch(good_empty.drop("score"), seq_col="seq")
+
+    # mistyped column: analysis succeeds (Spark coerces the merged column
+    # to DOUBLE — the classic JSON-numbers-arrive-as-doubles drift), the
+    # ITEMS_SCHEMA pin catches it
+    mistyped = good_empty.withColumn("score", F.col("score").cast("double"))
+    with pytest.raises(ValueError, match="score"):
+        store.merge_batch(mistyped, seq_col="seq")
+
+    # neither failure committed a version
+    assert store._current_version() == v1
+    # and a well-typed idle tick still commits via the fast path
+    store.merge_batch(good_empty, seq_col="seq")
+    assert store._current_version() == v1 + 1

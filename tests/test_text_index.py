@@ -101,3 +101,93 @@ def test_empty_append_is_a_noop(spark, tmp_path):
     append_text_index(spark, d.filter("doc_id < 0"), path)
     assert _files(path) == before
     assert _read_stats(path) == stats_before
+
+
+def test_duplicate_append_rejected_and_index_unchanged(spark, tmp_path):
+    """ADVICE r10: re-delivered ids are the EXPECTED misuse (the store
+    re-delivers by design), and appending one would silently inflate
+    tf/stats. The guard must reject the batch BEFORE any write."""
+    import pytest
+
+    d = load(spark, SF, "documents")
+    path = str(tmp_path / "dup")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    before = _files(path)
+    from hnarchive_spark.sources.text_index import _journal_path, _read_stats
+
+    stats_before = _read_stats(path)
+    # batch = new odd docs PLUS one already-indexed even doc
+    bad = d.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") == 0))
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_text_index(spark, bad, path)
+    assert _files(path) == before, "rejected append must not touch the index"
+    assert _read_stats(path) == stats_before
+    assert not os.path.exists(_journal_path(path)), "no journal left behind"
+
+
+def test_interrupted_append_detected_and_recovered(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a crash between the postings job and the stats rewrite
+    must be DETECTED (probe raises) and repaired EXACTLY (recovery rolls
+    stats forward from the journal; probe rows == full-build rows)."""
+    import pytest
+
+    from hnarchive_spark.sources import text_index as TI
+
+    d = load(spark, SF, "documents")
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    full = sorted(
+        tuple(r) for r in bm25_topk(spark, full_path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+
+    path = str(tmp_path / "crash")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+
+    # simulate the crash window: postings land, stats rewrite never runs
+    real_write = TI._write_stats
+    calls = {"n": 0}
+
+    def dying_write(p, s, n):
+        # the build above already used the real one; die only on the append's
+        # post-postings stats publish
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before stats publish")
+
+    monkeypatch.setattr(TI, "_write_stats", dying_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), path)
+    monkeypatch.setattr(TI, "_write_stats", real_write)
+
+    # detection: any stats read (probe or append) refuses the torn index
+    with pytest.raises(RuntimeError, match="unfinished append"):
+        bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)
+    with pytest.raises(RuntimeError, match="unfinished append"):
+        append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), path)
+
+    # recovery: journal says +delta, postings contain the batch -> roll forward
+    assert TI.recover_text_index(spark, path) == "committed"
+    got = sorted(
+        tuple(r) for r in bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    assert got == full
+    assert TI.recover_text_index(spark, path) == "clean"
+
+
+def test_recovery_of_journal_without_postings_is_a_noop(spark, tmp_path):
+    """The other legal crash state: journal written, postings job never
+    committed. Recovery must conclude 'absent' and leave stats alone."""
+    from hnarchive_spark.sources import text_index as TI
+
+    d = load(spark, SF, "documents")
+    path = str(tmp_path / "absent")
+    build_text_index(d, path)
+    import json as _json
+
+    with open(os.path.join(path, "_STATS.json")) as fh:
+        stats_before = _json.load(fh)
+    TI._write_journal(path, 999, 7)
+    assert TI.recover_text_index(spark, path) == "absent"
+    with open(os.path.join(path, "_STATS.json")) as fh:
+        assert _json.load(fh) == stats_before
+    # index usable again
+    assert bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK).count() > 0
