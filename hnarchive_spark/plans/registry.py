@@ -51,70 +51,67 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 10
+_ROTATION_BUILT_FOR_ROUND = 11
 
 _VERIFY_FIRST = [
-    # Round-10 rotation — generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=10)[:50] and locked
-    # by tests/test_rotation_consistency.py (VERDICT r9 #1/#6): the 10
-    # queries with no driver row ever (the round-9 additions plus this
-    # round's q_ann_int8[_fidelity], q_ann_ivfpq_{indexed,append,
-    # residual}, q_bm25_{indexed,append}), then the 12 names last green
-    # in round 4, then the first 28 of the 42 names last green in round
-    # 5 —
-    # ascending staleness, ALPHABETICAL tiebreak (registration order would
-    # depend on which module a test imported first).  The 14 remaining r5
-    # names roll into round 11 and finish the evidence ledger.
-    "q_ann_int8",
-    "q_ann_int8_fidelity",
-    "q_ann_ivfpq",
-    "q_ann_ivfpq_append",
-    "q_ann_ivfpq_indexed",
-    "q_ann_ivfpq_recall",
-    "q_ann_ivfpq_residual",
-    "q_bm25_append",
-    "q_bm25_indexed",
-    "q_vocab_coverage",
-    "q_derived_pred",
-    "q_distinct_count",
-    "q_join_anti",
-    "q_join_semi",
-    "q_json_extract",
-    "q_pivot_status",
-    "q_range_join",
-    "q_self_join",
-    "q_setops",
-    "q_skew_salted_agg",
-    "q_staleness",
-    "q_window_sort",
-    "q_ann_pq_search",
-    "q_attribution_last_touch",
-    "q_bigram_lm",
-    "q_bm25_lite",
-    "q_chunk_documents",
-    "q_embed_dim_audit",
-    "q_funnel",
-    "q_gap_fill",
-    "q_global_index",
-    "q_hard_negatives",
-    "q_heavy_hitters_exact",
-    "q_idle_rich_customers",
-    "q_inverted_index",
-    "q_kcore_peel",
-    "q_knn_classify",
-    "q_length_histogram",
-    "q_link_prediction",
-    "q_market_share",
-    "q_mix_temperature",
-    "q_orders_per_customer_dist",
-    "q_pagerank",
-    "q_pagerank_weighted",
-    "q_paragraph_dedup",
-    "q_percentiles_scalable",
-    "q_pii_redact",
-    "q_power_iteration",
-    "q_pq_codes",
-    "q_recency_weighted",
+    # Round-11 rotation — generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=11)[:50] and locked
+    # by tests/test_rotation_consistency.py: the 4 queries with no driver
+    # row ever (this round's clustered-fixture recall pair and the two
+    # index-lifecycle queries), then the 14 names last green in round 5
+    # (closing the r5 staleness floor — VERDICT r10 #1), then the first 32
+    # of the names last green in round 7; ascending staleness, ALPHABETICAL
+    # tiebreak.  After this round the evidence floor rises to round 7.
+    "q_ann_clustered_recall_plain",
+    "q_ann_clustered_recall_residual",
+    "q_ann_ivfpq_rebuild",
+    "q_bm25_compacted",
+    "q_retention_cohorts",
+    "q_revenue_trend",
+    "q_semdedup",
+    "q_sessionize",
+    "q_shard_assignment",
+    "q_shard_assignment_scalable",
+    "q_skew_salted_join",
+    "q_sole_late_supplier",
+    "q_store_changelog",
+    "q_stream_late_drop",
+    "q_stream_outer_join",
+    "q_stream_rollup_mv",
+    "q_user_anomaly",
+    "q_vocab_top_subtokens",
+    "q_ann_ivf",
+    "q_ann_ivf_append",
+    "q_ann_ivf_indexed",
+    "q_ann_ivf_probe2",
+    "q_ann_lsh",
+    "q_ann_lsh_indexed",
+    "q_ann_lsh_multi",
+    "q_ann_topk",
+    "q_association_rules",
+    "q_autocorr_lag1",
+    "q_benford_audit",
+    "q_changepoint_cusum",
+    "q_class_weights",
+    "q_containment_dup",
+    "q_corpus_datacard",
+    "q_corr_rational",
+    "q_csv_roundtrip",
+    "q_decile_binning",
+    "q_decile_binning_scalable",
+    "q_dedup_canonical",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_ngram_maxdf",
+    "q_dow_profile",
+    "q_embed_dup",
+    "q_embed_dup_capped",
+    "q_expectations",
+    "q_gini_revenue",
+    "q_group_kfold",
+    "q_histogram_equiwidth",
+    "q_join_full_outer",
+    "q_jsonl_roundtrip",
 ]
 
 

@@ -385,3 +385,37 @@ def q_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
     append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), path)
     return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)
+
+
+@query(
+    "q_bm25_compacted",
+    oracle=_BM25_ORACLE,
+    doc="Text-index COMPACTION as a hash-checked query (VERDICT r10 #3): "
+    "the index is built from a quarter of the corpus and grown by three "
+    "appends (each drops another small file into every touched term-"
+    "bucket partition — the small-files tax months of ingest pay), then "
+    "sources/text_index.py compact_text_index rewrites the postings "
+    "clustered by bucket into <path>/v1 and publishes it with an atomic "
+    "_CURRENT pointer swap; pre-compaction files stay byte-untouched for "
+    "concurrent readers and file count strictly drops "
+    "(tests/test_text_index.py). Postings rows and stats are unchanged, "
+    "so the probe returns EXACTLY the full-build rows and the query "
+    "shares the whole BM25 family's oracle — 'compaction changes layout, "
+    "never results' becomes a per-round hash check.",
+)
+def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.text_index import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        compact_text_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = scratch_dir("text_index_compact")
+    build_text_index(d.filter(F.col("doc_id") % 4 == 0), path)
+    for m in (1, 2, 3):
+        append_text_index(spark, d.filter(F.col("doc_id") % 4 == m), path)
+    compact_text_index(spark, path)
+    return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)

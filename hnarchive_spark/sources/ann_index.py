@@ -28,6 +28,12 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hnarchive_spark.sources.index_version import (
+    current_index_version,
+    index_root,
+    publish_index_version,
+)
+
 from hnarchive_spark.operators.similarity import (
     DIM,
     as_double,
@@ -74,6 +80,7 @@ def probe_topk(
     buckets become a pushed-down partition filter, so only those bucket
     directories are scanned.
     """
+    index_path = index_root(index_path)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -196,7 +203,9 @@ def append_ivf_index(
     recompute, and every pre-existing index file is left byte-untouched
     (locked by tests/test_ann_append.py).  This is the standard IVF
     ingest pattern at scale — centroid drift from accumulated appends is
-    handled by a periodic full rebuild, not per-batch."""
+    handled by a periodic full rebuild
+    (:func:`rebuild_ivf_index`), not per-batch."""
+    path = index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     b = batch.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -248,6 +257,7 @@ def probe_ivf_topk(
     on-the-fly ``ivf_topk`` (same centroid means, cosine rounded to 6
     decimals before ranking), so it shares the same oracle.
     """
+    index_path = index_root(index_path)
     centroids = spark.read.parquet(f"{index_path}/centroids")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -410,6 +420,7 @@ def append_ivfpq_index(
     ``pq_assign``'s per-iteration assignment).  On a ``by_residual``
     index (``_META.json``) the PQ step encodes the batch vector's
     residual w.r.t. its ASSIGNED frozen centroid."""
+    path = index_root(path)
     sub = dim // n_sub
     residual = bool(_ivfpq_meta(path).get("by_residual"))
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -510,6 +521,7 @@ def probe_ivfpq_topk(
     (``_META.json``) the LUT is built per (query, probed list) from the
     query's per-list residual and results match
     ``ivf_pq_residual_topk``."""
+    index_path = index_root(index_path)
     sub = dim // n_sub
     residual = bool(_ivfpq_meta(index_path).get("by_residual"))
     centroids = spark.read.parquet(f"{index_path}/centroids")
@@ -584,3 +596,82 @@ def probe_ivfpq_topk(
         )
         .filter(F.col("rank") <= topk)
     )
+
+
+def rebuild_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> str:
+    """Full IVF rebuild with an atomic version swap (the lifecycle
+    counterpart of :func:`append_ivf_index` — VERDICT r10 #3).
+
+    Months of appends against FROZEN centroids accumulate two costs:
+    routing quality degrades as the corpus drifts from the training
+    distribution, and every append adds small files to each ``list_id``
+    partition.  A rebuild recomputes centroids from the CURRENT corpus
+    and rewrites every list at full file sizes — into a brand-new
+    ``<path>/v<N>`` tree, published by the atomic ``_CURRENT`` pointer
+    (sources/index_version.py), so no file a concurrent probe may hold
+    open is ever touched.  Returns the new version directory."""
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    build_ivf_index(embeddings, vdir, id_col=id_col, vec_col=vec_col, list_col=list_col)
+    publish_index_version(path, new_v)
+    return vdir
+
+
+def rebuild_ivfpq_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_sub: int,
+    k: int,
+    iters: int,
+    train_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    dim: int = DIM,
+    by_residual: bool = False,
+) -> str:
+    """Full IVF-PQ rebuild: retrain both quantizers, re-encode the whole
+    corpus, publish with an atomic version swap (VERDICT r10 #3).
+
+    ``train_mod`` controls the training sample: quantizers are trained
+    on the DETERMINISTIC subset ``vec_id % train_mod == 0`` (the
+    distributed stand-in for a reservoir sample — same uniform coverage,
+    but reproducible, so a re-run of the same rebuild yields an
+    equivalent index).  The sampled subset goes through the normal
+    :func:`build_ivfpq_index` (train + encode in one pass); the
+    remainder is then encoded against the freshly-FROZEN quantizers via
+    the exact :func:`append_ivfpq_index` path — so every vector is
+    encoded precisely as a probe expects, and at 100 TB the expensive
+    Lloyd iterations touch only corpus/train_mod vectors while the
+    re-encode remains one embarrassingly-parallel pass.
+
+    With ``train_mod=1`` the rebuild IS a fresh full build (training set
+    = corpus), which is what makes it oracle-checkable: probe rows after
+    append-then-rebuild hash-equal q_ann_ivfpq's.  The new tree lands in
+    ``<path>/v<N>``; the ``_CURRENT`` pointer swap is the only mutation
+    the live index ever sees.  Returns the new version directory."""
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    train = embeddings
+    if train_mod > 1:
+        train = embeddings.filter((F.col(id_col) % train_mod) == 0)
+    build_ivfpq_index(
+        train, vdir, n_sub, k, iters,
+        id_col=id_col, vec_col=vec_col, list_col=list_col, dim=dim,
+        by_residual=by_residual,
+    )
+    if train_mod > 1:
+        rest = embeddings.filter((F.col(id_col) % train_mod) != 0)
+        append_ivfpq_index(
+            spark, rest, vdir, n_sub, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    publish_index_version(path, new_v)
+    return vdir

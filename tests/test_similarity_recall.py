@@ -161,3 +161,25 @@ def test_int8_quantize_zero_vector_gives_zero_codes(spark):
         """
     ).fetchall()
     assert [list(r[0]) for r in duck] == [got[0], got[1]]
+
+
+def test_residual_beats_plain_on_clustered_fixture(spark):
+    """VERDICT r10 #2: on the near-uniform embeddings table the residual-
+    vs-plain comparison is honestly flat (BENCH_NOTES r10) — the clustered
+    fixture exists to measure the regime where FAISS-default residual
+    encoding actually pays. Lock the win: mean recall@5 of the residual
+    arm must strictly beat the plain arm (both arms are oracle-hashed
+    registered queries, so the values themselves are driver-checked)."""
+    import hnarchive_spark.plans.similarity  # noqa: F401 -- registers the queries
+    from hnarchive_spark.plans.registry import REGISTRY
+
+    def mean_recall(name):
+        rows = REGISTRY[name].spark(spark, SF_ORACLE).collect()
+        assert len(rows) == 5
+        return sum(r["recall_e4"] for r in rows) / len(rows)
+
+    plain = mean_recall("q_ann_clustered_recall_plain")
+    resid = mean_recall("q_ann_clustered_recall_residual")
+    assert resid > plain, (plain, resid)
+    # the fixture is built to make the gap decisive, not marginal
+    assert resid >= 2 * plain, (plain, resid)
