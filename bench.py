@@ -72,6 +72,9 @@ HEADLINE = [
     # round 10: persisted IVF-PQ — warmup run builds the index (one-time
     # cost by design), timed runs measure the production probe-only path
     "q_ann_ivfpq_indexed",
+    # round 11: persisted BM25 probe (build-once cached the same way) —
+    # the bench previously had no text-retrieval entry at all
+    "q_bm25_indexed",
 ]
 
 

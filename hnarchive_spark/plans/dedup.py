@@ -544,8 +544,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 10 == 0
     )
-    split = d.select("doc_id", is_eval.alias("is_eval"))
-    sh = D.word_shingles(d).join(split, "doc_id").persist()
+    # is_eval is a pure function of doc_id, so the split is a COLUMN on the
+    # shingle rows, not a join (r11: the join was a wasted pass over the
+    # full shingle set — at 100 TB, a corpus-wide broadcast-join stage)
+    sh = D.word_shingles(d).withColumn("is_eval", is_eval).persist()
     ev = sh.filter(F.col("is_eval")).select("doc_id", "shingle")
     ev_bloom = bloom_build(ev, "shingle")
     # bloom runs before tr's exchange; the semi join stays exact (a left-semi
