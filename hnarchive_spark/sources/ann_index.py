@@ -151,7 +151,9 @@ def build_ivf_index(
     )
 
 
-def _reject_duplicate_ids(spark, assigned: DataFrame, data_dir: str) -> None:
+def _filter_duplicate_ids(
+    spark, assigned: DataFrame, data_dir: str, on_conflict: str = "error"
+) -> DataFrame:
     """Guard the frozen-quantizer appends against re-delivered ids (ADVICE
     r10): the surrounding system re-delivers ids by design (store merges,
     update re-crawls), and a duplicate row here silently corrupts results
@@ -164,15 +166,24 @@ def _reject_duplicate_ids(spark, assigned: DataFrame, data_dir: str) -> None:
     vector CHANGED may route elsewhere and escape this check; that case is
     an update, which no append-only index supports — rebuild handles it.)
     ``assigned`` must be (vec_id, list_id, ...) and already persisted (it
-    is re-consumed by the caller's write)."""
+    is re-consumed by the caller's write).
+
+    ``on_conflict="error"`` raises on overlap; ``on_conflict="skip"``
+    returns ``assigned`` with the already-indexed ids anti-joined out —
+    the idempotent form streaming maintenance needs (a re-delivered
+    micro-batch appends nothing the second time)."""
+    if on_conflict not in ("error", "skip"):
+        raise ValueError(f"on_conflict must be 'error' or 'skip', got {on_conflict!r}")
     touched = sorted(r[0] for r in assigned.select("list_id").distinct().collect())
     if not touched:
-        return
+        return assigned
     existing = (
         spark.read.parquet(data_dir)
         .filter(F.col("list_id").isin(touched))
         .select("vec_id")
     )
+    if on_conflict == "skip":
+        return assigned.join(existing, "vec_id", "left_anti")
     dup = [
         r[0]
         for r in existing.join(
@@ -183,8 +194,9 @@ def _reject_duplicate_ids(spark, assigned: DataFrame, data_dir: str) -> None:
         raise ValueError(
             f"append: batch contains already-indexed vec_ids (sample: {dup}); "
             "appending would double their contribution in probes. Dedupe the "
-            "batch upstream or rebuild the index."
+            "batch upstream, rebuild the index, or pass on_conflict='skip'."
         )
+    return assigned
 
 
 def append_ivf_index(
@@ -193,7 +205,8 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    on_conflict: str = "error",
+) -> int:
     """Incremental IVF maintenance: add a batch WITHOUT rebuilding.
 
     The batch is assigned to the FROZEN persisted centroids (nearest by
@@ -204,7 +217,9 @@ def append_ivf_index(
     (locked by tests/test_ann_append.py).  This is the standard IVF
     ingest pattern at scale — centroid drift from accumulated appends is
     handled by a periodic full rebuild
-    (:func:`rebuild_ivf_index`), not per-batch."""
+    (:func:`rebuild_ivf_index`), not per-batch.  Returns the number of
+    vectors appended (with ``on_conflict="skip"``, already-indexed ids
+    are dropped instead of raising — see :func:`_filter_duplicate_ids`)."""
     path = index_root(path)
     centroids = spark.read.parquet(f"{path}/centroids")
     b = batch.select(
@@ -227,14 +242,18 @@ def append_ivf_index(
         .persist()
     )
     try:
-        _reject_duplicate_ids(spark, assigned, f"{path}/lists")
+        kept = _filter_duplicate_ids(spark, assigned, f"{path}/lists", on_conflict)
+        n_new = kept.count()
+        if n_new == 0:
+            return 0
         (
-            assigned.repartition("list_id")
+            kept.repartition("list_id")
             .write.mode("append")
             .option("compression", "zstd")
             .partitionBy("list_id")
             .parquet(f"{path}/lists")
         )
+        return n_new
     finally:
         assigned.unpersist()
 
@@ -406,7 +425,8 @@ def append_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
-) -> None:
+    on_conflict: str = "error",
+) -> int:
     """Incremental IVF-PQ maintenance: encode + route a batch against the
     FROZEN persisted quantizers and append its codes into the existing
     ``list_id`` partitions — O(batch), no training, no corpus rescan,
@@ -419,7 +439,9 @@ def append_ivfpq_index(
     encoding by 6-decimal squared-L2 with code tiebreak (as
     ``pq_assign``'s per-iteration assignment).  On a ``by_residual``
     index (``_META.json``) the PQ step encodes the batch vector's
-    residual w.r.t. its ASSIGNED frozen centroid."""
+    residual w.r.t. its ASSIGNED frozen centroid.  Returns the number of
+    vectors appended (``on_conflict="skip"`` drops already-indexed ids
+    instead of raising — the idempotent streaming-maintenance form)."""
     path = index_root(path)
     sub = dim // n_sub
     residual = bool(_ivfpq_meta(path).get("by_residual"))
@@ -442,19 +464,23 @@ def append_ivfpq_index(
         .select("vec_id", "v", "list_id")
         .persist()
     )
-    _reject_duplicate_ids(spark, assigned, f"{path}/codes")
     routed_batch = assigned  # keep the persisted handle for unpersist
+    kept = _filter_duplicate_ids(spark, assigned, f"{path}/codes", on_conflict)
+    n_new = kept.count()
+    if n_new == 0:
+        routed_batch.unpersist()
+        return 0
     if residual:
-        assigned = assigned.join(
+        kept = kept.join(
             F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
-            assigned.list_id == F.col("cl"),
+            kept.list_id == F.col("cl"),
         ).select(
             "vec_id",
             "list_id",
             F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("v"),
         )
     # PQ codes: nearest frozen codebook entry per subvector
-    b_sub = assigned.select(
+    b_sub = kept.select(
         "vec_id",
         "list_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
@@ -490,6 +516,7 @@ def append_ivfpq_index(
             .partitionBy("list_id")
             .parquet(f"{path}/codes")
         )
+        return n_new
     finally:
         routed_batch.unpersist()
 

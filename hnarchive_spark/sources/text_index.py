@@ -234,14 +234,23 @@ def bm25_topk(
     )
 
 
+def needs_recovery(path: str) -> bool:
+    """True when a prior append crashed between its postings job and the
+    stats rewrite (journal present) — the caller must run
+    :func:`recover_text_index` before probing or appending."""
+    return os.path.exists(_journal_path(path))
+
+
 def append_text_index(
     spark,
     batch: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    on_conflict: str = "error",
+) -> int:
     """Incremental text-index maintenance: add a document batch O(batch).
+    Returns the number of documents actually appended.
 
     The batch's postings are APPENDED into the existing term-bucket
     partitions (every pre-existing postings file stays byte-untouched —
@@ -257,7 +266,7 @@ def append_text_index(
 
     Two safety rails (ADVICE r10):
 
-    * **Duplicate-id rejection.** The surrounding system re-delivers ids
+    * **Duplicate-id handling.** The surrounding system re-delivers ids
       (`ItemsStore.merge_batch`, `update_items` re-crawls), so an
       already-indexed id arriving here is the EXPECTED misuse — and it
       would silently corrupt scores (inflated tf + drifted stats).  The
@@ -265,46 +274,66 @@ def append_text_index(
       a semi-join restricted to the batch's OWN term-bucket partitions
       (a re-delivered doc tokenizes to the same terms, so its existing
       postings live exactly in those buckets), which keeps the check
-      O(touched buckets), not O(index).  Overlap raises ``ValueError``.
+      O(touched buckets), not O(index).  ``on_conflict="error"`` (the
+      default) raises ``ValueError`` on overlap; ``on_conflict="skip"``
+      anti-joins the overlapping docs OUT of the batch and appends only
+      the new ones — the streaming-maintenance contract
+      (``streaming/index_maint.py``): re-delivered micro-batches become
+      no-ops, and an id whose TEXT changed is an update, which an
+      append-only index defers to the next rebuild/compaction (the
+      Lucene-segment model).  One documented blind spot either way: a
+      re-delivered doc whose text tokenizes to NOTHING has no postings
+      and therefore no bucket to check, so its (0, +1) stats delta is
+      double-counted until the next rebuild.
     * **Append journal.** The postings job and the stats rewrite are two
       publishes; a crash between them is recorded by a journal written
       FIRST (exact stats delta), so the gap is detected on the next
       probe/append (``_read_stats`` raises) and repaired exactly by
       :func:`recover_text_index` — a blind retry would duplicate the
       batch's postings."""
+    if on_conflict not in ("error", "skip"):
+        raise ValueError(f"on_conflict must be 'error' or 'skip', got {on_conflict!r}")
     # journal check FIRST: a torn index (crashed prior append) must be
     # reported as such, not as the overlap its own half-landed postings
     # would otherwise trigger
     s_old, n_old = _read_stats(path)
     toks = _tokenized(batch, id_col, text_col).persist()
+    kept = toks
     try:
-        s_add, n_add = _stats(toks)
-        if n_add == 0:
-            return
         posts = _postings(toks).persist()
         try:
             touched = sorted(
                 r[0] for r in posts.select("bucket").distinct().collect()
             )
             root = index_root(path)
-            existing = (
-                spark.read.parquet(f"{root}/postings")
-                .filter(F.col("bucket").isin(touched))
-                .select("doc_id")
-            )
-            dup = [
-                r[0]
-                for r in existing.join(
-                    posts.select("doc_id").distinct(), "doc_id", "left_semi"
-                ).limit(5).collect()
-            ]
-            if dup:
-                raise ValueError(
-                    f"append_text_index: batch contains already-indexed "
-                    f"doc_ids (sample: {dup}); appending would duplicate "
-                    "postings and corrupt tf/stats. Delete-and-rebuild or "
-                    "dedupe the batch upstream."
+            if touched:
+                existing = (
+                    spark.read.parquet(f"{root}/postings")
+                    .filter(F.col("bucket").isin(touched))
+                    .select("doc_id")
                 )
+                if on_conflict == "error":
+                    dup = [
+                        r[0]
+                        for r in existing.join(
+                            posts.select("doc_id").distinct(), "doc_id", "left_semi"
+                        ).limit(5).collect()
+                    ]
+                    if dup:
+                        raise ValueError(
+                            f"append_text_index: batch contains already-indexed "
+                            f"doc_ids (sample: {dup}); appending would duplicate "
+                            "postings and corrupt tf/stats. Delete-and-rebuild, "
+                            "dedupe the batch upstream, or pass "
+                            "on_conflict='skip'."
+                        )
+                else:
+                    kept = toks.join(existing, "doc_id", "left_anti").persist()
+                    posts.unpersist()
+                    posts = _postings(kept).persist()
+            s_add, n_add = _stats(kept)
+            if n_add == 0:
+                return 0
             _write_journal(path, s_add, n_add)
             (
                 posts.repartition("bucket")
@@ -317,8 +346,11 @@ def append_text_index(
             posts.unpersist()
     finally:
         toks.unpersist()
+        if kept is not toks:
+            kept.unpersist()
     _write_stats(path, s_old + s_add, n_old + n_add)
     os.remove(_journal_path(path))
+    return n_add
 
 
 def compact_text_index(spark, path: str) -> str:

@@ -1,0 +1,142 @@
+"""Streaming maintenance of the persisted secondary indexes: every
+micro-batch is one O(batch) append into the BM25 text index or the IVF-PQ
+ANN index via ``foreachBatch`` — the index-freshness counterpart of the
+store's streaming merge sink (``streaming/sink.py``).
+
+This closes the loop the r10/r11 index-lifecycle work opened: the store
+ingests continuously (livestream → ``stream_merge_into_store``), but the
+persisted indexes only moved when someone called the batch ``append_*``
+functions by hand.  At 100 TB the indexes must ride the same micro-batch
+cadence, and that imposes the one property batch appends don't have on
+their own: **restart idempotence**.  Structured Streaming's ``foreachBatch``
+is at-least-once — after a crash the last un-checkpointed micro-batch is
+re-delivered in full — so a maintenance sink that blindly appended would
+double postings/codes, and one that used the appends' default
+``on_conflict="error"`` would wedge the stream on its first restart.
+
+The design here gets exactly-once EFFECT from two pieces, both living in
+the batch layer (``sources/text_index.py``, ``sources/ann_index.py``) so
+batch and streaming maintenance share one code path:
+
+* ``on_conflict="skip"``: already-indexed ids are anti-joined out of the
+  batch against only the batch's OWN touched bucket/list partitions
+  (O(touched partitions), not O(index)).  A re-delivered micro-batch
+  therefore appends exactly the rows its interrupted predecessor did not
+  land — including the half-landed case, since parquet job commit makes
+  each append's postings/codes all-or-nothing.
+* the text index's append journal: a crash in the postings-job → stats-
+  rewrite gap is detected on the next batch (``needs_recovery``) and
+  exactly repaired by ``recover_text_index`` BEFORE the batch appends —
+  the sink self-heals instead of wedging.
+
+What this deliberately does NOT do: updates.  A re-delivered id whose
+text/vector changed is skipped, not re-encoded — an append-only index
+defers updates to the next ``rebuild_*``/``compact_*`` (the Lucene segment
+model; see SCALE.md r11).  The per-batch return counts let an operator
+watch the skipped volume and schedule that rebuild.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from hnarchive_spark.sources.ann_index import append_ivfpq_index
+from hnarchive_spark.sources.text_index import (
+    append_text_index,
+    needs_recovery,
+    recover_text_index,
+)
+
+
+def maintain_text_index(
+    index_path: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """The ``foreachBatch`` function for text-index maintenance.
+
+    Exposed separately from :func:`stream_index_text` so tests (and batch
+    backfills) can drive the exact per-batch logic without a streaming
+    query: recover a torn predecessor append first, then append with
+    skip-on-conflict idempotence."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        spark = batch_df.sparkSession
+        if needs_recovery(index_path):
+            # a previous batch crashed between its postings job and stats
+            # rewrite; repair exactly, then proceed — the re-delivered
+            # rows of that batch are skipped by the anti-join below
+            recover_text_index(spark, index_path)
+        return append_text_index(
+            spark, batch_df, index_path, id_col, text_col, on_conflict="skip"
+        )
+
+    return _process
+
+
+def maintain_ivfpq_index(
+    index_path: str,
+    n_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The ``foreachBatch`` function for IVF-PQ index maintenance.
+
+    No journal here: the codes append is ONE parquet job (all-or-nothing
+    at job commit) with no separate stats artifact, so skip-on-conflict
+    alone makes re-delivery a no-op."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        return append_ivfpq_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            n_sub,
+            id_col=id_col,
+            vec_col=vec_col,
+            on_conflict="skip",
+        )
+
+    return _process
+
+
+def stream_index_text(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Document stream → per-micro-batch BM25 index append.
+
+    The index must already exist (``build_text_index``); returns the
+    started StreamingQuery.  With ``available_now`` the caller awaits
+    termination for drain-then-stop, mirroring ``stream_merge_into_store``."""
+    writer = doc_stream.writeStream.foreachBatch(
+        maintain_text_index(index_path, id_col, text_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_index_ivfpq(
+    vec_stream: DataFrame,
+    index_path: str,
+    n_sub: int,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Vector stream → per-micro-batch IVF-PQ index append (frozen
+    quantizers; recall drift is the scheduled rebuild's job)."""
+    writer = vec_stream.writeStream.foreachBatch(
+        maintain_ivfpq_index(index_path, n_sub, id_col, vec_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,167 @@
+"""Streaming index maintenance (streaming/index_maint.py): micro-batch
+appends must be restart-idempotent (on_conflict="skip" drops re-delivered
+ids via a partition-pruned anti-join), must self-heal a torn text append
+(journal recovery before the batch), and the maintained index must end up
+row-identical to a fresh full build — the shared-oracle contract extended
+to the streaming ingest path."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.search import BM25_TERMS, BM25_TOPK
+from hnarchive_spark.sources.text_index import (
+    append_text_index,
+    bm25_topk,
+    build_text_index,
+)
+from hnarchive_spark.streaming.index_maint import (
+    maintain_ivfpq_index,
+    maintain_text_index,
+    stream_index_text,
+)
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _files(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_ino, st.st_size)
+    return out
+
+
+def _bm25_rows(spark, path):
+    return sorted(
+        tuple(r) for r in bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+
+
+def test_text_skip_append_filters_redelivered_ids(spark, tmp_path):
+    """A batch mixing new docs with already-indexed ones appends ONLY the
+    new docs under on_conflict='skip' — and the result is row-identical
+    to a full build (stats exact despite the filtered batch)."""
+    d = load(spark, SF, "documents")
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    want = _bm25_rows(spark, full_path)
+
+    path = str(tmp_path / "inc")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    before = _files(f"{path}/postings")
+    n_odd = d.filter(F.col("doc_id") % 2 == 1).count()
+    # re-deliver the WHOLE corpus (evens already indexed) — the streaming
+    # at-least-once worst case
+    appended = append_text_index(spark, d, path, on_conflict="skip")
+    assert appended == n_odd
+    for rel, meta in before.items():
+        assert _files(f"{path}/postings").get(rel) == meta
+    assert _bm25_rows(spark, path) == want
+
+    # exact re-delivery of an already-applied batch: pure no-op
+    all_files = _files(path)
+    from hnarchive_spark.sources.text_index import _read_stats
+
+    stats = _read_stats(path)
+    assert append_text_index(spark, d, path, on_conflict="skip") == 0
+    assert _files(path) == all_files
+    assert _read_stats(path) == stats
+
+
+def test_maintain_text_self_heals_torn_append(spark, tmp_path, monkeypatch):
+    """foreachBatch re-delivery after a crash in the postings→stats gap:
+    the maintenance function must recover the torn index FIRST, then skip
+    the re-delivered (already-landed) rows — ending row-identical to a
+    full build with no operator intervention."""
+    import pytest
+
+    from hnarchive_spark.sources import text_index as TI
+
+    d = load(spark, SF, "documents")
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    want = _bm25_rows(spark, full_path)
+
+    path = str(tmp_path / "crash")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+
+    real_write = TI._write_stats
+    monkeypatch.setattr(
+        TI, "_write_stats", lambda *a: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    process = maintain_text_index(path)
+    with pytest.raises(RuntimeError, match="crash"):
+        process(odd, batch_id=7)
+    monkeypatch.setattr(TI, "_write_stats", real_write)
+    assert TI.needs_recovery(path)
+
+    # the restarted stream re-delivers batch 7; postings already landed,
+    # so recovery rolls stats forward and the batch appends nothing
+    assert process(odd, batch_id=7) == 0
+    assert not TI.needs_recovery(path)
+    assert _bm25_rows(spark, path) == want
+
+
+def test_stream_text_maintenance_restart_idempotent(spark, tmp_path):
+    """End-to-end Structured Streaming run: files stream into the index
+    with availableNow; a second run from a FRESH checkpoint (the
+    at-least-once extreme: every batch re-delivered) plus new files ends
+    row-identical to a full build over the union."""
+    d = load(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "idx")
+    # seed index with an eighth of the corpus; stream the rest through
+    build_text_index(d.filter(F.col("doc_id") % 8 == 0), path)
+    d.filter(F.col("doc_id") % 8 == 1).write.mode("append").parquet(src)
+    d.filter(F.col("doc_id") % 8 == 2).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    q = stream_index_text(stream, path, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+
+    # new files arrive; the fresh checkpoint forces re-delivery of ALL files
+    for m in range(3, 8):
+        d.filter(F.col("doc_id") % 8 == m).write.mode("append").parquet(src)
+    q = stream_index_text(stream, path, str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    assert _bm25_rows(spark, path) == _bm25_rows(spark, full_path)
+
+
+def test_ivfpq_maintenance_skip_idempotent(spark, tmp_path):
+    """IVF-PQ micro-batch maintenance: re-delivered vectors are skipped
+    (codes appended exactly once per vec_id), pre-existing files stay
+    byte-untouched, and a re-delivered batch is a no-op."""
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    n_sub = 4
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_sub, 8, 2)
+    before = _files(f"{path}/codes")
+
+    process = maintain_ivfpq_index(path, n_sub)
+    n_odd = e.filter(F.col("vec_id") % 2 == 1).count()
+    # whole corpus re-delivered: only the odd half is new
+    assert process(e, batch_id=0) == n_odd
+    after = _files(f"{path}/codes")
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+
+    # exact re-delivery: nothing appended, nothing touched
+    assert process(e, batch_id=0) == 0
+    assert _files(f"{path}/codes") == after
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == e.count()
+    assert codes.select("vec_id").distinct().count() == e.count()
