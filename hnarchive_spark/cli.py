@@ -225,6 +225,45 @@ def cmd_compact(spark, args):
     )
 
 
+def cmd_index(spark, args):
+    """Persisted-index lifecycle as operator verbs (the CLI face of the
+    rebuild/compaction/recovery operators — SCALE.md r11): scheduled
+    rebuilds answer quantizer drift, compactions answer small-file
+    pileup, recovery repairs a torn text append, prune drops superseded
+    version trees once no reader can hold them."""
+    import os as _os
+
+    from hnarchive_spark.sources.index_version import (
+        current_index_version,
+        prune_index_versions,
+    )
+
+    if args.action == "recover-text":
+        from hnarchive_spark.sources.text_index import recover_text_index
+
+        print(f"recover: {recover_text_index(spark, args.path)}")
+    elif args.action == "compact-text":
+        from hnarchive_spark.sources.text_index import compact_text_index
+
+        vdir = compact_text_index(spark, args.path)
+        print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+    elif args.action == "rebuild-ivfpq":
+        from hnarchive_spark.sources.ann_index import rebuild_ivfpq_index
+        from hnarchive_spark.tables import load
+
+        sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        e = load(spark, sf_dir, "embeddings")
+        vdir = rebuild_ivfpq_index(
+            spark, e, args.path, args.n_sub, args.k, args.iters,
+            train_mod=args.train_mod, by_residual=args.by_residual,
+        )
+        print(f"rebuilt into {vdir} (now version {current_index_version(args.path)})")
+    else:  # prune
+        removed = prune_index_versions(args.path)
+        print(f"pruned {len(removed)} superseded tree(s)")
+    return 0
+
+
 def cmd_export(spark, args):
     from hnarchive_spark.sources.export import export_to_duckdb, export_to_sqlite
 
@@ -402,6 +441,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument("--bucket-size", type=int, required=True, help="new ids-per-bucket granularity")
     cp.set_defaults(func=cmd_compact)
+
+    ix = sub.add_parser(
+        "index",
+        help="persisted-index lifecycle: rebuild / compact / recover / prune",
+    )
+    ix.add_argument(
+        "action",
+        choices=("rebuild-ivfpq", "compact-text", "recover-text", "prune"),
+    )
+    ix.add_argument("--path", required=True, help="index root directory")
+    ix.add_argument("--sf-dir", default=None, help="corpus directory for rebuild (default $SPARK_GRAFT_SF_DIR)")
+    ix.add_argument("--n-sub", type=int, default=4, help="PQ subspaces (rebuild-ivfpq)")
+    ix.add_argument("--k", type=int, default=8, help="codebook size per subspace (rebuild-ivfpq)")
+    ix.add_argument("--iters", type=int, default=2, help="Lloyd iterations (rebuild-ivfpq)")
+    ix.add_argument(
+        "--train-mod", type=int, default=1,
+        help="train quantizers on the deterministic 1/mod id-sample (1 = full corpus)",
+    )
+    ix.add_argument("--by-residual", action="store_true", help="residual PQ encoding")
+    ix.set_defaults(func=cmd_index)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")
     ex.add_argument("--to", required=True, help="output .duckdb / .sqlite path")

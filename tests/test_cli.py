@@ -252,3 +252,53 @@ def test_cli_compact(env, capsys):
     assert "compacted to bucket_size=1000000" in out and "3 rows" in out
     store = ItemsStore(cli.get_spark(), env["store"])
     assert store.count() == 3 and store.latest_id() == 3
+
+
+def test_cli_index_lifecycle(spark, tmp_path, capsys):
+    """The index lifecycle verbs: compact-text bumps the version pointer,
+    recover-text reports a clean index, prune drops the superseded tree,
+    and rebuild-ivfpq retrains + republishes an aged index."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.sources.text_index import (
+        append_text_index,
+        build_text_index,
+    )
+    from hnarchive_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    tpath = str(tmp_path / "text")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), tpath)
+    append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), tpath)
+
+    args = cli.build_parser().parse_args(["index", "compact-text", "--path", tpath])
+    assert cli.cmd_index(spark, args) == 0
+    assert current_index_version(tpath) == 1
+    assert "now version 1" in capsys.readouterr().out
+
+    args = cli.build_parser().parse_args(["index", "recover-text", "--path", tpath])
+    assert cli.cmd_index(spark, args) == 0
+    assert "recover: clean" in capsys.readouterr().out
+
+    args = cli.build_parser().parse_args(["index", "prune", "--path", tpath])
+    assert cli.cmd_index(spark, args) == 0
+    assert "pruned" in capsys.readouterr().out
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(tpath, "postings"))  # flat tree gone
+    assert _os.path.isdir(_os.path.join(tpath, "v1"))
+
+    apath = str(tmp_path / "ivfpq")
+    e = load(spark, sf, "embeddings")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), apath, 4, 8, 2)
+    args = cli.build_parser().parse_args(
+        ["index", "rebuild-ivfpq", "--path", apath, "--sf-dir", sf, "--train-mod", "2"]
+    )
+    assert cli.cmd_index(spark, args) == 0
+    assert current_index_version(apath) == 1
+    codes = spark.read.parquet(f"{apath}/v1/codes")
+    assert codes.select("vec_id").distinct().count() == e.count()

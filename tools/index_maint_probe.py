@@ -1,0 +1,96 @@
+"""Measure the streaming-maintenance claim: per-micro-batch index append
+cost is O(batch) — FLAT as the index grows — and a re-delivered batch
+(the at-least-once restart case) costs only the partition-pruned
+anti-join, not a write.
+
+Method: split the documents (and embeddings) corpus into K equal batches
+by ``id % K``; build the index on batch 0, then append batches 1..K-1
+through the SAME per-batch function streaming maintenance uses
+(``maintain_text_index`` / ``maintain_ivfpq_index``,
+``on_conflict="skip"``), timing each.  If appends scanned the index, the
+per-batch times would grow ~linearly in the number of prior batches; the
+O(batch) design predicts a flat profile.  Finally, re-deliver the LAST
+batch and time the resulting no-op.
+
+Run: python tools/index_maint_probe.py [SF_DIR] [K]
+Output: one JSON line per index family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.session import get_spark
+from hnarchive_spark.sources.ann_index import build_ivfpq_index
+from hnarchive_spark.sources.text_index import build_text_index
+from hnarchive_spark.streaming.index_maint import (
+    maintain_ivfpq_index,
+    maintain_text_index,
+)
+from hnarchive_spark.tables import load
+
+
+def probe(name, build, process, batches):
+    t0 = time.perf_counter()
+    build(batches[0])
+    built = round(time.perf_counter() - t0, 3)
+    per_batch = []
+    for i, b in enumerate(batches[1:], start=1):
+        t0 = time.perf_counter()
+        n = process(b, batch_id=i)
+        per_batch.append(round(time.perf_counter() - t0, 3))
+        assert n > 0, f"batch {i} appended nothing"
+    t0 = time.perf_counter()
+    n = process(batches[-1], batch_id=len(batches) - 1)  # re-delivery
+    redeliver = round(time.perf_counter() - t0, 3)
+    assert n == 0, "re-delivered batch appended rows"
+    print(
+        json.dumps(
+            {
+                "family": name,
+                "build_s": built,
+                "append_s_per_batch": per_batch,
+                "redeliver_noop_s": redeliver,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("index-maint-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="index_maint_probe_")
+
+    d = load(spark, sf_dir, "documents")
+    tpath = os.path.join(tmp, "text")
+    probe(
+        "bm25_text",
+        lambda b: build_text_index(b, tpath),
+        maintain_text_index(tpath),
+        [d.filter(F.col("doc_id") % k == m) for m in range(k)],
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    apath = os.path.join(tmp, "ivfpq")
+    probe(
+        "ivfpq",
+        lambda b: build_ivfpq_index(b, apath, 4, 8, 2),
+        maintain_ivfpq_index(apath, 4),
+        [e.filter(F.col("vec_id") % k == m) for m in range(k)],
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
