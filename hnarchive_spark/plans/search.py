@@ -333,14 +333,6 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# build-once cache, the q_ann_ivfpq_indexed discipline (realpath-keyed so
-# distinct corpora never probe each other's index): the indexed form's whole
-# point is that the build amortizes over probes, so within a process the
-# first invocation builds and every later one is probe-only — bench.py's
-# warmup run pays the build, min-of-3 measures the production probe path.
-_BM25_BUILT: dict[str, str] = {}
-
-
 @query(
     "q_bm25_indexed",
     oracle=_BM25_ORACLE,
@@ -357,20 +349,17 @@ _BM25_BUILT: dict[str, str] = {}
     "query's postings, not the corpus.",
 )
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hashlib
-    import os as _os
-
-    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.scratch import built_once
     from hnarchive_spark.sources.text_index import bm25_topk, build_text_index
 
-    key = _os.path.realpath(sf_dir)
-    path = _BM25_BUILT.get(key)
-    if path is None:
-        tag = _hashlib.sha256(key.encode()).hexdigest()[:12]
-        base = _os.path.basename(_os.path.normpath(sf_dir))
-        path = scratch_dir(f"text_index_{base}_{tag}")
-        build_text_index(load(spark, sf_dir, "documents"), path)
-        _BM25_BUILT[key] = path
+    # build-once cache (hnarchive_spark.scratch.built_once, the shared
+    # q_*_indexed discipline): first invocation builds, later ones probe —
+    # bench.py's warmup pays the build, min-of-3 measures the probe path.
+    path = built_once(
+        "text_index",
+        sf_dir,
+        lambda p: build_text_index(load(spark, sf_dir, "documents"), p),
+    )
     return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)
 
 

@@ -413,13 +413,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost that turns every later probe into a 1/256th-corpus read.",
 )
 def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.scratch import scratch_dir
-
+    from hnarchive_spark.scratch import built_once
     from hnarchive_spark.sources.ann_index import build_index, probe_topk
 
     e = load(spark, sf_dir, "embeddings")
-    path = scratch_dir("ann_index")
-    build_index(e, path)
+    path = built_once("ann_index", sf_dir, lambda p: build_index(e, p))
     return probe_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K)
 
 
@@ -436,13 +434,11 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it shares that oracle.",
 )
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.scratch import scratch_dir
-
+    from hnarchive_spark.scratch import built_once
     from hnarchive_spark.sources.ann_index import build_ivf_index, probe_ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    path = scratch_dir("ivf_index")
-    build_ivf_index(e, path)
+    path = built_once("ivf_index", sf_dir, lambda p: build_ivf_index(e, p))
     return probe_ivf_topk(spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, n_probe=2)
 
 
@@ -1179,12 +1175,8 @@ def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point of the indexed form is that training/encoding amortize over probes,
 # so within a process the index is built on FIRST invocation only and every
 # later invocation is probe-only (what bench.py's min-of-3 then measures —
-# the warmup run pays the build).  Keyed by the full real path so distinct
-# corpora never probe each other's index even when their directory basenames
-# collide; a fresh process always rebuilds (scratch_dir clears any previous
-# process' leftovers).  Data regenerated IN PLACE mid-process is not
-# detected — rebuild the process (or corpus fingerprinting) for that.
-_IVFPQ_BUILT: dict[str, str] = {}
+# the warmup run pays the build); see hnarchive_spark.scratch.built_once,
+# the one shared implementation all `q_*_indexed` queries use.
 
 
 @query(
@@ -1206,24 +1198,13 @@ _IVFPQ_BUILT: dict[str, str] = {}
     "byte-untouched (tests/test_ann_append.py).",
 )
 def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hashlib
-    import os as _os
-
-    from hnarchive_spark.scratch import scratch_dir
+    from hnarchive_spark.scratch import built_once
     from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
 
     e = load(spark, sf_dir, "embeddings")
-    # key by the FULL normalized path, not the basename — two corpora whose
-    # directories share a basename must never probe each other's index;
-    # the basename is kept only to make the scratch dir human-readable
-    key = _os.path.realpath(sf_dir)
-    path = _IVFPQ_BUILT.get(key)
-    if path is None:
-        tag = _hashlib.sha256(key.encode()).hexdigest()[:12]
-        base = _os.path.basename(_os.path.normpath(sf_dir))
-        path = scratch_dir(f"ivfpq_index_{base}_{tag}")
-        build_ivfpq_index(e, path, PQ_M, PQ_K, PQ_ITERS)
-        _IVFPQ_BUILT[key] = path
+    path = built_once(
+        "ivfpq_index", sf_dir, lambda p: build_ivfpq_index(e, p, PQ_M, PQ_K, PQ_ITERS)
+    )
     return probe_ivfpq_topk(
         spark, path, e.filter(F.col("vec_id") < N_QUERIES), ANN_K, PQ_M,
         n_probe=IVFPQ_N_PROBE,
