@@ -71,26 +71,32 @@ def _postings(toks: DataFrame) -> DataFrame:
     )
 
 
-def _stats(toks: DataFrame) -> tuple[int, int]:
+def _stats(toks: DataFrame) -> tuple[int, int, int]:
+    """(sum dl, doc count, POSTINGS-VISIBLE doc count).  The third number
+    exists for recovery: a doc whose text tokenizes to nothing is a real
+    corpus member (it must count in `n`, or avgdl drifts from the shared
+    oracle's) but explodes to zero postings rows, so any doc count
+    re-derived FROM postings comes up short by exactly these docs."""
     row = toks.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("dl") > 0, 1)).alias("np"),
     ).collect()[0]
-    return int(row["s"]), int(row["n"])
+    return int(row["s"]), int(row["n"]), int(row["np"])
 
 
-def _write_stats(path: str, s: int, n: int) -> None:
+def _write_stats(path: str, s: int, n: int, np: int) -> None:
     """Atomic stats publish: tiny JSON + os.replace — the same pointer
     discipline the items store's `_CURRENT` uses, so a crash mid-update
     never leaves a readable index with missing or half-written stats."""
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "_STATS.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"s": s, "n": n}, fh)
+        json.dump({"s": s, "n": n, "np": np}, fh)
     os.replace(tmp, os.path.join(path, "_STATS.json"))
 
 
-def _read_stats(path: str) -> tuple[int, int]:
+def _read_stats_full(path: str) -> tuple[int, int, int]:
     if os.path.exists(_journal_path(path)):
         raise RuntimeError(
             f"text index at {path} has an unfinished append (journal "
@@ -99,22 +105,32 @@ def _read_stats(path: str) -> tuple[int, int]:
         )
     with open(os.path.join(path, "_STATS.json")) as fh:
         d = json.load(fh)
-    return int(d["s"]), int(d["n"])
+    # "np" appeared in r11; an index written before it has no empty-doc
+    # information, so assume every counted doc has postings (the exact
+    # pre-r11 recovery assumption)
+    return int(d["s"]), int(d["n"]), int(d.get("np", d["n"]))
+
+
+def _read_stats(path: str) -> tuple[int, int]:
+    s, n, _np = _read_stats_full(path)
+    return s, n
 
 
 def _journal_path(path: str) -> str:
     return os.path.join(path, "_APPEND_JOURNAL.json")
 
 
-def _write_journal(path: str, s_add: int, n_add: int) -> None:
+def _write_journal(path: str, s_add: int, n_add: int, np_add: int) -> None:
     """Append intent marker, published atomically BEFORE the postings
     append: records the batch's exact stats delta so a crash between the
     postings job and the stats rewrite is DETECTABLE (the r10 advice —
     previously that window silently left scores drifting) and recoverable
-    without guessing."""
+    without guessing.  ``np_add`` is the batch's postings-visible doc
+    count (docs with at least one token) — what recovery's re-derivation
+    from postings can actually observe."""
     tmp = _journal_path(path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"s_add": s_add, "n_add": n_add}, fh)
+        json.dump({"s_add": s_add, "n_add": n_add, "np_add": np_add}, fh)
     os.replace(tmp, _journal_path(path))
 
 
@@ -130,7 +146,13 @@ def recover_text_index(spark, path: str) -> str:
     verify the result matches one of the two legal states the journal
     describes, publish, and clear the journal.  Returns ``"committed"``
     (batch postings present, stats rolled forward) or ``"absent"``
-    (append never committed, old stats were already right)."""
+    (append never committed, old stats were already right).
+
+    Postings can only witness docs that HAVE postings, so the comparison
+    runs against the postings-visible doc count (``np`` in the stats,
+    ``np_add`` in the journal) — an index legitimately containing
+    empty-text docs (counted in ``n`` for avgdl exactness, invisible to
+    postings) must not be misdiagnosed as corrupt."""
     jp = _journal_path(path)
     if not os.path.exists(jp):
         return "clean"
@@ -139,6 +161,9 @@ def recover_text_index(spark, path: str) -> str:
     with open(os.path.join(path, "_STATS.json")) as fh:
         d = json.load(fh)
     s_old, n_old = int(d["s"]), int(d["n"])
+    np_old = int(d.get("np", d["n"]))
+    s_add, n_add = int(j["s_add"]), int(j["n_add"])
+    np_add = int(j.get("np_add", j["n_add"]))
     row = (
         spark.read.parquet(f"{index_root(path)}/postings")
         .select("doc_id", "dl")
@@ -150,16 +175,17 @@ def recover_text_index(spark, path: str) -> str:
         .collect()[0]
     )
     s_now, n_now = int(row["s"]), int(row["n"])
-    if (s_now, n_now) == (s_old + int(j["s_add"]), n_old + int(j["n_add"])):
-        _write_stats(path, s_now, n_now)
+    if (s_now, n_now) == (s_old + s_add, np_old + np_add):
+        _write_stats(path, s_old + s_add, n_old + n_add, np_old + np_add)
         outcome = "committed"
-    elif (s_now, n_now) == (s_old, n_old):
+    elif (s_now, n_now) == (s_old, np_old):
         outcome = "absent"
     else:
         raise RuntimeError(
             f"text index at {path} is in a state the journal cannot "
-            f"explain: stats=({s_old},{n_old}) journal=+({j['s_add']},"
-            f"{j['n_add']}) postings=({s_now},{n_now}). Rebuild the index."
+            f"explain: stats=({s_old},{n_old},np={np_old}) "
+            f"journal=+({s_add},{n_add},np={np_add}) "
+            f"postings=({s_now},{n_now}). Rebuild the index."
         )
     os.remove(jp)
     return outcome
@@ -184,10 +210,10 @@ def build_text_index(
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
-        s, n = _stats(toks)
+        s, n, np = _stats(toks)
     finally:
         toks.unpersist()
-    _write_stats(path, s, n)
+    _write_stats(path, s, n, np)
 
 
 def bm25_topk(
@@ -296,7 +322,7 @@ def append_text_index(
     # journal check FIRST: a torn index (crashed prior append) must be
     # reported as such, not as the overlap its own half-landed postings
     # would otherwise trigger
-    s_old, n_old = _read_stats(path)
+    s_old, n_old, np_old = _read_stats_full(path)
     toks = _tokenized(batch, id_col, text_col).persist()
     kept = toks
     try:
@@ -331,10 +357,10 @@ def append_text_index(
                     kept = toks.join(existing, "doc_id", "left_anti").persist()
                     posts.unpersist()
                     posts = _postings(kept).persist()
-            s_add, n_add = _stats(kept)
+            s_add, n_add, np_add = _stats(kept)
             if n_add == 0:
                 return 0
-            _write_journal(path, s_add, n_add)
+            _write_journal(path, s_add, n_add, np_add)
             (
                 posts.repartition("bucket")
                 .write.mode("append")
@@ -348,7 +374,7 @@ def append_text_index(
         toks.unpersist()
         if kept is not toks:
             kept.unpersist()
-    _write_stats(path, s_old + s_add, n_old + n_add)
+    _write_stats(path, s_old + s_add, n_old + n_add, np_old + np_add)
     os.remove(_journal_path(path))
     return n_add
 

@@ -147,7 +147,7 @@ def test_interrupted_append_detected_and_recovered(spark, tmp_path, monkeypatch)
     real_write = TI._write_stats
     calls = {"n": 0}
 
-    def dying_write(p, s, n):
+    def dying_write(p, s, n, np):
         # the build above already used the real one; die only on the append's
         # post-postings stats publish
         calls["n"] += 1
@@ -173,6 +173,49 @@ def test_interrupted_append_detected_and_recovered(spark, tmp_path, monkeypatch)
     assert TI.recover_text_index(spark, path) == "clean"
 
 
+def test_recovery_tolerates_empty_text_docs(spark, tmp_path, monkeypatch):
+    """An empty-text doc is a real corpus member (it counts in `n`, so
+    avgdl stays exact) but tokenizes to ZERO postings rows — so a
+    recovery that re-derives the doc count from postings comes up short.
+    Before r11's postings-visible count (`np`) this misdiagnosed a
+    perfectly healthy index as corrupt ('a state the journal cannot
+    explain') and demanded a rebuild; now recovery must roll forward and
+    keep the empty docs counted."""
+    import pytest
+
+    from hnarchive_spark.sources import text_index as TI
+
+    d = load(spark, SF, "documents").select("doc_id", "text")
+    empties = spark.createDataFrame(
+        [(-1, ""), (-2, "   ")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "empties")
+    # empty docs in the BASE index: postings-invisible from the start
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0).union(empties), path)
+    s0, n0, np0 = TI._read_stats_full(path)
+    assert n0 == np0 + 2, "the two empty docs count in n but not np"
+
+    real_write = TI._write_stats
+    monkeypatch.setattr(
+        TI, "_write_stats", lambda *a: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        append_text_index(spark, d.filter(F.col("doc_id") % 2 == 1), path)
+    monkeypatch.setattr(TI, "_write_stats", real_write)
+
+    assert TI.recover_text_index(spark, path) == "committed"
+    full = str(tmp_path / "empties_full")
+    build_text_index(d.union(empties), full)
+    assert TI._read_stats_full(path) == TI._read_stats_full(full)
+    want = sorted(
+        tuple(r) for r in bm25_topk(spark, full, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    got = sorted(
+        tuple(r) for r in bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    assert got == want
+
+
 def test_recovery_of_journal_without_postings_is_a_noop(spark, tmp_path):
     """The other legal crash state: journal written, postings job never
     committed. Recovery must conclude 'absent' and leave stats alone."""
@@ -185,7 +228,7 @@ def test_recovery_of_journal_without_postings_is_a_noop(spark, tmp_path):
 
     with open(os.path.join(path, "_STATS.json")) as fh:
         stats_before = _json.load(fh)
-    TI._write_journal(path, 999, 7)
+    TI._write_journal(path, 999, 7, 7)
     assert TI.recover_text_index(spark, path) == "absent"
     with open(os.path.join(path, "_STATS.json")) as fh:
         assert _json.load(fh) == stats_before
@@ -257,6 +300,6 @@ def test_compaction_refuses_torn_index(spark, tmp_path):
     d = load(spark, SF, "documents")
     path = str(tmp_path / "torn")
     build_text_index(d, path)
-    TI._write_journal(path, 1, 1)
+    TI._write_journal(path, 1, 1, 1)
     with pytest.raises(RuntimeError, match="unfinished append"):
         TI.compact_text_index(spark, path)
