@@ -66,6 +66,57 @@ def build_index(
     )
 
 
+def append_lsh_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_conflict: str = "error",
+) -> int:
+    """Incremental LSH-index maintenance — the family-completing sibling
+    of :func:`append_ivf_index` / :func:`append_ivfpq_index` /
+    ``text_index.append_text_index``.
+
+    LSH is the EASY case: the bucket signature is data-independent (fixed
+    hyperplanes), so there is no trained state to freeze and no recall
+    drift from appending — the batch simply lands in its deterministic
+    ``bucket`` partitions, O(batch), every pre-existing file
+    byte-untouched.  The only lifecycle concern LSH shares with the
+    trained indexes is small-file pileup, answered by the same
+    rebuild-into-version pattern (:func:`build_index` into ``v<N>`` +
+    ``publish_index_version``).  Duplicate-id delivery is guarded exactly
+    like the other families (same signature → same bucket, so the check
+    prunes to the batch's own partitions).  Returns the number of vectors
+    appended."""
+    root = index_root(path)
+    assigned = (
+        batch.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n", norm(F.col("v")))
+        .withColumn("bucket", lsh_signature(F.col("v")))
+        .persist()
+    )
+    try:
+        kept = _filter_duplicate_ids(
+            spark, assigned, root, on_conflict, part_col="bucket"
+        )
+        n_new = kept.count()
+        if n_new == 0:
+            return 0
+        (
+            kept.repartition("bucket")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("bucket")
+            .parquet(root)
+        )
+        return n_new
+    finally:
+        assigned.unpersist()
+
+
 def probe_topk(
     spark,
     index_path: str,
@@ -152,7 +203,11 @@ def build_ivf_index(
 
 
 def _filter_duplicate_ids(
-    spark, assigned: DataFrame, data_dir: str, on_conflict: str = "error"
+    spark,
+    assigned: DataFrame,
+    data_dir: str,
+    on_conflict: str = "error",
+    part_col: str = "list_id",
 ) -> DataFrame:
     """Guard the frozen-quantizer appends against re-delivered ids (ADVICE
     r10): the surrounding system re-delivers ids by design (store merges,
@@ -161,12 +216,13 @@ def _filter_duplicate_ids(
     duplicate candidates in IVF probes.
 
     The check is partition-pruned: an id re-delivered with the SAME vector
-    routes to the same list, so scanning only the batch's own ``list_id``
-    partitions finds it — O(touched lists), not O(index).  (An id whose
-    vector CHANGED may route elsewhere and escape this check; that case is
-    an update, which no append-only index supports — rebuild handles it.)
-    ``assigned`` must be (vec_id, list_id, ...) and already persisted (it
-    is re-consumed by the caller's write).
+    routes to the same partition (coarse list for IVF/IVF-PQ, signature
+    bucket for LSH — ``part_col`` names it), so scanning only the batch's
+    own partitions finds it — O(touched partitions), not O(index).  (An id
+    whose vector CHANGED may route elsewhere and escape this check; that
+    case is an update, which no append-only index supports — rebuild
+    handles it.)  ``assigned`` must be (vec_id, <part_col>, ...) and
+    already persisted (it is re-consumed by the caller's write).
 
     ``on_conflict="error"`` raises on overlap; ``on_conflict="skip"``
     returns ``assigned`` with the already-indexed ids anti-joined out —
@@ -174,12 +230,12 @@ def _filter_duplicate_ids(
     micro-batch appends nothing the second time)."""
     if on_conflict not in ("error", "skip"):
         raise ValueError(f"on_conflict must be 'error' or 'skip', got {on_conflict!r}")
-    touched = sorted(r[0] for r in assigned.select("list_id").distinct().collect())
+    touched = sorted(r[0] for r in assigned.select(part_col).distinct().collect())
     if not touched:
         return assigned
     existing = (
         spark.read.parquet(data_dir)
-        .filter(F.col("list_id").isin(touched))
+        .filter(F.col(part_col).isin(touched))
         .select("vec_id")
     )
     if on_conflict == "skip":

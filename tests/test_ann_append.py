@@ -357,3 +357,66 @@ def test_ivf_rebuild_swaps_atomically(spark, tmp_path):
         tuple(r) for r in probe_ivf_topk(spark, aged, queries, 5, n_probe=2).collect()
     )
     assert got2 == want
+
+
+def test_lsh_append_matches_full_build_and_leaves_files_untouched(spark, tmp_path):
+    """append_lsh_index (r11, family-completing): the signature is
+    data-independent, so append-then-probe must return EXACTLY what a
+    full build's probe returns, with every pre-existing bucket file
+    byte-untouched."""
+    from hnarchive_spark.sources.ann_index import append_lsh_index, build_index, probe_topk
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+
+    full = str(tmp_path / "lsh_full")
+    build_index(e, full)
+    want = sorted(tuple(r) for r in probe_topk(spark, full, q, 5).collect())
+
+    path = str(tmp_path / "lsh_inc")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    before = _files(path)
+    assert before, "index build produced no bucket files"
+
+    n = append_lsh_index(spark, e.filter(F.col("vec_id") % 2 == 1), path)
+    assert n == e.filter(F.col("vec_id") % 2 == 1).count()
+
+    after = _files(path)
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    assert len(after) > len(before), "append added no files"
+
+    got = sorted(tuple(r) for r in probe_topk(spark, path, q, 5).collect())
+    assert got == want
+
+    # the probe still partition-prunes on bucket
+    plan = probe_topk(spark, path, q, 5)._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), pf
+
+
+def test_lsh_append_duplicate_ids_rejected_then_skip_is_idempotent(spark, tmp_path):
+    """The same duplicate-delivery rails as the trained indexes: error
+    rejects before any write; skip anti-joins the re-delivered ids out,
+    so a re-run of the same batch appends nothing."""
+    import pytest
+
+    from hnarchive_spark.sources.ann_index import append_lsh_index, build_index
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "lsh_dup")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    before = _files(path)
+    bad = e.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") == 0))
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_lsh_index(spark, bad, path)
+    assert _files(path) == before, "rejected append must not write"
+
+    assert append_lsh_index(spark, bad, path, on_conflict="skip") == bad.count() - 1
+    mid = _files(path)
+    # exact re-delivery of the whole batch: nothing to add, nothing touched
+    assert append_lsh_index(spark, bad, path, on_conflict="skip") == 0
+    assert _files(path) == mid
+    idx = spark.read.parquet(path)
+    assert idx.select("vec_id").distinct().count() == e.count()
+    assert idx.count() == e.count()
