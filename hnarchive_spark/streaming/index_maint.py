@@ -1,7 +1,7 @@
 """Streaming maintenance of the persisted secondary indexes: every
-micro-batch is one O(batch) append into the BM25 text index or the IVF-PQ
-ANN index via ``foreachBatch`` — the index-freshness counterpart of the
-store's streaming merge sink (``streaming/sink.py``).
+micro-batch is one O(batch) append into the BM25 text index or an ANN
+index (LSH, IVF, IVF-PQ) via ``foreachBatch`` — the index-freshness
+counterpart of the store's streaming merge sink (``streaming/sink.py``).
 
 This closes the loop the r10/r11 index-lifecycle work opened: the store
 ingests continuously (livestream → ``stream_merge_into_store``), but the
@@ -40,7 +40,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from hnarchive_spark.sources.ann_index import append_ivfpq_index
+from hnarchive_spark.sources.ann_index import (
+    append_ivf_index,
+    append_ivfpq_index,
+    append_lsh_index,
+)
 from hnarchive_spark.sources.text_index import (
     append_text_index,
     needs_recovery,
@@ -97,6 +101,45 @@ def maintain_ivfpq_index(
             id_col=id_col,
             vec_col=vec_col,
             on_conflict="skip",
+        )
+
+    return _process
+
+
+def maintain_ivf_index(
+    index_path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """``foreachBatch`` function for plain-IVF index maintenance — same
+    single-job-append reasoning as :func:`maintain_ivfpq_index` (rows,
+    not PQ codes, but identically all-or-nothing at job commit).  Wire it
+    exactly like the other families:
+    ``stream.writeStream.foreachBatch(maintain_ivf_index(path))``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        return append_ivf_index(
+            batch_df.sparkSession, batch_df, index_path,
+            id_col=id_col, vec_col=vec_col, on_conflict="skip",
+        )
+
+    return _process
+
+
+def maintain_lsh_index(
+    index_path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """``foreachBatch`` function for LSH index maintenance — the
+    data-independent family (no trained state, no recall drift from
+    appends); re-delivery idempotence comes from the shared
+    skip-on-conflict rail like everywhere else."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        return append_lsh_index(
+            batch_df.sparkSession, batch_df, index_path,
+            id_col=id_col, vec_col=vec_col, on_conflict="skip",
         )
 
     return _process

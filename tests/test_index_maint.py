@@ -165,3 +165,41 @@ def test_ivfpq_maintenance_skip_idempotent(spark, tmp_path):
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.count() == e.count()
     assert codes.select("vec_id").distinct().count() == e.count()
+
+
+def test_ivf_and_lsh_maintenance_skip_idempotent(spark, tmp_path):
+    """The two remaining families ride the same micro-batch contract:
+    whole-corpus re-delivery appends only the genuinely-new half, exact
+    re-delivery is a no-op, pre-existing files stay byte-untouched."""
+    from hnarchive_spark.sources.ann_index import build_index, build_ivf_index
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_ivf_index,
+        maintain_lsh_index,
+    )
+
+    e = load(spark, SF, "embeddings")
+    n_odd = e.filter(F.col("vec_id") % 2 == 1).count()
+
+    ivf_path = str(tmp_path / "ivf")
+    build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), ivf_path)
+    lsh_path = str(tmp_path / "lsh")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), lsh_path)
+
+    for path, data_sub, process in (
+        (ivf_path, "lists", maintain_ivf_index(ivf_path)),
+        (lsh_path, "", maintain_lsh_index(lsh_path)),
+    ):
+        data_dir = os.path.join(path, data_sub) if data_sub else path
+        before = _files(data_dir)
+        assert process(e, batch_id=0) == n_odd, path
+        after = _files(data_dir)
+        for rel, meta in before.items():
+            assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+        assert process(e, batch_id=0) == 0, path
+        assert _files(data_dir) == after, path
+        rows = spark.read.parquet(data_dir)
+        assert rows.count() == e.count(), path
+        assert rows.select("vec_id").distinct().count() == e.count(), path
+        # the empty-tick guard: a 0-row micro-batch touches nothing
+        assert process(e.filter("vec_id < 0"), batch_id=1) == 0, path
+        assert _files(data_dir) == after, path
