@@ -247,6 +247,11 @@ def cmd_index(spark, args):
 
         vdir = compact_text_index(spark, args.path)
         print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+    elif args.action == "compact-lsh":
+        from hnarchive_spark.sources.ann_index import compact_lsh_index
+
+        vdir = compact_lsh_index(spark, args.path)
+        print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
     elif args.action == "rebuild-ivfpq":
         from hnarchive_spark.sources.ann_index import rebuild_ivfpq_index
         from hnarchive_spark.tables import load
@@ -448,7 +453,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument(
         "action",
-        choices=("rebuild-ivfpq", "compact-text", "recover-text", "prune"),
+        choices=("rebuild-ivfpq", "compact-text", "compact-lsh", "recover-text", "prune"),
     )
     ix.add_argument("--path", required=True, help="index root directory")
     ix.add_argument("--sf-dir", default=None, help="corpus directory for rebuild (default $SPARK_GRAFT_SF_DIR)")

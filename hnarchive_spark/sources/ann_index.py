@@ -681,6 +681,32 @@ def probe_ivfpq_topk(
     )
 
 
+def compact_lsh_index(spark, path: str) -> str:
+    """Rewrite the LSH index's bucket partitions at full file sizes into
+    a new ``<path>/v<N>`` tree with an atomic pointer swap — the
+    lifecycle counterpart of :func:`append_lsh_index`.
+
+    LSH needs no REBUILD (the signature is data-independent, so there is
+    no trained state to drift); its only lifecycle liability is the
+    small-file pileup appends leave in each bucket partition.  The
+    compaction therefore reads the index's own rows (no corpus access,
+    no re-hashing) and rewrites them clustered by bucket; probe rows are
+    unchanged by construction.  Returns the new version directory."""
+    old_root = index_root(path)
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    (
+        spark.read.parquet(old_root)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("bucket")
+        .parquet(vdir)
+    )
+    publish_index_version(path, new_v)
+    return vdir
+
+
 def rebuild_ivf_index(
     spark,
     embeddings: DataFrame,

@@ -79,8 +79,12 @@ def prune_index_versions(path: str, keep_current_only: bool = True) -> list[str]
         if name.startswith("v") and name[1:].isdigit():
             shutil.rmtree(full)
             removed.append(full)
-        elif name in ("codes", "lists", "centroids", "codebooks", "postings"):
+        elif name in (
+            "codes", "lists", "centroids", "codebooks", "postings"
+        ) or name.startswith("bucket="):
             # pre-versioning flat data superseded by the published version
+            # (bucket=* is the LSH index's flat layout — its partitions
+            # live directly at the root, not under a named data dir)
             shutil.rmtree(full)
             removed.append(full)
     return removed

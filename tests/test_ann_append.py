@@ -420,3 +420,54 @@ def test_lsh_append_duplicate_ids_rejected_then_skip_is_idempotent(spark, tmp_pa
     idx = spark.read.parquet(path)
     assert idx.select("vec_id").distinct().count() == e.count()
     assert idx.count() == e.count()
+
+
+def test_lsh_compaction_preserves_probe_rows_and_prunes_flat_leftovers(spark, tmp_path):
+    """compact_lsh_index: appends pile small files into bucket partitions;
+    compaction rewrites them into <path>/v<N> behind the atomic pointer
+    (old tree untouched for concurrent readers), probe rows unchanged;
+    prune then drops the superseded flat layout."""
+    from hnarchive_spark.sources.ann_index import (
+        append_lsh_index,
+        build_index,
+        compact_lsh_index,
+        probe_topk,
+    )
+    from hnarchive_spark.sources.index_version import (
+        current_index_version,
+        prune_index_versions,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "lsh_cmp")
+    build_index(e.filter(F.col("vec_id") % 4 == 0), path)
+    for m in (1, 2, 3):
+        append_lsh_index(spark, e.filter(F.col("vec_id") % 4 == m), path)
+    want = sorted(tuple(r) for r in probe_topk(spark, path, q, 5).collect())
+    flat_files = _files(path)
+
+    vdir = compact_lsh_index(spark, path)
+    assert current_index_version(path) == 1
+    # old flat tree byte-untouched (a reader that resolved before the
+    # swap still holds a complete index)
+    for rel, meta in flat_files.items():
+        assert _files(path).get(rel) == meta, f"pre-compaction file changed: {rel}"
+    got = sorted(tuple(r) for r in probe_topk(spark, path, q, 5).collect())
+    assert got == want
+    # fewer, fuller files per bucket in the compacted tree
+    assert len(_files(vdir)) < len(flat_files)
+
+    # appends after compaction land in the NEW version
+    n = append_lsh_index(
+        spark, e.filter(F.col("vec_id") % 4 == 1), path, on_conflict="skip"
+    )
+    assert n == 0, "already-indexed batch must be skipped post-compaction"
+
+    removed = prune_index_versions(path)
+    assert removed, "flat leftovers not pruned"
+    assert not [
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ], "flat bucket dirs survived the prune"
+    got2 = sorted(tuple(r) for r in probe_topk(spark, path, q, 5).collect())
+    assert got2 == want

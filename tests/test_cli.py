@@ -302,3 +302,34 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     assert current_index_version(apath) == 1
     codes = spark.read.parquet(f"{apath}/v1/codes")
     assert codes.select("vec_id").distinct().count() == e.count()
+
+
+def test_cli_index_compact_lsh(spark, tmp_path, capsys):
+    """compact-lsh: appends pile small bucket files; the verb rewrites
+    them into v1 behind the pointer and prune drops the flat layout."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.ann_index import append_lsh_index, build_index
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings")
+    path = str(tmp_path / "lsh")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    append_lsh_index(spark, e.filter(F.col("vec_id") % 2 == 1), path)
+
+    args = cli.build_parser().parse_args(["index", "compact-lsh", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    assert current_index_version(path) == 1
+    assert "now version 1" in capsys.readouterr().out
+
+    args = cli.build_parser().parse_args(["index", "prune", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    capsys.readouterr()
+    assert not [d for d in _os.listdir(path) if d.startswith("bucket=")]
+    rows = spark.read.parquet(_os.path.join(path, "v1"))
+    assert rows.select("vec_id").distinct().count() == e.count()
