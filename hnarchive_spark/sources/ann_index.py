@@ -83,9 +83,9 @@ def append_lsh_index(
     drift from appending — the batch simply lands in its deterministic
     ``bucket`` partitions, O(batch), every pre-existing file
     byte-untouched.  The only lifecycle concern LSH shares with the
-    trained indexes is small-file pileup, answered by the same
-    rebuild-into-version pattern (:func:`build_index` into ``v<N>`` +
-    ``publish_index_version``).  Duplicate-id delivery is guarded exactly
+    trained indexes is small-file pileup, answered by
+    :func:`compact_lsh_index` (bucket-clustered rewrite into ``v<N>``
+    behind the atomic pointer — no corpus access, no re-hashing).  Duplicate-id delivery is guarded exactly
     like the other families (same signature → same bucket, so the check
     prunes to the batch's own partitions).  Returns the number of vectors
     appended."""
