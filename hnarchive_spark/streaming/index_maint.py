@@ -32,11 +32,19 @@ batch and streaming maintenance share one code path:
 What this deliberately does NOT do: updates.  A re-delivered id whose
 text/vector changed is skipped, not re-encoded — an append-only index
 defers updates to the next ``rebuild_*``/``compact_*`` (the Lucene segment
-model; see SCALE.md r11).  The per-batch return counts let an operator
-watch the skipped volume and schedule that rebuild.
+model; see SCALE.md r11).  Because ``foreachBatch`` discards the
+maintenance functions' return values, the appended/skipped counts are
+also accumulated into a ``_MAINT_STATS.json`` ledger at the index root
+(:func:`maintenance_stats`); :func:`needs_maintenance` is the scheduling
+predicate that turns the skipped volume (pending updates → rebuild) or
+the batch count (small-file pileup → compaction) into the "run the
+lifecycle verb now" decision.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame
 
@@ -50,6 +58,63 @@ from hnarchive_spark.sources.text_index import (
     needs_recovery,
     recover_text_index,
 )
+
+_MAINT_STATS = "_MAINT_STATS.json"
+
+
+def _bump_maint_stats(index_path: str, appended: int, skipped: int) -> None:
+    """Accumulate the per-batch maintenance counts into a sidecar at the
+    index root — ``writeStream.foreachBatch`` DISCARDS the maintenance
+    functions' return values, so without this ledger the skipped volume
+    (= updates an append-only index is deferring to the next
+    rebuild/compaction) would be unobservable exactly where it matters.
+    Single-writer by construction (one streaming query per index, batches
+    sequential), atomic publish; ADVISORY numbers — an at-least-once
+    re-delivered batch bumps ``skipped`` again, which overstates but
+    never understates the pending-update volume."""
+    p = os.path.join(index_path, _MAINT_STATS)
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        d = {"appended": 0, "skipped": 0, "batches": 0}
+    d["appended"] += int(appended)
+    d["skipped"] += int(skipped)
+    d["batches"] += 1
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(d, fh)
+    os.replace(tmp, p)
+
+
+def maintenance_stats(index_path: str, reset: bool = False) -> dict:
+    """The accumulated maintenance ledger for an index (zeros if no
+    streaming maintenance has run).  ``reset=True`` clears it — the
+    operator move after SCHEDULING the rebuild/compaction the counts
+    argued for, so the next window accumulates fresh."""
+    p = os.path.join(index_path, _MAINT_STATS)
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        d = {"appended": 0, "skipped": 0, "batches": 0}
+    if reset:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return d
+
+
+def needs_maintenance(
+    index_path: str, max_skipped: int = 0, max_batches: int = 0
+) -> bool:
+    """The scheduling predicate the ledger exists for: True once the
+    skipped volume (pending updates → ``rebuild_*``) or the batch count
+    (small-file pileup → ``compact_*``) crosses the given budget.  A
+    budget of 0 disables that dimension."""
+    d = maintenance_stats(index_path)
+    return (0 < max_skipped <= d["skipped"]) or (0 < max_batches <= d["batches"])
 
 
 def maintain_text_index(
@@ -71,9 +136,12 @@ def maintain_text_index(
             # rewrite; repair exactly, then proceed — the re-delivered
             # rows of that batch are skipped by the anti-join below
             recover_text_index(spark, index_path)
-        return append_text_index(
+        n_in = batch_df.count()
+        appended = append_text_index(
             spark, batch_df, index_path, id_col, text_col, on_conflict="skip"
         )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
 
     return _process
 
@@ -93,7 +161,8 @@ def maintain_ivfpq_index(
     def _process(batch_df: DataFrame, batch_id: int) -> int:
         if batch_df.isEmpty():
             return 0
-        return append_ivfpq_index(
+        n_in = batch_df.count()
+        appended = append_ivfpq_index(
             batch_df.sparkSession,
             batch_df,
             index_path,
@@ -102,6 +171,8 @@ def maintain_ivfpq_index(
             vec_col=vec_col,
             on_conflict="skip",
         )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
 
     return _process
 
@@ -118,10 +189,13 @@ def maintain_ivf_index(
     def _process(batch_df: DataFrame, batch_id: int) -> int:
         if batch_df.isEmpty():
             return 0
-        return append_ivf_index(
+        n_in = batch_df.count()
+        appended = append_ivf_index(
             batch_df.sparkSession, batch_df, index_path,
             id_col=id_col, vec_col=vec_col, on_conflict="skip",
         )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
 
     return _process
 
@@ -137,10 +211,13 @@ def maintain_lsh_index(
     def _process(batch_df: DataFrame, batch_id: int) -> int:
         if batch_df.isEmpty():
             return 0
-        return append_lsh_index(
+        n_in = batch_df.count()
+        appended = append_lsh_index(
             batch_df.sparkSession, batch_df, index_path,
             id_col=id_col, vec_col=vec_col, on_conflict="skip",
         )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
 
     return _process
 

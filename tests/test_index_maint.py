@@ -203,3 +203,44 @@ def test_ivf_and_lsh_maintenance_skip_idempotent(spark, tmp_path):
         # the empty-tick guard: a 0-row micro-batch touches nothing
         assert process(e.filter("vec_id < 0"), batch_id=1) == 0, path
         assert _files(data_dir) == after, path
+
+
+def test_maintenance_ledger_accumulates_and_schedules(spark, tmp_path):
+    """foreachBatch discards the maintenance return values, so the
+    appended/skipped counts must land in the _MAINT_STATS.json ledger —
+    the observable input the rebuild/compaction scheduling decision
+    (needs_maintenance) runs on."""
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index
+    from hnarchive_spark.streaming.index_maint import (
+        maintenance_stats,
+        needs_maintenance,
+    )
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, 4, 8, 2)
+    assert maintenance_stats(path) == {"appended": 0, "skipped": 0, "batches": 0}
+
+    process = maintain_ivfpq_index(path, 4)
+    n_odd = e.filter(F.col("vec_id") % 2 == 1).count()
+    n_all = e.count()
+    process(e, batch_id=0)   # whole corpus: odd appended, even skipped
+    process(e, batch_id=0)   # full re-delivery: everything skipped
+    got = maintenance_stats(path)
+    assert got == {
+        "appended": n_odd,
+        "skipped": (n_all - n_odd) + n_all,
+        "batches": 2,
+    }
+    # an empty tick records nothing
+    process(e.filter("vec_id < 0"), batch_id=1)
+    assert maintenance_stats(path)["batches"] == 2
+
+    assert not needs_maintenance(path)  # budgets of 0 disable both dims
+    assert needs_maintenance(path, max_skipped=n_all)
+    assert needs_maintenance(path, max_batches=2)
+    assert not needs_maintenance(path, max_batches=3)
+
+    # the operator move after scheduling the rebuild: reset, start fresh
+    assert maintenance_stats(path, reset=True)["batches"] == 2
+    assert maintenance_stats(path) == {"appended": 0, "skipped": 0, "batches": 0}
