@@ -263,6 +263,12 @@ def cmd_index(spark, args):
             train_mod=args.train_mod, by_residual=args.by_residual,
         )
         print(f"rebuilt into {vdir} (now version {current_index_version(args.path)})")
+    elif args.action == "stats":
+        import json as _json
+
+        from hnarchive_spark.streaming.index_maint import maintenance_stats
+
+        print(_json.dumps(maintenance_stats(args.path, reset=args.reset)))
     else:  # prune
         removed = prune_index_versions(args.path)
         print(f"pruned {len(removed)} superseded tree(s)")
@@ -453,7 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument(
         "action",
-        choices=("rebuild-ivfpq", "compact-text", "compact-lsh", "recover-text", "prune"),
+        choices=(
+            "rebuild-ivfpq", "compact-text", "compact-lsh", "recover-text",
+            "prune", "stats",
+        ),
     )
     ix.add_argument("--path", required=True, help="index root directory")
     ix.add_argument("--sf-dir", default=None, help="corpus directory for rebuild (default $SPARK_GRAFT_SF_DIR)")
@@ -465,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="train quantizers on the deterministic 1/mod id-sample (1 = full corpus)",
     )
     ix.add_argument("--by-residual", action="store_true", help="residual PQ encoding")
+    ix.add_argument(
+        "--reset", action="store_true",
+        help="with stats: clear the maintenance ledger after printing "
+        "(the operator move once the rebuild/compaction is scheduled)",
+    )
     ix.set_defaults(func=cmd_index)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")

@@ -333,3 +333,37 @@ def test_cli_index_compact_lsh(spark, tmp_path, capsys):
     assert not [d for d in _os.listdir(path) if d.startswith("bucket=")]
     rows = spark.read.parquet(_os.path.join(path, "v1"))
     assert rows.select("vec_id").distinct().count() == e.count()
+
+
+def test_cli_index_stats(spark, tmp_path, capsys):
+    """`index stats` prints the maintenance ledger JSON; --reset clears
+    it after printing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.ann_index import build_index
+    from hnarchive_spark.streaming.index_maint import maintain_lsh_index
+    from hnarchive_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    maintain_lsh_index(path)(e, batch_id=0)
+
+    args = cli.build_parser().parse_args(["index", "stats", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    d = _json.loads(capsys.readouterr().out)
+    assert d["batches"] == 1 and d["appended"] > 0 and d["skipped"] > 0
+
+    args = cli.build_parser().parse_args(
+        ["index", "stats", "--path", path, "--reset"]
+    )
+    assert cli.cmd_index(spark, args) == 0
+    assert _json.loads(capsys.readouterr().out)["batches"] == 1  # prints, then clears
+    args = cli.build_parser().parse_args(["index", "stats", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    assert _json.loads(capsys.readouterr().out) == {
+        "appended": 0, "skipped": 0, "batches": 0,
+    }
