@@ -128,7 +128,10 @@ def maintain_text_index(
     skip-on-conflict idempotence."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> int:
-        if batch_df.isEmpty():
+        # one count doubles as the empty-tick guard — cheaper than a
+        # separate isEmpty() pass, since each action re-scans the batch
+        n_in = batch_df.count()
+        if n_in == 0:
             return 0
         spark = batch_df.sparkSession
         if needs_recovery(index_path):
@@ -136,7 +139,6 @@ def maintain_text_index(
             # rewrite; repair exactly, then proceed — the re-delivered
             # rows of that batch are skipped by the anti-join below
             recover_text_index(spark, index_path)
-        n_in = batch_df.count()
         appended = append_text_index(
             spark, batch_df, index_path, id_col, text_col, on_conflict="skip"
         )
@@ -159,9 +161,9 @@ def maintain_ivfpq_index(
     alone makes re-delivery a no-op."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> int:
-        if batch_df.isEmpty():
-            return 0
         n_in = batch_df.count()
+        if n_in == 0:
+            return 0
         appended = append_ivfpq_index(
             batch_df.sparkSession,
             batch_df,
@@ -187,9 +189,9 @@ def maintain_ivf_index(
     ``stream.writeStream.foreachBatch(maintain_ivf_index(path))``."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> int:
-        if batch_df.isEmpty():
-            return 0
         n_in = batch_df.count()
+        if n_in == 0:
+            return 0
         appended = append_ivf_index(
             batch_df.sparkSession, batch_df, index_path,
             id_col=id_col, vec_col=vec_col, on_conflict="skip",
@@ -209,9 +211,9 @@ def maintain_lsh_index(
     skip-on-conflict rail like everywhere else."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> int:
-        if batch_df.isEmpty():
-            return 0
         n_in = batch_df.count()
+        if n_in == 0:
+            return 0
         appended = append_lsh_index(
             batch_df.sparkSession, batch_df, index_path,
             id_col=id_col, vec_col=vec_col, on_conflict="skip",
