@@ -12,6 +12,11 @@ per-batch times would grow ~linearly in the number of prior batches; the
 O(batch) design predicts a flat profile.  Finally, re-deliver the LAST
 batch and time the resulting no-op.
 
+After the appends, the families with a compaction verb (text, LSH) run
+it and report the small-file collapse: parquet file count before/after
+and the compaction wall — the measured form of the lifecycle claim that
+K appends leave ~K files per touched partition until compacted.
+
 Run: python tools/index_maint_probe.py [SF_DIR] [K]
 Output: one JSON line per index family.
 """
@@ -29,16 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from hnarchive_spark.session import get_spark
-from hnarchive_spark.sources.ann_index import build_ivfpq_index
-from hnarchive_spark.sources.text_index import build_text_index
+from hnarchive_spark.sources.ann_index import (
+    build_index,
+    build_ivfpq_index,
+    compact_lsh_index,
+)
+from hnarchive_spark.sources.text_index import build_text_index, compact_text_index
 from hnarchive_spark.streaming.index_maint import (
     maintain_ivfpq_index,
+    maintain_lsh_index,
     maintain_text_index,
 )
 from hnarchive_spark.tables import load
 
 
-def probe(name, build, process, batches):
+def _n_parquet_files(root):
+    return sum(
+        1
+        for _dir, _sub, names in os.walk(root)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def probe(name, build, process, batches, compact=None, data_sub=""):
     t0 = time.perf_counter()
     build(batches[0])
     built = round(time.perf_counter() - t0, 3)
@@ -52,17 +71,20 @@ def probe(name, build, process, batches):
     n = process(batches[-1], batch_id=len(batches) - 1)  # re-delivery
     redeliver = round(time.perf_counter() - t0, 3)
     assert n == 0, "re-delivered batch appended rows"
-    print(
-        json.dumps(
-            {
-                "family": name,
-                "build_s": built,
-                "append_s_per_batch": per_batch,
-                "redeliver_noop_s": redeliver,
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "family": name,
+        "build_s": built,
+        "append_s_per_batch": per_batch,
+        "redeliver_noop_s": redeliver,
+    }
+    if compact is not None:
+        before = _n_parquet_files(data_sub)
+        t0 = time.perf_counter()
+        vdir = compact()
+        out["compact_s"] = round(time.perf_counter() - t0, 3)
+        out["files_before_compact"] = before
+        out["files_after_compact"] = _n_parquet_files(vdir)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -73,15 +95,39 @@ def main():
     tmp = tempfile.mkdtemp(prefix="index_maint_probe_")
 
     d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
     tpath = os.path.join(tmp, "text")
     probe(
         "bm25_text",
         lambda b: build_text_index(b, tpath),
         maintain_text_index(tpath),
         [d.filter(F.col("doc_id") % k == m) for m in range(k)],
+        compact=lambda: compact_text_index(spark, tpath),
+        data_sub=os.path.join(tpath, "postings"),
     )
 
-    e = load(spark, sf_dir, "embeddings")
+    lpath = os.path.join(tmp, "lsh")
+    probe(
+        "lsh",
+        lambda b: build_index(b, lpath),
+        maintain_lsh_index(lpath),
+        [e.filter(F.col("vec_id") % k == m) for m in range(k)],
+    )
+    # LSH compaction measured separately so the file count excludes v-dirs
+    t0 = time.perf_counter()
+    vdir = compact_lsh_index(spark, lpath)
+    print(
+        json.dumps(
+            {
+                "family": "lsh",
+                "compact_s": round(time.perf_counter() - t0, 3),
+                "files_before_compact": _n_parquet_files(lpath) - _n_parquet_files(vdir),
+                "files_after_compact": _n_parquet_files(vdir),
+            }
+        ),
+        flush=True,
+    )
+
     apath = os.path.join(tmp, "ivfpq")
     probe(
         "ivfpq",
