@@ -238,6 +238,17 @@ def cmd_index(spark, args):
         prune_index_versions,
     )
 
+    def _ledger_fresh():
+        # a successful rebuild/compaction consumes the maintenance
+        # ledger that argued for it (needs_maintenance must go quiet
+        # until NEW appends accumulate) — reset here, in the verb layer,
+        # so the batch operators stay ledger-unaware
+        from hnarchive_spark.streaming.index_maint import maintenance_stats
+
+        d = maintenance_stats(args.path, reset=True)
+        if d["batches"]:
+            print(f"maintenance ledger consumed: {d}")
+
     if args.action == "recover-text":
         from hnarchive_spark.sources.text_index import recover_text_index
 
@@ -247,11 +258,13 @@ def cmd_index(spark, args):
 
         vdir = compact_text_index(spark, args.path)
         print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()
     elif args.action == "compact-lsh":
         from hnarchive_spark.sources.ann_index import compact_lsh_index
 
         vdir = compact_lsh_index(spark, args.path)
         print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()
     elif args.action == "rebuild-ivfpq":
         from hnarchive_spark.sources.ann_index import rebuild_ivfpq_index
         from hnarchive_spark.tables import load
@@ -263,6 +276,7 @@ def cmd_index(spark, args):
             train_mod=args.train_mod, by_residual=args.by_residual,
         )
         print(f"rebuilt into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()
     elif args.action == "stats":
         import json as _json
 

@@ -367,3 +367,28 @@ def test_cli_index_stats(spark, tmp_path, capsys):
     assert _json.loads(capsys.readouterr().out) == {
         "appended": 0, "skipped": 0, "batches": 0,
     }
+
+
+def test_cli_lifecycle_verbs_consume_the_ledger(spark, tmp_path, capsys):
+    """A successful compaction consumes the maintenance ledger that
+    argued for it — needs_maintenance goes quiet until NEW appends."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.ann_index import build_index
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_lsh_index,
+        needs_maintenance,
+    )
+    from hnarchive_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    maintain_lsh_index(path)(e, batch_id=0)
+    assert needs_maintenance(path, max_batches=1)
+
+    args = cli.build_parser().parse_args(["index", "compact-lsh", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    assert "maintenance ledger consumed" in capsys.readouterr().out
+    assert not needs_maintenance(path, max_batches=1)
