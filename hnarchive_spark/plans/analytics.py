@@ -1169,7 +1169,8 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+             (2 * sum(CAST(round(o_totalprice) AS BIGINT)) + count(*))
+               // (2 * count(*)) AS y
       FROM orders GROUP BY 1, 2
     ),
     st AS (
@@ -1191,16 +1192,22 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(dv * dv) AS BIGINT) AS r1_den
     FROM paired GROUP BY priority
     """,
-    doc="Lag-1 autocorrelation of daily revenue as the exact rational "
-    "(r1_num, r1_den): deviations are taken from the ROUND-HALF-UP "
-    "integer mean (the portability-exact definition — true-mean "
-    "deviations would need m-scaled products that overflow int64 at "
-    "long histories), paired with the next day's deviation via lead(). "
-    "Positive r1 = momentum, negative = mean reversion — the "
-    "stationarity screen before any forecasting job. Daily aggregate "
-    "first; every window runs over the metadata-sized day table. "
-    "Null-lead tail rows drop from the numerator only, matching the "
-    "standard sum over n-1 pairs.",
+    doc="Lag-1 autocorrelation of the daily MEAN order value (whole "
+    "dollars, round-half-up — both levels of rounding are the "
+    "portability-exact (2s+n) div (2n) form) as the exact rational "
+    "(r1_num, r1_den), deviations paired with the next day's via "
+    "lead(). Positive r1 = momentum, negative = mean reversion — the "
+    "stationarity screen before any forecasting job. The SERIES CHOICE "
+    "is the int64-overflow answer (round 11): a daily-TOTAL series "
+    "scales with row volume, so sum(dv^2) ~ SF^2 x days blows past "
+    "int64 at sf0.1 (measured: the r7 form crashed the 10x window "
+    "sweep); the daily mean is volume-independent (bounded by the "
+    "price domain, ~6e5 dollars), leaving ~1e4 headroom in days x "
+    "dv^2 at ANY corpus volume — and since r1 is invariant to linear "
+    "scaling of the series, the statistic's meaning survives the "
+    "switch. Daily aggregate first; every window runs over the "
+    "metadata-sized day table. Null-lead tail rows drop from the "
+    "numerator only, matching the standard sum over n-1 pairs.",
 )
 def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1208,10 +1215,10 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             F.col("o_orderpriority").alias("priority"),
             F.date_trunc("day", F.col("o_orderdate")).alias("day"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.round(F.col("o_totalprice"), 0).cast("long").alias("dollars"),
         )
         .groupBy("priority", "day")
-        .agg(F.sum("cents").alias("y"))
+        .agg(F.expr("(2 * sum(dollars) + count(*)) div (2 * count(*))").alias("y"))
     )
     st = daily.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
