@@ -1089,7 +1089,8 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+             (2 * sum(CAST(round(o_totalprice) AS BIGINT)) + count(*))
+               // (2 * count(*)) AS y
       FROM orders GROUP BY 1, 2
     ),
     st AS (
@@ -1117,13 +1118,21 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(d_abs AS BIGINT) AS cusum_peak
     FROM best WHERE rn = 1
     """,
-    doc="CUSUM changepoint detection over daily revenue: the day where the "
-    "cumulative deviation from the overall mean peaks — |n*cum_k - k*S| "
-    "maximized (the integer-cleared form of |prefix mean - global mean| "
-    "weighted by k; no division) — the standard level-shift locator for "
-    "monitoring pipelines. All windows run over the DAILY aggregate "
-    "(metadata-sized after the one partial-agg shuffle), never raw "
-    "orders; ties break to the earliest day.",
+    doc="CUSUM changepoint detection over the daily MEAN order value "
+    "(whole dollars, round-half-up via the portability-exact (2s+n) div "
+    "(2n) form — the same volume-independent series as q_autocorr_lag1): "
+    "the day where the cumulative deviation from the overall level peaks "
+    "— |n*cum_k - k*S| maximized (the integer-cleared form of |prefix "
+    "mean - global mean| weighted by k; no division) — the textbook "
+    "level-shift locator for monitoring pipelines, which is defined on a "
+    "mean-level statistic anyway. The series choice is the int64 answer "
+    "(round 11, same audit that fixed q_autocorr_lag1): with a daily-"
+    "TOTAL series the n*cum_k product scales with row volume (~5.3e15 at "
+    "sf0.1, overflowing near sf200); with the daily mean it is bounded "
+    "by days^2 x the price domain (~3.5e12 for a decade of days) at ANY "
+    "corpus volume. All windows run over the DAILY aggregate (metadata-"
+    "sized after the one partial-agg shuffle), never raw orders; ties "
+    "break to the earliest day.",
 )
 def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1131,10 +1140,10 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             F.col("o_orderpriority").alias("priority"),
             F.date_trunc("day", F.col("o_orderdate")).alias("day"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.round(F.col("o_totalprice"), 0).cast("long").alias("dollars"),
         )
         .groupBy("priority", "day")
-        .agg(F.sum("cents").alias("y"))
+        .agg(F.expr("(2 * sum(dollars) + count(*)) div (2 * count(*))").alias("y"))
     )
     st = daily.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
