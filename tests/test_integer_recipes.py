@@ -128,3 +128,58 @@ def test_length_bucket_blocking_is_complete_for_lev2(lengths):
             hits[(a[0], b[0])] = n_keys
     assert set(hits) == naive
     assert all(v == 1 for v in hits.values()), hits
+
+
+# --- volume-independent daily-mean series (r11 int64 audit) -----------------
+
+# The TPC-H price domain: o_totalprice is bounded by part count x max price;
+# the generator never exceeds ~555k. The envelope below uses 600k dollars.
+PRICE_DOLLARS_MAX = 600_000
+CENTURY_DAYS = 36_500
+
+
+@given(
+    st.lists(
+        st.tuples(
+            # s = sum of rounded whole-dollar prices for one day,
+            # n = order count for that day — n is UNBOUNDED volume
+            # (up to 1e12 orders/day here), s respects the price domain
+            st.integers(min_value=1, max_value=10**12),
+            st.data(),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=100)
+def test_daily_mean_series_is_volume_independent(day_specs):
+    """q_autocorr_lag1 / q_changepoint_cusum (round 11): the round-half-up
+    daily MEAN (2s+n)//(2n) is bounded by the PRICE DOMAIN for any order
+    volume, so sum(dv^2) over a century of days and the CUSUM n*cum_k
+    product both stay far inside int64 at ANY corpus scale — the property
+    the r11 series switch rests on (a daily-TOTAL series broke at sf0.1)."""
+    ys = []
+    for n, data in day_specs:
+        # each order's rounded whole-dollar price is in [1, domain max]
+        s = data.draw(
+            st.integers(min_value=n, max_value=n * PRICE_DOLLARS_MAX)
+        )
+        y = (2 * s + n) // (2 * n)
+        assert 1 <= y <= PRICE_DOLLARS_MAX  # volume never widens the mean
+        ys.append(y)
+
+    # autocorr: deviations from the round-half-up integer mean of the series
+    D = len(ys)
+    s_tot = sum(ys)
+    m = (2 * s_tot + D) // (2 * D)
+    dvs = [y - m for y in ys]
+    # per-day dv^2 <= domain^2, so a CENTURY of days stays ~1e3 x inside
+    assert sum(dv * dv for dv in dvs) <= D * PRICE_DOLLARS_MAX**2
+    assert CENTURY_DAYS * PRICE_DOLLARS_MAX**2 < 2**63 / 500
+
+    # cusum: |n*cum_k - k*S| <= 2 * D^2 * domain, century-safe by ~7e4x
+    cum = 0
+    for k, y in enumerate(ys, 1):
+        cum += y
+        assert abs(D * cum - k * s_tot) <= 2 * D * D * PRICE_DOLLARS_MAX
+    assert 2 * CENTURY_DAYS**2 * PRICE_DOLLARS_MAX < 2**63 / 1000
