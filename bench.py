@@ -237,13 +237,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    # stdout = EXACTLY ONE compact JSON line (VERDICT r10 #6): the driver
-    # stores only a bounded tail of this process's output, and the full
-    # per-query dict + spread + isolated blocks (~5 KB) overflowed that
-    # window in rounds 8-10, leaving "parsed": null in BENCH_r{N}.json.
-    # Totals + slowest-10 fit in <1 KB under any truncation anchor; the
-    # complete table goes to stderr (and to BENCH_local_r{N}.json, which
-    # BASELINE.md references for the full round-over-round comparison).
+    # Output ordering is load-bearing (VERDICT r10 #6, diagnosed for real
+    # in r12): the driver stores only a bounded TAIL of this process's
+    # MERGED output, then parses the last JSON-looking line.  Round 11
+    # printed the compact line FIRST — it fell off the front of the tail
+    # and BENCH_r11.json still recorded "parsed": null, with the tail
+    # ending mid-way through the stderr detail record.  So: emit the big
+    # detail record first (stderr — BENCH_local_r{N}.json carries the
+    # authoritative copy anyway), and make the <1 KB compact summary the
+    # FINAL line flushed, so it survives any tail-truncation anchor.
+    print(
+        json.dumps(
+            {
+                "detail": "full_per_query_timings",
+                "queries": timings,
+                "spread": spreads,
+                "isolated_fresh_session": isolated,
+                "store_merge_bulk_rows": bulk_rows,
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+    spark.stop()  # before the compact line: shutdown logs go to stderr too
     print(
         json.dumps(
             {
@@ -261,20 +277,6 @@ def main() -> None:
         ),
         flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "detail": "full_per_query_timings",
-                "queries": timings,
-                "spread": spreads,
-                "isolated_fresh_session": isolated,
-                "store_merge_bulk_rows": bulk_rows,
-            }
-        ),
-        file=sys.stderr,
-        flush=True,
-    )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -87,13 +87,23 @@ def append_lsh_index(
     :func:`compact_lsh_index` (bucket-clustered rewrite into ``v<N>``
     behind the atomic pointer — no corpus access, no re-hashing).  Duplicate-id delivery is guarded exactly
     like the other families (same signature → same bucket, so the check
-    prunes to the batch's own partitions).  Returns the number of vectors
+    prunes to the batch's own partitions) — including duplicates WITHIN
+    one batch (ADVICE r11): the IVF/IVF-PQ appends collapse those as a
+    side effect of their nearest-centroid ``row_number`` window, but LSH
+    has no routing window, so without the explicit
+    ``dropDuplicates(["vec_id"])`` below a twice-delivered id would land
+    as two identical index rows and occupy two top-k slots in every
+    future ``probe_topk``, displacing a true neighbor.  At-least-once
+    re-delivery repeats identical rows so the collapse is exact; for one
+    batch carrying two DIFFERENT vectors under one id, which survives is
+    unspecified (the rn==1 analogue).  Returns the number of vectors
     appended."""
     root = index_root(path)
     assigned = (
         batch.select(
             F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
         )
+        .dropDuplicates(["vec_id"])
         .withColumn("n", norm(F.col("v")))
         .withColumn("bucket", lsh_signature(F.col("v")))
         .persist()
@@ -520,51 +530,53 @@ def append_ivfpq_index(
         .select("vec_id", "v", "list_id")
         .persist()
     )
-    routed_batch = assigned  # keep the persisted handle for unpersist
-    kept = _filter_duplicate_ids(spark, assigned, f"{path}/codes", on_conflict)
-    n_new = kept.count()
-    if n_new == 0:
-        routed_batch.unpersist()
-        return 0
-    if residual:
-        kept = kept.join(
-            F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
-            kept.list_id == F.col("cl"),
-        ).select(
-            "vec_id",
-            "list_id",
-            F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("v"),
-        )
-    # PQ codes: nearest frozen codebook entry per subvector
-    b_sub = kept.select(
-        "vec_id",
-        "list_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
-        F.col("v"),
-    ).select("vec_id", "list_id", "m", F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("sub_v"))
-    scored = b_sub.join(F.broadcast(codebooks), "m").select(
-        "vec_id",
-        "list_id",
-        "m",
-        "code",
-        F.round(sq_dist(F.col("sub_v"), F.col("centroid")), 6).alias("dist"),
-    )
-    wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
-    enc = (
-        scored.select("vec_id", "list_id", "m", "code", F.row_number().over(wc).alias("rn"))
-        .filter(F.col("rn") == 1)
-    )
-    codes = (
-        enc.groupBy("vec_id", "list_id")
-        .pivot("m", list(range(n_sub)))
-        .agg(F.first("code"))
-        .select(
-            "vec_id",
-            *[F.col(str(m)).alias(f"code_{m}") for m in range(n_sub)],
-            "list_id",
-        )
-    )
+    # the try/finally starts HERE (ADVICE r11): the duplicate check can
+    # raise (on_conflict="error" overlap) and the residual join / encode
+    # can fail — every exit path after the persist must release it, as
+    # append_ivf_index / append_lsh_index already do
     try:
+        kept = _filter_duplicate_ids(spark, assigned, f"{path}/codes", on_conflict)
+        n_new = kept.count()
+        if n_new == 0:
+            return 0
+        if residual:
+            kept = kept.join(
+                F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
+                kept.list_id == F.col("cl"),
+            ).select(
+                "vec_id",
+                "list_id",
+                F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: x - c).alias("v"),
+            )
+        # PQ codes: nearest frozen codebook entry per subvector
+        b_sub = kept.select(
+            "vec_id",
+            "list_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            F.col("v"),
+        ).select("vec_id", "list_id", "m", F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("sub_v"))
+        scored = b_sub.join(F.broadcast(codebooks), "m").select(
+            "vec_id",
+            "list_id",
+            "m",
+            "code",
+            F.round(sq_dist(F.col("sub_v"), F.col("centroid")), 6).alias("dist"),
+        )
+        wc = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+        enc = (
+            scored.select("vec_id", "list_id", "m", "code", F.row_number().over(wc).alias("rn"))
+            .filter(F.col("rn") == 1)
+        )
+        codes = (
+            enc.groupBy("vec_id", "list_id")
+            .pivot("m", list(range(n_sub)))
+            .agg(F.first("code"))
+            .select(
+                "vec_id",
+                *[F.col(str(m)).alias(f"code_{m}") for m in range(n_sub)],
+                "list_id",
+            )
+        )
         (
             codes.repartition("list_id")
             .write.mode("append")
@@ -574,7 +586,7 @@ def append_ivfpq_index(
         )
         return n_new
     finally:
-        routed_batch.unpersist()
+        assigned.unpersist()
 
 
 def probe_ivfpq_topk(

@@ -295,8 +295,18 @@ def append_text_index(
     * **Duplicate-id handling.** The surrounding system re-delivers ids
       (`ItemsStore.merge_batch`, `update_items` re-crawls), so an
       already-indexed id arriving here is the EXPECTED misuse — and it
-      would silently corrupt scores (inflated tf + drifted stats).  The
-      batch ids are anti-checked against the index before any write:
+      would silently corrupt scores (inflated tf + drifted stats).
+      Duplicates WITHIN the batch (ADVICE r11: two deliveries of one doc
+      in a single at-least-once micro-batch) are collapsed first with
+      ``dropDuplicates([id_col])`` — without that, the doc's tokens
+      explode twice, doubling its tf in every posting and double-counting
+      it in the stats, a corruption the index-vs-batch anti-check below
+      cannot see.  At-least-once re-delivery repeats IDENTICAL rows, so
+      the collapse is exact there; if one batch carries two DIFFERENT
+      texts for an id, which survives is unspecified — an append-only
+      index treats updates as deferred-to-rebuild either way (same
+      contract as the cross-batch ``skip`` path below).  Ids already in
+      the index are anti-checked against it before any write:
       a semi-join restricted to the batch's OWN term-bucket partitions
       (a re-delivered doc tokenizes to the same terms, so its existing
       postings live exactly in those buckets), which keeps the check
@@ -323,7 +333,7 @@ def append_text_index(
     # reported as such, not as the overlap its own half-landed postings
     # would otherwise trigger
     s_old, n_old, np_old = _read_stats_full(path)
-    toks = _tokenized(batch, id_col, text_col).persist()
+    toks = _tokenized(batch.dropDuplicates([id_col]), id_col, text_col).persist()
     kept = toks
     try:
         posts = _postings(toks).persist()

@@ -422,6 +422,59 @@ def test_lsh_append_duplicate_ids_rejected_then_skip_is_idempotent(spark, tmp_pa
     assert idx.count() == e.count()
 
 
+def test_lsh_append_collapses_intra_batch_duplicates(spark, tmp_path):
+    """ADVICE r11: a vec_id delivered TWICE in one batch (at-least-once
+    upstream) must land as ONE index row — the IVF family collapses this
+    via its rn==1 routing window, LSH needs the explicit dropDuplicates.
+    Without it the duplicate pair occupies two top-k slots in probe_topk,
+    displacing a true neighbor."""
+    from hnarchive_spark.sources.ann_index import append_lsh_index, build_index, probe_topk
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+
+    full = str(tmp_path / "lsh_full")
+    build_index(e, full)
+    want = sorted(tuple(r) for r in probe_topk(spark, full, q, 5).collect())
+
+    path = str(tmp_path / "lsh_dup2")
+    build_index(e.filter(F.col("vec_id") % 2 == 0), path)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    doubled = odd.unionAll(odd)  # exact re-delivery inside ONE batch
+    n = append_lsh_index(spark, doubled, path)
+    assert n == odd.count(), "each id must be appended exactly once"
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == e.count()
+    assert idx.select("vec_id").distinct().count() == e.count()
+    got = sorted(tuple(r) for r in probe_topk(spark, path, q, 5).collect())
+    assert got == want
+
+
+def test_ivfpq_append_failed_duplicate_check_unpersists_batch(spark, tmp_path):
+    """ADVICE r11: append_ivfpq_index persists the routed batch; when the
+    duplicate-id check raises (on_conflict='error' overlap) the persisted
+    partitions must still be released — on a long-running streaming
+    driver a leak per rejected batch accumulates in the block manager."""
+    import pytest
+
+    from hnarchive_spark.sources.ann_index import append_ivfpq_index, build_ivfpq_index
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "pq_leak")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), path, 4, 8, 2)
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    bad = e.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") == 0))
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_ivfpq_index(spark, bad, path, n_sub=4)
+    after = jsc.getRDDStorageInfo()
+    assert len(after) <= len(before), (
+        f"rejected append leaked {len(after) - len(before)} cached RDD(s)"
+    )
+
+
 def test_lsh_compaction_preserves_probe_rows_and_prunes_flat_leftovers(spark, tmp_path):
     """compact_lsh_index: appends pile small files into bucket partitions;
     compaction rewrites them into <path>/v<N> behind the atomic pointer

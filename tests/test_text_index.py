@@ -125,6 +125,35 @@ def test_duplicate_append_rejected_and_index_unchanged(spark, tmp_path):
     assert not os.path.exists(_journal_path(path)), "no journal left behind"
 
 
+def test_append_collapses_intra_batch_duplicates(spark, tmp_path):
+    """ADVICE r11: the anti-check only compares the batch AGAINST THE
+    INDEX — a doc delivered twice WITHIN one batch (at-least-once upstream
+    feeding maintain_text_index) used to explode twice, doubling its tf in
+    every posting and double-counting it in the stats.  The batch must be
+    deduped by doc_id first, so appending a doubled batch yields an index
+    identical (probe rows + stats) to a full clean build's."""
+    from hnarchive_spark.sources.text_index import _read_stats
+
+    d = load(spark, SF, "documents")
+    full_path = str(tmp_path / "full")
+    build_text_index(d, full_path)
+    want = sorted(
+        tuple(r) for r in bm25_topk(spark, full_path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+
+    path = str(tmp_path / "dup2")
+    build_text_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    n = append_text_index(spark, odd.unionAll(odd), path)  # doubled batch
+    assert n == odd.count(), "each doc must be appended exactly once"
+
+    assert _read_stats(path) == _read_stats(full_path), "stats double-counted"
+    got = sorted(
+        tuple(r) for r in bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK).collect()
+    )
+    assert got == want
+
+
 def test_interrupted_append_detected_and_recovered(spark, tmp_path, monkeypatch):
     """ADVICE r10: a crash between the postings job and the stats rewrite
     must be DETECTED (probe raises) and repaired EXACTLY (recovery rolls
