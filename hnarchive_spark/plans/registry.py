@@ -51,67 +51,66 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 11
+_ROTATION_BUILT_FOR_ROUND = 12
 
 _VERIFY_FIRST = [
-    # Round-11 rotation — generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=11)[:50] and locked
-    # by tests/test_rotation_consistency.py: the 4 queries with no driver
-    # row ever (this round's clustered-fixture recall pair and the two
-    # index-lifecycle queries), then the 14 names last green in round 5
-    # (closing the r5 staleness floor — VERDICT r10 #1), then the first 32
-    # of the names last green in round 7; ascending staleness, ALPHABETICAL
-    # tiebreak.  After this round the evidence floor rises to round 7.
-    "q_ann_clustered_recall_plain",
-    "q_ann_clustered_recall_residual",
-    "q_ann_ivfpq_rebuild",
-    "q_bm25_compacted",
-    "q_retention_cohorts",
-    "q_revenue_trend",
-    "q_semdedup",
-    "q_sessionize",
-    "q_shard_assignment",
-    "q_shard_assignment_scalable",
-    "q_skew_salted_join",
-    "q_sole_late_supplier",
-    "q_store_changelog",
-    "q_stream_late_drop",
-    "q_stream_outer_join",
-    "q_stream_rollup_mv",
-    "q_user_anomaly",
-    "q_vocab_top_subtokens",
-    "q_ann_ivf",
-    "q_ann_ivf_append",
-    "q_ann_ivf_indexed",
-    "q_ann_ivf_probe2",
-    "q_ann_lsh",
-    "q_ann_lsh_indexed",
-    "q_ann_lsh_multi",
-    "q_ann_topk",
-    "q_association_rules",
-    "q_autocorr_lag1",
-    "q_benford_audit",
-    "q_changepoint_cusum",
-    "q_class_weights",
-    "q_containment_dup",
-    "q_corpus_datacard",
-    "q_corr_rational",
-    "q_csv_roundtrip",
-    "q_decile_binning",
-    "q_decile_binning_scalable",
-    "q_dedup_canonical",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_ngram_maxdf",
-    "q_dow_profile",
-    "q_embed_dup",
-    "q_embed_dup_capped",
-    "q_expectations",
-    "q_gini_revenue",
-    "q_group_kfold",
-    "q_histogram_equiwidth",
-    "q_join_full_outer",
-    "q_jsonl_roundtrip",
+    # Round-12 rotation — generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=12)[:50] and locked
+    # by tests/test_rotation_consistency.py: the 18 names whose latest
+    # driver green is round 7 (the whole remaining r7 block — after this
+    # round the evidence floor rises to round 8), then the first 32 of the
+    # names last green in round 8; ascending staleness, ALPHABETICAL
+    # tiebreak.  No never-verified names exist this round.
+    "q_knn_confusion",
+    "q_lorenz_deciles",
+    "q_minhash_accuracy",
+    "q_mode_per_group",
+    "q_outlier_mad",
+    "q_percentile_rank_transform",
+    "q_pipeline_clean_corpus",
+    "q_reservoir_per_source",
+    "q_rolling_active_users",
+    "q_select_token_budget",
+    "q_skew_report",
+    "q_stream_funnel",
+    "q_subtree_agg",
+    "q_time_split_embargo",
+    "q_triangle_count",
+    "q_winsorize",
+    "q_wow_growth",
+    "q_zorder_box",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_ann_recall",
+    "q_bigram_novelty",
+    "q_bpe_merge_pairs",
+    "q_contamination",
+    "q_disjunctive_filter",
+    "q_fk_filter",
+    "q_fk_filter_2",
+    "q_flagship",
+    "q_forecast_revenue",
+    "q_fuzzy_match_blocked",
+    "q_groupby_agg",
+    "q_grouping_sets",
+    "q_interval_overlap",
+    "q_join_broadcast",
+    "q_join_fk",
+    "q_k_anonymity",
+    "q_large_orders",
+    "q_lateral_join",
+    "q_link_prediction_capped",
+    "q_lpa_communities",
+    "q_mix_equalize",
+    "q_multimodal_dedup",
+    "q_multimodal_phash_dup",
+    "q_null_handling",
+    "q_pandas_udaf_weighted",
+    "q_pandas_udf_score",
+    "q_point_lookup",
+    "q_priority_pipeline",
+    "q_promo_revenue",
+    "q_quality_repetition",
 ]
 
 
