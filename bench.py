@@ -34,6 +34,7 @@ HEADLINE = [
     "q_dedup_ngram_maxdf",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_substring_dedup",
     "q_embed_dup",
     "q_ann_topk",
     "q_ann_lsh",

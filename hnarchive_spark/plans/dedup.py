@@ -1346,3 +1346,129 @@ def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+SUBSTR_L = 20  # minimum duplicated-span length in characters
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, p, substr(md5(substr(text, p, {SUBSTR_L})), 1, 16) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {SUBSTR_L} + 1)) AS p)
+      WHERE length(text) >= {SUBSTR_L}
+    ),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT doc_id, p FROM pos SEMI JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {SUBSTR_L}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dpos
+    ),
+    sp AS (
+      SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(p) AS s, max(p) + {SUBSTR_L} - 1 AS e
+      FROM sp GROUP BY doc_id, island
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+             CAST(max(e - s + 1) AS BIGINT) AS longest_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, dup_chars, longest_span,
+           (1000000 * dup_chars) // length(text) AS dup_frac_e6
+    FROM perdoc JOIN documents USING (doc_id)
+    """,
+    doc=f"Exact substring dedup (the Lee et al. 2022 'Deduplicating Training "
+    f"Data Makes Language Models Better' span form, re-expressed for a "
+    f"shuffle engine): every duplicated character span of length >= "
+    f"{SUBSTR_L} shared verbatim by >= 2 docs is found and merged into "
+    "MAXIMAL per-doc spans, reported per doc as span count, duplicated "
+    "chars, longest span, and the integer-e6 duplicated fraction — the "
+    "remove/keep decision a training pipeline makes per span. Algorithm: "
+    "explode each doc into its overlapping char-grams keyed by md5-prefix "
+    "(the distributed stand-in for a suffix array: a duplicated span of "
+    f"length s >= {SUBSTR_L} is EXACTLY a run of s - {SUBSTR_L} + 1 "
+    "consecutive duplicated grams, so gram-level duplication detection + "
+    "interval merge reconstructs every maximal span with no false "
+    "negatives), mark grams whose hash occurs in >= 2 distinct docs, semi-"
+    "join the positions back, then gaps-and-islands per doc (a new island "
+    f"when the position gap exceeds {SUBSTR_L}, i.e. the fixed-length "
+    "intervals stop overlapping) and one aggregate per island then per "
+    "doc. Scale: linear in corpus characters end to end — one shuffle on "
+    "the 64-bit gram hash (partial-agg count-distinct, so a boilerplate "
+    "gram in every doc partial-aggregates instead of hot-keying), one "
+    "hash-reusable semi-join on the same key, one window + aggregate "
+    "chain partitioned by doc_id (Spark satisfies the (doc_id, island) "
+    "clustering from the doc_id window exchange, so no extra shuffle); "
+    "no pairwise doc join ever forms, unlike suffix-array sharding this "
+    "needs no global sort, and the driver never sees data. The e6 "
+    "fraction uses integer div with dup_chars <= doc length, so the "
+    "accumulator is DOMAIN-bounded (max doc chars), volume-independent. "
+    "The explicit-count repartition before the explode is load-bearing: "
+    "gram extraction fans out ~15x in ROWS at constant input BYTES, so "
+    "both the scan planner (splits by input size) and AQE coalescing "
+    "(merges by post-shuffle size) under-provision it — a plain "
+    "repartition(doc_id) got coalesced back to one partition and ran the "
+    "whole corpus's md5 on one core (6x slower, measured r12); the "
+    "explicit count disables coalescing for that exchange. At 100 TB the "
+    "same effect is better had by lowering files.maxPartitionBytes so "
+    "the SCAN itself yields CPU-sized splits and the shuffle disappears.",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = SUBSTR_L
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= L)
+        .repartition(n_part, "doc_id")
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(L))), 1, 16).alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dpos = pos.join(dup, "h", "leftsemi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dpos.select(
+        "doc_id",
+        "p",
+        F.when(F.col("p") - F.lag("p").over(w) <= L, F.lit(0)).otherwise(F.lit(1)).alias("brk"),
+    )
+    sp = isl.select("doc_id", "p", F.sum("brk").over(w).alias("island"))
+    spans = sp.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + L - 1).alias("e")
+    )
+    span_chars = F.col("e") - F.col("s") + 1
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_chars).cast("long").alias("dup_chars"),
+        F.max(span_chars).cast("long").alias("longest_span"),
+    )
+    return perdoc.join(d, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_chars",
+        "longest_span",
+        F.expr("(1000000 * dup_chars) div length(text)").alias("dup_frac_e6"),
+    )

@@ -56,11 +56,13 @@ _ROTATION_BUILT_FOR_ROUND = 12
 _VERIFY_FIRST = [
     # Round-12 rotation — generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=12)[:50] and locked
-    # by tests/test_rotation_consistency.py: the 18 names whose latest
-    # driver green is round 7 (the whole remaining r7 block — after this
-    # round the evidence floor rises to round 8), then the first 32 of the
-    # names last green in round 8; ascending staleness, ALPHABETICAL
-    # tiebreak.  No never-verified names exist this round.
+    # by tests/test_rotation_consistency.py: the never-driver-verified
+    # query registered this round (q_substring_dedup) first, then the 18
+    # names whose latest driver green is round 7 (the whole remaining r7
+    # block — after this round the evidence floor rises to round 8), then
+    # the first 31 of the names last green in round 8; ascending
+    # staleness, ALPHABETICAL tiebreak.
+    "q_substring_dedup",
     "q_knn_confusion",
     "q_lorenz_deciles",
     "q_minhash_accuracy",
@@ -110,7 +112,6 @@ _VERIFY_FIRST = [
     "q_point_lookup",
     "q_priority_pipeline",
     "q_promo_revenue",
-    "q_quality_repetition",
 ]
 
 

@@ -417,3 +417,19 @@ def test_bm25_indexed_prunes_buckets_and_pushes_terms(spark):
     assert pf and any("bucket" in ln for ln in pf), pf
     push = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
     assert push and any("term" in ln for ln in push), push
+
+
+def test_substring_dedup_no_pairwise_join_and_forced_parallel_explode(spark):
+    """q_substring_dedup's 100 TB shape: per-doc spans come from a gram
+    groupBy + semi-join + per-doc window — a pairwise doc join (cartesian /
+    nested-loop) must never be reachable, and the explicit-count
+    repartition that parallelizes the CPU-heavy gram explode (15x row
+    fan-out at constant bytes — both the scan planner and AQE coalescing
+    under-provision it; 6x slower without, measured r12) must survive in
+    the plan as a non-coalescible exchange."""
+    plan = _plan(spark, "q_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan, "explicit-count repartition lost"
+    # the dup-gram check is a semi join, not an inner pair-builder
+    assert "LeftSemi" in plan

@@ -88,11 +88,15 @@ def main() -> None:
     # qs[name](...) at query construction, i.e. before either timer starts —
     # every timed sample below is the probe-only wall (the production
     # number; the build cost is the inline form's whole point of comparison)
+    # q_substring_dedup under exact-copy documents is the adversarial axis
+    # for the gram groupBy: every gram's df grows N-fold (partial-agg must
+    # absorb it) while per-doc output rows grow only linearly
     for name in (
         "q_interval_overlap",
         "q_multimodal_phash_dup",
         "q_ann_ivfpq",
         "q_ann_ivfpq_indexed",
+        "q_substring_dedup",
     ):
         base = qs[name](spark, sf_dir)
         t1 = timed_noop(base)  # warm (first run also JIT-warms the plan)
