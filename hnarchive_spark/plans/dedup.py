@@ -1472,3 +1472,187 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest_span",
         F.expr("(1000000 * dup_chars) div length(text)").alias("dup_frac_e6"),
     )
+
+
+@query(
+    "q_substring_dedup_clean",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, p, substr(md5(substr(text, p, {SUBSTR_L})), 1, 16) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {SUBSTR_L} + 1)) AS p)
+      WHERE length(text) >= {SUBSTR_L}
+    ),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dph AS (SELECT doc_id, p, h FROM pos SEMI JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, p, h,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {SUBSTR_L}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dph
+    ),
+    sp AS (
+      SELECT doc_id, p, h, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(p) AS s, max(p) + {SUBSTR_L} - 1 AS e,
+             min_by(h, p) AS h0
+      FROM sp GROUP BY doc_id, island
+    ),
+    owners AS (SELECT h, min(doc_id) AS owner FROM dph GROUP BY h),
+    rem AS (
+      SELECT spans.doc_id, s, e
+      FROM spans JOIN owners ON owners.h = spans.h0
+      WHERE spans.doc_id != owners.owner
+    ),
+    gaps AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+             s - 1 AS ge
+      FROM rem
+    ),
+    tails AS (
+      SELECT rem.doc_id, max(rem.e) + 1 AS gs, max(length(documents.text)) AS ge
+      FROM rem JOIN documents USING (doc_id)
+      GROUP BY rem.doc_id
+    ),
+    allseg AS (
+      SELECT * FROM gaps WHERE ge >= gs
+      UNION ALL
+      SELECT * FROM tails WHERE ge >= gs
+    ),
+    segs AS (
+      SELECT allseg.doc_id, gs, substr(documents.text, gs, ge - gs + 1) AS seg
+      FROM allseg JOIN documents USING (doc_id)
+    ),
+    clean AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean_text
+      FROM segs GROUP BY doc_id
+    ),
+    summary AS (
+      SELECT doc_id, count(*) AS n_removed,
+             CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+      FROM rem GROUP BY doc_id
+    )
+    SELECT summary.doc_id, n_removed, removed_chars,
+           CAST(length(documents.text) - removed_chars AS BIGINT) AS clean_chars,
+           substr(md5(coalesce(clean_text, '')), 1, 16) AS clean_fp
+    FROM summary
+    JOIN documents USING (doc_id)
+    LEFT JOIN clean USING (doc_id)
+    """,
+    doc="The TRANSFORM half of exact substring dedup (q_substring_dedup is "
+    "the audit half): every maximal duplicated span is KEPT only in the "
+    "owner doc — the min doc_id among docs containing the span's first "
+    "gram, a deterministic global first-occurrence rule — and EXCISED "
+    "everywhere else, the Lee et al. remove-all-but-one policy. Output is "
+    "one row per modified doc: spans removed, chars removed, cleaned "
+    "length, and the md5-prefix fingerprint of the cleaned text (the "
+    "hash-checkable witness that both engines performed the identical "
+    "string surgery, including docs whose text is removed entirely — "
+    "fingerprint of the empty string). Cleaned text is rebuilt "
+    "distributed: removed spans are disjoint and sorted per doc by "
+    "construction (islands), so the kept segments are the lag-gaps plus "
+    "the tail, sliced from the original text and reassembled with an "
+    "order-aware concat — no driver-side strings ever. Scale: identical "
+    "gram pipeline to q_substring_dedup (linear, no pairwise join), plus "
+    "metadata-width shuffles over span rows only; the one corpus-width "
+    "term is the final segment slice + per-doc concat, which shuffles "
+    "each modified doc's segments once — O(modified corpus bytes), the "
+    "output itself. The span table is localCheckpointed: it is tiny "
+    "(spans, not grams) and feeds three consumers (gaps, tails, summary), "
+    "which would otherwise re-run the gram pipeline three times.",
+)
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = SUBSTR_L
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= L)
+        .repartition(n_part, "doc_id")
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(L))), 1, 16).alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dph = pos.join(dup, "h", "leftsemi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dph.select(
+        "doc_id",
+        "p",
+        "h",
+        F.when(F.col("p") - F.lag("p").over(w) <= L, F.lit(0)).otherwise(F.lit(1)).alias("brk"),
+    )
+    sp = isl.select("doc_id", "p", "h", F.sum("brk").over(w).alias("island"))
+    spans = sp.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"),
+        (F.max("p") + L - 1).alias("e"),
+        F.min_by("h", "p").alias("h0"),
+    )
+    owners = dph.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    # tiny (span rows); three consumers below would otherwise re-run the
+    # gram pipeline three times
+    rem = (
+        spans.join(owners, spans.h0 == owners.h)
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "s", "e")
+        .localCheckpoint()
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    gaps = rem.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(ws), F.lit(0)) + 1).alias("gs"),
+        (F.col("s") - 1).alias("ge"),
+    )
+    tails = (
+        rem.groupBy("doc_id")
+        .agg((F.max("e") + 1).alias("gs"))
+        .join(d, "doc_id")
+        .select("doc_id", "gs", F.length("text").alias("ge"))
+    )
+    allseg = gaps.filter(F.col("ge") >= F.col("gs")).unionAll(
+        tails.filter(F.col("ge") >= F.col("gs"))
+    )
+    segs = allseg.join(d, "doc_id").select(
+        "doc_id",
+        "gs",
+        F.col("text").substr(F.col("gs"), F.col("ge") - F.col("gs") + 1).alias("seg"),
+    )
+    clean = segs.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "seg"))), lambda x: x["seg"]
+            ),
+        ).alias("clean_text")
+    )
+    summary = rem.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    return (
+        summary.join(d, "doc_id")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_removed",
+            "removed_chars",
+            (F.length("text") - F.col("removed_chars")).cast("long").alias("clean_chars"),
+            F.substring(F.md5(F.coalesce(F.col("clean_text"), F.lit(""))), 1, 16).alias("clean_fp"),
+        )
+    )

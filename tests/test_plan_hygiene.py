@@ -433,3 +433,16 @@ def test_substring_dedup_no_pairwise_join_and_forced_parallel_explode(spark):
     assert "REPARTITION_BY_NUM" in plan, "explicit-count repartition lost"
     # the dup-gram check is a semi join, not an inner pair-builder
     assert "LeftSemi" in plan
+
+
+def test_substring_dedup_clean_no_pairwise_join(spark):
+    """The clean transform shares q_substring_dedup's gram pipeline and
+    adds string surgery over span rows — still no pairwise doc join, and
+    the explicit-count repartition must survive here too.  (The gram
+    pipeline's LeftSemi lives inside the localCheckpointed span subtree,
+    invisible from the returned plan — q_substring_dedup's lock covers
+    it.)"""
+    plan = _plan(spark, "q_substring_dedup_clean")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan
