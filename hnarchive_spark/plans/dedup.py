@@ -1562,7 +1562,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each modified doc's segments once — O(modified corpus bytes), the "
     "output itself. The span table is localCheckpointed: it is tiny "
     "(spans, not grams) and feeds three consumers (gaps, tails, summary), "
-    "which would otherwise re-run the gram pipeline three times.",
+    "which would otherwise re-run the gram pipeline three times. "
+    "Honesty note (regression-locked in test_substring_dedup.py): one "
+    "pass removes ~94% of duplicated (gram, doc) mass on the test "
+    "corpus, not 100% — char-range excision with span-granular ownership "
+    "has the same two artifacts as Lee et al.'s suffix-array cut (seam-"
+    "minted grams; a span kept whole by its first-gram owner can shelter "
+    "a later gram whose own owner excised elsewhere), and the owner-less "
+    "leak is 0.17%; a second pass or gram-granular ownership trades "
+    "determinism/cost for the remainder.",
 )
 def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
