@@ -446,3 +446,14 @@ def test_substring_dedup_clean_no_pairwise_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_substring_dedup_incremental_is_semi_join(spark):
+    """The batch-vs-archive check must stay a semi-join into the archive
+    gram set (O(batch) increments) with the parallelizing repartition —
+    never a pairwise batch x archive doc join."""
+    plan = _plan(spark, "q_substring_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert "LeftSemi" in plan
