@@ -98,6 +98,7 @@ def main() -> None:
         "q_ann_ivfpq_indexed",
         "q_substring_dedup",
         "q_substring_dedup_clean",
+        "q_substring_dedup_incremental",
     ):
         base = qs[name](spark, sf_dir)
         t1 = timed_noop(base)  # warm (first run also JIT-warms the plan)
