@@ -1351,6 +1351,60 @@ def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_L = 20  # minimum duplicated-span length in characters
 
 
+def _substr_dup_positions(spark: SparkSession, sf_dir: str):
+    """Shared gram pipeline for the substring-dedup family: returns
+    (docs, duplicated_positions) where the positions carry the gram's
+    OWNER (global min doc_id).  ONE pass over the grams: a single window
+    over the 64-bit gram hash yields both the >=2-distinct-docs flag
+    (min(doc) != max(doc)) and the owner (min(doc)) — the r12 bake-off
+    measured this 2.8x faster end-to-end than the groupBy + semi-join
+    form, which walks the explode+md5 stream twice.  Skew note: a
+    boilerplate gram present in every doc makes one window group of
+    corpus size (WindowExec spills, but it is a hot partition); the
+    rejected two-pass form shared the same hot key at its semi-join
+    exchange, so the window costs nothing extra in the worst case and
+    half the passes in the common one.  The explicit-count repartition
+    is load-bearing: gram extraction fans out ~15x in ROWS at constant
+    input BYTES, so both the scan planner (splits by input size) and AQE
+    coalescing (merges by post-shuffle size) under-provision it — a
+    plain repartition(doc_id) got coalesced back to one partition and
+    ran the whole corpus's md5 on one core (6x slower, measured r12).
+    At 100 TB the same effect is better had by lowering
+    files.maxPartitionBytes so the SCAN itself yields CPU-sized splits
+    and the shuffle disappears."""
+    from pyspark.sql import Window
+
+    L = SUBSTR_L
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= L)
+        .repartition(n_part, "doc_id")
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(L))), 1, 16).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    dph = (
+        pos.select(
+            "doc_id",
+            "p",
+            F.min("doc_id").over(wh).alias("own"),
+            F.max("doc_id").over(wh).alias("mx"),
+        )
+        .filter(F.col("own") != F.col("mx"))
+        .select("doc_id", "p", "own")
+    )
+    return d, dph
+
+
 @query(
     "q_substring_dedup",
     oracle=f"""
@@ -1402,53 +1456,27 @@ SUBSTR_L = 20  # minimum duplicated-span length in characters
     "join the positions back, then gaps-and-islands per doc (a new island "
     f"when the position gap exceeds {SUBSTR_L}, i.e. the fixed-length "
     "intervals stop overlapping) and one aggregate per island then per "
-    "doc. Scale: linear in corpus characters end to end — one shuffle on "
-    "the 64-bit gram hash (partial-agg count-distinct, so a boilerplate "
-    "gram in every doc partial-aggregates instead of hot-keying), one "
-    "hash-reusable semi-join on the same key, one window + aggregate "
-    "chain partitioned by doc_id (Spark satisfies the (doc_id, island) "
-    "clustering from the doc_id window exchange, so no extra shuffle); "
-    "no pairwise doc join ever forms, unlike suffix-array sharding this "
-    "needs no global sort, and the driver never sees data. The e6 "
-    "fraction uses integer div with dup_chars <= doc length, so the "
-    "accumulator is DOMAIN-bounded (max doc chars), volume-independent. "
-    "The explicit-count repartition before the explode is load-bearing: "
-    "gram extraction fans out ~15x in ROWS at constant input BYTES, so "
-    "both the scan planner (splits by input size) and AQE coalescing "
-    "(merges by post-shuffle size) under-provision it — a plain "
-    "repartition(doc_id) got coalesced back to one partition and ran the "
-    "whole corpus's md5 on one core (6x slower, measured r12); the "
-    "explicit count disables coalescing for that exchange. At 100 TB the "
-    "same effect is better had by lowering files.maxPartitionBytes so "
-    "the SCAN itself yields CPU-sized splits and the shuffle disappears.",
+    "doc. Scale: linear in corpus characters end to end, ONE pass over "
+    "the grams — a single window over the 64-bit gram hash marks "
+    "duplication as min(doc) != max(doc) (the oracle keeps the "
+    "equivalent count-distinct + semi-join spec form; the r12 bake-off "
+    "measured the one-pass window 2.8x faster end-to-end with identical "
+    "rows, see _substr_dup_positions for the skew trade), then one "
+    "window + aggregate chain partitioned by doc_id (Spark satisfies "
+    "the (doc_id, island) clustering from the doc_id window exchange, "
+    "so no extra shuffle); no pairwise doc join ever forms, unlike "
+    "suffix-array sharding this needs no global sort, and the driver "
+    "never sees data. The e6 fraction uses integer div with dup_chars "
+    "<= doc length, so the accumulator is DOMAIN-bounded (max doc "
+    "chars), volume-independent. The parallelism-forcing repartition "
+    "story lives in _substr_dup_positions.",
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     L = SUBSTR_L
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= L)
-        .repartition(n_part, "doc_id")
-    )
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("p"),
-    ).select(
-        "doc_id",
-        "p",
-        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(L))), 1, 16).alias("h"),
-    )
-    dup = (
-        pos.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dpos = pos.join(dup, "h", "leftsemi").select("doc_id", "p")
+    d, dph = _substr_dup_positions(spark, sf_dir)
+    dpos = dph.select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = dpos.select(
         "doc_id",
@@ -1576,48 +1604,27 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     L = SUBSTR_L
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= L)
-        .repartition(n_part, "doc_id")
-    )
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("p"),
-    ).select(
-        "doc_id",
-        "p",
-        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(L))), 1, 16).alias("h"),
-    )
-    dup = (
-        pos.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dph = pos.join(dup, "h", "leftsemi")
+    d, dph = _substr_dup_positions(spark, sf_dir)
+    # the h-window already attached each position's global owner, so the
+    # span's deciding owner is just min_by over its positions — no owners
+    # groupBy, no second join (the oracle keeps the spec form)
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = dph.select(
         "doc_id",
         "p",
-        "h",
+        "own",
         F.when(F.col("p") - F.lag("p").over(w) <= L, F.lit(0)).otherwise(F.lit(1)).alias("brk"),
     )
-    sp = isl.select("doc_id", "p", "h", F.sum("brk").over(w).alias("island"))
+    sp = isl.select("doc_id", "p", "own", F.sum("brk").over(w).alias("island"))
     spans = sp.groupBy("doc_id", "island").agg(
         F.min("p").alias("s"),
         (F.max("p") + L - 1).alias("e"),
-        F.min_by("h", "p").alias("h0"),
+        F.min_by("own", "p").alias("owner0"),
     )
-    owners = dph.groupBy("h").agg(F.min("doc_id").alias("owner"))
     # tiny (span rows); three consumers below would otherwise re-run the
     # gram pipeline three times
     rem = (
-        spans.join(owners, spans.h0 == owners.h)
-        .filter(F.col("doc_id") != F.col("owner"))
+        spans.filter(F.col("doc_id") != F.col("owner0"))
         .select("doc_id", "s", "e")
         .localCheckpoint()
     )

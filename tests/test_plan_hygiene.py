@@ -420,19 +420,24 @@ def test_bm25_indexed_prunes_buckets_and_pushes_terms(spark):
 
 
 def test_substring_dedup_no_pairwise_join_and_forced_parallel_explode(spark):
-    """q_substring_dedup's 100 TB shape: per-doc spans come from a gram
-    groupBy + semi-join + per-doc window — a pairwise doc join (cartesian /
-    nested-loop) must never be reachable, and the explicit-count
-    repartition that parallelizes the CPU-heavy gram explode (15x row
-    fan-out at constant bytes — both the scan planner and AQE coalescing
-    under-provision it; 6x slower without, measured r12) must survive in
-    the plan as a non-coalescible exchange."""
+    """q_substring_dedup's 100 TB shape: per-doc spans come from ONE
+    gram-hash window pass (min/max doc marks duplication — the r12
+    bake-off replaced the groupBy+semi-join spec form, 2.8x end-to-end)
+    + per-doc window — a pairwise doc join (cartesian / nested-loop) must
+    never be reachable, and the explicit-count repartition that
+    parallelizes the CPU-heavy gram explode (15x row fan-out at constant
+    bytes — both the scan planner and AQE coalescing under-provision it;
+    6x slower without, measured r12) must survive in the plan as a
+    non-coalescible exchange."""
     plan = _plan(spark, "q_substring_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "REPARTITION_BY_NUM" in plan, "explicit-count repartition lost"
-    # the dup-gram check is a semi join, not an inner pair-builder
-    assert "LeftSemi" in plan
+    # ONE pass over the gram stream: a single Generate (explode) node —
+    # formatted explain prints each node twice (tree + details) — and the
+    # h-hash exchange feeding the dup-marking window
+    assert plan.count("Generate") <= 2, "gram explode runs more than once"
+    assert "hashpartitioning(h" in plan, "dup marking lost its h-window"
 
 
 def test_substring_dedup_clean_no_pairwise_join(spark):
