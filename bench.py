@@ -36,6 +36,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_substring_dedup",
     "q_substring_dedup_clean",
+    "q_substring_dedup_indexed",
     "q_embed_dup",
     "q_ann_topk",
     "q_ann_lsh",

@@ -265,6 +265,12 @@ def cmd_index(spark, args):
         vdir = compact_lsh_index(spark, args.path)
         print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
         _ledger_fresh()
+    elif args.action == "compact-grams":
+        from hnarchive_spark.sources.gram_index import compact_gram_index
+
+        vdir = compact_gram_index(spark, args.path)
+        print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()
     elif args.action == "rebuild-ivfpq":
         from hnarchive_spark.sources.ann_index import rebuild_ivfpq_index
         from hnarchive_spark.tables import load
@@ -474,8 +480,8 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument(
         "action",
         choices=(
-            "rebuild-ivfpq", "compact-text", "compact-lsh", "recover-text",
-            "prune", "stats",
+            "rebuild-ivfpq", "compact-text", "compact-lsh", "compact-grams",
+            "recover-text", "prune", "stats",
         ),
     )
     ix.add_argument("--path", required=True, help="index root directory")

@@ -1673,9 +1673,10 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_substring_dedup_incremental",
-    oracle=f"""
+# shared by q_substring_dedup_incremental (inline form) and
+# q_substring_dedup_indexed (probe against the persisted gram index):
+# identical semantics, identical rows
+_SUBSTR_INC_ORACLE = f"""
     WITH pos AS (
       SELECT doc_id, p, substr(md5(substr(text, p, {SUBSTR_L})), 1, 16) AS h
       FROM documents,
@@ -1708,7 +1709,12 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_spans, dup_chars, longest_span,
            (1000000 * dup_chars) // length(text) AS dup_frac_e6
     FROM perdoc JOIN documents USING (doc_id)
-    """,
+    """
+
+
+@query(
+    "q_substring_dedup_incremental",
+    oracle=_SUBSTR_INC_ORACLE,
     doc="Incremental exact substring dedup (daily-increment vs archive): "
     "the incoming batch (odd doc_ids here; in production the new "
     "partition) is scanned for char spans that already exist VERBATIM in "
@@ -1772,3 +1778,36 @@ def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         "longest_span",
         F.expr("(1000000 * dup_chars) div length(text)").alias("dup_frac_e6"),
     )
+
+
+@query(
+    "q_substring_dedup_indexed",
+    oracle=_SUBSTR_INC_ORACLE,
+    doc="Incremental exact substring dedup against a PERSISTED gram index "
+    "(sources/gram_index.py) — the production form of "
+    "q_substring_dedup_incremental, which re-scans the whole archive's "
+    "grams per increment (the substring-side twin of the per-query "
+    "IVF-training / BM25-retokenize critique): the archive's DISTINCT "
+    "gram-hash set is built ONCE, bucket-partitioned by md5-prefix, and "
+    "each increment costs only its own gram pass plus a semi-join into "
+    "the set. Appends are set-semantic (novel grams only, anti-join "
+    "pruned to the batch's bucket partitions, idempotent with no "
+    "on_conflict dial), compaction rewrites buckets at full file sizes "
+    "behind the atomic _CURRENT pointer — the same lifecycle rails as "
+    "the LSH/IVF/BM25 indexes. Rows equal the inline form's and the "
+    "oracle is shared; the build-once cache means bench warmup pays the "
+    "build and min-of-3 measures the probe.",
+)
+def q_substring_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.gram_index import build_gram_index, probe_substring_spans
+
+    d = load(spark, sf_dir, "documents")
+    path = built_once(
+        "gram_index",
+        sf_dir,
+        lambda p: build_gram_index(
+            spark, d.filter(F.col("doc_id") % 2 == 0), p, l=SUBSTR_L
+        ),
+    )
+    return probe_substring_spans(spark, d.filter(F.col("doc_id") % 2 == 1), path)

@@ -56,16 +56,17 @@ _ROTATION_BUILT_FOR_ROUND = 12
 _VERIFY_FIRST = [
     # Round-12 rotation — generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=12)[:50] and locked
-    # by tests/test_rotation_consistency.py: the three never-driver-
+    # by tests/test_rotation_consistency.py: the four never-driver-
     # verified queries registered this round (the substring-dedup
-    # audit/clean/incremental family) first, then the 18 names whose
-    # latest driver green is round 7 (the whole remaining r7 block — after
-    # this round the evidence floor rises to round 8), then the first 29
-    # of the names last green in round 8; ascending staleness,
+    # audit/clean/incremental/indexed family) first, then the 18 names
+    # whose latest driver green is round 7 (the whole remaining r7 block —
+    # after this round the evidence floor rises to round 8), then the
+    # first 28 of the names last green in round 8; ascending staleness,
     # ALPHABETICAL tiebreak.
     "q_substring_dedup",
     "q_substring_dedup_clean",
     "q_substring_dedup_incremental",
+    "q_substring_dedup_indexed",
     "q_knn_confusion",
     "q_lorenz_deciles",
     "q_minhash_accuracy",
@@ -112,7 +113,6 @@ _VERIFY_FIRST = [
     "q_null_handling",
     "q_pandas_udaf_weighted",
     "q_pandas_udf_score",
-    "q_point_lookup",
 ]
 
 

@@ -224,6 +224,29 @@ def maintain_lsh_index(
     return _process
 
 
+def maintain_gram_index(index_path: str, id_col: str = "doc_id", text_col: str = "text"):
+    """``foreachBatch`` function for substring-gram-index maintenance —
+    the simplest family: a gram SET makes duplicate delivery a semantic
+    no-op (re-played micro-batches append zero rows by construction), so
+    there is no on_conflict dial and no journal.  The ledger's "skipped"
+    slot stays 0 — a duplicate gram here is not a conflict, it is the
+    set working; ``appended`` counts NOVEL grams, the number that drives
+    the small-file pileup compaction schedules on."""
+    from hnarchive_spark.sources.gram_index import append_gram_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        appended = append_gram_index(
+            batch_df.sparkSession, batch_df, index_path,
+            id_col=id_col, text_col=text_col,
+        )
+        _bump_maint_stats(index_path, appended, 0)
+        return appended
+
+    return _process
+
+
 def stream_index_text(
     doc_stream: DataFrame,
     index_path: str,

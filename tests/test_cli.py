@@ -392,3 +392,40 @@ def test_cli_lifecycle_verbs_consume_the_ledger(spark, tmp_path, capsys):
     assert cli.cmd_index(spark, args) == 0
     assert "maintenance ledger consumed" in capsys.readouterr().out
     assert not needs_maintenance(path, max_batches=1)
+
+
+def test_cli_index_compact_grams(spark, tmp_path, capsys):
+    """compact-grams: appends pile small bucket files; the verb rewrites
+    them into v1 behind the pointer with probe rows unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.gram_index import (
+        append_gram_index,
+        build_gram_index,
+        probe_substring_spans,
+    )
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    path = str(tmp_path / "grams")
+    build_gram_index(spark, d.filter(F.col("doc_id") % 4 == 0), path)
+    append_gram_index(spark, d.filter(F.col("doc_id") % 4 == 2), path)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    want = sorted(tuple(r) for r in probe_substring_spans(spark, batch, path).collect())
+
+    args = cli.build_parser().parse_args(["index", "compact-grams", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    assert current_index_version(path) == 1
+    assert "now version 1" in capsys.readouterr().out
+    got = sorted(tuple(r) for r in probe_substring_spans(spark, batch, path).collect())
+    assert got == want
+
+    args = cli.build_parser().parse_args(["index", "prune", "--path", path])
+    assert cli.cmd_index(spark, args) == 0
+    capsys.readouterr()
+    assert not [f for f in _os.listdir(path) if f.startswith("bucket=")]

@@ -244,3 +244,37 @@ def test_maintenance_ledger_accumulates_and_schedules(spark, tmp_path):
     # the operator move after scheduling the rebuild: reset, start fresh
     assert maintenance_stats(path, reset=True)["batches"] == 2
     assert maintenance_stats(path) == {"appended": 0, "skipped": 0, "batches": 0}
+
+
+def test_gram_maintenance_is_set_semantic(spark, tmp_path):
+    """The gram family's micro-batch contract is the simplest of the
+    five: set semantics make re-delivery a structural no-op (no
+    on_conflict rail needed), pre-existing files stay byte-untouched,
+    and the ledger accumulates novel-gram counts for the compaction
+    schedule."""
+    from hnarchive_spark.sources.gram_index import build_gram_index, gram_index_stats
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_gram_index,
+        maintenance_stats,
+    )
+
+    d = load(spark, SF, "documents")
+    path = str(tmp_path / "grams")
+    build_gram_index(spark, d.filter(F.col("doc_id") % 2 == 0), path)
+
+    process = maintain_gram_index(path)
+    before = _files(path)
+    n1 = process(d, batch_id=0)  # whole-corpus re-delivery: odd half is new
+    assert n1 > 0
+    after = _files(path)
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    assert process(d, batch_id=0) == 0  # exact re-delivery: no-op
+    assert _files(path) == after
+    # empty tick touches nothing
+    assert process(d.filter("doc_id < 0"), batch_id=1) == 0
+    assert _files(path) == after
+    st = gram_index_stats(spark, path)
+    assert st["rows"] == st["grams"]
+    led = maintenance_stats(path)
+    assert led["appended"] == n1 and led["batches"] >= 1

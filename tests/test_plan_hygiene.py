@@ -462,3 +462,16 @@ def test_substring_dedup_incremental_is_semi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "REPARTITION_BY_NUM" in plan
     assert "LeftSemi" in plan
+
+
+def test_substring_dedup_indexed_probe_is_semi_join_no_cartesian(spark):
+    """The persisted-gram-index probe: batch grams semi-join the index's
+    hash set — never a pairwise join, and the batch-side explode keeps
+    its forced parallelism. (The index build runs eagerly in built_once
+    before this plan is captured, mirroring the other q_*_indexed
+    locks.)"""
+    plan = _plan(spark, "q_substring_dedup_indexed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "REPARTITION_BY_NUM" in plan

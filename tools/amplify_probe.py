@@ -99,6 +99,7 @@ def main() -> None:
         "q_substring_dedup",
         "q_substring_dedup_clean",
         "q_substring_dedup_incremental",
+        "q_substring_dedup_indexed",
     ):
         base = qs[name](spark, sf_dir)
         t1 = timed_noop(base)  # warm (first run also JIT-warms the plan)
