@@ -2023,3 +2023,71 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p_name").alias("name_2"),
         lev.cast("long").alias("lev"),
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, version, event_type AS state,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+    FROM g
+    """,
+    doc="SCD2 / type-2 history build: each user's event_type stream is "
+    "run-length collapsed into validity intervals (valid_from/valid_to "
+    "in epoch microseconds, open-ended current row flagged) — the "
+    "changelog-to-dimension transform a warehouse runs on every entity "
+    "feed (cf. q_store_changelog, which emits the per-merge diff this "
+    "operator accumulates). One exchange on user_id serves the "
+    "change-flag window, the run aggregation, AND the interval-close "
+    "window (all keyed/prefixed by user_id); ordering is total via "
+    "(ts, event_id) so version numbers are bit-stable. At 100 TB this "
+    "shape is incremental by construction: only users present in a new "
+    "batch re-derive, everyone else's closed intervals are immutable.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    ver = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        e.withColumn("version", ver)
+        .groupBy("user_id", "version", F.col("event_type").alias("state"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(w2)
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )

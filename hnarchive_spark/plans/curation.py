@@ -1,0 +1,278 @@
+"""Web-corpus curation operators: URL/domain handling and importance
+reweighting — the Common-Crawl-shaped slice of a training-data pipeline
+that the inventory did not yet cover.
+
+The testdata has no URL column, so a deterministic URL is DERIVED from
+(doc_id, source) identically in both engines (the clustered-vector /
+fixture-derivation precedent): ~1/5 of docs land on a long tail of
+``assets<k>.net`` CDN domains and the rest on one hot ``<source>.com``
+domain per source — a realistic hot-head/long-tail registrable-domain
+distribution for the cap operator to bite on. The VALUE under test is
+the parse + group + cap algebra, not the synthesis: every parse below
+runs real regexp extraction over the URL string.
+
+Scale notes per query live in the docstrings; the common theme: domain
+ops shuffle metadata-width rows keyed by domain, and the per-domain cap
+relies on rank-pushdown (WindowGroupLimit partial before the exchange)
+so a billion-doc hot domain tops out at K rows per map task, not a
+sorted billion-row partition.
+
+All ratios follow the repo-wide exact-integer convention (floor-divided
+e4 scaling with nonnegative numerators, so Spark ``div`` == DuckDB
+``//``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.plans.registry import query
+from hnarchive_spark.tables import load
+
+# --- derived-URL recipe (shared by every query here and its oracle) ------
+# hot head: docs with doc_id % 5 != 0 -> https://www.<source>.com/<md5-12>
+# long tail: doc_id % 5 == 0        -> https://cdn<k>.assets<k>.net/<md5-12>
+# with k = doc_id % 97, so the tail spreads over 97 registrable domains.
+
+_URL_SQL = """
+      CASE WHEN doc_id % 5 = 0
+           THEN 'https://cdn' || CAST(doc_id % 97 AS VARCHAR)
+                || '.assets' || CAST(doc_id % 97 AS VARCHAR)
+                || '.net/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                || '?ref=' || source
+           ELSE 'https://www.' || source || '.com/'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                || '?ref=' || source
+      END
+"""
+
+_HOST_RE = "^https?://([^/?]+)"
+_PATH_RE = "^https?://[^/?]+(/[^?]*)"
+# registrable domain = last two dot-labels of the host (public-suffix
+# handling collapses to ".com"/".net" here; a real PSL lookup is a
+# broadcast-joined suffix table — same plan shape, bigger dim).
+_REG_RE = "([^.]+\\.[^.]+)$"
+
+
+def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 97).cast("string")
+    path = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    url = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("https://cdn"), k, F.lit(".assets"), k, F.lit(".net/"), path, F.lit("?ref="), F.col("source")),
+    ).otherwise(
+        F.concat(F.lit("https://www."), F.col("source"), F.lit(".com/"), path, F.lit("?ref="), F.col("source"))
+    )
+    return d.withColumn("url", url)
+
+
+def _domain_cols(df: DataFrame) -> DataFrame:
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    return df.withColumn("host", host).withColumn(
+        "domain", F.regexp_extract(F.col("host"), _REG_RE, 1)
+    )
+
+
+_URL_CTE = f"""
+    urls AS (
+      SELECT doc_id, source, n_chars, text, {_URL_SQL} AS url FROM documents
+    ),
+    parsed AS (
+      SELECT *, regexp_extract(url, '{_HOST_RE}', 1) AS host,
+             regexp_extract(regexp_extract(url, '{_HOST_RE}', 1), '{_REG_RE}', 1) AS domain
+      FROM urls
+    )
+"""
+
+
+@query(
+    "q_url_parse",
+    oracle=f"""
+    WITH {_URL_CTE}
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT regexp_extract(url, '{_PATH_RE}', 1)) AS BIGINT) AS n_paths,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM parsed
+    GROUP BY domain
+    """,
+    doc="URL parsing + per-registrable-domain profile: host/path/domain "
+    "extracted from the URL string with JVM-side regexps (no UDF), then "
+    "one partial+final aggregation keyed by domain. The shuffle carries "
+    "one row per (partition, domain) — metadata-width at any corpus "
+    "size. The registrable-domain rule here is last-two-labels; a real "
+    "public-suffix list is a broadcast suffix-table join with the same "
+    "plan shape.",
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _domain_cols(_with_url(spark, sf_dir))
+    return (
+        d.withColumn("path", F.regexp_extract(F.col("url"), _PATH_RE, 1))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+DOMAIN_CAP_K = 20
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH {_URL_CTE},
+    ranked AS (
+      SELECT doc_id, domain, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM parsed
+    )
+    SELECT doc_id, domain, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {DOMAIN_CAP_K}
+    """,
+    doc="Per-domain document cap (the Common-Crawl 'no domain dominates "
+    "the corpus' rule): keep the top-K docs per registrable domain by "
+    "(n_chars DESC, doc_id). The rank<=K filter sits directly on the "
+    "row_number window, so Spark plans a WindowGroupLimit PARTIAL before "
+    "the domain exchange — each map task forwards at most K rows per "
+    "domain it sees, and a billion-doc hot domain costs the reduce side "
+    "K rows per upstream task, never a full sorted partition "
+    "(plan-locked in tests/test_plan_hygiene.py).",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _domain_cols(_with_url(spark, sf_dir))
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "domain", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP_K)
+    )
+
+
+@query(
+    "q_domain_stats",
+    oracle=f"""
+    WITH {_URL_CTE},
+    per_dom AS (
+      SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM parsed GROUP BY domain
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per_dom)
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(least(n_docs, {DOMAIN_CAP_K}) AS BIGINT) AS n_kept,
+           CAST(greatest(n_docs - {DOMAIN_CAP_K}, 0) AS BIGINT) AS n_dropped,
+           sum_chars,
+           CAST((n_docs * 10000) // total AS BIGINT) AS share_e4
+    FROM per_dom, tot
+    """,
+    doc="Per-domain cap audit: document counts, kept/dropped under the "
+    "K-cap, and each domain's corpus share as a floor-divided e4 "
+    "integer. One metadata-width aggregation plus a 1-row broadcast "
+    "total — the report a curation run publishes next to q_domain_cap's "
+    "kept set.",
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _domain_cols(_with_url(spark, sf_dir))
+    per_dom = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    tot = per_dom.agg(F.sum("n_docs").alias("total"))
+    return per_dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        F.least(F.col("n_docs"), F.lit(DOMAIN_CAP_K)).cast("long").alias("n_kept"),
+        F.greatest(F.col("n_docs") - DOMAIN_CAP_K, F.lit(0)).cast("long").alias("n_dropped"),
+        "sum_chars",
+        F.expr("(n_docs * 10000) div total").alias("share_e4"),
+    )
+
+
+# --- DSIR-style hashed importance reweighting ----------------------------
+
+DSIR_BUCKETS = 256
+_BUCKET_SQL = "('0x' || substr(md5(tok), 1, 8))::BIGINT % {b}"
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_BUCKET_SQL.format(b=DSIR_BUCKETS)} AS bucket FROM toks
+    ),
+    bstats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS r_cnt,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot, CAST(sum(t_cnt) AS BIGINT) AS t_tot
+      FROM bstats
+    ),
+    ratios AS (
+      SELECT bucket,
+             CAST((t_cnt * r_tot * 10000) // (t_tot * r_cnt) AS BIGINT) AS ratio_e4
+      FROM bstats, tot
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.ratio_e4) // count(*) AS BIGINT) AS dsir_w_e4
+    FROM bucketed b JOIN ratios r ON r.bucket = b.bucket
+    GROUP BY b.doc_id
+    """,
+    doc="DSIR-style importance reweighting (Xie et al.: data selection "
+    "via importance resampling, hashed-feature form): tokens hash into "
+    f"{DSIR_BUCKETS} md5 buckets; each bucket's importance ratio is "
+    "p_target/p_raw as an exact floor-divided e4 integer (target = the "
+    "lang='en' slice, raw = whole corpus; cross-multiplied, never a "
+    "float). A doc's weight is the mean of its tokens' bucket ratios. "
+    "Two corpus passes (bucket stats, then score-join) with only "
+    "256-row/1-row broadcasts between them — the select_token_budget "
+    "precedent; at 100 TB checkpoint the tokenized projection or accept "
+    "the second scan. int64 envelope: t_cnt*r_tot*1e4 needs total "
+    "corpus tokens < ~3e9 per engine word — re-scale to e2 beyond that "
+    "(the r11 accumulator-audit discipline).",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    bucketed = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    bstats = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    )
+    tot = bstats.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    ratios = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("(t_cnt * r_tot * 10000) div (t_tot * r_cnt)").alias("ratio_e4"),
+    )
+    return (
+        bucketed.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(ratio_e4) div count(1)").alias("dsir_w_e4"),
+        )
+    )

@@ -54,19 +54,23 @@ def query(name: str, oracle: str | None, doc: str = ""):
 _ROTATION_BUILT_FOR_ROUND = 12
 
 _VERIFY_FIRST = [
-    # Round-12 rotation — generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=12)[:50] and locked
-    # by tests/test_rotation_consistency.py: the four never-driver-
-    # verified queries registered this round (the substring-dedup
-    # audit/clean/incremental/indexed family) first, then the 18 names
-    # whose latest driver green is round 7 (the whole remaining r7 block —
-    # after this round the evidence floor rises to round 8), then the
-    # first 28 of the names last green in round 8; ascending staleness,
-    # ALPHABETICAL tiebreak.
+    # Round-12 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=12) prefix and
+    # locked by tests/test_rotation_consistency.py: the never-driver-
+    # verified queries registered this round first (the substring-dedup
+    # family plus the curation wave: domain cap/stats/url-parse, DSIR
+    # weights, SCD2 history), then the r7-green block (floor rises to
+    # r8 after this round), then the oldest r8 names; ascending
+    # staleness, ALPHABETICAL tiebreak.
+    "q_domain_cap",
+    "q_domain_stats",
+    "q_dsir_weights",
+    "q_scd2_history",
     "q_substring_dedup",
     "q_substring_dedup_clean",
     "q_substring_dedup_incremental",
     "q_substring_dedup_indexed",
+    "q_url_parse",
     "q_knn_confusion",
     "q_lorenz_deciles",
     "q_minhash_accuracy",
@@ -108,11 +112,6 @@ _VERIFY_FIRST = [
     "q_link_prediction_capped",
     "q_lpa_communities",
     "q_mix_equalize",
-    "q_multimodal_dedup",
-    "q_multimodal_phash_dup",
-    "q_null_handling",
-    "q_pandas_udaf_weighted",
-    "q_pandas_udf_score",
 ]
 
 
@@ -157,6 +156,6 @@ def _ensure_loaded() -> None:
     from hnarchive_spark.plans import streaming_plans  # noqa: F401
     from hnarchive_spark.plans import multimodal_plans  # noqa: F401
     from hnarchive_spark.plans import functions_battery, hn_ops, relational, relational2  # noqa: F401
-    from hnarchive_spark.plans import analytics, graph_ml, search, tpch_extra  # noqa: F401
+    from hnarchive_spark.plans import analytics, curation, graph_ml, search, tpch_extra  # noqa: F401
 
     _LOADED = True

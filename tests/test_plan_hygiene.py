@@ -475,3 +475,37 @@ def test_substring_dedup_indexed_probe_is_semi_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_domain_cap_rank_pushdown_and_pruning(spark):
+    """q_domain_cap's 100 TB story is the rank pushdown: the rank<=K
+    filter must plan as WindowGroupLimit PARTIAL before the domain
+    exchange (each map task forwards at most K rows per domain it sees
+    — a billion-doc hot domain costs the reduce side K rows per
+    upstream task, never a full sorted partition), and the scan must
+    prune to the 3 referenced columns."""
+    plan = _plan(spark, "q_domain_cap")
+    assert "WindowGroupLimit" in plan
+    assert "row_number(), 20, Partial" in plan, plan
+    schema_line = next(ln for ln in plan.split("\n") if "ReadSchema" in ln)
+    assert schema_line.count(":") <= 4, schema_line
+
+
+def test_dsir_bucket_stats_broadcast_no_corpus_join(spark):
+    """q_dsir_weights: the only joins are the 256-row ratio table and the
+    1-row totals — both broadcast; the corpus must never shuffle into a
+    sort-merge join, and the two aggregations must be partial+final."""
+    plan = _plan(spark, "q_dsir_weights")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_scd2_single_exchange(spark):
+    """q_scd2_history: the change-flag window, the run aggregation, and
+    the interval-close window must all reuse ONE hashpartitioning(user_id)
+    exchange — a second exchange means the run agg or close window lost
+    the clustering and the query shuffles the event volume twice."""
+    plan = _plan(spark, "q_scd2_history")
+    header = plan.split("(1) Scan")[0]
+    assert header.count("Exchange") == 1, header
