@@ -2091,3 +2091,45 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c100
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Co-located join over BUCKETED tables (sources/bucketed.py): "
+    "orders and lineitem are laid out once via bucketBy(8, orderkey) + "
+    "sortBy, then the fact-to-fact join runs with NO exchange under the "
+    "sort-merge join — both scans arrive pre-partitioned by the catalog "
+    "bucket spec (plan shows the bucketed scan; locked by "
+    "tests/test_bucketed.py). The merge hint pins the sort-merge "
+    "strategy so the plan demonstrates the shuffle-free fact join "
+    "rather than an sf-small broadcast; at 100 TB SMJ is what the "
+    "optimizer picks anyway. The write-once/join-free-forever trade is "
+    "the Hive-bucketing / Iceberg bucket-transform pattern — the one "
+    "layout decision that deletes the daily multi-TB join shuffle. "
+    "Oracle computes the same join from the raw parquet, so the layout "
+    "round trip is value-hash-checked.",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.sources.bucketed import bucketed_pair
+
+    name_o, name_li = bucketed_pair(spark, sf_dir)
+    o = spark.table(name_o).select("o_orderkey", "o_orderpriority")
+    li = spark.table(name_li)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("revenue_c100"),
+        )
+    )

@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     # weights, SCD2 history), then the r7-green block (floor rises to
     # r8 after this round), then the oldest r8 names; ascending
     # staleness, ALPHABETICAL tiebreak.
+    "q_bucketed_join",
     "q_domain_cap",
     "q_domain_stats",
     "q_dsir_weights",
@@ -111,7 +112,6 @@ _VERIFY_FIRST = [
     "q_lateral_join",
     "q_link_prediction_capped",
     "q_lpa_communities",
-    "q_mix_equalize",
 ]
 
 
