@@ -2133,3 +2133,199 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("revenue_c100"),
         )
     )
+
+
+SCD2_SPLIT_TS = "2024-01-25 00:00:00"
+
+
+def _scd2_runs(e: DataFrame, version_from: int = 1) -> DataFrame:
+    """Run-length collapse of (user_id, ts, event_id, event_type) into
+    (user_id, version, state, valid_from_us, n_events) — the shared core
+    of q_scd2_history and the incremental path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), F.lit(1)).otherwise(F.lit(0))
+    ver = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)) + (version_from - 1)
+    return (
+        e.withColumn("version", ver)
+        .groupBy("user_id", "version", F.col("event_type").alias("state"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_scd2_incremental",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, version, event_type AS state,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+    FROM g
+    """,
+    doc="INCREMENTAL SCD2 maintenance: the archive dimension (events "
+    f"before {SCD2_SPLIT_TS}) absorbs a new batch (events after) "
+    "touching only batch users — closed intervals pass through "
+    "verbatim, each touched user's OPEN row is coalesced with the "
+    "batch's run-length runs in one metadata-width window pass (the "
+    "only cross-boundary merge possible is open-state == first-batch-"
+    "state), and untouched users never shuffle again. THE ORACLE IS "
+    "THE FULL RECOMPUTE over all events — the driver hash literally "
+    "checks incremental == batch, the invariant that makes nightly "
+    "O(batch) dimension maintenance trustworthy at 100 TB (per-batch "
+    "cost tracks ingest, not the dimension's history; cf. the "
+    "ann/text index append family for the same contract on indexes).",
+)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
+    arch_runs = _scd2_runs(e.filter(F.col("ts") < split))
+    batch_runs = _scd2_runs(e.filter(F.col("ts") >= split))
+
+    # archive dimension state: per user, the open (max-version) row is the
+    # only one a batch can touch
+    wmax = Window.partitionBy("user_id")
+    arch = arch_runs.withColumn("_maxv", F.max("version").over(wmax))
+    closed = arch.filter(F.col("version") < F.col("_maxv")).drop("_maxv")
+    open_rows = arch.filter(F.col("version") == F.col("_maxv")).drop("_maxv")
+
+    touched = batch_runs.select("user_id").distinct()
+    closed_keep = closed  # closed intervals are immutable either way
+    open_untouched = open_rows.join(touched, "user_id", "left_anti")
+    open_touched = open_rows.join(touched, "user_id", "left_semi")
+
+    # boundary coalesce: open row (ordered first) + batch runs, run-length
+    # merged again — only the boundary pair can share a state
+    pool = open_touched.unionByName(batch_runs.join(open_touched.select("user_id"), "user_id", "left_semi").withColumn("version", F.col("version") + F.lit(1000000))).unionByName(
+        batch_runs.join(open_touched.select("user_id"), "user_id", "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    prev = F.lag("state").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("state")), F.lit(1)).otherwise(F.lit(0))
+    grp = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        pool.withColumn("_grp", grp)
+        .groupBy("user_id", "_grp", "state")
+        .agg(
+            F.min("valid_from_us").alias("valid_from_us"),
+            F.sum("n_events").alias("n_events"),
+            F.min("version").alias("_base"),
+        )
+    )
+    # version renumber: the first coalesced run keeps the open row's version
+    # (or 1 for batch-only users); later runs count up from it
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    renum = merged.withColumn(
+        "version",
+        F.first(F.when(F.col("_base") < 1000000, F.col("_base")).otherwise(F.lit(1))).over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        + F.row_number().over(wv)
+        - 1,
+    ).select("user_id", "version", "state", "valid_from_us", "n_events")
+
+    dim = closed_keep.unionByName(open_untouched).unionByName(renum)
+    wt = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(wt)
+    return dim.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+DPP_HOT_DAYS = 5
+
+
+@query(
+    "q_dpp_join",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_purch
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    ),
+    hot AS (
+      SELECT day FROM (
+        SELECT day, row_number() OVER (ORDER BY n_purch DESC, day) AS rk
+        FROM per_day
+      ) WHERE rk <= {DPP_HOT_DAYS}
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_days
+    FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.day
+    GROUP BY e.event_type
+    """,
+    doc="Dynamic partition pruning demo: events are laid out ONCE "
+    "partitioned by day (the standard fact layout), and the probe joins "
+    "them to a data-DERIVED dim (the top-5 purchase days, knowable only "
+    "at runtime). Catalyst plans a DPP subquery: the fact scan's "
+    "PartitionFilters carry dynamicpruning#... fed by the broadcast dim, "
+    "so only hot-day directories are READ — no static predicate could "
+    "express this, and at 100 TB it is the difference between scanning "
+    "the month and scanning 5 days (plan-locked in test_plan_hygiene). "
+    "Completes the write-time-layout triple: z-order (2-D scan "
+    "pruning), bucketing (join shuffle deletion), day partitioning + "
+    "DPP (runtime scan pruning).",
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+
+    def _build(path: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("day_p", F.to_date("ts"))
+            .write.partitionBy("day_p")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    path = built_once("dpp_events", sf_dir, _build)
+    ev = spark.read.parquet(path)
+    per_day = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    wk = Window.orderBy(F.col("n_purch").desc(), F.col("day"))
+    hot = (
+        per_day.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= DPP_HOT_DAYS)
+        .select("day")
+    )
+    return (
+        ev.join(F.broadcast(hot), ev.day_p == hot.day)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+    )

@@ -65,8 +65,10 @@ _VERIFY_FIRST = [
     "q_bucketed_join",
     "q_domain_cap",
     "q_domain_stats",
+    "q_dpp_join",
     "q_dsir_weights",
     "q_scd2_history",
+    "q_scd2_incremental",
     "q_substring_dedup",
     "q_substring_dedup_clean",
     "q_substring_dedup_incremental",
@@ -110,8 +112,6 @@ _VERIFY_FIRST = [
     "q_k_anonymity",
     "q_large_orders",
     "q_lateral_join",
-    "q_link_prediction_capped",
-    "q_lpa_communities",
 ]
 
 

@@ -509,3 +509,25 @@ def test_scd2_single_exchange(spark):
     plan = _plan(spark, "q_scd2_history")
     header = plan.split("(1) Scan")[0]
     assert header.count("Exchange") == 1, header
+
+
+def test_dpp_join_scan_is_dynamically_pruned(spark):
+    """q_dpp_join: the day-partitioned fact scan must carry a
+    dynamicpruningexpression PartitionFilter fed by the broadcast dim —
+    the runtime-pruning contract. The layout really is multi-directory
+    (>=25 day_p dirs) while the dim selects exactly 5 days, so the
+    pruned scan reads a strict minority of the layout."""
+    import os
+
+    from hnarchive_spark.plans.registry import REGISTRY
+
+    plan = _plan(spark, "q_dpp_join")
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+    # find the layout path from the scan line and count day dirs
+    loc = next(ln for ln in plan.split("\n") if "dpp_events" in ln and "Location" in ln)
+    path = loc.split("[file:")[1].split("]")[0]
+    days = [d for d in os.listdir(path) if d.startswith("day_p=")]
+    assert len(days) >= 25, days
+    from hnarchive_spark.plans.analytics import DPP_HOT_DAYS
+
+    assert DPP_HOT_DAYS * 5 <= len(days), "dim must select a strict minority"
