@@ -78,6 +78,15 @@ HEADLINE = [
     # round 11: persisted BM25 probe (build-once cached the same way) —
     # the bench previously had no text-retrieval entry at all
     "q_bm25_indexed",
+    # round 12: the curation wave + the physical-design pair. The layout
+    # queries (bucketed/DPP) build their layout in the untimed warmup run
+    # (bucketed_pair catalog check / built_once), so the timed runs measure
+    # the production probe path — the q_*_indexed convention.
+    "q_domain_cap",
+    "q_dsir_weights",
+    "q_scd2_incremental",
+    "q_bucketed_join",
+    "q_dpp_join",
 ]
 
 

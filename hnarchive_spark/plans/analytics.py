@@ -2065,32 +2065,10 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch re-derive, everyone else's closed intervals are immutable.",
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.scd2 import close_intervals, scd2_runs
+
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    chg = F.when(
-        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
-    ).otherwise(F.lit(0))
-    ver = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    runs = (
-        e.withColumn("version", ver)
-        .groupBy("user_id", "version", F.col("event_type").alias("state"))
-        .agg(
-            F.min(F.unix_micros("ts")).alias("valid_from_us"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    w2 = Window.partitionBy("user_id").orderBy("version")
-    nxt = F.lead("valid_from_us").over(w2)
-    return runs.select(
-        "user_id",
-        "version",
-        "state",
-        "valid_from_us",
-        nxt.alias("valid_to_us"),
-        "n_events",
-        nxt.isNull().alias("is_current"),
-    )
+    return close_intervals(scd2_runs(e).drop("last_ts_us", "last_event_id"))
 
 
 @query(
@@ -2138,24 +2116,6 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SPLIT_TS = "2024-01-25 00:00:00"
 
 
-def _scd2_runs(e: DataFrame, version_from: int = 1) -> DataFrame:
-    """Run-length collapse of (user_id, ts, event_id, event_type) into
-    (user_id, version, state, valid_from_us, n_events) — the shared core
-    of q_scd2_history and the incremental path."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    chg = F.when(prev.isNull() | (prev != F.col("event_type")), F.lit(1)).otherwise(F.lit(0))
-    ver = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)) + (version_from - 1)
-    return (
-        e.withColumn("version", ver)
-        .groupBy("user_id", "version", F.col("event_type").alias("state"))
-        .agg(
-            F.min(F.unix_micros("ts")).alias("valid_from_us"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-
-
 @query(
     "q_scd2_incremental",
     oracle="""
@@ -2197,65 +2157,14 @@ def _scd2_runs(e: DataFrame, version_from: int = 1) -> DataFrame:
     "ann/text index append family for the same contract on indexes).",
 )
 def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.scd2 import close_intervals, merge_scd2_runs, scd2_runs
+
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
-    arch_runs = _scd2_runs(e.filter(F.col("ts") < split))
-    batch_runs = _scd2_runs(e.filter(F.col("ts") >= split))
-
-    # archive dimension state: per user, the open (max-version) row is the
-    # only one a batch can touch
-    wmax = Window.partitionBy("user_id")
-    arch = arch_runs.withColumn("_maxv", F.max("version").over(wmax))
-    closed = arch.filter(F.col("version") < F.col("_maxv")).drop("_maxv")
-    open_rows = arch.filter(F.col("version") == F.col("_maxv")).drop("_maxv")
-
-    touched = batch_runs.select("user_id").distinct()
-    closed_keep = closed  # closed intervals are immutable either way
-    open_untouched = open_rows.join(touched, "user_id", "left_anti")
-    open_touched = open_rows.join(touched, "user_id", "left_semi")
-
-    # boundary coalesce: open row (ordered first) + batch runs, run-length
-    # merged again — only the boundary pair can share a state
-    pool = open_touched.unionByName(batch_runs.join(open_touched.select("user_id"), "user_id", "left_semi").withColumn("version", F.col("version") + F.lit(1000000))).unionByName(
-        batch_runs.join(open_touched.select("user_id"), "user_id", "left_anti")
-    )
-    w = Window.partitionBy("user_id").orderBy("valid_from_us")
-    prev = F.lag("state").over(w)
-    chg = F.when(prev.isNull() | (prev != F.col("state")), F.lit(1)).otherwise(F.lit(0))
-    grp = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    merged = (
-        pool.withColumn("_grp", grp)
-        .groupBy("user_id", "_grp", "state")
-        .agg(
-            F.min("valid_from_us").alias("valid_from_us"),
-            F.sum("n_events").alias("n_events"),
-            F.min("version").alias("_base"),
-        )
-    )
-    # version renumber: the first coalesced run keeps the open row's version
-    # (or 1 for batch-only users); later runs count up from it
-    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
-    renum = merged.withColumn(
-        "version",
-        F.first(F.when(F.col("_base") < 1000000, F.col("_base")).otherwise(F.lit(1))).over(
-            wv.rowsBetween(Window.unboundedPreceding, 0)
-        )
-        + F.row_number().over(wv)
-        - 1,
-    ).select("user_id", "version", "state", "valid_from_us", "n_events")
-
-    dim = closed_keep.unionByName(open_untouched).unionByName(renum)
-    wt = Window.partitionBy("user_id").orderBy("version")
-    nxt = F.lead("valid_from_us").over(wt)
-    return dim.select(
-        "user_id",
-        "version",
-        "state",
-        "valid_from_us",
-        nxt.alias("valid_to_us"),
-        "n_events",
-        nxt.isNull().alias("is_current"),
-    )
+    arch_runs = scd2_runs(e.filter(F.col("ts") < split))
+    batch_runs = scd2_runs(e.filter(F.col("ts") >= split))
+    dim = merge_scd2_runs(arch_runs, batch_runs)
+    return close_intervals(dim)
 
 
 DPP_HOT_DAYS = 5
@@ -2329,3 +2238,65 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.to_date("ts")).alias("n_days"),
         )
     )
+
+
+SCD2_SPLIT2_TS = "2024-01-28 00:00:00"
+
+
+@query(
+    "q_scd2_store",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, version, event_type AS state,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+    FROM g
+    """,
+    doc="PERSISTED SCD2 dimension lifecycle (sources/scd2_store.py): "
+    f"build the store from events before {SCD2_SPLIT_TS}, absorb two "
+    "successive micro-batches through the bucket-pruned O(batch) append "
+    "(only the buckets a batch's users hash into are read or rewritten; "
+    "untouched buckets inode-stable — test_scd2_store.py), then read "
+    "the dimension view back. The oracle is the FULL recompute over all "
+    "events, so the driver hash checks the whole maintenance cycle: "
+    "build + append + append == batch. The build runs once per process "
+    "(built_once; bench warmup pays it) — the probe path the timed "
+    "runs see is the read view over the maintained runs.",
+)
+def q_scd2_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.scd2_store import (
+        append_scd2,
+        build_scd2_store,
+        read_scd2,
+    )
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    split1 = F.lit(SCD2_SPLIT_TS).cast("timestamp")
+    split2 = F.lit(SCD2_SPLIT2_TS).cast("timestamp")
+
+    def _build(path: str) -> None:
+        build_scd2_store(spark, e.filter(F.col("ts") < split1), path)
+        append_scd2(spark, e.filter((F.col("ts") >= split1) & (F.col("ts") < split2)), path)
+        append_scd2(spark, e.filter(F.col("ts") >= split2), path)
+
+    path = built_once("scd2_store", sf_dir, _build)
+    return read_scd2(spark, path)

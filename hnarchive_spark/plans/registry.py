@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "q_dsir_weights",
     "q_scd2_history",
     "q_scd2_incremental",
+    "q_scd2_store",
     "q_substring_dedup",
     "q_substring_dedup_clean",
     "q_substring_dedup_incremental",
@@ -111,7 +112,6 @@ _VERIFY_FIRST = [
     "q_join_fk",
     "q_k_anonymity",
     "q_large_orders",
-    "q_lateral_join",
 ]
 
 

@@ -285,3 +285,43 @@ def stream_index_ivfpq(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_scd2(store_path: str):
+    """``foreachBatch`` function for SCD2 dimension maintenance
+    (sources/scd2_store.py): each micro-batch of entity events absorbs
+    into the persisted runs through the bucket-pruned append.  Restart
+    idempotence comes from the store's frontier guard — every run row
+    carries its final (ts, event_id), and a re-delivered batch's events
+    all sit at-or-before their user's frontier, so the append applies 0
+    events and skips the write job entirely.  The ledger's "skipped"
+    slot counts dropped (late or re-delivered) events — persistent
+    volume there means upstream is delivering out of order beyond the
+    dimension's late-data policy, the signal to widen the watermark."""
+    from hnarchive_spark.sources.scd2_store import append_scd2
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        n_in = batch_df.count()
+        if n_in == 0:
+            return 0
+        applied = append_scd2(batch_df.sparkSession, batch_df, store_path)
+        _bump_maint_stats(store_path, applied, n_in - applied)
+        return applied
+
+    return _process
+
+
+def stream_scd2(
+    event_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Event stream → per-micro-batch SCD2 dimension maintenance.  The
+    store must already exist (``build_scd2_store``)."""
+    writer = event_stream.writeStream.foreachBatch(
+        maintain_scd2(store_path)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

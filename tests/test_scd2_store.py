@@ -1,0 +1,145 @@
+"""Persisted SCD2 dimension store (sources/scd2_store.py) + streaming
+maintenance (streaming/index_maint.maintain_scd2): the maintained
+dimension must equal the full batch recompute, appends must be
+bucket-pruned (untouched buckets inode-stable) and restart-idempotent
+(re-delivered batches apply zero events and write nothing)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.scd2 import close_intervals, scd2_runs
+from hnarchive_spark.sources.scd2_store import (
+    N_BUCKETS,
+    append_scd2,
+    build_scd2_store,
+    read_scd2,
+)
+from hnarchive_spark.streaming.index_maint import maintain_scd2, stream_scd2
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+SPLIT1 = "2024-01-20 00:00:00"
+SPLIT2 = "2024-01-25 00:00:00"
+
+
+def _events(spark):
+    return load(spark, SF, "events").select("user_id", "ts", "event_id", "event_type")
+
+
+def _files(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_ino, st.st_size)
+    return out
+
+
+def _dim_rows(spark, path):
+    return sorted(tuple(r) for r in read_scd2(spark, path).collect())
+
+
+def _full_rows(spark):
+    full = close_intervals(scd2_runs(_events(spark)))
+    return sorted(tuple(r) for r in full.collect())
+
+
+def test_build_append_append_equals_full_recompute(spark, tmp_path):
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e.filter(F.col("ts") < SPLIT1), path)
+    n1 = append_scd2(
+        spark, e.filter((F.col("ts") >= SPLIT1) & (F.col("ts") < SPLIT2)), path
+    )
+    n2 = append_scd2(spark, e.filter(F.col("ts") >= SPLIT2), path)
+    assert n1 > 0 and n2 > 0
+    assert _dim_rows(spark, path) == _full_rows(spark)
+
+
+def test_redelivered_batch_is_noop_and_writes_nothing(spark, tmp_path):
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e.filter(F.col("ts") < SPLIT2), path)
+    batch = e.filter(F.col("ts") >= SPLIT2)
+    assert append_scd2(spark, batch, path) == batch.count()
+    before = _files(path)
+    # the at-least-once worst case: the exact same batch re-delivered
+    assert append_scd2(spark, batch, path) == 0
+    assert _files(path) == before
+    assert _dim_rows(spark, path) == _full_rows(spark)
+
+
+def test_append_is_bucket_pruned(spark, tmp_path):
+    """A batch touching a strict user subset must leave every untouched
+    bucket's files inode-identical — the O(batch) claim at the
+    filesystem level."""
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e.filter(F.col("ts") < SPLIT2), path)
+    batch = e.filter((F.col("ts") >= SPLIT2) & (F.col("user_id") % N_BUCKETS < 4))
+    assert batch.count() > 0
+    touched = {f"u_bucket={b}" for b in range(4)}
+    before = _files(os.path.join(path, "runs"))
+    assert append_scd2(spark, batch, path) == batch.count()
+    after = _files(os.path.join(path, "runs"))
+    for rel, meta in before.items():
+        bucket = rel.split(os.sep)[0]
+        if bucket not in touched:
+            assert after.get(rel) == meta, f"untouched {rel} was rewritten"
+
+
+def test_late_event_is_dropped_by_frontier_guard(spark, tmp_path):
+    """An event at-or-before its user's open-run frontier must be dropped
+    (the SCD2 late-data policy), leaving the dimension unchanged."""
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e, path)
+    before = _dim_rows(spark, path)
+    late = e.orderBy("ts", "event_id").limit(5)  # the oldest events, again
+    assert append_scd2(spark, late, path) == 0
+    assert _dim_rows(spark, path) == before
+
+
+def test_stream_scd2_maintenance_restart_idempotent(spark, tmp_path):
+    """End-to-end Structured Streaming: event files stream into the
+    dimension with availableNow; a second run from a FRESH checkpoint
+    (every batch re-delivered) plus newer files ends row-identical to
+    the full batch recompute."""
+    e = _events(spark)
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e.filter(F.col("ts") < SPLIT1), path)
+    e.filter((F.col("ts") >= SPLIT1) & (F.col("ts") < SPLIT2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = e.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_scd2(stream, path, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+
+    e.filter(F.col("ts") >= SPLIT2).coalesce(1).write.mode("append").parquet(src)
+    q = stream_scd2(stream, path, str(tmp_path / "ckpt2"))  # fresh ckpt: re-deliver all
+    q.awaitTermination()
+
+    assert _dim_rows(spark, path) == _full_rows(spark)
+
+    # ledger: the re-delivered file's events show up as skipped volume
+    from hnarchive_spark.streaming.index_maint import maintenance_stats
+
+    stats = maintenance_stats(path)
+    assert stats["batches"] >= 2 and stats["skipped"] > 0
+
+
+def test_maintain_scd2_empty_batch_guard(spark, tmp_path):
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e, path)
+    empty = e.filter(F.lit(False))
+    assert maintain_scd2(path)(empty, batch_id=0) == 0
