@@ -29,32 +29,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hnarchive_spark.operators.scd2 import close_intervals, merge_scd2_runs, scd2_runs
+from hnarchive_spark.sources.index_version import (
+    current_index_version,
+    index_root,
+    publish_index_version,
+)
 
 N_BUCKETS = 32
 
 _EVENT_COLS = ("user_id", "ts", "event_id", "event_type")
 
 
-def _with_bucket(df: DataFrame) -> DataFrame:
-    return df.withColumn("u_bucket", (F.col("user_id") % N_BUCKETS).cast("int"))
+def _runs_path(path: str) -> str:
+    """Resolve the CURRENT runs tree (re-bucketing compaction publishes
+    new versions behind the same atomic pointer the index family uses)."""
+    return os.path.join(index_root(path), "runs")
 
 
-def build_scd2_store(spark: SparkSession, events: DataFrame, path: str) -> int:
+def _write_meta(root: str, n_buckets: int) -> None:
+    import json
+
+    with open(os.path.join(root, "_META.json"), "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
+
+
+def _n_buckets(path: str) -> int:
+    """The store's CURRENT bucket count (versioned with the runs — a
+    re-bucketing compaction changes it atomically at the pointer swap)."""
+    import json
+
+    try:
+        with open(os.path.join(index_root(path), "_META.json")) as fh:
+            return int(json.load(fh)["n_buckets"])
+    except FileNotFoundError:
+        return N_BUCKETS
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("u_bucket", (F.col("user_id") % n_buckets).cast("int"))
+
+
+def build_scd2_store(
+    spark: SparkSession, events: DataFrame, path: str, n_buckets: int = N_BUCKETS
+) -> int:
     """Full build: run-length collapse the seed events and lay the runs
     out bucket-partitioned. Returns the number of runs written."""
-    runs = _with_bucket(scd2_runs(events.select(*_EVENT_COLS)))
-    runs.write.mode("overwrite").partitionBy("u_bucket").parquet(os.path.join(path, "runs"))
-    return spark.read.parquet(os.path.join(path, "runs")).count()
+    os.makedirs(path, exist_ok=True)
+    runs = _with_bucket(scd2_runs(events.select(*_EVENT_COLS)), n_buckets)
+    runs.write.mode("overwrite").partitionBy("u_bucket").parquet(_runs_path(path))
+    _write_meta(path, n_buckets)
+    return spark.read.parquet(_runs_path(path)).count()
 
 
 def append_scd2(spark: SparkSession, batch: DataFrame, path: str) -> int:
     """Absorb a batch of events; returns the number of events APPLIED
     (0 for a fully re-delivered/late batch — which also skips the write
     entirely)."""
-    runs_path = os.path.join(path, "runs")
+    runs_path = _runs_path(path)
+    nb = _n_buckets(path)
     b = batch.select(*_EVENT_COLS)
     buckets = [
-        r[0] for r in b.select((F.col("user_id") % N_BUCKETS).cast("int")).distinct().collect()
+        r[0] for r in b.select((F.col("user_id") % nb).cast("int")).distinct().collect()
     ]
     if not buckets:
         return 0
@@ -77,7 +112,7 @@ def append_scd2(spark: SparkSession, batch: DataFrame, path: str) -> int:
     if n_kept == 0:
         return 0
 
-    new_rows = _with_bucket(merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)))
+    new_rows = _with_bucket(merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)), nb)
     (
         new_rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -89,4 +124,72 @@ def append_scd2(spark: SparkSession, batch: DataFrame, path: str) -> int:
 
 def read_scd2(spark: SparkSession, path: str) -> DataFrame:
     """The dimension view: runs + derived valid_to_us/is_current."""
-    return close_intervals(spark.read.parquet(os.path.join(path, "runs")).drop("u_bucket"))
+    return close_intervals(spark.read.parquet(_runs_path(path)).drop("u_bucket"))
+
+
+def compact_scd2(spark: SparkSession, path: str, n_buckets: int | None = None) -> str:
+    """Re-cluster the runs into ``<path>/v<N>/runs`` behind the atomic
+    version pointer — the lifecycle verb this store actually needs.
+    Unlike the append-only indexes, dynamic partition overwrite REWRITES
+    a touched bucket wholesale, so appends don't pile small files; what
+    DOES stop fitting is the bucket count chosen at build time (a
+    dimension that grew 10x wants 10x the buckets, or an over-bucketed
+    small store wants fewer, bigger files).  ``n_buckets`` re-buckets the
+    layout (default: keep the current count, a pure re-cluster + zstd
+    rewrite); the new count is published in the version's ``_META.json``
+    at the SAME pointer swap, so appends route by the new hash the
+    instant readers see the new tree.  Rows are unchanged (locked in
+    tests/test_scd2_store.py). Returns the new version directory."""
+    nb = int(n_buckets) if n_buckets else _n_buckets(path)
+    old = _runs_path(path)
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    (
+        _with_bucket(spark.read.parquet(old).drop("u_bucket"), nb)
+        .repartition("u_bucket")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("u_bucket")
+        .parquet(os.path.join(vdir, "runs"))
+    )
+    _write_meta(vdir, nb)
+    publish_index_version(path, new_v)
+    return vdir
+
+
+def delete_users_scd2(spark: SparkSession, path: str, user_ids: list[int]) -> int:
+    """Right-to-be-forgotten for the dimension (the store-delete verb
+    items_store.delete_ids provides for facts): remove EVERY run of the
+    given users, rewriting only the buckets they hash into. A bucket
+    left empty has its directory removed outright (dynamic overwrite
+    cannot express an empty partition). If a deleted user reappears in
+    a later batch they restart at version 1 — their frontier is gone
+    with their history, which is the point. Returns rows deleted."""
+    import shutil
+
+    runs_path = _runs_path(path)
+    if not user_ids:
+        return 0
+    buckets = sorted({int(u) % _n_buckets(path) for u in user_ids})
+    dim = spark.read.parquet(runs_path).filter(F.col("u_bucket").isin(buckets))
+    dim = dim.persist()
+    try:
+        n_before = dim.count()
+        keep = dim.filter(~F.col("user_id").isin([int(u) for u in user_ids]))
+        n_keep = keep.count()
+        if n_keep == n_before:
+            return 0
+        kept_buckets = {r[0] for r in keep.select("u_bucket").distinct().collect()}
+        if n_keep > 0:
+            (
+                keep.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("u_bucket")
+                .parquet(runs_path)
+            )
+        for b in buckets:
+            if b not in kept_buckets:
+                shutil.rmtree(os.path.join(runs_path, f"u_bucket={b}"), ignore_errors=True)
+        return n_before - n_keep
+    finally:
+        dim.unpersist()

@@ -143,3 +143,86 @@ def test_maintain_scd2_empty_batch_guard(spark, tmp_path):
     build_scd2_store(spark, e, path)
     empty = e.filter(F.lit(False))
     assert maintain_scd2(path)(empty, batch_id=0) == 0
+
+
+def test_compact_scd2_rebuckets_behind_the_pointer(spark, tmp_path):
+    """Re-bucketing compaction: the dimension view must be row-identical
+    across the version swap, the new layout must use the new bucket
+    count (directories AND the published _META), and a LATER append must
+    route by the NEW hash into the published version."""
+    from hnarchive_spark.sources.scd2_store import _n_buckets, _runs_path, compact_scd2
+
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e.filter(F.col("ts") < "2024-01-10"), path)
+    for lo, hi in [("2024-01-10", "2024-01-15"), ("2024-01-15", "2024-01-20"),
+                   ("2024-01-20", "2024-01-25")]:
+        append_scd2(spark, e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), path)
+    before_rows = _dim_rows(spark, path)
+    assert _n_buckets(path) == N_BUCKETS
+
+    vdir = compact_scd2(spark, path, n_buckets=8)
+    assert vdir.endswith("v1")
+    assert _runs_path(path).startswith(vdir)
+    assert _n_buckets(path) == 8
+    dirs = {d for d in os.listdir(_runs_path(path)) if d.startswith("u_bucket=")}
+    assert dirs and all(int(d.split("=")[1]) < 8 for d in dirs), sorted(dirs)
+    assert _dim_rows(spark, path) == before_rows
+
+    # appends keep working against the published version + new hash
+    before = _files(_runs_path(path))
+    batch = e.filter((F.col("ts") >= "2024-01-25") & (F.col("user_id") % 8 == 2))
+    assert append_scd2(spark, batch, path) == batch.count()
+    after = _files(_runs_path(path))
+    for rel, meta in before.items():
+        if not rel.startswith("u_bucket=2/"):
+            assert after.get(rel) == meta, f"untouched {rel} rewritten"
+
+    # a second compaction stacks: v2, back to 32 buckets, rows preserved
+    mid_rows = _dim_rows(spark, path)
+    vdir2 = compact_scd2(spark, path, n_buckets=N_BUCKETS)
+    assert vdir2.endswith("v2") and _n_buckets(path) == N_BUCKETS
+    assert _dim_rows(spark, path) == mid_rows
+
+
+def test_delete_users_scd2_right_to_be_forgotten(spark, tmp_path):
+    """User deletion must remove every run of the named users, rewrite
+    only their buckets (others inode-stable), clear an emptied bucket's
+    directory, and let a deleted user restart at version 1."""
+    from hnarchive_spark.sources.scd2_store import delete_users_scd2, _runs_path
+
+    e = _events(spark)
+    path = str(tmp_path / "dim")
+    build_scd2_store(spark, e, path)
+
+    users = [r[0] for r in e.select("user_id").distinct().collect()]
+    # every user in bucket 3, plus one user from another bucket
+    bucket3 = [u for u in users if u % N_BUCKETS == 3]
+    other = next(u for u in users if u % N_BUCKETS == 7)
+    victims = bucket3 + [other]
+    assert bucket3, "fixture must populate bucket 3"
+
+    runs = _runs_path(path)
+    before = _files(runs)
+    n_victim_rows = (
+        spark.read.parquet(runs).filter(F.col("user_id").isin(victims)).count()
+    )
+    assert delete_users_scd2(spark, path, victims) == n_victim_rows
+
+    after = _files(runs)
+    # bucket 3 directory is gone entirely
+    assert not any(rel.startswith("u_bucket=3/") for rel in after), sorted(after)[:3]
+    # buckets other than 3 and 7 are byte-untouched
+    for rel, meta in before.items():
+        b = rel.split(os.sep)[0]
+        if b not in ("u_bucket=3", "u_bucket=7"):
+            assert after.get(rel) == meta, f"untouched {rel} rewritten"
+    got = spark.read.parquet(runs)
+    assert got.filter(F.col("user_id").isin(victims)).count() == 0
+
+    # the forgotten user's history is gone: re-ingesting their events
+    # restarts them at version 1
+    re_ev = e.filter(F.col("user_id") == other)
+    assert append_scd2(spark, re_ev, path) == re_ev.count()
+    mine = read_scd2(spark, path).filter(F.col("user_id") == other)
+    assert mine.agg(F.min("version")).collect()[0][0] == 1
