@@ -93,33 +93,49 @@ def append_scd2(spark: SparkSession, batch: DataFrame, path: str) -> int:
     ]
     if not buckets:
         return 0
-    dim = spark.read.parquet(runs_path).filter(F.col("u_bucket").isin(buckets))
-
-    # at-least-once / late-data guard: drop events at-or-before the open
-    # run's last (ts, event_id) position
-    wmax = F.max(F.struct("last_ts_us", "last_event_id"))
-    frontier = dim.groupBy("user_id").agg(wmax.alias("_f"))
-    kept = (
-        b.join(frontier, "user_id", "left")
-        .filter(
-            F.col("_f").isNull()
-            | (F.struct(F.unix_micros("ts").alias("last_ts_us"),
-                        F.col("event_id").alias("last_event_id")) > F.col("_f"))
+    # persist both sides: `dim` feeds the frontier AND three branches of
+    # the merge (closed / open-touched / open-untouched), `kept` feeds the
+    # guard count AND the run collapse — without the persists each branch
+    # re-runs the pruned scan + windows. At sf0.1 the probe shows no wall
+    # change (per-append cost is job-count constants there), but at a
+    # dimension size where the pruned scan is real IO the recompute is
+    # 3-4 redundant passes; the persists make the plan right either way.
+    dim = (
+        spark.read.parquet(runs_path).filter(F.col("u_bucket").isin(buckets)).persist()
+    )
+    try:
+        # at-least-once / late-data guard: drop events at-or-before the
+        # open run's last (ts, event_id) position
+        wmax = F.max(F.struct("last_ts_us", "last_event_id"))
+        frontier = dim.groupBy("user_id").agg(wmax.alias("_f"))
+        kept = (
+            b.join(frontier, "user_id", "left")
+            .filter(
+                F.col("_f").isNull()
+                | (F.struct(F.unix_micros("ts").alias("last_ts_us"),
+                            F.col("event_id").alias("last_event_id")) > F.col("_f"))
+            )
+            .drop("_f")
+            .persist()
         )
-        .drop("_f")
-    )
-    n_kept = kept.count()
-    if n_kept == 0:
-        return 0
-
-    new_rows = _with_bucket(merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)), nb)
-    (
-        new_rows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("u_bucket")
-        .parquet(runs_path)
-    )
-    return n_kept
+        try:
+            n_kept = kept.count()
+            if n_kept == 0:
+                return 0
+            new_rows = _with_bucket(
+                merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)), nb
+            )
+            (
+                new_rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("u_bucket")
+                .parquet(runs_path)
+            )
+            return n_kept
+        finally:
+            kept.unpersist()
+    finally:
+        dim.unpersist()
 
 
 def read_scd2(spark: SparkSession, path: str) -> DataFrame:
