@@ -295,6 +295,60 @@ def cmd_index(spark, args):
     return 0
 
 
+def cmd_scd2(spark, args):
+    """Persisted SCD2 dimension lifecycle as operator verbs — the
+    dimension-side mirror of cmd_index: build / append keep the runs
+    current, rebucket re-clusters behind the atomic version pointer when
+    the build-time bucket count stops fitting, delete-users is the
+    right-to-be-forgotten verb, stats reads the streaming-maintenance
+    ledger."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from hnarchive_spark.sources.scd2_store import (
+        append_scd2,
+        build_scd2_store,
+        compact_scd2,
+        delete_users_scd2,
+    )
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.tables import load as _load
+
+    def _events():
+        sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        e = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+        if args.since:
+            e = e.filter(_F.col("ts") >= _F.lit(args.since).cast("timestamp"))
+        if args.before:
+            e = e.filter(_F.col("ts") < _F.lit(args.before).cast("timestamp"))
+        return e
+
+    if args.action == "build":
+        n = build_scd2_store(spark, _events(), args.path, n_buckets=args.n_buckets)
+        print(f"built {n} runs at {args.path}")
+    elif args.action == "append":
+        n = append_scd2(spark, _events(), args.path)
+        print(f"applied {n} events")
+    elif args.action == "rebucket":
+        vdir = compact_scd2(spark, args.path, n_buckets=args.n_buckets)
+        print(f"rebucketed into {vdir} (now version {current_index_version(args.path)})")
+        from hnarchive_spark.streaming.index_maint import maintenance_stats
+
+        d = maintenance_stats(args.path, reset=True)
+        if d["batches"]:
+            print(f"maintenance ledger consumed: {d}")
+    elif args.action == "delete-users":
+        ids = [int(x) for x in args.users.split(",") if x.strip()]
+        print(f"deleted {delete_users_scd2(spark, args.path, ids)} runs")
+    else:  # stats
+        from hnarchive_spark.streaming.index_maint import maintenance_stats
+
+        print(_json.dumps(maintenance_stats(args.path, reset=args.reset)))
+    return 0
+
+
 def cmd_export(spark, args):
     from hnarchive_spark.sources.export import export_to_duckdb, export_to_sqlite
 
@@ -500,6 +554,23 @@ def build_parser() -> argparse.ArgumentParser:
         "(the operator move once the rebuild/compaction is scheduled)",
     )
     ix.set_defaults(func=cmd_index)
+
+    sc = sub.add_parser(
+        "scd2",
+        help="persisted SCD2 dimension lifecycle: build / append / rebucket / delete-users / stats",
+    )
+    sc.add_argument("action", choices=("build", "append", "rebucket", "delete-users", "stats"))
+    sc.add_argument("--path", required=True, help="dimension store root")
+    sc.add_argument("--sf-dir", default=None, help="events corpus directory (default $SPARK_GRAFT_SF_DIR)")
+    sc.add_argument("--since", default=None, help="only events with ts >= this (append windows)")
+    sc.add_argument("--before", default=None, help="only events with ts < this (build cutoffs)")
+    sc.add_argument("--n-buckets", type=int, default=32, help="bucket count (build / rebucket)")
+    sc.add_argument("--users", default="", help="comma-separated user ids (delete-users)")
+    sc.add_argument(
+        "--reset", action="store_true",
+        help="with stats: clear the maintenance ledger after printing",
+    )
+    sc.set_defaults(func=cmd_scd2)
 
     ex = sub.add_parser("export", help="export the store to a single-file DB")
     ex.add_argument("--to", required=True, help="output .duckdb / .sqlite path")

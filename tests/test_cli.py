@@ -429,3 +429,48 @@ def test_cli_index_compact_grams(spark, tmp_path, capsys):
     assert cli.cmd_index(spark, args) == 0
     capsys.readouterr()
     assert not [f for f in _os.listdir(path) if f.startswith("bucket=")]
+
+
+def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
+    """The scd2 verbs drive the full dimension lifecycle: build a cutoff,
+    append the remainder, rebucket behind the pointer, forget users,
+    read the ledger."""
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.scd2_store import read_scd2
+
+    path = str(tmp_path / "dim")
+
+    def run(argv):
+        args = cli.build_parser().parse_args(argv)
+        assert args.func(spark, args) == 0
+        return capsys.readouterr().out
+
+    base = ["scd2", "--path", path, "--sf-dir", "/root/testdata/sf0.001"]
+    out = run(base[:1] + ["build"] + base[1:] + ["--before", "2024-01-20"])
+    assert "built" in out
+    out = run(base[:1] + ["append"] + base[1:] + ["--since", "2024-01-20"])
+    assert "applied" in out and "applied 0" not in out
+
+    # the CLI-maintained dimension equals the full recompute
+    from hnarchive_spark.operators.scd2 import close_intervals, scd2_runs
+    from hnarchive_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    want = sorted(tuple(r) for r in close_intervals(scd2_runs(e)).collect())
+    assert sorted(tuple(r) for r in read_scd2(spark, path).collect()) == want
+
+    out = run(base[:1] + ["rebucket"] + base[1:] + ["--n-buckets", "8"])
+    assert "now version 1" in out
+    assert sorted(tuple(r) for r in read_scd2(spark, path).collect()) == want
+
+    out = run(base[:1] + ["delete-users"] + base[1:] + ["--users", "3,35"])
+    assert "deleted" in out and "deleted 0" not in out
+    left = read_scd2(spark, path)
+    from pyspark.sql import functions as F
+
+    assert left.filter(F.col("user_id").isin([3, 35])).count() == 0
+
+    out = run(base[:1] + ["stats"] + base[1:])
+    assert out.strip().startswith("{")
