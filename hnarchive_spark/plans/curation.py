@@ -276,3 +276,69 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(ratio_e4) div count(1)").alias("dsir_w_e4"),
         )
     )
+
+
+DSIR_TAU_E4 = 20_000  # acceptance temperature: accept_prob = min(1, w / 2.0)
+
+
+@query(
+    "q_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_BUCKET_SQL.format(b=DSIR_BUCKETS)} AS bucket FROM toks
+    ),
+    bstats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS r_cnt,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot, CAST(sum(t_cnt) AS BIGINT) AS t_tot
+      FROM bstats
+    ),
+    ratios AS (
+      SELECT bucket,
+             CAST((t_cnt * r_tot * 10000) // (t_tot * r_cnt) AS BIGINT) AS ratio_e4
+      FROM bstats, tot
+    ),
+    weights AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(r.ratio_e4) // count(*) AS BIGINT) AS dsir_w_e4
+      FROM bucketed b JOIN ratios r ON r.bucket = b.bucket
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_w_e4,
+           CAST(least(1000000, dsir_w_e4 * 1000000 // {DSIR_TAU_E4}) AS BIGINT) AS accept_e6
+    FROM weights
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < dsir_w_e4 * 1000000 // {DSIR_TAU_E4}
+    """,
+    doc="DSIR importance RESAMPLING — the selection step the weights "
+    "exist for: each doc is kept with probability min(1, w/tau) via the "
+    "repo's deterministic md5-hash acceptance (q_sample_hash / "
+    "q_mix_temperature precedent), so the selected subset is exactly "
+    "reproducible across engines AND across runs — resampling a 100 TB "
+    "corpus twice yields byte-identical training sets, and the accepted "
+    "set composes with the pack/shard operators downstream. Same "
+    "two-pass plan as q_dsir_weights plus one hash filter; tau is the "
+    "sampling temperature (here 2.0 in e4).",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = q_dsir_weights(spark, sf_dir)
+    accept_e6 = F.expr(f"least(1000000, dsir_w_e4 * 1000000 div {DSIR_TAU_E4})")
+    hash_e6 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+    return (
+        w.withColumn("accept_e6", accept_e6)
+        .filter(hash_e6 < F.col("accept_e6"))
+        .select("doc_id", "n_tokens", "dsir_w_e4", "accept_e6")
+    )

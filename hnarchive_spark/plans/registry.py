@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "q_domain_cap",
     "q_domain_stats",
     "q_dpp_join",
+    "q_dsir_resample",
     "q_dsir_weights",
     "q_scd2_history",
     "q_scd2_incremental",
@@ -111,7 +112,6 @@ _VERIFY_FIRST = [
     "q_join_broadcast",
     "q_join_fk",
     "q_k_anonymity",
-    "q_large_orders",
 ]
 
 
