@@ -2161,8 +2161,13 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     split = F.lit(SCD2_SPLIT_TS).cast("timestamp")
-    arch_runs = scd2_runs(e.filter(F.col("ts") < split))
-    batch_runs = scd2_runs(e.filter(F.col("ts") >= split))
+    # persist both runs tables: the merge consumes the archive in three
+    # branches (closed / open-touched / open-untouched) and the batch in
+    # two — unpersisted, each branch re-scans events and re-runs the
+    # window+agg chain (6 scans, 8 exchanges at sf0.1; persisted: 2
+    # runs computations feeding cache reads)
+    arch_runs = scd2_runs(e.filter(F.col("ts") < split)).persist()
+    batch_runs = scd2_runs(e.filter(F.col("ts") >= split)).persist()
     dim = merge_scd2_runs(arch_runs, batch_runs)
     return close_intervals(dim)
 
