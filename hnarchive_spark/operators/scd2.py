@@ -87,7 +87,11 @@ def merge_scd2_runs(dim: DataFrame, batch_runs: DataFrame) -> DataFrame:
     pool = open_touched.withColumn("_src", F.lit(0)).unionByName(
         batch_runs.withColumn("_src", F.lit(1))
     )
-    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # _src breaks valid_from_us ties deterministically (open run first):
+    # a batch event sharing the open run's last microsecond (admitted by
+    # the frontier guard on a larger event_id) would otherwise make the
+    # lag(state) coalescing and the renumbering order nondeterministic
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "_src")
     prev = F.lag("state").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("state")), F.lit(1)).otherwise(F.lit(0))
     grp = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -101,7 +105,9 @@ def merge_scd2_runs(dim: DataFrame, batch_runs: DataFrame) -> DataFrame:
             F.min(F.when(F.col("_src") == 0, F.col("version"))).alias("_openv"),
         )
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # renumber in _grp order — _grp is assigned under w's total order, so
+    # it IS the deterministic run sequence (valid_from_us alone can tie)
+    wv = Window.partitionBy("user_id").orderBy("_grp")
     base = F.max("_openv").over(Window.partitionBy("user_id"))
     renum = (
         merged.withColumn("version", F.coalesce(base, F.lit(1)) + F.row_number().over(wv) - 1)

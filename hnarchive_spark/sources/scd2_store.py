@@ -93,49 +93,51 @@ def append_scd2(spark: SparkSession, batch: DataFrame, path: str) -> int:
     ]
     if not buckets:
         return 0
-    # persist both sides: `dim` feeds the frontier AND three branches of
-    # the merge (closed / open-touched / open-untouched), `kept` feeds the
-    # guard count AND the run collapse — without the persists each branch
-    # re-runs the pruned scan + windows. At sf0.1 the probe shows no wall
-    # change (per-append cost is job-count constants there), but at a
-    # dimension size where the pruned scan is real IO the recompute is
-    # 3-4 redundant passes; the persists make the plan right either way.
+    # localCheckpoint is LOAD-BEARING, not a perf nicety: the write below
+    # dynamic-overwrites the very path `dim` reads, so its lineage must be
+    # SEVERED before the write job runs — a mere persist() could evict
+    # mid-write and recompute from half-replaced files (and Spark may
+    # refuse the self-overwrite outright). Checkpointed blocks either
+    # serve the write or fail the job loudly (dynamic overwrite commits
+    # atomically at job commit, so a failed write leaves the old files
+    # live and the re-delivered batch simply redoes the merge). It also
+    # covers the fan-out: `dim` feeds the frontier AND three merge
+    # branches; unchecked, each branch re-runs the pruned scan + windows.
     dim = (
-        spark.read.parquet(runs_path).filter(F.col("u_bucket").isin(buckets)).persist()
+        spark.read.parquet(runs_path)
+        .filter(F.col("u_bucket").isin(buckets))
+        .localCheckpoint(eager=True)
+    )
+    # at-least-once / late-data guard: drop events at-or-before the
+    # open run's last (ts, event_id) position
+    wmax = F.max(F.struct("last_ts_us", "last_event_id"))
+    frontier = dim.groupBy("user_id").agg(wmax.alias("_f"))
+    kept = (
+        b.join(frontier, "user_id", "left")
+        .filter(
+            F.col("_f").isNull()
+            | (F.struct(F.unix_micros("ts").alias("last_ts_us"),
+                        F.col("event_id").alias("last_event_id")) > F.col("_f"))
+        )
+        .drop("_f")
+        .persist()
     )
     try:
-        # at-least-once / late-data guard: drop events at-or-before the
-        # open run's last (ts, event_id) position
-        wmax = F.max(F.struct("last_ts_us", "last_event_id"))
-        frontier = dim.groupBy("user_id").agg(wmax.alias("_f"))
-        kept = (
-            b.join(frontier, "user_id", "left")
-            .filter(
-                F.col("_f").isNull()
-                | (F.struct(F.unix_micros("ts").alias("last_ts_us"),
-                            F.col("event_id").alias("last_event_id")) > F.col("_f"))
-            )
-            .drop("_f")
-            .persist()
+        n_kept = kept.count()
+        if n_kept == 0:
+            return 0
+        new_rows = _with_bucket(
+            merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)), nb
         )
-        try:
-            n_kept = kept.count()
-            if n_kept == 0:
-                return 0
-            new_rows = _with_bucket(
-                merge_scd2_runs(dim.drop("u_bucket"), scd2_runs(kept)), nb
-            )
-            (
-                new_rows.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("u_bucket")
-                .parquet(runs_path)
-            )
-            return n_kept
-        finally:
-            kept.unpersist()
+        (
+            new_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("u_bucket")
+            .parquet(runs_path)
+        )
+        return n_kept
     finally:
-        dim.unpersist()
+        kept.unpersist()
 
 
 def read_scd2(spark: SparkSession, path: str) -> DataFrame:
@@ -183,29 +185,41 @@ def delete_users_scd2(spark: SparkSession, path: str, user_ids: list[int]) -> in
     with their history, which is the point. Returns rows deleted."""
     import shutil
 
+    import math
+
     runs_path = _runs_path(path)
     if not user_ids:
         return 0
-    buckets = sorted({int(u) % _n_buckets(path) for u in user_ids})
-    dim = spark.read.parquet(runs_path).filter(F.col("u_bucket").isin(buckets))
-    dim = dim.persist()
-    try:
-        n_before = dim.count()
-        keep = dim.filter(~F.col("user_id").isin([int(u) for u in user_ids]))
-        n_keep = keep.count()
-        if n_keep == n_before:
-            return 0
-        kept_buckets = {r[0] for r in keep.select("u_bucket").distinct().collect()}
-        if n_keep > 0:
-            (
-                keep.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("u_bucket")
-                .parquet(runs_path)
-            )
-        for b in buckets:
-            if b not in kept_buckets:
-                shutil.rmtree(os.path.join(runs_path, f"u_bucket={b}"), ignore_errors=True)
-        return n_before - n_keep
-    finally:
-        dim.unpersist()
+    nb = _n_buckets(path)
+    # victim buckets via TRUNCATED modulo — the same semantics as the
+    # Spark `%` that assigned u_bucket at write time (sign-preserving:
+    # -7 % 32 = -7), NOT Python's floored `%` (always non-negative).
+    # Using Python `%` here would prune the wrong bucket for a negative
+    # user_id and silently delete nothing — a right-to-be-forgotten
+    # failure (locked in tests/test_scd2_store.py).
+    buckets = sorted({int(math.fmod(int(u), nb)) for u in user_ids})
+    # localCheckpoint for the same self-overwrite reason as append_scd2:
+    # `keep` below rewrites the path `dim` reads, so the lineage must not
+    # be recomputable from the files being replaced.
+    dim = (
+        spark.read.parquet(runs_path)
+        .filter(F.col("u_bucket").isin(buckets))
+        .localCheckpoint(eager=True)
+    )
+    n_before = dim.count()
+    keep = dim.filter(~F.col("user_id").isin([int(u) for u in user_ids]))
+    n_keep = keep.count()
+    if n_keep == n_before:
+        return 0
+    kept_buckets = {r[0] for r in keep.select("u_bucket").distinct().collect()}
+    if n_keep > 0:
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("u_bucket")
+            .parquet(runs_path)
+        )
+    for b in buckets:
+        if b not in kept_buckets:
+            shutil.rmtree(os.path.join(runs_path, f"u_bucket={b}"), ignore_errors=True)
+    return n_before - n_keep

@@ -226,3 +226,62 @@ def test_delete_users_scd2_right_to_be_forgotten(spark, tmp_path):
     assert append_scd2(spark, re_ev, path) == re_ev.count()
     mine = read_scd2(spark, path).filter(F.col("user_id") == other)
     assert mine.agg(F.min("version")).collect()[0][0] == 1
+
+
+def test_merge_tied_microsecond_is_deterministic(spark, tmp_path):
+    """ADVICE r12 (medium): a batch event sharing the open run's last
+    microsecond (larger event_id — the frontier guard admits it) must
+    merge deterministically with the open run FIRST in history order.
+    Fixture: single-event open run (state A) at ts T, batch event
+    (state B) at the same T — both runs tie on valid_from_us."""
+    from hnarchive_spark.operators.scd2 import merge_scd2_runs
+
+    t = "2024-01-01 00:00:00"
+    seed = spark.createDataFrame(
+        [(7, t, 100, "A")], "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = spark.createDataFrame(
+        [(7, t, 101, "B")], "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merged = merge_scd2_runs(scd2_runs(seed), scd2_runs(batch))
+    rows = {r["version"]: r for r in merged.collect()}
+    # the open run (smaller event_id at the tied ts) is version 1, the
+    # batch run version 2 — on every run of the plan
+    for _ in range(3):
+        again = {r["version"]: r for r in merge_scd2_runs(scd2_runs(seed), scd2_runs(batch)).collect()}
+        assert {v: (r["state"], r["n_events"]) for v, r in again.items()} == {
+            1: ("A", 1),
+            2: ("B", 1),
+        }
+    assert rows[1]["last_event_id"] == 100 and rows[2]["last_event_id"] == 101
+
+    # same tie with the SAME state must coalesce into one run of 2 events
+    batch_same = batch.withColumn("event_type", F.lit("A"))
+    one = merge_scd2_runs(scd2_runs(seed), scd2_runs(batch_same)).collect()
+    assert len(one) == 1 and one[0]["n_events"] == 2 and one[0]["last_event_id"] == 101
+
+
+def test_delete_users_scd2_negative_user_id(spark, tmp_path):
+    """ADVICE r12: victim buckets must use the SAME truncated-modulo hash
+    as the write path — a negative user_id lives in a negative Spark
+    bucket, and Python's floored % would prune the wrong one, silently
+    deleting nothing."""
+    from hnarchive_spark.sources.scd2_store import delete_users_scd2, _runs_path
+
+    path = str(tmp_path / "dim")
+    ev = spark.createDataFrame(
+        [
+            (-7, "2024-01-01 00:00:00", 1, "A"),
+            (-7, "2024-01-02 00:00:00", 2, "B"),
+            (9, "2024-01-01 00:00:00", 3, "A"),
+        ],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    build_scd2_store(spark, ev, path)
+    runs = _runs_path(path)
+    stored = {r[0] for r in spark.read.parquet(runs).select("u_bucket").distinct().collect()}
+    assert -7 in stored, f"fixture expects Spark's sign-preserving bucket, got {stored}"
+    assert delete_users_scd2(spark, path, [-7]) == 2
+    left = spark.read.parquet(runs)
+    assert left.filter(F.col("user_id") == -7).count() == 0
+    assert left.filter(F.col("user_id") == 9).count() == 1
