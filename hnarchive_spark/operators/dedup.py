@@ -150,10 +150,11 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the wide signatures and emit distinct candidate pairs (d1 < d2).
-
-    Banding explodes only B rows per doc (B=16), not K per shingle."""
+def band_rows(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH banding of wide signatures.
+    Banding explodes only B rows per doc (B=16), not K per shingle.
+    Shared by the inline candidate join and the persisted MinHash index
+    (sources/minhash_index.py), so index and inline bucket identically."""
     bands = F.array(
         *[
             F.struct(
@@ -165,9 +166,15 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
             for band in range(MH_B)
         ]
     )
+    return signatures.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the wide signatures and emit distinct candidate pairs (d1 < d2)."""
     banded = (
-        signatures.select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        band_rows(signatures)
         # one row per (doc, band) — tiny; persisting stops the self-join
         # from recomputing the whole signature pipeline for both sides
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -185,17 +192,16 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (>= threshold).
-
-    The verify join restricts the shingle self-join to candidate pairs, so
-    the expensive exact computation touches only LSH survivors.  Emits the
-    same pure-BIGINT ``jaccard_e4`` as :func:`jaccard_pairs`.
-    """
-    t_e4 = int(round(threshold * 10000))
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(shingles)
-    cands = lsh_candidates(sigs)
+def verify_jaccard_pairs(
+    cands: DataFrame, shingles: DataFrame, t_e4: int
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: (d1, d2) candidates
+    against a shingle frame covering (at least) every candidate doc.
+    Returns (d1, d2, jaccard_e4 >= t_e4) — the pure-BIGINT recipe of
+    :func:`jaccard_pairs`.  The broadcast of the candidate set restricts
+    the shingle self-join to LSH survivors; shared by the inline
+    :func:`minhash_dedup_pairs` and the persisted index probe
+    (sources/minhash_index.py), so both verify identically."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     common = (
@@ -219,6 +225,20 @@ def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard_e4") >= t_e4)
     )
+
+
+def minhash_dedup_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (>= threshold).
+
+    The verify join restricts the shingle self-join to candidate pairs, so
+    the expensive exact computation touches only LSH survivors.  Emits the
+    same pure-BIGINT ``jaccard_e4`` as :func:`jaccard_pairs`.
+    """
+    t_e4 = int(round(threshold * 10000))
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(shingles)
+    cands = lsh_candidates(sigs)
+    return verify_jaccard_pairs(cands, shingles, t_e4)
 
 
 def simhash(docs_tokens: DataFrame) -> DataFrame:

@@ -202,6 +202,46 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(D.word_shingles(d), JACCARD_T)
 
 
+@query(
+    "q_dedup_minhash_indexed",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup served from the PERSISTED signature index "
+    "(sources/minhash_index.py) — the production form of q_dedup_minhash, "
+    "which recomputes every archive signature per run (the near-dup twin "
+    "of the IVF-training / BM25-retokenize critique): banded signature "
+    "rows are built ONCE (here: build on even doc_ids, then the O(batch) "
+    "idempotent append absorbs the odds, so the oracle-checked rows cover "
+    "the append path too), partitioned by band-key hash bucket; the query "
+    "self-joins the persisted bands for candidates — zero signature "
+    "computation at probe time — and exact-verifies by re-shingling ONLY "
+    "candidate docs (the index stores 16 metadata-width rows per doc, "
+    "never shingle sets: the honest storage trade, since verify cost is "
+    "bounded by the index's own selectivity). Appends are presence-set "
+    "anti-joined pruned to the batch's id buckets with intra-batch dedup; "
+    "batch probes are partition-pruned to their band buckets (plan-locked); "
+    "compaction rewrites both components behind the atomic _CURRENT "
+    "pointer. Rows equal the inline form's and the oracle is shared; "
+    "build-once means bench warmup pays the build and min-of-3 measures "
+    "the serve path.",
+)
+def q_dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        index_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        build_minhash_index(spark, d.filter(F.col("doc_id") % 2 == 0), p)
+        append_minhash_index(spark, d.filter(F.col("doc_id") % 2 == 1), p)
+
+    path = built_once("minhash_index", sf_dir, _build)
+    return index_pairs(spark, path, d, JACCARD_T)
+
+
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLES},

@@ -247,6 +247,46 @@ def maintain_gram_index(index_path: str, id_col: str = "doc_id", text_col: str =
     return _process
 
 
+def maintain_minhash_index(index_path: str, id_col: str = "doc_id", text_col: str = "text"):
+    """``foreachBatch`` function for MinHash-index maintenance
+    (sources/minhash_index.py): per micro-batch, novel docs (presence-set
+    anti-join pruned to the batch's id buckets, intra-batch deduped)
+    append their banded signature rows; already-indexed docs count as
+    "skipped" — the at-least-once re-delivery volume."""
+    from hnarchive_spark.sources.minhash_index import append_minhash_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        n_in = batch_df.select(id_col).distinct().count()
+        if n_in == 0:
+            return 0
+        appended = append_minhash_index(
+            batch_df.sparkSession, batch_df, index_path,
+            id_col=id_col, text_col=text_col,
+        )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
+
+    return _process
+
+
+def stream_index_minhash(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Document stream → per-micro-batch MinHash index append.  The index
+    must already exist (``build_minhash_index``)."""
+    writer = doc_stream.writeStream.foreachBatch(
+        maintain_minhash_index(index_path, id_col, text_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_index_text(
     doc_stream: DataFrame,
     index_path: str,
