@@ -35,6 +35,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     dim: int = DIM,
     keep_vec: bool = False,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """(vec_id, list_id) after ``iters`` Lloyd iterations from the
     deterministic k-smallest-ids init.  Integer output only — the float
@@ -42,7 +43,12 @@ def kmeans_assign(
     vector length (defaults to the corpus DIM; product-quantization callers
     pass the subvector length).  ``keep_vec=True`` also returns the double
     vector ``v`` so downstream per-cluster work (SemDeDup) avoids a second
-    corpus join."""
+    corpus join.  ``return_centroids=True`` returns
+    ``(assign_df, centroids)`` where ``centroids`` is the (list_id,
+    centroid) row list the FINAL assignment pass scored against — the
+    quantizer a persisted index freezes: replaying
+    :func:`kmeans_assign_frozen` with it reproduces the assignment
+    bit-for-bit."""
     spark = vectors.sparkSession
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -59,8 +65,9 @@ def kmeans_assign(
     )
     centroids = init.collect()  # k rows — bounded small
 
-    assign = None
+    assign, used = None, centroids
     for _ in range(iters):
+        used = centroids
         cent_df = spark.createDataFrame(
             [(r["list_id"], r["centroid"]) for r in centroids],
             "list_id long, centroid array<double>",
@@ -88,6 +95,48 @@ def kmeans_assign(
             .collect()
         )
 
+    out = assign.select("vec_id", "v", "list_id") if keep_vec else assign.select("vec_id", "list_id")
+    if return_centroids:
+        return out, used
+    return out
+
+
+def kmeans_assign_frozen(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """One assignment pass against FROZEN centroids — the probe side of a
+    persisted clustering index (zero training at query time).  Identical
+    scoring contract to :func:`kmeans_assign`'s assignment step
+    (6-decimal rounded squared distance, list-id tiebreak), so assigning
+    against the centroids :func:`kmeans_assign` returned reproduces its
+    final assignment exactly.  ``centroids`` is a (list_id, centroid)
+    row list or a DataFrame with those columns."""
+    spark = vectors.sparkSession
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    if isinstance(centroids, DataFrame):
+        cent_df = centroids.select("list_id", "centroid")
+    else:
+        cent_df = spark.createDataFrame(
+            [(r["list_id"], r["centroid"]) for r in centroids],
+            "list_id long, centroid array<double>",
+        )
+    scored = e.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "v",
+        "list_id",
+        F.round(_sq_dist(F.col("v"), F.col("centroid")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
+    assign = (
+        scored.select("vec_id", "v", "list_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
     if keep_vec:
         return assign.select("vec_id", "v", "list_id")
     return assign.select("vec_id", "list_id")

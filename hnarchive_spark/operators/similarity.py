@@ -564,7 +564,15 @@ def semdedup_drops(
     from hnarchive_spark.operators.kmeans import kmeans_assign
 
     a = kmeans_assign(embeddings, k, iters, keep_vec=True)
-    x, y = a.alias("x"), a.alias("y")
+    return semdedup_prune(a, t_e6)
+
+
+def semdedup_prune(assign: DataFrame, t_e6: int) -> DataFrame:
+    """The within-cluster cosine prune given an assignment (vec_id, v,
+    list_id) — shared by the inline :func:`semdedup_drops` and the
+    frozen-centroid probe (sources/semdedup_index.py), so both prune
+    identically."""
+    x, y = assign.alias("x"), assign.alias("y")
     cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
     pairs = (
         x.join(

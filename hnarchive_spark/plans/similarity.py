@@ -637,6 +637,40 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_drops(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6)
 
 
+@query(
+    "q_semdedup_indexed",
+    oracle=_semdedup_oracle(KMEANS_K, KMEANS_ITERS, S.DIM, SEMDEDUP_T_E6),
+    doc="SemDeDup against PERSISTED FROZEN centroids (sources/"
+    "semdedup_index.py) — the production form of q_semdedup, which "
+    "retrains k-means on every invocation (the clustering twin of the "
+    "per-query IVF-training critique the *_indexed ANN family already "
+    "answers): the k-row centroid table the training run's final "
+    "assignment scored against is built ONCE behind the atomic _CURRENT "
+    "pointer, and the query is one broadcast assignment pass (identical "
+    "6-decimal/tiebreak scoring, so the frozen assignment reproduces the "
+    "trained one bit-for-bit) plus the shared within-cluster cosine "
+    "prune — ZERO training at query time. Drift is answered by "
+    "rebuild_semdedup_index's retrain-into-v<N> + pointer swap, the "
+    "rebuild_ivfpq_index discipline. Rows equal the inline form's and "
+    "the unrolled-Lloyd oracle is shared; build-once means bench warmup "
+    "pays the training and min-of-3 measures the probe.",
+)
+def q_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        semdedup_probe,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = built_once(
+        "semdedup_index",
+        sf_dir,
+        lambda p: build_semdedup_index(spark, e, p, KMEANS_K, KMEANS_ITERS),
+    )
+    return semdedup_probe(spark, e, path, SEMDEDUP_T_E6)
+
+
 PQ_M = 4  # subspaces (64-dim -> 4 x 16)
 PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2

@@ -1,0 +1,87 @@
+"""Frozen-centroid SemDeDup index (sources/semdedup_index.py): the probe
+against persisted centroids must reproduce the inline retrain-per-query
+form exactly, the frozen assignment must equal the trained one, and the
+rebuild verb must retrain behind the atomic pointer."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.operators.kmeans import kmeans_assign, kmeans_assign_frozen
+from hnarchive_spark.plans.similarity import KMEANS_ITERS, KMEANS_K, SEMDEDUP_T_E6
+from hnarchive_spark.sources.index_version import current_index_version, index_root
+from hnarchive_spark.sources.semdedup_index import (
+    build_semdedup_index,
+    read_meta,
+    rebuild_semdedup_index,
+    semdedup_probe,
+)
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_frozen_assignment_reproduces_training_assignment(spark):
+    """kmeans_assign(return_centroids=True) hands back the centroids its
+    FINAL pass scored against: one frozen pass with them must equal the
+    trained assignment bit-for-bit (the identity the index rests on)."""
+    e = load(spark, SF, "embeddings")
+    trained, cents = kmeans_assign(e, KMEANS_K, KMEANS_ITERS, return_centroids=True)
+    frozen = kmeans_assign_frozen(e, cents)
+    a = sorted(tuple(r) for r in trained.collect())
+    b = sorted(tuple(r) for r in frozen.collect())
+    assert a == b and len(a) > 0
+
+
+def test_probe_matches_inline_semdedup(spark, tmp_path):
+    from hnarchive_spark.operators.similarity import semdedup_drops
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "sd")
+    k_written = build_semdedup_index(spark, e, path, KMEANS_K, KMEANS_ITERS)
+    assert 0 < k_written <= KMEANS_K
+    assert read_meta(path) == {"k": KMEANS_K, "iters": KMEANS_ITERS}
+    got = sorted(tuple(r) for r in semdedup_probe(spark, e, path, SEMDEDUP_T_E6).collect())
+    want = sorted(
+        tuple(r) for r in semdedup_drops(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_probe_does_no_training(spark, tmp_path):
+    """The probe plan must contain no corpus-wide centroid aggregate —
+    the centroid read is a k-row parquet scan feeding a broadcast."""
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, e, path, KMEANS_K, KMEANS_ITERS)
+    df = semdedup_probe(spark, e, path, SEMDEDUP_T_E6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # training would show iterated HashAggregate(avg(v[i])) chains; the
+    # frozen probe has only the embeddings scans and the k-row centroid
+    # parquet scan (paths truncate in the plan string — match the schema)
+    assert "centroid:array<double>" in plan
+    assert plan.count("avg(") == 0, plan[:800]
+
+
+def test_rebuild_retrains_behind_pointer(spark, tmp_path):
+    """Rebuild on a grown corpus publishes v1; the probe then reproduces
+    the inline form over the grown corpus (i.e. the new centroids are
+    live), and the old version directory is intact until pruned."""
+    from hnarchive_spark.operators.similarity import semdedup_drops
+
+    e = load(spark, SF, "embeddings")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, half, path, KMEANS_K, KMEANS_ITERS)
+
+    vdir = rebuild_semdedup_index(spark, e, path)
+    assert current_index_version(path) == 1 and index_root(path) == vdir
+    assert read_meta(path) == {"k": KMEANS_K, "iters": KMEANS_ITERS}
+    got = sorted(tuple(r) for r in semdedup_probe(spark, e, path, SEMDEDUP_T_E6).collect())
+    want = sorted(
+        tuple(r) for r in semdedup_drops(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6).collect()
+    )
+    assert got == want and len(got) > 0
+    assert os.path.isdir(os.path.join(path, "centroids"))  # v0 retained
