@@ -607,6 +607,51 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _is_eval_col() -> F.Column:
+    """The deterministic 10% eval split (md5(doc_id) bucket) — shared by
+    the inline q_contamination and the persisted-gate twin so both split
+    identically."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 == 0
+    )
+
+
+@query(
+    "q_contamination_indexed",
+    oracle=_contamination_oracle(),
+    doc="Train/eval contamination against the PERSISTED eval gate "
+    "(sources/contamination_index.py) — the production form of "
+    "q_contamination, which re-shingles the eval suite and rebuilds its "
+    "Bloom bitmap on every run: the eval split's shingle set (bucket-"
+    "partitioned by shingle hash), Bloom bitmap, and per-doc totals are "
+    "built ONCE behind the atomic _CURRENT pointer; each training batch "
+    "then costs O(batch) — its own shingle pass, the broadcast Bloom "
+    "prune BEFORE any exchange (no false negatives; false positives die "
+    "in the exact semi-join), and a semi-join into only the matching "
+    "shingle buckets (partition-pruned). New benchmarks append via the "
+    "presence-anti-joined eval append with an OR-merged bitmap (ev -> "
+    "bloom -> tot publish order; tot is the commit marker and every torn "
+    "state is a safe superset). Rows equal the inline form's and the "
+    "oracle is shared; build-once means bench warmup pays the eval "
+    "indexing and min-of-3 measures the per-batch gate.",
+)
+def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.contamination_index import (
+        build_contamination_index,
+        probe_contamination,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = built_once(
+        "contamination_index",
+        sf_dir,
+        lambda p: build_contamination_index(spark, d.filter(_is_eval_col()), p),
+    )
+    return probe_contamination(spark, d.filter(~_is_eval_col()), path)
+
+
 BOILER_N = 2  # n-gram size for boilerplate detection
 BOILER_PCT = 20  # document-frequency threshold, percent of the source's docs
 
