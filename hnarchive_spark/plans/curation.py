@@ -202,6 +202,37 @@ DSIR_BUCKETS = 256
 _BUCKET_SQL = "('0x' || substr(md5(tok), 1, 8))::BIGINT % {b}"
 
 
+def _dsir_weights_from(feats: DataFrame) -> DataFrame:
+    """The DSIR weight tail shared by the unigram and bigram feature
+    variants: (doc_id, lang, tok) feature rows -> per-doc mean bucket
+    importance ratio.  Two partial-agg passes; the only joins are the
+    256-row ratio table and the 1-row totals, both broadcast."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    bucketed = feats.select("doc_id", "lang", bucket.alias("bucket"))
+    bstats = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    )
+    tot = bstats.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    ratios = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("(t_cnt * r_tot * 10000) div (t_tot * r_cnt)").alias("ratio_e4"),
+    )
+    return (
+        bucketed.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(ratio_e4) div count(1)").alias("dsir_w_e4"),
+        )
+    )
+
+
 @query(
     "q_dsir_weights",
     oracle=f"""
@@ -252,30 +283,69 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % DSIR_BUCKETS
+    return _dsir_weights_from(toks)
+
+
+@query(
+    "q_dsir_weights_bigram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w,
+             unnest(range(1, len(list_filter(string_split(text, ' '), w -> w != '')) + 1)) AS i
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS tok
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, {_BUCKET_SQL.format(b=DSIR_BUCKETS)} AS bucket FROM big
+    ),
+    bstats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS r_cnt,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_cnt
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot, CAST(sum(t_cnt) AS BIGINT) AS t_tot
+      FROM bstats
+    ),
+    ratios AS (
+      SELECT bucket,
+             CAST((t_cnt * r_tot * 10000) // (t_tot * r_cnt) AS BIGINT) AS ratio_e4
+      FROM bstats, tot
     )
-    bucketed = toks.select("doc_id", "lang", bucket.alias("bucket"))
-    bstats = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.ratio_e4) // count(*) AS BIGINT) AS dsir_w_e4
+    FROM bucketed b JOIN ratios r ON r.bucket = b.bucket
+    GROUP BY b.doc_id
+    """,
+    doc="DSIR importance weights over hashed BIGRAM features — Xie et "
+    "al.'s production form (the paper's hashed n-gram generative model; "
+    "bigrams capture the word-order signal unigram buckets lose, e.g. "
+    "boilerplate phrases vs their shuffled vocabulary). One extra "
+    "zip_with over the already-tokenized array builds adjacent-pair "
+    "features IN PLACE (no positional self-join on the Spark side — the "
+    "oracle keeps the join spec form); the 256-bucket cross-multiplied "
+    "integer weight tail is shared verbatim with q_dsir_weights, so the "
+    "plan keeps the same no-SortMergeJoin / two-broadcast shape "
+    "(plan-locked). Docs with <2 tokens contribute no features and drop "
+    "from the output, exactly like zero-token docs in the unigram form.",
+)
+def q_dsir_weights_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(ws, F.lit(1), n1),
+        F.slice(ws, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    tot = bstats.agg(
-        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
-    )
-    ratios = bstats.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr("(t_cnt * r_tot * 10000) div (t_tot * r_cnt)").alias("ratio_e4"),
-    )
-    return (
-        bucketed.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("sum(ratio_e4) div count(1)").alias("dsir_w_e4"),
-        )
-    )
+    feats = d.select("doc_id", "lang", F.explode(big).alias("tok"))
+    return _dsir_weights_from(feats)
 
 
 DSIR_TAU_E4 = 20_000  # acceptance temperature: accept_prob = min(1, w / 2.0)

@@ -501,6 +501,18 @@ def test_dsir_bucket_stats_broadcast_no_corpus_join(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_dsir_bigram_keeps_unigram_plan_shape(spark):
+    """q_dsir_weights_bigram: bigram features are built by zip_with on
+    the tokenized array IN PLACE — the plan must show no positional
+    self-join (no SortMergeJoin at all), the same two-broadcast shape as
+    the unigram twin, and the zip_with surviving into the projection."""
+    plan = _plan(spark, "q_dsir_weights_bigram")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "zip_with" in plan, plan[:800]
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
