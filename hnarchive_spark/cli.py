@@ -349,6 +349,45 @@ def cmd_scd2(spark, args):
     return 0
 
 
+def cmd_maintenance(spark, args):
+    """One-pass maintenance scheduler over every persisted index/store:
+    detect each root's family from its layout, consult its maintenance
+    ledger against the thresholds, and execute (or --dry-run report) the
+    due lifecycle verbs — compactions/recovery run in place, rebuilds of
+    trained families are reported with the verb to run (they need the
+    corpus and training recipe). A consumed ledger goes quiet until new
+    appends accrue."""
+    import json as _json
+
+    from hnarchive_spark.sources.maintenance import run_maintenance
+
+    paths = [p for p in (args.paths or "").split(",") if p.strip()]
+    if args.scan_dir:
+        import os as _os
+
+        for name in sorted(_os.listdir(args.scan_dir)):
+            full = _os.path.join(args.scan_dir, name)
+            if _os.path.isdir(full):
+                paths.append(full)
+    if not paths:
+        raise SystemExit("give --paths a,b,c or --scan-dir DIR")
+    reports = run_maintenance(
+        spark,
+        paths,
+        max_skipped=args.max_skipped,
+        max_batches=args.max_batches,
+        dry_run=args.dry_run,
+        prune=args.prune,
+    )
+    for r in reports:
+        print(_json.dumps(r))
+    n_run = sum(1 for r in reports if r["executed"])
+    n_due = sum(1 for r in reports if r["due"])
+    print(f"# {len(reports)} roots, {n_due} due, {n_run} executed"
+          f"{' (dry run)' if args.dry_run else ''}")
+    return 0
+
+
 def cmd_export(spark, args):
     from hnarchive_spark.sources.export import export_to_duckdb, export_to_sqlite
 
@@ -595,6 +634,21 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--json", action="store_true", help="print JSON lines instead of a table")
     q.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     q.set_defaults(func=cmd_query)
+
+    mt = sub.add_parser(
+        "maintenance",
+        help="one-pass scheduler: run due compactions/recovery across index roots",
+    )
+    mt.add_argument("--paths", default="", help="comma-separated index/store roots")
+    mt.add_argument("--scan-dir", default=None, help="treat every subdirectory as a root")
+    mt.add_argument("--max-skipped", type=int, default=0,
+                    help="deferred-update budget before a verb is due (0 = off)")
+    mt.add_argument("--max-batches", type=int, default=8,
+                    help="append-batch budget before compaction is due (0 = off)")
+    mt.add_argument("--dry-run", action="store_true", help="report, execute nothing")
+    mt.add_argument("--prune", action="store_true",
+                    help="drop superseded version trees after a successful verb")
+    mt.set_defaults(func=cmd_maintenance)
 
     oc = sub.add_parser(
         "oracle_check",

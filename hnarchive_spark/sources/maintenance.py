@@ -1,0 +1,180 @@
+"""Unified maintenance scheduler over every persisted index/store family.
+
+Each family accumulates a ``_MAINT_STATS.json`` ledger under streaming
+maintenance (streaming/index_maint.py) and exposes lifecycle verbs
+(compact / rebuild / recover) behind the atomic ``_CURRENT`` pointer.
+This module is the one-pass scheduler those pieces were built for: it
+walks a list of index roots, DETECTS each family from its on-disk
+layout, consults the ledger against the given thresholds, and either
+reports (dry run) or executes the due verbs.
+
+Execution policy — run what is self-contained, surface what is not:
+
+* compactions and recovery need only the index's own rows — executed;
+* REBUILDS of trained families (IVF / IVF-PQ / SemDeDup centroids) need
+  the corpus and the training recipe — the scheduler reports them as
+  due with the verb to run (``cli index rebuild-ivfpq`` etc.) rather
+  than guessing training parameters;
+* a successful execution consumes the ledger (``maintenance_stats``
+  reset), so ``needs_maintenance`` goes quiet until new appends accrue;
+* version pruning is opt-in (``prune=True``) because it is only safe
+  once no reader can hold a superseded tree — the operator's call, not
+  the scheduler's.
+
+Family detection is structural (component directories at the CURRENT
+version root), so the scheduler needs no registry of what was built
+where — pointing it at a directory of index roots is enough.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hnarchive_spark.sources.index_version import index_root, prune_index_versions
+
+
+def detect_index_kind(path: str) -> str | None:
+    """Classify an index/store root by its component layout (resolved
+    through the version pointer).  Returns None for unrecognized paths."""
+    root = index_root(path)
+    if not os.path.isdir(root):
+        return None
+
+    def has(*names: str) -> bool:
+        return all(os.path.exists(os.path.join(root, n)) for n in names)
+
+    entries = os.listdir(root)
+    if has("runs"):
+        return "scd2"
+    if has("postings"):
+        return "text"
+    if has("codes", "codebooks"):
+        return "ivfpq"
+    if has("lists", "centroids"):
+        return "ivf"
+    if has("bands", "docs"):
+        return "minhash"
+    if has("ev", "bloom", "tot"):
+        return "contamination"
+    if has("centroids") and not has("lists"):
+        return "semdedup"
+    if any(e.startswith("bucket=") for e in entries):
+        # gram and LSH share the flat bucket= layout; the gram index
+        # carries its gram length in _META.json
+        if os.path.exists(os.path.join(root, "_META.json")):
+            import json
+
+            with open(os.path.join(root, "_META.json")) as fh:
+                if "l" in json.load(fh):
+                    return "gram"
+        return "lsh"
+    return None
+
+
+# family -> (executable, action label)
+_ACTIONS = {
+    "lsh": (True, "compact_lsh_index"),
+    "gram": (True, "compact_gram_index"),
+    "text": (True, "compact_text_index"),
+    "minhash": (True, "compact_minhash_index"),
+    "contamination": (True, "recover_contamination_index"),
+    "scd2": (True, "compact_scd2"),
+    "ivf": (False, "rebuild (needs corpus: cli index rebuild-ivfpq / rebuild_ivf_index)"),
+    "ivfpq": (False, "rebuild (needs corpus: cli index rebuild-ivfpq)"),
+    "semdedup": (False, "rebuild (needs corpus: rebuild_semdedup_index)"),
+}
+
+
+def _execute(spark, kind: str, path: str) -> str:
+    if kind == "lsh":
+        from hnarchive_spark.sources.ann_index import compact_lsh_index
+
+        return compact_lsh_index(spark, path)
+    if kind == "gram":
+        from hnarchive_spark.sources.gram_index import compact_gram_index
+
+        return compact_gram_index(spark, path)
+    if kind == "text":
+        from hnarchive_spark.sources.text_index import (
+            compact_text_index,
+            needs_recovery,
+            recover_text_index,
+        )
+
+        if needs_recovery(path):
+            recover_text_index(spark, path)
+        return compact_text_index(spark, path)
+    if kind == "minhash":
+        from hnarchive_spark.sources.minhash_index import compact_minhash_index
+
+        return compact_minhash_index(spark, path)
+    if kind == "contamination":
+        from hnarchive_spark.sources.contamination_index import (
+            recover_contamination_index,
+        )
+
+        return recover_contamination_index(spark, path)
+    if kind == "scd2":
+        from hnarchive_spark.sources.scd2_store import compact_scd2
+
+        return compact_scd2(spark, path)
+    raise ValueError(f"no self-contained verb for {kind}")
+
+
+def run_maintenance(
+    spark,
+    paths: list[str],
+    max_skipped: int = 0,
+    max_batches: int = 8,
+    dry_run: bool = False,
+    prune: bool = False,
+) -> list[dict]:
+    """One scheduler pass: for each index root, detect the family, read
+    the ledger, and if ``needs_maintenance`` trips execute (or, dry run,
+    report) the due verb.  Returns one report dict per path:
+    ``{path, kind, stats, due, action, executed, result}``.
+
+    Thresholds follow ``needs_maintenance``: ``max_skipped`` bounds the
+    deferred-update volume (rebuild pressure), ``max_batches`` the
+    append count (small-file pileup -> compaction); 0 disables a
+    dimension.  Executed verbs consume the ledger; with ``prune=True``
+    superseded version trees are dropped after a successful verb."""
+    from hnarchive_spark.streaming.index_maint import (
+        maintenance_stats,
+        needs_maintenance,
+    )
+
+    out = []
+    for path in paths:
+        kind = detect_index_kind(path)
+        rec = {
+            "path": path,
+            "kind": kind,
+            "stats": maintenance_stats(path),
+            "due": False,
+            "action": None,
+            "executed": False,
+            "result": None,
+        }
+        if kind is None:
+            rec["result"] = "unrecognized layout"
+            out.append(rec)
+            continue
+        executable, label = _ACTIONS[kind]
+        rec["due"] = needs_maintenance(
+            path, max_skipped=max_skipped, max_batches=max_batches
+        )
+        if not rec["due"]:
+            out.append(rec)
+            continue
+        rec["action"] = label
+        if dry_run or not executable:
+            out.append(rec)
+            continue
+        rec["result"] = _execute(spark, kind, path)
+        rec["executed"] = True
+        maintenance_stats(path, reset=True)  # the verb consumed the ledger
+        if prune:
+            prune_index_versions(path)
+        out.append(rec)
+    return out

@@ -474,3 +474,89 @@ def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
 
     out = run(base[:1] + ["stats"] + base[1:])
     assert out.strip().startswith("{")
+
+
+def test_cli_maintenance_scheduler(spark, tmp_path, capsys, monkeypatch):
+    """`cli maintenance`: detection over mixed index families, threshold-
+    gated execution (verbs fire ONLY where the ledger tripped), dry-run
+    side-effect-freedom, and ledger consumption after a real run."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.gram_index import build_gram_index
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.sources.minhash_index import build_minhash_index
+    from hnarchive_spark.streaming.index_maint import maintain_gram_index, maintain_minhash_index
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    aged = str(tmp_path / "roots" / "grams_aged")
+    quiet = str(tmp_path / "roots" / "mh_quiet")
+    build_gram_index(spark, d.filter(F.col("doc_id") % 4 == 0), aged, l=20)
+    build_minhash_index(spark, d.filter(F.col("doc_id") % 2 == 0), quiet)
+
+    # age the gram index: 3 maintenance batches (threshold will be 2);
+    # the minhash index gets 1 (stays under threshold)
+    for k in (1, 2, 3):
+        maintain_gram_index(aged)(d.filter(F.col("doc_id") % 8 == k), batch_id=k)
+    maintain_minhash_index(quiet)(d.filter(F.col("doc_id") % 2 == 1), batch_id=0)
+
+    def _reports(*argv):
+        rc = cli.main(["maintenance", *argv])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return [_json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+
+    roots = f"--scan-dir={tmp_path / 'roots'}"
+    # dry run: gram due, minhash not; nothing executed, no version bump
+    reps = {r["path"].rsplit("/", 1)[-1]: r for r in _reports(roots, "--max-batches=2", "--dry-run")}
+    assert reps["grams_aged"]["kind"] == "gram" and reps["grams_aged"]["due"]
+    assert not reps["grams_aged"]["executed"]
+    assert reps["mh_quiet"]["kind"] == "minhash" and not reps["mh_quiet"]["due"]
+    assert current_index_version(aged) is None
+
+    # real run: the gram compaction fires, minhash untouched, ledger consumed
+    reps = {r["path"].rsplit("/", 1)[-1]: r for r in _reports(roots, "--max-batches=2")}
+    assert reps["grams_aged"]["executed"] and reps["grams_aged"]["result"].endswith("v1")
+    assert not reps["mh_quiet"]["executed"]
+    assert current_index_version(aged) == 1
+    assert current_index_version(quiet) is None
+
+    # the consumed ledger goes quiet: a second pass executes nothing
+    reps = {r["path"].rsplit("/", 1)[-1]: r for r in _reports(roots, "--max-batches=2")}
+    assert not reps["grams_aged"]["due"] and not reps["grams_aged"]["executed"]
+
+
+def test_maintenance_detects_every_family(spark, tmp_path):
+    """detect_index_kind: structural detection across the persisted
+    families (the scheduler's no-registry claim)."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.plans.similarity import KMEANS_ITERS, KMEANS_K
+    from hnarchive_spark.sources.contamination_index import build_contamination_index
+    from hnarchive_spark.sources.gram_index import build_gram_index
+    from hnarchive_spark.sources.maintenance import detect_index_kind
+    from hnarchive_spark.sources.minhash_index import build_minhash_index
+    from hnarchive_spark.sources.scd2_store import build_scd2_store
+    from hnarchive_spark.sources.semdedup_index import build_semdedup_index
+    from hnarchive_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(200)
+
+    p = {k: str(tmp_path / k) for k in ("gram", "minhash", "contamination", "scd2", "semdedup")}
+    build_gram_index(spark, d, p["gram"], l=20)
+    build_minhash_index(spark, d, p["minhash"])
+    build_contamination_index(spark, d, p["contamination"])
+    build_scd2_store(spark, ev.select("user_id", "ts", "event_id", "event_type"), p["scd2"])
+    build_semdedup_index(spark, e, p["semdedup"], KMEANS_K, KMEANS_ITERS)
+
+    for kind, path in p.items():
+        assert detect_index_kind(path) == kind, (kind, path)
+    assert detect_index_kind(str(tmp_path)) is None
