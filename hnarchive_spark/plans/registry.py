@@ -51,67 +51,68 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 12
+_ROTATION_BUILT_FOR_ROUND = 13
 
 _VERIFY_FIRST = [
-    # Round-12 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=12) prefix and
+    # Round-13 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=13) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
-    # verified queries registered this round first (the substring-dedup
-    # family plus the curation wave: domain cap/stats/url-parse, DSIR
-    # weights, SCD2 history), then the r7-green block (floor rises to
-    # r8 after this round), then the oldest r8 names; ascending
-    # staleness, ALPHABETICAL tiebreak.
-    "q_bucketed_join",
-    "q_domain_cap",
-    "q_domain_stats",
-    "q_dpp_join",
-    "q_dsir_resample",
-    "q_dsir_weights",
-    "q_scd2_history",
-    "q_scd2_incremental",
-    "q_scd2_store",
-    "q_substring_dedup",
-    "q_substring_dedup_clean",
-    "q_substring_dedup_incremental",
-    "q_substring_dedup_indexed",
-    "q_url_parse",
-    "q_knn_confusion",
-    "q_lorenz_deciles",
-    "q_minhash_accuracy",
-    "q_mode_per_group",
-    "q_outlier_mad",
-    "q_percentile_rank_transform",
-    "q_pipeline_clean_corpus",
-    "q_reservoir_per_source",
-    "q_rolling_active_users",
-    "q_select_token_budget",
-    "q_skew_report",
-    "q_stream_funnel",
-    "q_subtree_agg",
-    "q_time_split_embargo",
-    "q_triangle_count",
-    "q_winsorize",
-    "q_wow_growth",
-    "q_zorder_box",
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_ann_recall",
-    "q_bigram_novelty",
-    "q_bpe_merge_pairs",
-    "q_contamination",
-    "q_disjunctive_filter",
-    "q_fk_filter",
-    "q_fk_filter_2",
-    "q_flagship",
-    "q_forecast_revenue",
-    "q_fuzzy_match_blocked",
-    "q_groupby_agg",
-    "q_grouping_sets",
-    "q_interval_overlap",
-    "q_join_broadcast",
-    "q_join_fk",
-    "q_k_anonymity",
+    # verified queries registered this round first (the three persisted
+    # production twins — contamination gate, MinHash index, frozen-
+    # centroid SemDeDup — plus the DSIR bigram variant), then the ENTIRE
+    # 32-name r8-green block (the staleness floor rises to r9 after this
+    # round), then the oldest r9 names; ascending staleness,
+    # ALPHABETICAL tiebreak.
+    "q_contamination_indexed",
+    "q_dedup_minhash_indexed",
+    "q_dsir_weights_bigram",
+    "q_semdedup_indexed",
+    "q_large_orders",
+    "q_lateral_join",
+    "q_link_prediction_capped",
+    "q_lpa_communities",
+    "q_mix_equalize",
+    "q_multimodal_dedup",
+    "q_multimodal_phash_dup",
+    "q_null_handling",
+    "q_pandas_udaf_weighted",
+    "q_pandas_udf_score",
+    "q_point_lookup",
+    "q_priority_pipeline",
+    "q_promo_revenue",
+    "q_quality_repetition",
+    "q_returned_items",
+    "q_running_sum",
+    "q_sample_hash",
+    "q_sample_weighted",
+    "q_schema_evolution",
+    "q_shipmode_priority",
+    "q_shipping_priority",
+    "q_small_qty_revenue",
+    "q_stream_dedup_bounded",
+    "q_stream_stream_join",
+    "q_text_quality",
+    "q_text_stats",
+    "q_tfidf_top_terms",
+    "q_top_supplier",
+    "q_topk",
+    "q_topk_per_group",
+    "q_volume_shipping",
+    "q_window_rank",
+    "q_array_funcs",
+    "q_asof_join",
+    "q_asof_join_forward",
+    "q_asof_join_inner",
+    "q_boilerplate_ngrams",
+    "q_children_sorted",
+    "q_corpus_drift",
+    "q_correlated_subquery",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_simhash",
+    "q_display_date",
 ]
 
 
