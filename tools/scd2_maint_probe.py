@@ -7,6 +7,15 @@ dimension grows, and the re-delivered batch costs only the frontier
 check (no write job).
 
 Run: python tools/scd2_maint_probe.py [sf_dir] [n_slices]
+
+Wide-cardinality mode (VERDICT r12 #6): the sf0.1 fixture has only 150
+users, so every batch touches every bucket and the probe above can only
+show the per-append cost FLOOR.  ``python tools/scd2_maint_probe.py
+wide`` instead synthesizes a 65,536-user dimension (256 buckets, 256
+users per bucket), then appends SAME-SIZED batches (256 events each)
+engineered to touch 1 / 4 / 16 / 64 / 256 buckets — if the bucket
+pruning is real, append wall tracks TOUCHED BUCKETS at constant batch
+size and constant dimension size.
 """
 
 from __future__ import annotations
@@ -27,7 +36,82 @@ from hnarchive_spark.sources.scd2_store import append_scd2, build_scd2_store, re
 from hnarchive_spark.tables import load
 
 
+def wide() -> None:
+    """The sparse-batch measurement at realistic cardinality: 65,536
+    users over 256 buckets; equal-sized appends touching 1/4/16/64/256
+    buckets.  user_id encodes its bucket as user_id % 256 (the store's
+    own hash), so batch construction picks buckets exactly."""
+    n_users, nb, per_batch = 65_536, 256, 256
+    spark = get_spark("scd2-maint-probe-wide")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "2024-01-01 00:00:00"
+    # seed: 2 events per user (one state flip) — 131k rows, all before
+    # the batches' timestamps so the frontier guard admits every batch
+    seed = (
+        spark.range(n_users * 2)
+        .select(
+            (F.col("id") % n_users + 1).alias("user_id"),
+            (F.to_timestamp(F.lit(base)) + F.make_interval(secs=(F.col("id") / n_users).cast("int")))
+            .alias("ts"),
+            F.col("id").alias("event_id"),
+            F.when((F.col("id") / n_users).cast("int") == 0, "active").otherwise("idle")
+            .alias("event_type"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_wide_")
+    out: dict = {"mode": "wide", "n_users": n_users, "n_buckets": nb, "events_per_batch": per_batch}
+    try:
+        t0 = time.perf_counter()
+        build_scd2_store(spark, seed, tmp, n_buckets=nb)
+        out["build_s"] = round(time.perf_counter() - t0, 2)
+        rows = []
+        ev_id = n_users * 2
+
+        def _batch(t: int, day: int):
+            # per_batch users, per_batch//t from each of t buckets; user
+            # b + k*nb + 1 sits in bucket (b+1) % nb — t distinct buckets
+            nonlocal ev_id
+            per_bucket = per_batch // t
+            users = sorted(
+                {b + k * nb + 1 for b in range(t) for k in range(per_bucket)}
+            )
+            df = spark.createDataFrame(
+                [
+                    (u, f"2024-02-{day:02d} 00:00:00", ev_id + i, "purchase")
+                    for i, u in enumerate(users)
+                ],
+                "user_id long, ts string, event_id long, event_type string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            ev_id += len(users)
+            return df, users
+
+        # untimed warmup append — the first append pays one-time JVM/plan
+        # costs that would otherwise land on the t=1 measurement
+        warm, _ = _batch(1, day=1)
+        append_scd2(spark, warm, tmp)
+
+        for day, t in enumerate((1, 4, 16, 64, 256), start=2):
+            batch, users = _batch(t, day=day)
+            touched = len({u % nb for u in users})
+            t0 = time.perf_counter()
+            applied = append_scd2(spark, batch, tmp)
+            wall = round(time.perf_counter() - t0, 2)
+            rows.append(
+                {"target_buckets": t, "touched_buckets": touched,
+                 "events": len(users), "applied": applied, "wall_s": wall}
+            )
+        out["appends"] = rows
+        out["dim_rows"] = read_scd2(spark, tmp).count()
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "wide":
+        wide()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark("scd2-maint-probe")
