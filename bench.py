@@ -87,6 +87,14 @@ HEADLINE = [
     "q_scd2_incremental",
     "q_bucketed_join",
     "q_dpp_join",
+    # round 13: the persisted production twins (build-once in the untimed
+    # warmup, the q_*_indexed convention — timed runs measure the serve
+    # path: index-served candidates / frozen-centroid assignment / the
+    # per-batch gate) and the DSIR bigram feature variant
+    "q_dedup_minhash_indexed",
+    "q_semdedup_indexed",
+    "q_contamination_indexed",
+    "q_dsir_weights_bigram",
 ]
 
 
