@@ -242,6 +242,71 @@ def q_dedup_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_pairs(spark, path, d, JACCARD_T)
 
 
+def _minhash_incremental_oracle() -> str:
+    """The cross-boundary restriction of the shared MinHash chain: only
+    batch(odd) x archive(even) candidate pairs, oriented (batch, archive)."""
+    return _minhash_prefix() + f"""
+    xp AS (
+      SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS bd,
+             CASE WHEN d1 % 2 = 1 THEN d2 ELSE d1 END AS cd
+      FROM cands WHERE (d1 % 2) != (d2 % 2)
+    ),
+    common AS (
+      SELECT c.bd, c.cd, count(*) AS common
+      FROM xp c
+      JOIN sh a ON a.doc_id = c.bd
+      JOIN sh b ON b.doc_id = c.cd AND b.shingle = a.shingle
+      GROUP BY c.bd, c.cd
+    )
+    SELECT d1, d2, jaccard_e4 FROM (
+      SELECT bd AS d1, cd AS d2,
+             (20000 * common + (sa.n + sb.n - common))
+               // (2 * (sa.n + sb.n - common)) AS jaccard_e4
+      FROM common
+      JOIN sizes sa ON sa.doc_id = bd
+      JOIN sizes sb ON sb.doc_id = cd
+    ) WHERE jaccard_e4 >= {JACCARD_T_E4}
+    """
+
+
+@query(
+    "q_dedup_minhash_incremental",
+    oracle=_minhash_incremental_oracle(),
+    doc="Incremental MinHash near-dup (daily batch vs PERSISTED archive "
+    "index) — the nightly production probe the index exists for: the "
+    "batch (odd doc_ids; in production the new partition) computes ONLY "
+    "its own signatures, semi-routes into just the band buckets its keys "
+    "hash to (partition-pruned archive scan, plan-locked in "
+    "test_minhash_index.py), pairs against the persisted banded rows, "
+    "and exact-verifies by re-shingling only candidate docs. Per-day "
+    "cost is O(batch + candidates); the archive's signatures are never "
+    "recomputed and its corpus never re-scanned beyond candidate-doc "
+    "verification. The oracle is the inline MinHash chain restricted to "
+    "cross-boundary pairs oriented (batch, archive) — the hash check "
+    "covers the pruned probe path end to end. Batch-internal duplication "
+    "is deliberately deferred to the next day's archive, the same "
+    "documented recall trade as q_dedup_incremental / "
+    "q_substring_dedup_incremental.",
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.minhash_index import (
+        build_minhash_index,
+        probe_minhash_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arch = d.filter(F.col("doc_id") % 2 == 0)
+    path = built_once(
+        "minhash_index_arch",
+        sf_dir,
+        lambda p: build_minhash_index(spark, arch, p),
+    )
+    return probe_minhash_pairs(
+        spark, d.filter(F.col("doc_id") % 2 == 1), path, arch, JACCARD_T
+    )
+
+
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLES},

@@ -58,12 +58,13 @@ _VERIFY_FIRST = [
     # tools/rotation_report.rotation_order(before_round=13) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
     # verified queries registered this round first (the three persisted
-    # production twins — contamination gate, MinHash index, frozen-
-    # centroid SemDeDup — plus the DSIR bigram variant), then the ENTIRE
-    # 32-name r8-green block (the staleness floor rises to r9 after this
-    # round), then the oldest r9 names; ascending staleness,
-    # ALPHABETICAL tiebreak.
+    # production twins — contamination gate, MinHash index + its batch
+    # probe, frozen-centroid SemDeDup — plus the DSIR bigram variant),
+    # then the ENTIRE 32-name r8-green block (the staleness floor rises
+    # to r9 after this round), then the oldest r9 names; ascending
+    # staleness, ALPHABETICAL tiebreak.
     "q_contamination_indexed",
+    "q_dedup_minhash_incremental",
     "q_dedup_minhash_indexed",
     "q_dsir_weights_bigram",
     "q_semdedup_indexed",
@@ -112,7 +113,6 @@ _VERIFY_FIRST = [
     "q_dedup_exact",
     "q_dedup_incremental",
     "q_dedup_simhash",
-    "q_display_date",
 ]
 
 
