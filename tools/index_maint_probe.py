@@ -135,6 +135,67 @@ def main():
         maintain_ivfpq_index(apath, 4),
         [e.filter(F.col("vec_id") % k == m) for m in range(k)],
     )
+
+    # MinHash signature index: the append profile like the others, PLUS
+    # the claim the others can't show — a FIXED batch's PROBE wall must
+    # stay flat while the archive grows k-fold (probe cost is O(batch +
+    # candidates), never a re-signature of the archive)
+    from hnarchive_spark.plans.dedup import JACCARD_T
+    from hnarchive_spark.sources.minhash_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_pairs,
+    )
+    from hnarchive_spark.streaming.index_maint import maintain_minhash_index
+
+    mpath = os.path.join(tmp, "minhash")
+    arch = d.filter(F.col("doc_id") % (k + 1) != k)  # archive slices
+    fixed_batch = d.filter(F.col("doc_id") % (k + 1) == k)  # never indexed
+    batches = [arch.filter(F.col("doc_id") % (k + 1) == m) for m in range(k)]
+    probe_walls = []
+
+    def _probe_wall():
+        t0 = time.perf_counter()
+        n = (
+            probe_minhash_pairs(spark, fixed_batch, mpath, arch, JACCARD_T)
+            .write.mode("overwrite").format("noop").save()
+        )
+        probe_walls.append(round(time.perf_counter() - t0, 3))
+        return n
+
+    build_wall_t0 = time.perf_counter()
+    build_minhash_index(spark, batches[0], mpath)
+    built = round(time.perf_counter() - build_wall_t0, 3)
+    _probe_wall()
+    per_batch = []
+    proc = maintain_minhash_index(mpath)
+    for i, b in enumerate(batches[1:], start=1):
+        t0 = time.perf_counter()
+        n = proc(b, batch_id=i)
+        per_batch.append(round(time.perf_counter() - t0, 3))
+        assert n > 0
+        _probe_wall()
+    t0 = time.perf_counter()
+    assert proc(batches[-1], batch_id=k) == 0  # re-delivery
+    redeliver = round(time.perf_counter() - t0, 3)
+    before_files = _n_parquet_files(mpath)
+    t0 = time.perf_counter()
+    vdir = compact_minhash_index(spark, mpath)
+    print(
+        json.dumps(
+            {
+                "family": "minhash",
+                "build_s": built,
+                "append_s_per_batch": per_batch,
+                "redeliver_noop_s": redeliver,
+                "fixed_batch_probe_s_as_archive_grows": probe_walls,
+                "compact_s": round(time.perf_counter() - t0, 3),
+                "files_before_compact": before_files - _n_parquet_files(vdir),
+                "files_after_compact": _n_parquet_files(vdir),
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
