@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "q_dedup_minhash_incremental",
     "q_dedup_minhash_indexed",
     "q_dsir_weights_bigram",
+    "q_hybrid_search_rrf",
     "q_semdedup_indexed",
     "q_large_orders",
     "q_lateral_join",
@@ -112,7 +113,6 @@ _VERIFY_FIRST = [
     "q_dedup_clusters",
     "q_dedup_exact",
     "q_dedup_incremental",
-    "q_dedup_simhash",
 ]
 
 

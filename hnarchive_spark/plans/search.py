@@ -424,3 +424,124 @@ def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_text_index(spark, d.filter(F.col("doc_id") % 4 == m), path)
     compact_text_index(spark, path)
     return bm25_topk(spark, path, list(BM25_TERMS), BM25_TOPK)
+
+
+# ---- hybrid retrieval: reciprocal rank fusion ----------------------------
+
+HYBRID_QUERIES = 5  # query docs = doc_id < 5 (the ANN query-set convention)
+HYBRID_CAND_K = 20  # per-ranker candidate depth
+HYBRID_TOPK = 10
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+
+
+def _hybrid_oracle() -> str:
+    from hnarchive_spark.plans.dedup import _SHINGLES_RAW
+
+    return f"""
+    WITH {_SHINGLES_RAW},
+    qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < {HYBRID_QUERIES}),
+    ovl AS (
+      SELECT q.query_id, sh.doc_id, CAST(count(*) AS BIGINT) AS common
+      FROM qsh q JOIN sh ON sh.shingle = q.shingle AND sh.doc_id != q.query_id
+      GROUP BY q.query_id, sh.doc_id
+    ),
+    lex_r AS (
+      SELECT query_id, doc_id, rnk AS lex_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY common DESC, doc_id) AS rnk
+        FROM ovl
+      ) WHERE rnk <= {HYBRID_CAND_K}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {HYBRID_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS doc_id,
+             CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) AS cos_e6
+      FROM e a CROSS JOIN q
+      WHERE a.vec_id != q.query_id
+    ),
+    dense_r AS (
+      SELECT query_id, doc_id, rnk AS dense_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_e6 DESC, doc_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {HYBRID_CAND_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             coalesce(1000000000 // ({RRF_K} + l.lex_rank), 0)
+               + coalesce(1000000000 // ({RRF_K} + d.dense_rank), 0) AS rrf_e9
+      FROM lex_r l FULL JOIN dense_r d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_e9, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}
+    """
+
+
+@query(
+    "q_hybrid_search_rrf",
+    oracle=_hybrid_oracle(),
+    doc=f"Hybrid retrieval with reciprocal rank fusion — the RAG-stack "
+    f"compound: per query doc, a LEXICAL more-like-this ranking (distinct "
+    f"word-3gram overlap via the inverted shingle index — the sparse leg) "
+    f"and a DENSE cosine ranking (brute-force here; at scale the leg swaps "
+    f"for the persisted IVF-PQ probe, same (query_id, doc_id, rank) "
+    f"contract) fuse as score = sum over legs of 1e9 div ({RRF_K} + rank) "
+    f"(Cormack et al.'s RRF with the standard k={RRF_K}), candidates = the "
+    f"union of each leg's top-{HYBRID_CAND_K}, missing-leg contribution 0, "
+    f"final top-{HYBRID_TOPK} per query with doc_id tiebreak. The fusion "
+    "is exact integer math end to end (floor-div reciprocals), so the "
+    "compound two-retriever operator is value-hash-checked, nullable "
+    "per-leg ranks included. Scale shape: the sparse leg shuffles on the "
+    "shingle (the inverted index, max_df-guardable), the dense leg is one "
+    "broadcast-query corpus pass, the fusion joins two k-row-per-query "
+    "frames — metadata-width.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators import dedup as D
+    from hnarchive_spark.operators.similarity import cosine_topk
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+
+    sh = D.word_shingles(d)
+    qsh = sh.filter(F.col("doc_id") < HYBRID_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    ovl = (
+        qsh.join(sh, "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("common").desc(), "doc_id")
+    lex = (
+        ovl.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= HYBRID_CAND_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense = (
+        cosine_topk(e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_CAND_K)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + dense_rank)"), F.lit(0))
+        ).alias("rrf_e9"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+    )
