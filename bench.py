@@ -92,9 +92,11 @@ HEADLINE = [
     # path: index-served candidates / frozen-centroid assignment / the
     # per-batch gate) and the DSIR bigram feature variant
     "q_dedup_minhash_indexed",
+    "q_dedup_minhash_incremental",
     "q_semdedup_indexed",
     "q_contamination_indexed",
     "q_dsir_weights_bigram",
+    "q_hybrid_search_rrf",
 ]
 
 

@@ -501,6 +501,19 @@ def test_dsir_bucket_stats_broadcast_no_corpus_join(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_minhash_indexed_does_no_signature_work(spark):
+    """q_dedup_minhash_indexed's claim is ZERO signature computation at
+    query time: candidates come from the persisted band rows, so the
+    plan must contain no sig_* column (the wide-agg signature pipeline)
+    and no MH permutation arithmetic — only the bands scans, the
+    candidate self-join, and the re-shingle verify."""
+    plan = _plan(spark, "q_dedup_minhash_indexed")
+    assert "sig_0" not in plan and "sig_31" not in plan, plan[:800]
+    # the verify leg's shingle explode IS expected; the banded parquet
+    # scan must be present on both sides of the candidate join
+    assert plan.count("band_key") >= 2, plan[:800]
+
+
 def test_dsir_bigram_keeps_unigram_plan_shape(spark):
     """q_dsir_weights_bigram: bigram features are built by zip_with on
     the tokenized array IN PLACE — the plan must show no positional
