@@ -197,7 +197,15 @@ def probe_minhash_pairs(
     rows before pairing (the stop-key skew guard)."""
     t_e4 = int(round(threshold * 10000))
     b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    b_sh = word_shingles(b).localCheckpoint(eager=True)
+    # the batch shingle frame stays LAZY: its two consumers (the signature
+    # aggregate below, the verify leg at the end) each recompute one
+    # batch-sized pass — stateless and O(batch), vs holding a corpus-slice
+    # of shingle strings in block storage per probe (an eager checkpoint
+    # here measurably pressured long bench sessions). Only the banded
+    # rows — 16 short rows per doc — are checkpointed: they feed the
+    # bucket collect AND the candidate join, and the checkpoint severs
+    # the signature pipeline from being re-run per consumer.
+    b_sh = word_shingles(b)
     b_bands = band_rows(minhash_signatures(b_sh)).withColumn("bucket", _bucket())
     b_bands = b_bands.localCheckpoint(eager=True)
     buckets = [r[0] for r in b_bands.select("bucket").distinct().collect()]
