@@ -501,6 +501,17 @@ def test_dsir_bucket_stats_broadcast_no_corpus_join(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_hybrid_rrf_fuses_without_corpus_blowup(spark):
+    """q_hybrid_search_rrf: the dense leg must be the broadcast-query
+    corpus pass (BroadcastNestedLoopJoin over the tiny query set — never
+    a corpus x corpus product), the sparse leg the shingle equi-join,
+    and the fusion a FullOuter of two k-rows-per-query frames."""
+    plan = _plan(spark, "q_hybrid_search_rrf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
+    assert "FullOuter" in plan, plan[:800]
+
+
 def test_minhash_indexed_does_no_signature_work(spark):
     """q_dedup_minhash_indexed's claim is ZERO signature computation at
     query time: candidates come from the persisted band rows, so the
