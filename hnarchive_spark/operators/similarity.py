@@ -539,7 +539,8 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
 
 
 def semdedup_drops(
-    embeddings: DataFrame, k: int, iters: int, t_e6: int
+    embeddings: DataFrame, k: int, iters: int, t_e6: int,
+    max_pivots: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering + within-cluster cosine pruning.  A vector is DROPPED
@@ -564,15 +565,38 @@ def semdedup_drops(
     from hnarchive_spark.operators.kmeans import kmeans_assign
 
     a = kmeans_assign(embeddings, k, iters, keep_vec=True)
-    return semdedup_prune(a, t_e6)
+    return semdedup_prune(a, t_e6, max_pivots=max_pivots)
 
 
-def semdedup_prune(assign: DataFrame, t_e6: int) -> DataFrame:
+def semdedup_prune(
+    assign: DataFrame, t_e6: int, max_pivots: int | None = None
+) -> DataFrame:
     """The within-cluster cosine prune given an assignment (vec_id, v,
     list_id) — shared by the inline :func:`semdedup_drops` and the
     frozen-centroid probe (sources/semdedup_index.py), so both prune
-    identically."""
-    x, y = assign.alias("x"), assign.alias("y")
+    identically.
+
+    ``max_pivots`` is the hot-cluster skew guard (the vector analog of
+    lsh_dup_pairs' ``max_bucket`` cap): the EARLIER side of the pair join
+    is restricted to each cluster's ``max_pivots`` smallest-id members,
+    bounding any cluster's pair count at ``max_pivots * |cluster|`` —
+    linear, so a degenerate cluster of near-identical vectors can no
+    longer recreate the quadratic self-join. Coverage survives where it
+    matters: in such a cluster every later vector sits at cosine ~1 to
+    pivot #1, so it is still dropped (only the *attribution* may shift to
+    an earlier neighbor). The pivot rank is a deterministic row_number
+    over (list_id ORDER BY vec_id) — Spark plans it as a WindowGroupLimit
+    (per-partition top-P before the full window), and the oracle replays
+    it exactly."""
+    x_src = assign
+    if max_pivots is not None:
+        pw = Window.partitionBy("list_id").orderBy("vec_id")
+        x_src = (
+            assign.select("*", F.row_number().over(pw).alias("_pr"))
+            .filter(F.col("_pr") <= max_pivots)
+            .drop("_pr")
+        )
+    x, y = x_src.alias("x"), assign.alias("y")
     cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
     pairs = (
         x.join(

@@ -434,6 +434,30 @@ HYBRID_TOPK = 10
 RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
 
 
+def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """Reciprocal rank fusion of two (query_id, doc_id, *_rank) legs —
+    exact integer math (floor-div reciprocals, missing-leg contribution
+    0), final top-k per query with doc_id tiebreak.  Shared by the inline
+    and the persisted-index hybrid so the fusion cannot drift between
+    them; both legs are k-rows-per-query frames, so the full-outer join
+    and the window are metadata-width."""
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + dense_rank)"), F.lit(0))
+        ).alias("rrf_e9"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+    )
+
+
 def _hybrid_oracle() -> str:
     from hnarchive_spark.plans.dedup import _SHINGLES_RAW
 
@@ -530,18 +554,150 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_CAND_K)
         .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
     )
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        "lex_rank",
-        "dense_rank",
-        (
-            F.coalesce(F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0))
-            + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + dense_rank)"), F.lit(0))
-        ).alias("rrf_e9"),
+    return _rrf_fuse(lex, dense)
+
+
+def _hybrid_indexed_oracle() -> str:
+    """The indexed hybrid's oracle: the IVF-PQ CTE chain (through ``adc``,
+    the exact chain q_ann_ivfpq_indexed verifies) as the dense leg, the
+    BM25 family's tokenize/stats/score chain generalized per-query as the
+    lexical leg, spliced onto the same RRF fusion SQL as the inline
+    form.  CTE namespaces are disjoint (el/cent/probes/s{m}*/qd{m}/adc vs
+    toks/st/qterms/lxp/lxsc*) so the generators compose verbatim."""
+    from hnarchive_spark.plans.similarity import (
+        IVFPQ_N_PROBE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        _ivfpq_parts,
     )
-    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
+    from hnarchive_spark.plans import similarity as SIM
+
+    parts = _ivfpq_parts(
+        PQ_K, PQ_ITERS, PQ_M, SIM.S.DIM // PQ_M, HYBRID_QUERIES, IVFPQ_N_PROBE
+    )
+    parts.append(f"""dense_r AS (
+      SELECT query_id, vec_id AS doc_id, rnk AS dense_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_e6, vec_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {HYBRID_CAND_K}
+    )""")
+    parts.append("""toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ),
+    st AS (
+      SELECT CAST(sum(len(ws)) AS BIGINT) AS s, count(*) AS n FROM toks
+    )""")
+    parts.append(f"""qterms AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest(ws) AS term FROM toks
+        WHERE doc_id < {HYBRID_QUERIES}
+      )
+    ),
+    lxp AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(any_value(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    lxsc0 AS (
+      SELECT q.query_id, p.doc_id, p.tf, p.dl,
+             {bm25_avgdl_sql(div='//', s='st.s', n='st.n')} AS a
+      FROM qterms q JOIN lxp p USING (term) CROSS JOIN st
+      WHERE p.doc_id != q.query_id
+    ),
+    lxsc AS (
+      SELECT query_id, doc_id,
+             CAST(sum({bm25_score_sql(div='//')}) AS BIGINT) AS lex_score_e6
+      FROM lxsc0 GROUP BY query_id, doc_id
+    ),
+    lex_r AS (
+      SELECT query_id, doc_id, rnk AS lex_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY lex_score_e6 DESC, doc_id) AS rnk
+        FROM lxsc
+      ) WHERE rnk <= {HYBRID_CAND_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             coalesce(1000000000 // ({RRF_K} + l.lex_rank), 0)
+               + coalesce(1000000000 // ({RRF_K} + d.dense_rank), 0) AS rrf_e9
+      FROM lex_r l FULL JOIN dense_r d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )""")
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= HYBRID_TOPK)
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_e9, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}"""
     )
+
+
+@query(
+    "q_hybrid_search_rrf_indexed",
+    oracle=_hybrid_indexed_oracle(),
+    doc=f"Hybrid retrieval on the PERSISTED indexes — the production RAG "
+    "serving path q_hybrid_search_rrf's docstring promises: the lexical "
+    "leg is a per-query-doc BM25 ranking against the persisted text index "
+    "(sources/text_index.py bm25_query_topk — bucket scan pruned driver-"
+    "side to the union of the query docs' terms, exact-term filter pushed "
+    "to the reader, score = sum of the family's exact per-term e6 "
+    "rationals), the dense leg is the persisted IVF-PQ probe "
+    "(probe_ivfpq_topk — partition-pruned list scan, broadcast ADC LUT, "
+    "zero training), and the two (query, doc, rank) frames fuse with the "
+    f"same RRF integer math (k={RRF_K}) via the shared _rrf_fuse. Both "
+    "indexes are built_once (shared with q_bm25_indexed / "
+    "q_ann_ivfpq_indexed — ONE physical index each per session; bench "
+    "warmup pays the builds, min-of-3 measures the serving path). Query "
+    "cost at 100 TB: the query terms' postings + the probed lists' codes "
+    "+ two k-row-per-query fusion frames — never a corpus pass.",
+)
+def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.plans.similarity import (
+        IVFPQ_N_PROBE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+    )
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.ann_index import build_ivfpq_index, probe_ivfpq_topk
+    from hnarchive_spark.sources.text_index import bm25_query_topk, build_text_index
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    tpath = built_once("text_index", sf_dir, lambda p: build_text_index(d, p))
+    apath = built_once(
+        "ivfpq_index", sf_dir, lambda p: build_ivfpq_index(e, p, PQ_M, PQ_K, PQ_ITERS)
+    )
+    # query-sized collect (HYBRID_QUERIES rows): the query docs' token
+    # lists must reach the driver anyway for bm25_query_topk's driver-side
+    # bucket pruning — the bm25_topk discipline, terms known before the job
+    qrows = (
+        d.filter(F.col("doc_id") < HYBRID_QUERIES)
+        .select("doc_id", T.tokens(F.col("text")).alias("ws"))
+        .collect()
+    )
+    lex = bm25_query_topk(
+        spark, tpath, [(r["doc_id"], r["ws"]) for r in qrows], HYBRID_CAND_K
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    dense = probe_ivfpq_topk(
+        spark,
+        apath,
+        e.filter(F.col("vec_id") < HYBRID_QUERIES),
+        HYBRID_CAND_K,
+        PQ_M,
+        n_probe=IVFPQ_N_PROBE,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    return _rrf_fuse(lex, dense)

@@ -597,12 +597,23 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_T_E6 = 400_000  # cosine >= 0.40 (scaled 1e6 integer)
 
 
-def _semdedup_oracle(k: int, iters: int, dim: int, t_e6: int) -> str:
+def _semdedup_oracle(
+    k: int, iters: int, dim: int, t_e6: int, max_pivots: int | None = None
+) -> str:
     parts = _kmeans_cte_parts(k, iters, dim)
+    x_src = f"a{iters}"
+    if max_pivots is not None:
+        parts.append(f"""pivots AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY list_id ORDER BY vec_id) AS pr
+        FROM a{iters}
+      ) WHERE pr <= {max_pivots}
+    )""")
+        x_src = "pivots"
     parts.append(f"""pairs AS (
       SELECT y.vec_id AS vec_id, y.list_id AS list_id, x.vec_id AS dup_of,
              CAST(round(list_cosine_similarity(x.v, y.v) * 1000000) AS BIGINT) AS cos_e6
-      FROM a{iters} x JOIN a{iters} y
+      FROM {x_src} x JOIN a{iters} y
         ON x.list_id = y.list_id AND x.vec_id < y.vec_id
     )""")
     return (
@@ -635,6 +646,36 @@ def _semdedup_oracle(k: int, iters: int, dim: int, t_e6: int) -> str:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.semdedup_drops(e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6)
+
+
+SEMDEDUP_MAX_PIVOTS = 16  # binds at both test scales (clusters avg ~62/~250)
+
+
+@query(
+    "q_semdedup_capped",
+    oracle=_semdedup_oracle(
+        KMEANS_K, KMEANS_ITERS, S.DIM, SEMDEDUP_T_E6, SEMDEDUP_MAX_PIVOTS
+    ),
+    doc="q_semdedup with the hot-cluster skew guard: the earlier side of "
+    f"the within-cluster pair join is restricted to each cluster's "
+    f"{SEMDEDUP_MAX_PIVOTS} smallest-id members (a deterministic "
+    "row_number Spark plans as a WindowGroupLimit), bounding any "
+    "cluster's pair count at max_pivots * |cluster| — linear, so a "
+    "degenerate cluster of near-identical vectors can no longer recreate "
+    "the quadratic self-join (the vector-cluster analog of "
+    "q_embed_dup_capped's per-bucket cap and the last quadratic-per-group "
+    "operator to gain its guard). Coverage survives where it matters: in "
+    "a near-identical cluster every later vector sits at cosine ~1 to "
+    "pivot #1 and is still dropped; only attribution can shift earlier. "
+    "The cap is a pure deterministic rank threshold so the unrolled-Lloyd "
+    "oracle replays it exactly; the same max_pivots parameter is plumbed "
+    "through semdedup_probe for the persisted-centroid production path.",
+)
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.semdedup_drops(
+        e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+    )
 
 
 @query(

@@ -12,7 +12,12 @@ Layout (versioned behind the atomic ``_CURRENT`` pointer):
   so a probe reads only the buckets its surviving shingles hash to;
 * ``<root>/bloom`` — the (w, bits) Bloom bitmap of the eval shingles
   (operators/bloom.py) — broadcast at probe time to prune the training
-  batch BEFORE its exchange, exactly like the inline plan;
+  batch BEFORE its exchange, exactly like the inline plan.  The bitmap
+  is itself versioned behind a ``_CURRENT`` pointer inside the bloom
+  component (``bloom/v<N>``): an OR-merge writes the merged bitmap to
+  ``v<N+1>`` and then swaps the pointer atomically, so the live bitmap
+  is never deleted-then-rewritten — a crash mid-merge leaves the old
+  complete bitmap published and the torn new one unreferenced;
 * ``<root>/tot``   — (doc_id, n_shingles) per eval doc: the output's
   denominator AND the presence set appends anti-join against.
 
@@ -35,6 +40,7 @@ exchange), and a semi-join into only the matching shingle buckets.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +62,33 @@ def _ev_path(path: str) -> str:
 
 def _bloom_path(path: str) -> str:
     return os.path.join(index_root(path), "bloom")
+
+
+def _bloom_data_path(path: str) -> str:
+    """Resolve the CURRENT bloom bitmap directory.
+
+    The bloom component is versioned (``bloom/v<N>`` + pointer) so a
+    merge never overwrites the live bitmap in place.  A pre-versioning
+    flat layout (parquet files directly under ``bloom/``) resolves to
+    the component root itself."""
+    broot = _bloom_path(path)
+    v = current_index_version(broot)
+    return broot if v is None else os.path.join(broot, f"v{v}")
+
+
+def _publish_bloom(bitmap: DataFrame, broot: str) -> None:
+    """Write ``bitmap`` to ``<broot>/v<N+1>`` and atomically swap the
+    pointer.  Versions older than the immediately superseded one are
+    pruned (the bitmap is at most ``2^log2_bits/64`` rows, and keeping
+    exactly one back version protects a reader that resolved the
+    pointer just before the swap)."""
+    new_v = (current_index_version(broot) or 0) + 1
+    bitmap.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(broot, f"v{new_v}")
+    )
+    publish_index_version(broot, new_v)
+    for stale in range(1, new_v - 1):
+        shutil.rmtree(os.path.join(broot, f"v{stale}"), ignore_errors=True)
 
 
 def _tot_path(path: str) -> str:
@@ -90,9 +123,7 @@ def build_contamination_index(
         eager=True
     )
     _write_ev(sh, path, "overwrite")
-    bloom_build(sh, "shingle").coalesce(1).write.mode("overwrite").parquet(
-        _bloom_path(path)
-    )
+    _publish_bloom(bloom_build(sh, "shingle"), _bloom_path(path))
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     tot.coalesce(1).write.mode("overwrite").parquet(_tot_path(path))
     return spark.read.parquet(_tot_path(path)).count()
@@ -121,17 +152,16 @@ def append_contamination_index(
     sh = word_shingles(novel).localCheckpoint(eager=True)
     _write_ev(sh, path, "append")
     # OR-merge the bitmap: old words union the batch's words, bit_or per
-    # word index. localCheckpoint severs the read-path lineage before the
-    # self-overwrite (the scd2_store discipline) — and the bitmap is at
-    # most 2^log2_bits/64 rows, so the checkpoint is scalar-sized.
-    old = spark.read.parquet(_bloom_path(path))
+    # word index.  The merged bitmap lands in a NEW version dir and is
+    # published by the atomic pointer swap (never a delete-then-write of
+    # the live bitmap), so the read path needs no lineage severing.
+    old = spark.read.parquet(_bloom_data_path(path))
     merged = (
         old.unionByName(bloom_build(sh, "shingle"))
         .groupBy("w")
         .agg(F.bit_or("bits").alias("bits"))
-        .localCheckpoint(eager=True)
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(_bloom_path(path))
+    _publish_bloom(merged, _bloom_path(path))
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     tot.coalesce(1).write.mode("append").parquet(_tot_path(path))
     return n_new
@@ -150,12 +180,12 @@ def probe_contamination(
     Bloom-pruned by the persisted bitmap before any exchange, then
     semi-joined into only the eval-shingle buckets they hash to
     (partition-pruned scan)."""
-    tr = (
-        word_shingles(train_docs, id_col=id_col, text_col=text_col)
-        .select("shingle")
-        .localCheckpoint(eager=True)
-    )
-    bitmap = spark.read.parquet(_bloom_path(path))
+    # tr stays LAZY: it has a single consumer (the bloom_prune chain
+    # feeding the survivors checkpoint below), so an eager checkpoint
+    # here would hold a corpus-sized shingle frame in block storage per
+    # probe — the same leak probe_minhash_pairs documents and avoids.
+    tr = word_shingles(train_docs, id_col=id_col, text_col=text_col).select("shingle")
+    bitmap = spark.read.parquet(_bloom_data_path(path))
     survivors = bloom_prune(tr, "shingle", bitmap).withColumn("s_bucket", _s_bucket())
     survivors = survivors.localCheckpoint(eager=True)
     buckets = [r[0] for r in survivors.select("s_bucket").distinct().collect()]
@@ -194,7 +224,7 @@ def contamination_index_stats(spark: SparkSession, path: str) -> dict:
     return {
         "eval_docs": tot.count(),
         "ev_rows": ev.count(),
-        "bloom_words": spark.read.parquet(_bloom_path(path)).count(),
+        "bloom_words": spark.read.parquet(_bloom_data_path(path)).count(),
         "files": n_files,
     }
 
@@ -215,9 +245,7 @@ def recover_contamination_index(spark: SparkSession, path: str) -> str:
         .partitionBy("s_bucket")
         .parquet(os.path.join(vdir, "ev"))
     )
-    bloom_build(ev, "shingle").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(vdir, "bloom")
-    )
+    _publish_bloom(bloom_build(ev, "shingle"), os.path.join(vdir, "bloom"))
     (
         ev.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -80,7 +80,11 @@ def prune_index_versions(path: str, keep_current_only: bool = True) -> list[str]
             shutil.rmtree(full)
             removed.append(full)
         elif name in (
-            "codes", "lists", "centroids", "codebooks", "postings"
+            "codes", "lists", "centroids", "codebooks", "postings",
+            # MinHash index (bands/docs), contamination gate (ev/bloom/tot),
+            # SCD2 store (runs) — all publish rebuilds into v<N>, leaving
+            # their flat pre-versioning trees superseded
+            "bands", "docs", "ev", "bloom", "tot", "runs",
         ) or name.startswith("bucket="):
             # pre-versioning flat data superseded by the published version
             # (bucket=* is the LSH index's flat layout — its partitions

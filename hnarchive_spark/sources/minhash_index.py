@@ -193,8 +193,9 @@ def probe_minhash_pairs(
     archive scan), then exact-verified by re-shingling just the
     candidate docs.  ``archive_docs`` is the corpus accessor the verify
     stage semi-joins candidate ids into — the index never stores text.
-    ``max_band_df`` drops archive band keys matched by more than N batch
-    rows before pairing (the stop-key skew guard)."""
+    ``max_band_df`` drops (band, band_key) keys matched by more than N
+    ARCHIVE rows before pairing (the stop-key skew guard — it bounds
+    each key's archive-side fanout, not the batch's)."""
     t_e4 = int(round(threshold * 10000))
     b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # the batch shingle frame stays LAZY: its two consumers (the signature

@@ -109,16 +109,18 @@ def semdedup_probe(
     t_e6: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pivots: int | None = None,
 ) -> DataFrame:
     """SemDeDup drops for a corpus against the FROZEN centroids: one
     broadcast assignment pass (zero training) + the shared within-cluster
     prune.  Probing the training corpus itself reproduces the inline
-    q_semdedup rows exactly (shared oracle)."""
+    q_semdedup rows exactly (shared oracle).  ``max_pivots`` passes the
+    hot-cluster skew guard through to the prune (see semdedup_prune)."""
     cents = spark.read.parquet(_centroids_path(path))
     assign = kmeans_assign_frozen(
         vectors, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
     )
-    return semdedup_prune(assign, t_e6)
+    return semdedup_prune(assign, t_e6, max_pivots=max_pivots)
 
 
 def rebuild_semdedup_index(

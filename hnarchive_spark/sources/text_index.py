@@ -260,6 +260,66 @@ def bm25_topk(
     )
 
 
+def bm25_query_topk(
+    spark,
+    index_path: str,
+    queries: list[tuple[int, list[str]]],
+    topk: int,
+) -> DataFrame:
+    """Per-QUERY BM25 top-k against the persisted index — the multi-term
+    generalization of :func:`bm25_topk` hybrid retrieval's lexical leg
+    needs: each query is a ``(query_id, terms)`` pair (a RAG query's
+    tokenized text) and ``score(q, d) = sum over q's DISTINCT terms of
+    the per-term integer BM25 score`` (each per-term score is the exact
+    e6 rational, so the sum is engine-portable too).  Self-matches
+    (doc_id == query_id) are excluded — the more-like-this convention.
+
+    Cost contract is bm25_topk's: the union of all queries' terms prunes
+    the bucket scan DRIVER-SIDE (no Spark job), the exact-term filter is
+    pushed to the parquet reader, and the (query_id, term) frame is
+    broadcast — queries are the small side by construction, so the probe
+    scans only the query terms' postings, never the corpus."""
+    from hnarchive_spark.plans.search import bm25_avgdl_sql, bm25_score_sql
+
+    qt = [(int(qid), t) for qid, ts in queries for t in sorted(set(ts))]
+    if not qt:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, lex_score_e6 long, rank int"
+        )
+    all_terms = sorted({t for _, t in qt})
+    buckets = sorted({_bucket_py(t) for t in all_terms})
+    p = (
+        spark.read.parquet(f"{index_root(index_path)}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+    )
+    s_tot, n_tot = _read_stats(index_path)
+    stats = spark.createDataFrame([(s_tot, n_tot)], "s long, n long")
+    qdf = spark.createDataFrame(qt, "query_id long, term string")
+    scored = (
+        p.join(F.broadcast(qdf), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "tf",
+            "dl",
+            F.expr(bm25_avgdl_sql()).alias("a"),
+        )
+        .withColumn("score_e6", F.expr(bm25_score_sql()))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("score_e6").cast("long").alias("lex_score_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score_e6").desc(), "doc_id"
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
+
+
 def needs_recovery(path: str) -> bool:
     """True when a prior append crashed between its postings job and the
     stats rewrite (journal present) — the caller must run

@@ -512,6 +512,28 @@ def test_hybrid_rrf_fuses_without_corpus_blowup(spark):
     assert "FullOuter" in plan, plan[:800]
 
 
+def test_hybrid_indexed_serves_from_indexes_only(spark):
+    """q_hybrid_search_rrf_indexed: the serving path must touch ONLY the
+    persisted indexes and the query rows — no corpus re-tokenize (no
+    split(text) anywhere: the lexical leg reads postings), no k-means
+    training (no avg() aggregate: the dense leg reads frozen centroids/
+    codebooks), the postings scan partition-pruned to the query terms'
+    buckets, and the fusion the same FullOuter of two k-rows-per-query
+    frames as the inline form."""
+    plan = _plan(spark, "q_hybrid_search_rrf_indexed")
+    assert "split(text" not in plan, plan[:800]
+    assert "avg(" not in plan, plan[:800]
+    assert "FullOuter" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    # the postings scan's partition filter carries the driver-computed
+    # bucket list (the bm25_topk pruning discipline)
+    pushed = [
+        ln for ln in plan.split("\n")
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert pushed, plan[:1200]
+
+
 def test_minhash_indexed_does_no_signature_work(spark):
     """q_dedup_minhash_indexed's claim is ZERO signature computation at
     query time: candidates come from the persisted band rows, so the

@@ -65,6 +65,68 @@ def test_probe_does_no_training(spark, tmp_path):
     assert plan.count("avg(") == 0, plan[:800]
 
 
+def test_capped_probe_matches_capped_inline(spark, tmp_path):
+    """max_pivots plumbs identically through the frozen probe and the
+    inline form (shared prune), and the cap binds (fewer or equal rows
+    than uncapped, never more)."""
+    from hnarchive_spark.operators.similarity import semdedup_drops
+    from hnarchive_spark.plans.similarity import SEMDEDUP_MAX_PIVOTS
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, e, path, KMEANS_K, KMEANS_ITERS)
+    got = sorted(
+        tuple(r)
+        for r in semdedup_probe(
+            spark, e, path, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in semdedup_drops(
+            e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cap_keeps_degenerate_cluster_coverage(spark):
+    """The adversarial case the cap exists for: one cluster of
+    near-identical vectors. Capped at P pivots, every non-pivot-#1 vector
+    must STILL be dropped (pivot #1 is within threshold of all of them) —
+    the cap bounds pair count, not dedup coverage."""
+    from hnarchive_spark.operators.similarity import semdedup_prune
+
+    n, p = 400, 8
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-9], 0) for i in range(n)]
+    assign = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, list_id long"
+    )
+    drops = semdedup_prune(assign, 999_000, max_pivots=p).collect()
+    # all but vec 0 drop, and every drop attributes to a pivot (< p)
+    assert sorted(r["vec_id"] for r in drops) == list(range(1, n))
+    assert all(r["dup_of"] < p for r in drops)
+
+
+def test_capped_plan_uses_window_group_limit_and_no_training(spark, tmp_path):
+    """Plan lock: the capped probe keeps the zero-training property AND
+    the pivot restriction is planned as a WindowGroupLimit (per-partition
+    top-P pushed below the full window sort — the property that makes the
+    rank computation itself skew-safe)."""
+    from hnarchive_spark.plans.similarity import SEMDEDUP_MAX_PIVOTS
+
+    e = load(spark, SF, "embeddings")
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, e, path, KMEANS_K, KMEANS_ITERS)
+    df = semdedup_probe(
+        spark, e, path, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "centroid:array<double>" in plan
+    assert plan.count("avg(") == 0, plan[:800]
+    assert "WindowGroupLimit" in plan, plan[:1200]
+
+
 def test_rebuild_retrains_behind_pointer(spark, tmp_path):
     """Rebuild on a grown corpus publishes v1; the probe then reproduces
     the inline form over the grown corpus (i.e. the new centroids are
