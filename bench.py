@@ -97,6 +97,14 @@ HEADLINE = [
     "q_contamination_indexed",
     "q_dsir_weights_bigram",
     "q_hybrid_search_rrf",
+    # round 14: the inline SemDeDup lands beside its indexed twin so the
+    # indexed<=inline delta is recorded per round (VERDICT r13 #4); the
+    # hot-cluster-capped form and the persisted-index hybrid serve path
+    # (both indexes built in the untimed warmup); the quality classifier
+    "q_semdedup",
+    "q_semdedup_capped",
+    "q_hybrid_search_rrf_indexed",
+    "q_quality_score",
 ]
 
 

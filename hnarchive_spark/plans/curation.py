@@ -348,6 +348,94 @@ def q_dsir_weights_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_weights_from(feats)
 
 
+# --- model-based quality classifier inference -----------------------------
+
+QUALITY_W_BUCKETS = 256
+QUALITY_KEEP_E4 = 10_000  # decision boundary: keep when mean weight >= 1.0
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, {_BUCKET_SQL.format(b=QUALITY_W_BUCKETS)} AS bucket FROM toks
+    ),
+    model AS (
+      SELECT range AS bucket,
+             ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 8))::BIGINT % 20001 AS w_e4
+      FROM range({QUALITY_W_BUCKETS})
+    ),
+    scored AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(m.w_e4) // count(*) AS BIGINT) AS quality_e4
+      FROM bucketed b JOIN model m ON m.bucket = b.bucket
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens, quality_e4,
+           CAST(CASE WHEN quality_e4 >= {QUALITY_KEEP_E4} THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM scored
+    """,
+    doc="Model-based quality-classifier INFERENCE (the fastText-style "
+    "linear filter that sits between the Gopher heuristic gates and "
+    "selection in a production curation stack): tokens hash into "
+    f"{QUALITY_W_BUCKETS} md5 buckets (the DSIR feature machinery "
+    "reused), the model is a broadcast "
+    f"{QUALITY_W_BUCKETS}-row integer weight table, and a doc's score is "
+    "the mean of its tokens' bucket weights — the integer dot product of "
+    "the doc's bucket-count vector with the weight vector, divided by "
+    "n_tokens. The sigmoid is deferred to a threshold compare (monotone, "
+    "so keep = quality_e4 >= the boundary in e4 — no libm anywhere); "
+    "weights are kept NON-NEGATIVE so the floor division is portable "
+    "(Spark div truncates toward zero, DuckDB // floors — they agree "
+    "only on nonnegative operands, the q_pca_power lesson). The fixture "
+    "model derives each bucket's weight deterministically from md5 of "
+    "the bucket id — standing in for offline-trained weights, which a "
+    "user supplies as the same (bucket, w_e4) table. Scale shape: ONE "
+    "tokenize-explode pass, a 256-row broadcast hash join, partial-agg "
+    "per-doc collapse — inference cost is the tokenize pass, model size "
+    "never touches the shuffle.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % QUALITY_W_BUCKETS
+    )
+    bucketed = toks.select("doc_id", bucket.alias("bucket"))
+    model = spark.range(QUALITY_W_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 20001
+        ).alias("w_e4"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(w_e4) div count(1)").alias("quality_e4"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality_e4",
+        F.when(F.col("quality_e4") >= QUALITY_KEEP_E4, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 DSIR_TAU_E4 = 20_000  # acceptance temperature: accept_prob = min(1, w / 2.0)
 
 

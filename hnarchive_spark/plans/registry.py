@@ -51,68 +51,67 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 13
+_ROTATION_BUILT_FOR_ROUND = 14
 
 _VERIFY_FIRST = [
-    # Round-13 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=13) prefix and
+    # Round-14 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=14) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
-    # verified queries registered this round first (the three persisted
-    # production twins — contamination gate, MinHash index + its batch
-    # probe, frozen-centroid SemDeDup — plus the DSIR bigram variant),
-    # then the ENTIRE 32-name r8-green block (the staleness floor rises
-    # to r9 after this round), then the oldest r9 names; ascending
-    # staleness, ALPHABETICAL tiebreak.
-    "q_contamination_indexed",
-    "q_dedup_minhash_incremental",
-    "q_dedup_minhash_indexed",
-    "q_dsir_weights_bigram",
-    "q_hybrid_search_rrf",
-    "q_semdedup_indexed",
-    "q_large_orders",
-    "q_lateral_join",
-    "q_link_prediction_capped",
-    "q_lpa_communities",
-    "q_mix_equalize",
-    "q_multimodal_dedup",
-    "q_multimodal_phash_dup",
-    "q_null_handling",
-    "q_pandas_udaf_weighted",
-    "q_pandas_udf_score",
-    "q_point_lookup",
-    "q_priority_pipeline",
-    "q_promo_revenue",
-    "q_quality_repetition",
-    "q_returned_items",
-    "q_running_sum",
-    "q_sample_hash",
-    "q_sample_weighted",
-    "q_schema_evolution",
-    "q_shipmode_priority",
-    "q_shipping_priority",
-    "q_small_qty_revenue",
-    "q_stream_dedup_bounded",
-    "q_stream_stream_join",
-    "q_text_quality",
-    "q_text_stats",
-    "q_tfidf_top_terms",
-    "q_top_supplier",
-    "q_topk",
-    "q_topk_per_group",
-    "q_volume_shipping",
-    "q_window_rank",
-    "q_array_funcs",
-    "q_asof_join",
-    "q_asof_join_forward",
-    "q_asof_join_inner",
-    "q_boilerplate_ngrams",
-    "q_children_sorted",
-    "q_corpus_drift",
-    "q_correlated_subquery",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incremental",
+    # verified queries registered this round first (the SemDeDup
+    # hot-cluster cap, the persisted-index hybrid retrieval, the quality
+    # classifier), then the ENTIRE r9-green block (the staleness floor
+    # rises to r10 after this round), then the oldest r10 names;
+    # ascending staleness, ALPHABETICAL tiebreak.
+    "q_hybrid_search_rrf_indexed",
+    "q_quality_score",
+    "q_semdedup_capped",
+    "q_dedup_simhash",
+    "q_display_date",
+    "q_doc_fingerprint",
+    "q_embed_quantize",
+    "q_filtered_agg",
+    "q_fix_ptags",
+    "q_having",
+    "q_kmeans_assign",
+    "q_lang_id",
+    "q_map_funcs",
+    "q_max_key",
+    "q_merge_coalesce",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
+    "q_orc_roundtrip",
+    "q_pack_sequences",
+    "q_pack_sequences_sharded",
+    "q_percentiles",
+    "q_regexp_funcs",
+    "q_session_window_builtin",
+    "q_setops_all",
+    "q_split_train_eval",
+    "q_stratified_sample",
+    "q_stream_dedup",
+    "q_stream_dim_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_string_funcs",
+    "q_token_count",
+    "q_tree_closure",
+    "q_unpivot",
+    "q_window_funcs",
+    "q_window_range_frame",
+    "q_winnow_fingerprint",
+    "q_wire_normalize",
+    "q_ann_int8",
+    "q_ann_int8_fidelity",
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_append",
+    "q_ann_ivfpq_indexed",
+    "q_ann_ivfpq_recall",
+    "q_ann_ivfpq_residual",
+    "q_ann_pq_search",
+    "q_attribution_last_touch",
 ]
 
 

@@ -97,7 +97,10 @@ def maintenance_stats(index_path: str, reset: bool = False) -> dict:
         with open(p) as fh:
             d = json.load(fh)
     except FileNotFoundError:
-        d = {"appended": 0, "skipped": 0, "batches": 0}
+        d = {}
+    # a ledger created by the read-only gate has only gate_* keys (and
+    # vice versa) — readers always see the append-triple defaulted
+    d = {"appended": 0, "skipped": 0, "batches": 0, **d}
     if reset:
         try:
             os.remove(p)
@@ -321,6 +324,94 @@ def stream_index_ivfpq(
     quantizers; recall drift is the scheduled rebuild's job)."""
     writer = vec_stream.writeStream.foreachBatch(
         maintain_ivfpq_index(index_path, n_sub, id_col, vec_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _bump_gate_stats(index_path: str, flagged: int, max_e4: int) -> None:
+    """Accumulate per-batch GATE counts into the same ``_MAINT_STATS``
+    sidecar the append families use (gate-specific keys, so one ledger
+    read surfaces both maintenance debt and leakage alerts).  Advisory
+    like the append counts: an at-least-once re-delivered batch re-probes
+    and bumps again — overstating, never understating, the alert volume."""
+    p = os.path.join(index_path, _MAINT_STATS)
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        d = {}
+    d["gate_batches"] = d.get("gate_batches", 0) + 1
+    d["gate_flagged"] = d.get("gate_flagged", 0) + int(flagged)
+    d["gate_max_e4"] = max(d.get("gate_max_e4", 0), int(max_e4))
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(d, fh)
+    os.replace(tmp, p)
+
+
+def maintain_contamination_gate(
+    index_path: str,
+    threshold_e4: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` function for the STREAMING contamination gate —
+    the production placement of the persisted gate
+    (sources/contamination_index.py): wired on the ingest stream BEFORE
+    the store merge, every training micro-batch is probed O(batch)
+    against the frozen eval index (broadcast Bloom prune, bucket-pruned
+    semi-join) and eval docs whose contamination exceeds ``threshold_e4``
+    are counted as ALERTS into the ``_MAINT_STATS`` ledger
+    (``gate_batches`` / ``gate_flagged`` / ``gate_max_e4``).
+
+    Unlike the append families this sink is READ-ONLY on the index —
+    benchmark suites change rarely, so eval-side appends stay manual
+    (``append_contamination_index``) — which makes restart idempotence
+    trivial: a re-delivered batch re-probes and re-alerts (advisory
+    double-count, the same contract as the append ledgers' "skipped"),
+    and the index itself cannot be corrupted by any crash here.  Returns
+    the number of flagged eval docs, so a caller composing
+    gate-then-merge can block or quarantine the batch on a nonzero
+    return — the decision stays with the pipeline, the gate supplies the
+    evidence."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.sources.contamination_index import probe_contamination
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        spark = batch_df.sparkSession
+        rep = probe_contamination(spark, batch_df, index_path, id_col, text_col)
+        row = rep.agg(
+            F.sum(
+                F.when(F.col("contamination_e4") > threshold_e4, 1).otherwise(0)
+            ).alias("flagged"),
+            F.coalesce(F.max("contamination_e4"), F.lit(0)).alias("max_e4"),
+        ).collect()[0]
+        flagged = int(row["flagged"] or 0)
+        _bump_gate_stats(index_path, flagged, int(row["max_e4"]))
+        return flagged
+
+    return _process
+
+
+def stream_contamination_gate(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold_e4: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Document stream → per-micro-batch contamination probe + ledger
+    alerting.  The eval index must already exist
+    (``build_contamination_index``)."""
+    writer = doc_stream.writeStream.foreachBatch(
+        maintain_contamination_gate(index_path, threshold_e4, id_col, text_col)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -278,3 +278,86 @@ def test_gram_maintenance_is_set_semantic(spark, tmp_path):
     assert st["rows"] == st["grams"]
     led = maintenance_stats(path)
     assert led["appended"] == n1 and led["batches"] >= 1
+
+def test_contamination_gate_flags_and_ledgers(spark, tmp_path):
+    """The streaming contamination gate: a CLEAN training batch probes 0
+    flagged eval docs; a batch containing eval text verbatim flags them
+    and the alert lands in the _MAINT_STATS ledger; a re-delivered batch
+    re-probes without error (read-only on the index — advisory
+    double-count, like the append ledgers' skipped)."""
+    from hnarchive_spark.sources.contamination_index import (
+        build_contamination_index,
+    )
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_contamination_gate,
+        maintenance_stats,
+    )
+
+    d = load(spark, SF, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "gate")
+    n_ev = build_contamination_index(spark, ev, path)
+    assert n_ev > 0
+
+    process = maintain_contamination_gate(path, threshold_e4=5_000)
+    # clean batch: synthetic text sharing no shingles with the corpus
+    # (the fixture documents contain near-duplicates by design, so a
+    # "different docs" slice is NOT reliably clean — which is the point
+    # of the gate, but not of this assertion)
+    clean = spark.createDataFrame(
+        [(i, f"zz{i} qq{i} ww{i} ee{i} rr{i} tt{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert process(clean, batch_id=0) == 0
+    st = maintenance_stats(path)
+    assert st["gate_batches"] == 1 and st["gate_flagged"] == 0
+
+    # contaminated batch: eval docs re-delivered as training data verbatim
+    leak = ev.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    flagged = process(leak, batch_id=1)
+    assert flagged == n_ev  # every eval doc fully contaminated
+    st = maintenance_stats(path)
+    assert st["gate_batches"] == 2 and st["gate_flagged"] == n_ev
+    assert st["gate_max_e4"] == 10_000
+
+    # at-least-once re-delivery: same alert again, no crash, no index write
+    assert process(leak, batch_id=1) == n_ev
+    assert maintenance_stats(path)["gate_flagged"] == 2 * n_ev
+
+    # empty tick records nothing
+    process(d.filter("doc_id < 0"), batch_id=2)
+    assert maintenance_stats(path)["gate_batches"] == 3
+
+
+def test_stream_contamination_gate_end_to_end(spark, tmp_path):
+    """Structured Streaming run of the gate with availableNow: files
+    stream through foreachBatch, alerts accumulate in the ledger, and a
+    restart from a fresh checkpoint (full re-delivery) only re-alerts."""
+    from hnarchive_spark.sources.contamination_index import (
+        build_contamination_index,
+    )
+    from hnarchive_spark.streaming.index_maint import (
+        maintenance_stats,
+        stream_contamination_gate,
+    )
+
+    d = load(spark, SF, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "gate")
+    n_ev = build_contamination_index(spark, ev, path)
+
+    src = str(tmp_path / "src")
+    ev.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_contamination_gate(stream, path, str(tmp_path / "ckpt1"), 5_000)
+    q.awaitTermination()
+    st = maintenance_stats(path)
+    assert st["gate_flagged"] == n_ev and st["gate_max_e4"] == 10_000
+
+    # fresh checkpoint = the at-least-once extreme: everything re-probed
+    q = stream_contamination_gate(stream, path, str(tmp_path / "ckpt2"), 5_000)
+    q.awaitTermination()
+    assert maintenance_stats(path)["gate_flagged"] == 2 * n_ev

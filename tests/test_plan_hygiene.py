@@ -559,6 +559,17 @@ def test_dsir_bigram_keeps_unigram_plan_shape(spark):
     assert "zip_with" in plan, plan[:800]
 
 
+def test_quality_score_broadcasts_model(spark):
+    """q_quality_score: the weight table must reach the token stream as a
+    broadcast hash join (model inference adds NO shuffle beyond the
+    per-doc collapse — a SortMergeJoin here would shuffle the corpus's
+    token volume on a 256-key column)."""
+    plan = _plan(spark, "q_quality_score")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, plan[:800]
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
