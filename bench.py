@@ -105,6 +105,9 @@ HEADLINE = [
     "q_semdedup_capped",
     "q_hybrid_search_rrf_indexed",
     "q_quality_score",
+    # the embedding twin of q_dedup_minhash_incremental: odd batch probed
+    # against the even-trained persisted membership (built in warmup)
+    "q_semdedup_incremental",
 ]
 
 

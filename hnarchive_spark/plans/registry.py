@@ -58,13 +58,16 @@ _VERIFY_FIRST = [
     # tools/rotation_report.rotation_order(before_round=14) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
     # verified queries registered this round first (the SemDeDup
-    # hot-cluster cap, the persisted-index hybrid retrieval, the quality
-    # classifier), then the ENTIRE r9-green block (the staleness floor
-    # rises to r10 after this round), then the oldest r10 names;
-    # ascending staleness, ALPHABETICAL tiebreak.
+    # hot-cluster cap and incremental batch probe, the persisted-index
+    # hybrid retrieval and its recall harness, the quality classifier),
+    # then the ENTIRE r9-green block (the staleness floor rises to r10
+    # after this round), then the oldest r10 names; ascending staleness,
+    # ALPHABETICAL tiebreak.
+    "q_hybrid_recall",
     "q_hybrid_search_rrf_indexed",
     "q_quality_score",
     "q_semdedup_capped",
+    "q_semdedup_incremental",
     "q_dedup_simhash",
     "q_display_date",
     "q_doc_fingerprint",
@@ -110,8 +113,6 @@ _VERIFY_FIRST = [
     "q_ann_ivfpq_indexed",
     "q_ann_ivfpq_recall",
     "q_ann_ivfpq_residual",
-    "q_ann_pq_search",
-    "q_attribution_last_touch",
 ]
 
 

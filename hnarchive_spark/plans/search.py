@@ -458,11 +458,13 @@ def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
     )
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_cte_body() -> str:
+    """The inline hybrid's CTE chain through ``fused`` — shared by the
+    ranked-output oracle and the recall harness (which appends the
+    exact-cosine arm and the overlap count on top of the same chain)."""
     from hnarchive_spark.plans.dedup import _SHINGLES_RAW
 
-    return f"""
-    WITH {_SHINGLES_RAW},
+    return f"""{_SHINGLES_RAW},
     qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < {HYBRID_QUERIES}),
     ovl AS (
       SELECT q.query_id, sh.doc_id, CAST(count(*) AS BIGINT) AS common
@@ -499,12 +501,47 @@ def _hybrid_oracle() -> str:
                + coalesce(1000000000 // ({RRF_K} + d.dense_rank), 0) AS rrf_e9
       FROM lex_r l FULL JOIN dense_r d
         ON l.query_id = d.query_id AND l.doc_id = d.doc_id
-    )
+    )"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+    WITH {_hybrid_cte_body()}
     SELECT query_id, doc_id, lex_rank, dense_rank, rrf_e9, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY rrf_e9 DESC, doc_id) AS rank
       FROM fused
     ) WHERE rank <= {HYBRID_TOPK}
+    """
+
+
+def _hybrid_recall_oracle() -> str:
+    """Recall@{topk} of the fused ranking against the exact-cosine top-k:
+    the hybrid chain's own ``e``/``q`` CTEs feed the exact arm, the
+    q_ann_recall left-join overlap tail keeps zero-recall queries."""
+    return f"""
+    WITH {_hybrid_cte_body()},
+    hyb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {HYBRID_TOPK}
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, a.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(round(list_cosine_similarity(q.qv, a.v) * 1000000) AS BIGINT) DESC,
+                          a.vec_id) AS rank
+        FROM e a CROSS JOIN q WHERE a.vec_id != q.query_id
+      ) WHERE rank <= {HYBRID_TOPK}
+    )
+    SELECT x.query_id, count(h.doc_id) AS n_hits,
+           CAST((count(h.doc_id) * 10000) // {HYBRID_TOPK} AS BIGINT) AS recall_e4
+    FROM exact x
+    LEFT JOIN hyb h ON h.query_id = x.query_id AND h.doc_id = x.doc_id
+    GROUP BY x.query_id
     """
 
 
@@ -555,6 +592,45 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
     )
     return _rrf_fuse(lex, dense)
+
+
+@query(
+    "q_hybrid_recall",
+    oracle=_hybrid_recall_oracle(),
+    doc=f"Hybrid-retrieval quality harness: recall@{HYBRID_TOPK} of the "
+    "RRF-fused ranking against the exact-cosine top-k ground truth, per "
+    "query, as a floor-divided e4 integer — the q_ann_recall companion "
+    "for the compound two-retriever operator (it evaluates what fusion "
+    "actually buys: a doc the dense leg's candidate depth missed can "
+    "still fuse in via the lexical leg and vice versa). Both arms are "
+    "registered operators; the left join keeps zero-recall queries. At "
+    "100 TB the exact arm is the one corpus pass a quality audit pays "
+    "offline; the hybrid arm is the serving path being audited.",
+)
+def q_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    hyb = q_hybrid_search_rrf(spark, sf_dir).select(
+        F.col("query_id").alias("h_qid"), F.col("doc_id").alias("h_did")
+    )
+    return (
+        exact.join(
+            hyb,
+            (exact.query_id == hyb.h_qid) & (exact.doc_id == hyb.h_did),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("h_did").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 10000) div {HYBRID_TOPK}").alias("recall_e4"),
+        )
+    )
 
 
 def _hybrid_indexed_oracle() -> str:

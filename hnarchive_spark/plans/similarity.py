@@ -531,18 +531,20 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
+def _kmeans_cte_parts(k: int, iters: int, dim: int, where: str = "") -> list[str]:
     """Unrolled Lloyd iterations as chained CTEs — the iterative operator
     stays fully hash-checkable because the iteration count is fixed and
     every float comparison is rounded identically on both engines.  The
     final CTE ``a{iters}`` carries (vec_id, v, list_id) so callers can add
-    per-cluster stages (SemDeDup) on top of the same chain."""
+    per-cluster stages (SemDeDup) on top of the same chain.  ``where``
+    restricts the TRAINING corpus (e.g. the even-id archive half for the
+    frozen-centroid incremental oracle)."""
     dist = (
         "round(list_sum(list_transform(range(1, %d), "
         "i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), 6)" % (dim + 1)
     )
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{where})",
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
       FROM e ORDER BY vec_id LIMIT {k}
@@ -675,6 +677,88 @@ def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.semdedup_drops(
         e, KMEANS_K, KMEANS_ITERS, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+    )
+
+
+def _semdedup_incremental_oracle(k: int, iters: int, dim: int, t_e6: int) -> str:
+    """Batch(odd) vs archive(even) semantic near-dup against FROZEN
+    centroids trained on the archive: the unrolled-Lloyd chain restricted
+    to even ids (a{iters} is then both the trained archive assignment AND
+    its frozen reproduction), the odd batch assigned against the same
+    final-pass centroids c{iters-1} with identical 6-decimal/tiebreak
+    scoring, pairs restricted to archive x batch within a cluster."""
+    parts = _kmeans_cte_parts(k, iters, dim, where=" WHERE vec_id % 2 = 0")
+    dist = (
+        "round(list_sum(list_transform(range(1, %d), "
+        "i -> (bn.v[i] - c.centroid[i]) * (bn.v[i] - c.centroid[i]))), 6)" % (dim + 1)
+    )
+    parts.append(f"""bn AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    anew AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT bn.vec_id, bn.v, c.list_id,
+               row_number() OVER (PARTITION BY bn.vec_id
+                                  ORDER BY {dist}, c.list_id) AS rn
+        FROM bn CROSS JOIN c{iters - 1} c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT y.vec_id AS vec_id, y.list_id AS list_id, x.vec_id AS dup_of,
+             CAST(round(list_cosine_similarity(x.v, y.v) * 1000000) AS BIGINT) AS cos_e6
+      FROM a{iters} x JOIN anew y ON x.list_id = y.list_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT vec_id, list_id, dup_of, cos_e6 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_e6 DESC, dup_of) AS rn
+      FROM pairs WHERE cos_e6 >= {t_e6}
+    ) WHERE rn = 1"""
+    )
+
+
+@query(
+    "q_semdedup_incremental",
+    oracle=_semdedup_incremental_oracle(KMEANS_K, KMEANS_ITERS, S.DIM, SEMDEDUP_T_E6),
+    doc="Incremental SemDeDup (daily batch vs PERSISTED archive index) — "
+    "the embedding-space twin of q_dedup_minhash_incremental and the "
+    "nightly probe the frozen-centroid index exists for: the archive "
+    "(even vec_ids) trains the centroids and persists its ASSIGNMENTS "
+    "bucket-partitioned by list_id (sources/semdedup_index.py "
+    "store_assignments); the batch (odd vec_ids) pays ONE broadcast "
+    "frozen-assignment pass (O(batch), zero training), reads archive "
+    "assignment rows pruned to only the clusters the batch landed in, "
+    "semi-joins the corpus accessor for just those members' vectors, and "
+    "pairs archive x batch within clusters (never batch x batch — "
+    "batch-internal duplication defers to the next day's archive, the "
+    "documented family trade). Output is a batch drop row with its best "
+    "archive neighbor (cos_e6 DESC, id ASC — the q_semdedup attribution "
+    "contract); max_pivots plumbs the hot-cluster cap through the "
+    "archive side. The oracle restricts the even-trained unrolled-Lloyd "
+    "chain to archive x batch pairs, so the pruned probe path is "
+    "hash-checked end to end.",
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        semdedup_probe_batch,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    arch = e.filter(F.col("vec_id") % 2 == 0)
+    path = built_once(
+        "semdedup_index_arch",
+        sf_dir,
+        lambda p: build_semdedup_index(
+            spark, arch, p, KMEANS_K, KMEANS_ITERS, store_assignments=True
+        ),
+    )
+    return semdedup_probe_batch(
+        spark, e.filter(F.col("vec_id") % 2 == 1), path, arch, SEMDEDUP_T_E6
     )
 
 

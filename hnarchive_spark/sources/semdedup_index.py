@@ -38,10 +38,11 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from hnarchive_spark.operators.kmeans import kmeans_assign, kmeans_assign_frozen
-from hnarchive_spark.operators.similarity import semdedup_prune
+from hnarchive_spark.operators.similarity import as_double, cosine, semdedup_prune
 from hnarchive_spark.sources.index_version import (
     current_index_version,
     index_root,
@@ -51,6 +52,10 @@ from hnarchive_spark.sources.index_version import (
 
 def _centroids_path(path: str) -> str:
     return os.path.join(index_root(path), "centroids")
+
+
+def _lists_path(path: str) -> str:
+    return os.path.join(index_root(path), "lists")
 
 
 def _write_meta(root: str, k: int, iters: int) -> None:
@@ -74,8 +79,9 @@ def _train_and_write(
     iters: int,
     id_col: str,
     vec_col: str,
+    store_assignments: bool = False,
 ) -> int:
-    _assign, cents = kmeans_assign(
+    assign, cents = kmeans_assign(
         vectors, k, iters, id_col=id_col, vec_col=vec_col, return_centroids=True
     )
     cent_df = spark.createDataFrame(
@@ -83,6 +89,18 @@ def _train_and_write(
         "list_id long, centroid array<double>",
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    if store_assignments:
+        # the (vec_id, list_id) membership table, cluster = physical
+        # partition — what lets the incremental batch probe read ONLY the
+        # clusters a batch lands in (the ann_index codes-in-lists layout)
+        (
+            assign.select(F.col("vec_id"), F.col("list_id"))
+            .repartition("list_id")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("list_id")
+            .parquet(os.path.join(root, "lists"))
+        )
     _write_meta(root, k, iters)
     return len(cents)
 
@@ -95,11 +113,136 @@ def build_semdedup_index(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_assignments: bool = False,
 ) -> int:
     """Train on the given corpus sample and persist the frozen centroids;
-    returns the number of (non-empty) centroids written."""
+    returns the number of (non-empty) centroids written.
+    ``store_assignments=True`` also persists the training corpus's
+    (vec_id, list_id) membership partitioned by list_id — the archive
+    side the incremental batch probe (:func:`semdedup_probe_batch`)
+    prunes into, maintained by :func:`append_semdedup_index`."""
     os.makedirs(path, exist_ok=True)
-    return _train_and_write(spark, vectors, path, k, iters, id_col, vec_col)
+    return _train_and_write(
+        spark, vectors, path, k, iters, id_col, vec_col, store_assignments
+    )
+
+
+def append_semdedup_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Absorb a new-vector batch into the persisted membership table:
+    frozen-assign against the centroids (one broadcast pass, zero
+    training), presence-anti-join against ONLY the clusters the batch
+    landed in (a re-delivered vector assigns to the same cluster
+    deterministically, so its existing row is guaranteed to be inside
+    those partitions — the check is O(batch clusters), not O(index)),
+    append novel rows into the list partitions.  Returns how many were
+    new; a fully re-delivered batch appends nothing — the at-least-once
+    no-op the streaming maintenance contract requires."""
+    cents = spark.read.parquet(_centroids_path(path))
+    a = kmeans_assign_frozen(
+        vectors.dropDuplicates([id_col]), cents, id_col=id_col, vec_col=vec_col
+    )
+    a = a.localCheckpoint(eager=True)  # (vec_id, list_id) — metadata-width
+    clusters = [r[0] for r in a.select("list_id").distinct().collect()]
+    if not clusters:
+        return 0
+    existing = (
+        spark.read.parquet(_lists_path(path))
+        .filter(F.col("list_id").isin(clusters))
+        .select("vec_id")
+    )
+    novel = a.join(existing, "vec_id", "left_anti").localCheckpoint(eager=True)
+    n_new = novel.count()
+    if n_new == 0:
+        return 0
+    (
+        novel.repartition("list_id")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("list_id")
+        .parquet(_lists_path(path))
+    )
+    return n_new
+
+
+def semdedup_probe_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    archive_vectors: DataFrame,
+    t_e6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_pivots: int | None = None,
+) -> DataFrame:
+    """Batch-vs-archive semantic near-dup against the frozen index: one
+    broadcast assignment pass over the BATCH (O(batch), zero training),
+    archive membership read pruned to only the clusters the batch landed
+    in, the corpus accessor semi-joined for just those members' vectors,
+    then archive x batch cosine pairs within clusters — never batch x
+    batch (batch-internal duplication defers to the next day's archive,
+    the incremental family's documented trade).  Output rows are
+    (vec_id=batch drop, list_id, dup_of=best archive neighbor, cos_e6)
+    with the q_semdedup attribution order (cos_e6 DESC, id ASC).
+    ``max_pivots`` caps the ARCHIVE side per cluster (see semdedup_prune).
+
+    The batch assignment frame stays LAZY (it carries the batch's double
+    vectors): its two consumers — the cluster-id collect and the pair
+    join — each recompute one stateless O(batch) broadcast pass, vs
+    holding a batch-sized vector frame in block storage per probe (the
+    probe_minhash_pairs lesson, BENCH_NOTES r13)."""
+    cents = spark.read.parquet(_centroids_path(path))
+    b = kmeans_assign_frozen(
+        batch, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    clusters = [r[0] for r in b.select("list_id").distinct().collect()]
+    if not clusters:
+        return spark.createDataFrame(
+            [], "vec_id long, list_id long, dup_of long, cos_e6 long"
+        )
+    members = spark.read.parquet(_lists_path(path)).filter(
+        F.col("list_id").isin(clusters)
+    )
+    arch = (
+        archive_vectors.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .join(members, "vec_id")
+    )
+    if max_pivots is not None:
+        pw = Window.partitionBy("list_id").orderBy("vec_id")
+        arch = (
+            arch.select("*", F.row_number().over(pw).alias("_pr"))
+            .filter(F.col("_pr") <= max_pivots)
+            .drop("_pr")
+        )
+    x, y = arch.alias("x"), b.alias("y")
+    cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.list_id") == F.col("y.list_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("y.list_id").alias("list_id"),
+            F.col("x.vec_id").alias("dup_of"),
+            cos_e6.alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= t_e6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_e6").desc(), "dup_of")
+    return (
+        pairs.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id", "dup_of", "cos_e6")
+    )
 
 
 def semdedup_probe(

@@ -127,6 +127,78 @@ def test_capped_plan_uses_window_group_limit_and_no_training(spark, tmp_path):
     assert "WindowGroupLimit" in plan, plan[:1200]
 
 
+def test_incremental_probe_and_membership_appends(spark, tmp_path):
+    """The batch probe: archive(even) trains + persists membership, the
+    odd batch probes O(batch) — results must equal the direct cross-pair
+    computation over frozen assignments; membership appends are
+    presence-anti-joined idempotent (full re-delivery appends 0); the
+    probe plan does no training and prunes the membership scan."""
+    from hnarchive_spark.sources.semdedup_index import (
+        append_semdedup_index,
+        semdedup_probe_batch,
+    )
+
+    e = load(spark, SF, "embeddings")
+    arch = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, arch, path, KMEANS_K, KMEANS_ITERS,
+                         store_assignments=True)
+
+    got = sorted(
+        tuple(r)
+        for r in semdedup_probe_batch(
+            spark, batch, path, arch, SEMDEDUP_T_E6
+        ).collect()
+    )
+    # reference: direct frozen assignment of both sides, cross pairs only
+    trained, cents = kmeans_assign(arch, KMEANS_K, KMEANS_ITERS,
+                                   return_centroids=True)
+    ax = kmeans_assign_frozen(arch, cents, keep_vec=True)
+    bx = kmeans_assign_frozen(batch, cents, keep_vec=True)
+    from hnarchive_spark.operators.similarity import cosine
+
+    x, y = ax.alias("x"), bx.alias("y")
+    pairs = (
+        x.join(y, F.col("x.list_id") == F.col("y.list_id"))
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("y.list_id").alias("list_id"),
+            F.col("x.vec_id").alias("dup_of"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= SEMDEDUP_T_E6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_e6").desc(), "dup_of")
+    want = sorted(
+        tuple(r)
+        for r in pairs.select("*", F.row_number().over(w).alias("rn"))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # membership append: the batch joins the archive; re-delivery is a no-op
+    n = append_semdedup_index(spark, batch, path)
+    assert n == batch.count()
+    assert append_semdedup_index(spark, batch, path) == 0
+    # after absorption, yesterday's batch IS archive: a fresh probe of the
+    # same ids now pairs them against themselves too — exclude self-pairs
+    got2 = semdedup_probe_batch(spark, batch, path, e, SEMDEDUP_T_E6)
+    assert got2.filter(F.col("vec_id") == F.col("dup_of")).count() == 0
+
+    # plan lock: no training aggregate, membership scan partition-pruned
+    df = semdedup_probe_batch(spark, batch, path, arch, SEMDEDUP_T_E6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("avg(") == 0, plan[:800]
+    assert "list_id" in plan
+
+
 def test_rebuild_retrains_behind_pointer(spark, tmp_path):
     """Rebuild on a grown corpus publishes v1; the probe then reproduces
     the inline form over the grown corpus (i.e. the new centroids are
