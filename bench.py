@@ -108,6 +108,8 @@ HEADLINE = [
     # the embedding twin of q_dedup_minhash_incremental: odd batch probed
     # against the even-trained persisted membership (built in warmup)
     "q_semdedup_incremental",
+    # the composed quality->dedup->domain-cap recipe as one DAG
+    "q_curation_pipeline",
 ]
 
 

@@ -354,6 +354,35 @@ QUALITY_W_BUCKETS = 256
 QUALITY_KEEP_E4 = 10_000  # decision boundary: keep when mean weight >= 1.0
 
 
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, quality_e4) — the scorer shared by
+    q_quality_score and the composed q_curation_pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % QUALITY_W_BUCKETS
+    )
+    bucketed = toks.select("doc_id", bucket.alias("bucket"))
+    model = spark.range(QUALITY_W_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 20001
+        ).alias("w_e4"),
+    )
+    return (
+        bucketed.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(w_e4) div count(1)").alias("quality_e4"),
+        )
+    )
+
+
+
 @query(
     "q_quality_score",
     oracle=f"""
@@ -402,29 +431,7 @@ QUALITY_KEEP_E4 = 10_000  # decision boundary: keep when mean weight >= 1.0
     "never touches the shuffle.",
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % QUALITY_W_BUCKETS
-    )
-    bucketed = toks.select("doc_id", bucket.alias("bucket"))
-    model = spark.range(QUALITY_W_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (
-            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 20001
-        ).alias("w_e4"),
-    )
-    scored = (
-        bucketed.join(F.broadcast(model), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("sum(w_e4) div count(1)").alias("quality_e4"),
-        )
-    )
+    scored = _quality_scored(spark, sf_dir)
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -499,4 +506,102 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("accept_e6", accept_e6)
         .filter(hash_e6 < F.col("accept_e6"))
         .select("doc_id", "n_tokens", "dsir_w_e4", "accept_e6")
+    )
+
+
+# --- the composed curation pipeline ---------------------------------------
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, {_BUCKET_SQL.format(b=QUALITY_W_BUCKETS)} AS bucket FROM toks
+    ),
+    model AS (
+      SELECT range AS bucket,
+             ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 8))::BIGINT % 20001 AS w_e4
+      FROM range({QUALITY_W_BUCKETS})
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(sum(m.w_e4) // count(*) AS BIGINT) AS quality_e4
+      FROM bucketed b JOIN model m ON m.bucket = b.bucket
+      GROUP BY b.doc_id
+    ),
+    kept_q AS (SELECT doc_id, quality_e4 FROM scored
+               WHERE quality_e4 >= {QUALITY_KEEP_E4}),
+    fp AS (
+      SELECT d.doc_id, q.quality_e4,
+             substr(md5(regexp_replace(lower(d.text), ' +', ' ', 'g')), 1, 16) AS fp
+      FROM documents d JOIN kept_q q ON q.doc_id = d.doc_id
+    ),
+    surv AS (
+      SELECT doc_id, quality_e4,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS fo
+      FROM fp
+    ),
+    {_URL_CTE},
+    capped AS (
+      SELECT p.doc_id, p.domain, p.n_chars, s.quality_e4, s.n_dups,
+             row_number() OVER (PARTITION BY p.domain
+                                ORDER BY p.n_chars DESC, p.doc_id) AS rk
+      FROM parsed p JOIN surv s ON s.doc_id = p.doc_id AND s.fo = 1
+    )
+    SELECT doc_id, domain, n_chars, quality_e4, n_dups, CAST(rk AS BIGINT) AS rk
+    FROM capped WHERE rk <= {DOMAIN_CAP_K}
+    """,
+    doc="The COMPOSED curation pipeline as one declarative plan — the "
+    "preprocessing recipe a training-data team actually runs, chained "
+    "end to end so Catalyst plans it as a single DAG: (1) model-based "
+    "quality gate (q_quality_score's broadcast 256-row scorer, keep "
+    f">= {QUALITY_KEEP_E4} e4), (2) exact-dedup survivorship over the "
+    "kept docs (normalized-text fingerprint, first-occurrence wins, dup "
+    "count carried as audit), (3) per-registrable-domain cap "
+    f"(top-{DOMAIN_CAP_K} by n_chars DESC with the WindowGroupLimit "
+    "partial rank pushdown). Output = the selected docs with full audit "
+    "columns (quality_e4, n_dups, domain rank). Scale shape: one "
+    "tokenize pass + three metadata-width shuffles (doc_id, fp, domain) "
+    "— no stage re-scans the corpus text more than the fingerprint and "
+    "URL projections need, and every stage's skew guard is the one its "
+    "standalone query ships (broadcast model, hash-group fp, capped "
+    "domain window). A green hash check here proves the STAGES COMPOSE: "
+    "each standalone oracle can pass while a composition mis-threads its "
+    "join keys — this query pins the whole recipe.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept_q = _quality_scored(spark, sf_dir).filter(
+        F.col("quality_e4") >= QUALITY_KEEP_E4
+    )
+    fp = d.join(kept_q.select("doc_id", "quality_e4"), "doc_id").select(
+        "doc_id", "quality_e4", T.fingerprint(F.col("text")).alias("fp")
+    )
+    wc = Window.partitionBy("fp")
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        fp.select(
+            "doc_id",
+            "quality_e4",
+            F.count(F.lit(1)).over(wc).alias("n_dups"),
+            F.row_number().over(wf).alias("fo"),
+        )
+        .filter(F.col("fo") == 1)
+        .drop("fo")
+    )
+    parsed = _domain_cols(_with_url(spark, sf_dir)).select(
+        "doc_id", "domain", "n_chars"
+    )
+    wd = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        parsed.join(surv, "doc_id")
+        .withColumn("rk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP_K)
+        .select("doc_id", "domain", "n_chars", "quality_e4", "n_dups", "rk")
     )

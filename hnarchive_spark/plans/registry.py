@@ -57,12 +57,14 @@ _VERIFY_FIRST = [
     # Round-14 rotation, generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=14) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
-    # verified queries registered this round first (the SemDeDup
-    # hot-cluster cap and incremental batch probe, the persisted-index
-    # hybrid retrieval and its recall harness, the quality classifier),
+    # verified queries registered this round first (the composed
+    # curation pipeline, the SemDeDup hot-cluster cap and incremental
+    # batch probe, the persisted-index hybrid retrieval and its recall
+    # harness, the quality classifier),
     # then the ENTIRE r9-green block (the staleness floor rises to r10
     # after this round), then the oldest r10 names; ascending staleness,
     # ALPHABETICAL tiebreak.
+    "q_curation_pipeline",
     "q_hybrid_recall",
     "q_hybrid_search_rrf_indexed",
     "q_quality_score",
@@ -112,7 +114,6 @@ _VERIFY_FIRST = [
     "q_ann_ivfpq_append",
     "q_ann_ivfpq_indexed",
     "q_ann_ivfpq_recall",
-    "q_ann_ivfpq_residual",
 ]
 
 

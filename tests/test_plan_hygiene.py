@@ -570,6 +570,17 @@ def test_quality_score_broadcasts_model(spark):
     assert "BroadcastExchange" in plan, plan[:800]
 
 
+def test_curation_pipeline_keeps_stage_guards(spark):
+    """q_curation_pipeline: composing the stages must not lose their
+    individual guards — the 256-row model still arrives by broadcast
+    (never a corpus-token SortMergeJoin on the bucket), and the domain
+    cap still plans its WindowGroupLimit partial rank pushdown."""
+    plan = _plan(spark, "q_curation_pipeline")
+    assert "BroadcastExchange" in plan, plan[:800]
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
