@@ -356,30 +356,13 @@ QUALITY_KEEP_E4 = 10_000  # decision boundary: keep when mean weight >= 1.0
 
 def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, quality_e4) — the scorer shared by
-    q_quality_score and the composed q_curation_pipeline."""
+    q_quality_score and the composed q_curation_pipeline (the operator
+    itself lives in operators/quality.py, shared with the streaming
+    quality gate)."""
+    from hnarchive_spark.operators.quality import fixture_model, quality_scores
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % QUALITY_W_BUCKETS
-    )
-    bucketed = toks.select("doc_id", bucket.alias("bucket"))
-    model = spark.range(QUALITY_W_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (
-            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 20001
-        ).alias("w_e4"),
-    )
-    return (
-        bucketed.join(F.broadcast(model), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("sum(w_e4) div count(1)").alias("quality_e4"),
-        )
-    )
+    return quality_scores(d, fixture_model(spark))
 
 
 

@@ -281,8 +281,17 @@ def rebuild_semdedup_index(
     meta = read_meta(path)
     k = int(k if k is not None else meta["k"])
     iters = int(iters if iters is not None else meta["iters"])
+    # an index that carries the membership table (the incremental-probe
+    # archive side) must carry it through the rebuild: the retrained
+    # assignment of the rebuild corpus lands in the new version too,
+    # else the published root would break semdedup_probe_batch and
+    # prune_index_versions would delete the only copy
+    has_lists = os.path.isdir(_lists_path(path))
     new_v = (current_index_version(path) or 0) + 1
     vdir = os.path.join(path, f"v{new_v}")
-    _train_and_write(spark, vectors, vdir, k, iters, id_col, vec_col)
+    _train_and_write(
+        spark, vectors, vdir, k, iters, id_col, vec_col,
+        store_assignments=has_lists,
+    )
     publish_index_version(path, new_v)
     return vdir

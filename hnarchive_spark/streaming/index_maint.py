@@ -418,6 +418,82 @@ def stream_contamination_gate(
     return writer.start()
 
 
+def maintain_quality_gate(
+    ledger_path: str,
+    threshold_e4: int,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` function for the STREAMING quality gate — the
+    model-based filter's placement on the ingest cadence, completing the
+    gate pair with :func:`maintain_contamination_gate`: every document
+    micro-batch is scored by the broadcast weight table
+    (operators/quality.py — one tokenize pass, O(batch)) and docs
+    scoring BELOW ``threshold_e4`` count as rejections into the ledger
+    (``quality_batches`` / ``quality_rejected`` / ``quality_scored``).
+
+    ``model`` is the trained (bucket, w_e4) table; None uses the
+    deterministic fixture model.  Like the contamination gate this sink
+    is READ-ONLY (nothing on disk to corrupt, restart trivially
+    idempotent; re-delivery double-counts advisorily).  Returns the
+    batch's rejection count so a gate-then-merge composition can route
+    rejects to quarantine — the decision stays with the pipeline."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.operators.quality import fixture_model, quality_scores
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        if batch_df.isEmpty():
+            return 0
+        m = model if model is not None else fixture_model(batch_df.sparkSession)
+        scored = quality_scores(batch_df, m, id_col=id_col, text_col=text_col)
+        row = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("quality_e4") < threshold_e4, 1).otherwise(0)
+            ).alias("rejected"),
+        ).collect()[0]
+        rejected = int(row["rejected"] or 0)
+        p = os.path.join(ledger_path, _MAINT_STATS)
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            d = {}
+        d["quality_batches"] = d.get("quality_batches", 0) + 1
+        d["quality_scored"] = d.get("quality_scored", 0) + int(row["n"])
+        d["quality_rejected"] = d.get("quality_rejected", 0) + rejected
+        os.makedirs(ledger_path, exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(d, fh)
+        os.replace(tmp, p)
+        return rejected
+
+    return _process
+
+
+def stream_quality_gate(
+    doc_stream: DataFrame,
+    ledger_path: str,
+    checkpoint_dir: str,
+    threshold_e4: int,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Document stream → per-micro-batch quality scoring + ledger
+    alerting."""
+    writer = doc_stream.writeStream.foreachBatch(
+        maintain_quality_gate(ledger_path, threshold_e4, model, id_col, text_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_scd2(store_path: str):
     """``foreachBatch`` function for SCD2 dimension maintenance
     (sources/scd2_store.py): each micro-batch of entity events absorbs

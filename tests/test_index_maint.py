@@ -361,3 +361,64 @@ def test_stream_contamination_gate_end_to_end(spark, tmp_path):
     q = stream_contamination_gate(stream, path, str(tmp_path / "ckpt2"), 5_000)
     q.awaitTermination()
     assert maintenance_stats(path)["gate_flagged"] == 2 * n_ev
+
+
+def test_quality_gate_scores_and_ledgers(spark, tmp_path):
+    """The streaming quality gate: per-batch broadcast scoring against
+    the (fixture) weight table, below-threshold docs counted into the
+    ledger's quality_* keys; re-delivery is an advisory re-count; the
+    count must equal the registered scorer's own below-threshold count
+    over the same rows (shared operator)."""
+    from hnarchive_spark.operators.quality import fixture_model, quality_scores
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_quality_gate,
+        maintenance_stats,
+    )
+
+    d = load(spark, SF, "documents")
+    thr = 10_000
+    want_rejected = (
+        quality_scores(d, fixture_model(spark))
+        .filter(F.col("quality_e4") < thr)
+        .count()
+    )
+    assert 0 < want_rejected < d.count()
+
+    path = str(tmp_path / "qgate")
+    process = maintain_quality_gate(path, thr)
+    assert process(d, batch_id=0) == want_rejected
+    st = maintenance_stats(path)
+    assert st["quality_batches"] == 1 and st["quality_rejected"] == want_rejected
+    assert st["quality_scored"] == d.count()
+
+    # re-delivery: same count again, advisory double-count, no crash
+    assert process(d, batch_id=0) == want_rejected
+    assert maintenance_stats(path)["quality_rejected"] == 2 * want_rejected
+    # empty tick records nothing
+    process(d.filter("doc_id < 0"), batch_id=1)
+    assert maintenance_stats(path)["quality_batches"] == 2
+
+
+def test_stream_quality_gate_end_to_end(spark, tmp_path):
+    """Structured Streaming run of the quality gate with availableNow."""
+    from hnarchive_spark.operators.quality import fixture_model, quality_scores
+    from hnarchive_spark.streaming.index_maint import (
+        maintenance_stats,
+        stream_quality_gate,
+    )
+
+    d = load(spark, SF, "documents").select("doc_id", "text")
+    thr = 10_000
+    want = (
+        quality_scores(d, fixture_model(spark))
+        .filter(F.col("quality_e4") < thr)
+        .count()
+    )
+    src = str(tmp_path / "src")
+    d.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    path = str(tmp_path / "qgate")
+    q = stream_quality_gate(stream, path, str(tmp_path / "ckpt"), thr)
+    q.awaitTermination()
+    st = maintenance_stats(path)
+    assert st["quality_rejected"] == want and st["quality_batches"] == 1

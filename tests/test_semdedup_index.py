@@ -219,3 +219,27 @@ def test_rebuild_retrains_behind_pointer(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert os.path.isdir(os.path.join(path, "centroids"))  # v0 retained
+
+
+def test_rebuild_carries_membership_through(spark, tmp_path):
+    """A membership-bearing index (store_assignments=True) rebuilt into
+    v<N> must keep the batch probe working against the published root —
+    the retrained assignment of the rebuild corpus lands in the new
+    version's lists, so probe_batch never dangles on a pruned flat dir."""
+    from hnarchive_spark.sources.semdedup_index import (
+        _lists_path,
+        semdedup_probe_batch,
+    )
+    from hnarchive_spark.sources.semdedup_index import rebuild_semdedup_index
+
+    e = load(spark, SF, "embeddings")
+    arch = e.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "sd")
+    build_semdedup_index(spark, arch, path, KMEANS_K, KMEANS_ITERS,
+                         store_assignments=True)
+    vdir = rebuild_semdedup_index(spark, arch, path)
+    assert os.path.isdir(os.path.join(vdir, "lists"))
+    got = semdedup_probe_batch(
+        spark, e.filter(F.col("vec_id") % 2 == 1), path, arch, SEMDEDUP_T_E6
+    )
+    assert got.count() > 0
