@@ -51,6 +51,16 @@ def detect_index_kind(path: str) -> str | None:
     if has("codes", "codebooks"):
         return "ivfpq"
     if has("lists", "centroids"):
+        # a membership-bearing SemDeDup index (store_assignments=True)
+        # also has lists+centroids — but it carries the training recipe
+        # in _META.json ({"k","iters"}), which plain IVF never writes
+        meta = os.path.join(root, "_META.json")
+        if os.path.exists(meta):
+            import json
+
+            with open(meta) as fh:
+                if "iters" in json.load(fh):
+                    return "semdedup"
         return "ivf"
     if has("bands", "docs"):
         return "minhash"

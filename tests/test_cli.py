@@ -560,3 +560,10 @@ def test_maintenance_detects_every_family(spark, tmp_path):
     for kind, path in p.items():
         assert detect_index_kind(path) == kind, (kind, path)
     assert detect_index_kind(str(tmp_path)) is None
+
+    # a membership-bearing SemDeDup index has lists+centroids like plain
+    # IVF — the training recipe in _META.json disambiguates it
+    p2 = str(tmp_path / "semdedup_m")
+    build_semdedup_index(spark, e, p2, KMEANS_K, KMEANS_ITERS,
+                         store_assignments=True)
+    assert detect_index_kind(p2) == "semdedup"
