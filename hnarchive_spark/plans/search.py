@@ -432,6 +432,11 @@ HYBRID_QUERIES = 5  # query docs = doc_id < 5 (the ANN query-set convention)
 HYBRID_CAND_K = 20  # per-ranker candidate depth
 HYBRID_TOPK = 10
 RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+# stop-term guard for the indexed lexical leg: query terms appearing in
+# more than this % of the corpus are dropped before scoring — binds at
+# both test scales (the fixture vocab is small and uniform: median query
+# term df ~78% of docs) and doubles as the poor-man's idf
+HYBRID_MAX_DF_PCT = 79
 
 
 def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
@@ -678,11 +683,14 @@ def _hybrid_indexed_oracle() -> str:
       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks)
       GROUP BY doc_id, term
     ),
+    lxdf AS (SELECT term, count(*) AS df FROM lxp GROUP BY term),
     lxsc0 AS (
       SELECT q.query_id, p.doc_id, p.tf, p.dl,
              {bm25_avgdl_sql(div='//', s='st.s', n='st.n')} AS a
-      FROM qterms q JOIN lxp p USING (term) CROSS JOIN st
+      FROM qterms q JOIN lxp p USING (term)
+      JOIN lxdf USING (term) CROSS JOIN st
       WHERE p.doc_id != q.query_id
+        AND lxdf.df <= (st.n * {HYBRID_MAX_DF_PCT}) // 100
     ),
     lxsc AS (
       SELECT query_id, doc_id,
@@ -726,7 +734,11 @@ def _hybrid_indexed_oracle() -> str:
     "(sources/text_index.py bm25_query_topk — bucket scan pruned driver-"
     "side to the union of the query docs' terms, exact-term filter pushed "
     "to the reader, score = sum of the family's exact per-term e6 "
-    "rationals), the dense leg is the persisted IVF-PQ probe "
+    f"rationals, stop-term guard dropping terms in > {HYBRID_MAX_DF_PCT}% "
+    "of the corpus before scoring — the text analog of max_band_df, and "
+    "the poor-man's idf since the integer BM25 is deliberately log-free; "
+    "replayed exactly in the oracle), the dense leg is the persisted "
+    "IVF-PQ probe "
     "(probe_ivfpq_topk — partition-pruned list scan, broadcast ADC LUT, "
     "zero training), and the two (query, doc, rank) frames fuse with the "
     f"same RRF integer math (k={RRF_K}) via the shared _rrf_fuse. Both "
@@ -762,7 +774,11 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     lex = bm25_query_topk(
-        spark, tpath, [(r["doc_id"], r["ws"]) for r in qrows], HYBRID_CAND_K
+        spark,
+        tpath,
+        [(r["doc_id"], r["ws"]) for r in qrows],
+        HYBRID_CAND_K,
+        max_df_pct=HYBRID_MAX_DF_PCT,
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     dense = probe_ivfpq_topk(
         spark,

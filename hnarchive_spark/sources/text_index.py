@@ -265,6 +265,7 @@ def bm25_query_topk(
     index_path: str,
     queries: list[tuple[int, list[str]]],
     topk: int,
+    max_df_pct: int | None = None,
 ) -> DataFrame:
     """Per-QUERY BM25 top-k against the persisted index — the multi-term
     generalization of :func:`bm25_topk` hybrid retrieval's lexical leg
@@ -278,7 +279,20 @@ def bm25_query_topk(
     the bucket scan DRIVER-SIDE (no Spark job), the exact-term filter is
     pushed to the parquet reader, and the (query_id, term) frame is
     broadcast — queries are the small side by construction, so the probe
-    scans only the query terms' postings, never the corpus."""
+    scans only the query terms' postings, never the corpus.
+
+    ``max_df_pct`` is the STOP-TERM skew guard: query terms whose
+    document frequency exceeds that percentage of the indexed corpus are
+    dropped before scoring (a 'the' in a query doc otherwise pulls that
+    term's ENTIRE postings list through the scoring join at 100 TB —
+    the text analog of the minhash probe's max_band_df).  The hot list
+    is a tiny per-term aggregate over the already-pruned postings,
+    anti-joined back; since idf-free BM25 weights common terms like rare
+    ones, the cap is also the poor-man's idf.  A production index would
+    additionally persist per-term df so the stop term's postings are
+    skipped at SCAN time, not post-scan — here the scan is already
+    bounded by the query's term buckets, and the guard bounds everything
+    downstream of it."""
     from hnarchive_spark.plans.search import bm25_avgdl_sql, bm25_score_sql
 
     qt = [(int(qid), t) for qid, ts in queries for t in sorted(set(ts))]
@@ -294,6 +308,14 @@ def bm25_query_topk(
         .filter(F.col("term").isin(all_terms))
     )
     s_tot, n_tot = _read_stats(index_path)
+    if max_df_pct is not None:
+        cap = (n_tot * int(max_df_pct)) // 100
+        hot = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+        )
+        p = p.join(hot.select("term"), "term", "left_anti")
     stats = spark.createDataFrame([(s_tot, n_tot)], "s long, n long")
     qdf = spark.createDataFrame(qt, "query_id long, term string")
     scored = (
