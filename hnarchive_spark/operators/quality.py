@@ -50,7 +50,16 @@ def quality_scores(
 ) -> DataFrame:
     """(doc_id, n_tokens, quality_e4) for every doc with at least one
     token (zero-token docs have no features and drop — the DSIR
-    convention)."""
+    convention; the streaming gate counts them separately as
+    ``quality_unscored``).
+
+    The model joins in as a LEFT join with weight 0 for unmatched
+    buckets (ADVICE r14): ``n_tokens`` is therefore the doc's TRUE token
+    count even under a user-supplied SPARSE weight table, docs whose
+    tokens all miss still score (as 0), and a sparse model reads as
+    "absent buckets carry zero weight" rather than silently renaming
+    matched-token counts to n_tokens.  With a full-coverage table (the
+    fixture) left and inner are identical."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(F.col(text_col))).alias("tok"),
@@ -61,7 +70,8 @@ def quality_scores(
     )
     return (
         toks.select("doc_id", bucket.alias("bucket"))
-        .join(F.broadcast(model), "bucket")
+        .join(F.broadcast(model), "bucket", "left")
+        .select("doc_id", F.coalesce(F.col("w_e4"), F.lit(0)).alias("w_e4"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -81,7 +81,11 @@ def _publish_bloom(bitmap: DataFrame, broot: str) -> None:
     pointer.  Versions older than the immediately superseded one are
     pruned (the bitmap is at most ``2^log2_bits/64`` rows, and keeping
     exactly one back version protects a reader that resolved the
-    pointer just before the swap)."""
+    pointer just before the swap).  This inline prune is the module's
+    DOCUMENTED divergence from the index_version.py retain-until-
+    prune_index_versions contract (see that module's docstring): the
+    bitmap is republished per merge, so retain-until-pruned would grow a
+    version per append for a scalar-sized artifact."""
     new_v = (current_index_version(broot) or 0) + 1
     bitmap.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(broot, f"v{new_v}")

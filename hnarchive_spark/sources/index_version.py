@@ -21,6 +21,15 @@ discipline (sources/items_store.py ``_commit``) applied to indexes:
   new version in full;
 * old versions are retained until :func:`prune_index_versions` — the
   same time-travel-until-pruned model as the store.
+
+ONE documented divergence (ADVICE r14): the contamination index's Bloom
+bitmap (contamination_index._publish_bloom) prunes its own superseded
+versions INLINE at publish time, keeping exactly one back version — the
+bitmap is scalar-sized, republished on every merge, and would otherwise
+accumulate a version per append; a reader more than one merge stale can
+have its bloom directory deleted mid-scan there (it falls back to a
+re-resolve).  Every OTHER family follows the retain-until-pruned
+contract above.
 """
 
 from __future__ import annotations

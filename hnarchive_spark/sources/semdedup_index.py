@@ -142,7 +142,19 @@ def append_semdedup_index(
     those partitions — the check is O(batch clusters), not O(index)),
     append novel rows into the list partitions.  Returns how many were
     new; a fully re-delivered batch appends nothing — the at-least-once
-    no-op the streaming maintenance contract requires."""
+    no-op the streaming maintenance contract requires.
+
+    Idempotence across a rebuild (ADVICE r14): safe, because
+    rebuild_semdedup_index does NOT carry old (vec_id, list_id) rows
+    forward — it RECOMPUTES every membership row as the frozen
+    assignment of the rebuild corpus under the NEW centroids, and the
+    redelivered batch frozen-assigns under those same centroids, so the
+    presence check probes exactly the cluster the existing row lives in.
+    The one genuinely unguarded window is a redelivery where the SAME
+    vec_id arrives with a CHANGED embedding (an update, not a replay):
+    it may assign to a different cluster and insert a second membership
+    row — probe drops stay correct (rn=1 dedups per vec_id) but pair
+    work inflates; updates should go through rebuild, not append."""
     cents = spark.read.parquet(_centroids_path(path))
     a = kmeans_assign_frozen(
         vectors.dropDuplicates([id_col]), cents, id_col=id_col, vec_col=vec_col

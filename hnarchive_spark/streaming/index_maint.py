@@ -335,7 +335,15 @@ def _bump_gate_stats(index_path: str, flagged: int, max_e4: int) -> None:
     sidecar the append families use (gate-specific keys, so one ledger
     read surfaces both maintenance debt and leakage alerts).  Advisory
     like the append counts: an at-least-once re-delivered batch re-probes
-    and bumps again — overstating, never understating, the alert volume."""
+    and bumps again — overstating, never understating, the alert volume.
+
+    SINGLE WRITER PER PATH (ADVICE r14): this read-modify-write is not
+    locked — the 'overstating, never understating' contract holds only
+    while at most one gate stream targets a given ledger path at a time
+    (the repo's composition, enforced by giving each stream its own
+    checkpoint+ledger pair).  Two concurrent writers on ONE path could
+    lose (understate) each other's bumps; compose concurrent sinks on
+    separate paths and sum at read time."""
     p = os.path.join(index_path, _MAINT_STATS)
     try:
         with open(p) as fh:
@@ -438,7 +446,15 @@ def maintain_quality_gate(
     is READ-ONLY (nothing on disk to corrupt, restart trivially
     idempotent; re-delivery double-counts advisorily).  Returns the
     batch's rejection count so a gate-then-merge composition can route
-    rejects to quarantine — the decision stays with the pipeline."""
+    rejects to quarantine — the decision stays with the pipeline.
+
+    Zero-token documents have no features and cannot be scored
+    (operators/quality.py, the DSIR convention) — they are NOT silently
+    passed (ADVICE r14): each batch's unscorable rows are counted into
+    the ``quality_unscored`` ledger key, so a batch of degenerate docs
+    surfaces as unscored volume even though it contributes zero
+    rejections; a gate-then-quarantine caller that wants to reject them
+    should route on ``quality_unscored`` as well as the return value."""
     from pyspark.sql import functions as F
 
     from hnarchive_spark.operators.quality import fixture_model, quality_scores
@@ -447,6 +463,7 @@ def maintain_quality_gate(
         if batch_df.isEmpty():
             return 0
         m = model if model is not None else fixture_model(batch_df.sparkSession)
+        n_batch = batch_df.count()
         scored = quality_scores(batch_df, m, id_col=id_col, text_col=text_col)
         row = scored.agg(
             F.count(F.lit(1)).alias("n"),
@@ -464,6 +481,9 @@ def maintain_quality_gate(
         d["quality_batches"] = d.get("quality_batches", 0) + 1
         d["quality_scored"] = d.get("quality_scored", 0) + int(row["n"])
         d["quality_rejected"] = d.get("quality_rejected", 0) + rejected
+        d["quality_unscored"] = d.get("quality_unscored", 0) + max(
+            0, int(n_batch) - int(row["n"])
+        )
         os.makedirs(ledger_path, exist_ok=True)
         tmp = p + ".tmp"
         with open(tmp, "w") as fh:

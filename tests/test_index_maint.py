@@ -399,6 +399,43 @@ def test_quality_gate_scores_and_ledgers(spark, tmp_path):
     assert maintenance_stats(path)["quality_batches"] == 2
 
 
+def test_quality_gate_counts_unscorable_docs(spark, tmp_path):
+    """ADVICE r14: zero-token documents can't be scored (no features) but
+    must not vanish — the gate counts them into quality_unscored so a
+    degenerate batch surfaces as unscored volume, not a silent pass."""
+    from hnarchive_spark.streaming.index_maint import (
+        maintain_quality_gate,
+        maintenance_stats,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a real document with tokens"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "qgate_z")
+    process = maintain_quality_gate(path, 10_000)
+    process(batch, batch_id=0)
+    st = maintenance_stats(path)
+    assert st["quality_scored"] == 2  # docs 1 and 4
+    assert st["quality_unscored"] == 2  # docs 2 and 3
+
+
+def test_quality_scores_sparse_model_left_join(spark):
+    """ADVICE r14: under a user-supplied SPARSE weight table, n_tokens is
+    the doc's TRUE token count (not the matched-token count), unmatched
+    buckets score 0, and a doc whose tokens all miss still gets a row."""
+    from hnarchive_spark.operators.quality import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    # empty model: every token misses every bucket
+    empty_model = spark.createDataFrame([], "bucket long, w_e4 long")
+    rows = quality_scores(docs, empty_model).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == 4 and rows[0]["quality_e4"] == 0
+
+
 def test_stream_quality_gate_end_to_end(spark, tmp_path):
     """Structured Streaming run of the quality gate with availableNow."""
     from hnarchive_spark.operators.quality import fixture_model, quality_scores

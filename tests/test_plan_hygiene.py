@@ -581,6 +581,21 @@ def test_curation_pipeline_keeps_stage_guards(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_encode_is_map_only(spark):
+    """q_bpe_encode: after the bounded 20-row rules collect, the encode
+    stage must be a PURE PROJECTION over the documents scan — zero
+    Exchange, zero Join of any kind (the merge rules are baked in as
+    literal regexp_replace passes, so at 100 TB this is a map-only stage
+    whose cost scales with bytes scanned), and the scan pruned to the two
+    referenced columns."""
+    plan = _plan(spark, "q_bpe_encode")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    schema_line = next(ln for ln in plan.split("\n") if "ReadSchema" in ln)
+    assert "doc_id" in schema_line and "text" in schema_line, schema_line
+    assert schema_line.count(":") <= 3, schema_line
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
