@@ -68,6 +68,10 @@ def detect_index_kind(path: str) -> str | None:
         return "contamination"
     if has("centroids") and not has("lists"):
         return "semdedup"
+    if has("weights"):
+        # the quality-classifier model store: a k-row (bucket, w_e4)
+        # weight table plus its n_buckets meta (quality_model_store.py)
+        return "quality_model"
     if any(e.startswith("bucket=") for e in entries):
         # gram and LSH share the flat bucket= layout; the gram index
         # carries its gram length in _META.json
@@ -92,6 +96,10 @@ _ACTIONS = {
     "ivf": (False, "rebuild (needs corpus: cli index rebuild-ivfpq / rebuild_ivf_index)"),
     "ivfpq": (False, "rebuild (needs corpus: cli index rebuild-ivfpq)"),
     "semdedup": (False, "rebuild (needs corpus: rebuild_semdedup_index)"),
+    "quality_model": (
+        False,
+        "republish (needs training labels: publish_quality_model)",
+    ),
 }
 
 

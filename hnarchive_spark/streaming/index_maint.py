@@ -432,6 +432,7 @@ def maintain_quality_gate(
     model: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model_path: str | None = None,
 ):
     """``foreachBatch`` function for the STREAMING quality gate — the
     model-based filter's placement on the ingest cadence, completing the
@@ -441,8 +442,13 @@ def maintain_quality_gate(
     scoring BELOW ``threshold_e4`` count as rejections into the ledger
     (``quality_batches`` / ``quality_rejected`` / ``quality_scored``).
 
-    ``model`` is the trained (bucket, w_e4) table; None uses the
-    deterministic fixture model.  Like the contamination gate this sink
+    ``model`` is the trained (bucket, w_e4) table; ``model_path`` instead
+    reads the PUBLISHED version from the quality-model store
+    (sources/quality_model_store.py) — resolved through the ``_CURRENT``
+    pointer PER MICRO-BATCH, so a mid-stream republish swaps scoring
+    atomically at the next batch boundary and no batch ever sees a torn
+    table; with neither, the deterministic fixture model (= store v1
+    semantics) is used.  Like the contamination gate this sink
     is READ-ONLY (nothing on disk to corrupt, restart trivially
     idempotent; re-delivery double-counts advisorily).  Returns the
     batch's rejection count so a gate-then-merge composition can route
@@ -462,7 +468,16 @@ def maintain_quality_gate(
     def _process(batch_df: DataFrame, batch_id: int) -> int:
         if batch_df.isEmpty():
             return 0
-        m = model if model is not None else fixture_model(batch_df.sparkSession)
+        if model_path is not None:
+            from hnarchive_spark.sources.quality_model_store import (
+                read_quality_model,
+            )
+
+            m = read_quality_model(batch_df.sparkSession, model_path)
+        elif model is not None:
+            m = model
+        else:
+            m = fixture_model(batch_df.sparkSession)
         n_batch = batch_df.count()
         scored = quality_scores(batch_df, m, id_col=id_col, text_col=text_col)
         row = scored.agg(
@@ -503,11 +518,15 @@ def stream_quality_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    model_path: str | None = None,
 ):
     """Document stream → per-micro-batch quality scoring + ledger
-    alerting."""
+    alerting.  ``model_path`` serves scoring from the PUBLISHED
+    quality-model store version (re-resolved each micro-batch)."""
     writer = doc_stream.writeStream.foreachBatch(
-        maintain_quality_gate(ledger_path, threshold_e4, model, id_col, text_col)
+        maintain_quality_gate(
+            ledger_path, threshold_e4, model, id_col, text_col, model_path
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
