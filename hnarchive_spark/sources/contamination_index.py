@@ -218,6 +218,61 @@ def probe_contamination(
     )
 
 
+def probe_contamination_train(
+    spark: SparkSession,
+    train_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-TRAIN-doc contamination vs the frozen eval index: (doc_id,
+    n_shingles, n_hits, contamination_e4) for every batch doc with at
+    least one shingle — the transpose of :func:`probe_contamination`
+    (which reports per EVAL doc), and the shape an INGEST gate needs:
+    "which docs of THIS batch carry eval shingles" is a per-batch-doc
+    verdict.  Same scale path: the batch's (doc_id, shingle) rows are
+    Bloom-pruned by the broadcast bitmap before any exchange, survivors
+    semi-joined into only the eval-shingle buckets they hash to.  Docs
+    too short to shingle have no feature rows and are absent from the
+    output — an ingest caller treats absent as uncontaminated (nothing
+    to match) rather than unscorable."""
+    tr = word_shingles(train_docs, id_col=id_col, text_col=text_col)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    bitmap = spark.read.parquet(_bloom_data_path(path))
+    # post-prune survivors only are checkpointed (the probe_contamination
+    # discipline): the pre-prune shingle frame stays lazy, single consumer
+    surv = bloom_prune(tr, "shingle", bitmap).withColumn("s_bucket", _s_bucket())
+    surv = surv.localCheckpoint(eager=True)
+    buckets = [r[0] for r in surv.select("s_bucket").distinct().collect()]
+    if not buckets:
+        return tot.select(
+            "doc_id",
+            "n_shingles",
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("contamination_e4"),
+        )
+    ev = (
+        spark.read.parquet(_ev_path(path))
+        .filter(F.col("s_bucket").isin(buckets))
+        .select("shingle")
+    )
+    hits = (
+        surv.join(ev, "shingle", "left_semi")
+        .select("doc_id", "shingle")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(
+            "(coalesce(n_hits, 0) * 10000) div n_shingles"
+        ).alias("contamination_e4"),
+    )
+
+
 def contamination_index_stats(spark: SparkSession, path: str) -> dict:
     ev = spark.read.parquet(_ev_path(path))
     tot = spark.read.parquet(_tot_path(path))

@@ -1,0 +1,164 @@
+"""Composed streaming ingest gate (VERDICT r14 #3): ONE foreachBatch verb
+running quality -> contamination -> near-dup -> merge, gate-before-merge.
+The test crafts a batch with exactly one doc per fate and asserts the
+per-stage ledger decomposition, that rejected docs never reach the store,
+that redelivery is a no-op merge (advisory ledger double-count), and the
+Structured Streaming end-to-end run."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnarchive_spark.sources.contamination_index import build_contamination_index
+from hnarchive_spark.sources.minhash_index import (
+    build_minhash_index,
+    minhash_index_stats,
+)
+from hnarchive_spark.streaming.index_maint import maintenance_stats
+from hnarchive_spark.streaming.ingest import (
+    maintain_ingest,
+    read_ingested_docs,
+    stream_ingest,
+)
+
+_ARCH_101 = " ".join(f"arch{i}" for i in range(40))
+_ARCH_102 = " ".join(f"barch{i}" for i in range(40))
+_ARCH_103 = " ".join(f"carch{i}" for i in range(40))
+_EVAL_201 = " ".join(f"evaltok{i}" for i in range(20))
+_EVAL_202 = " ".join(f"evalsec{i}" for i in range(20))
+
+# the batch: one doc per fate
+_CLEAN = (1, " ".join(f"novel{i}" for i in range(20)))  # merges
+_EMPTY = (2, "")  # unscorable -> quarantined
+_LOWQ = (3, "zzqq zzqq zzqq")  # quality-rejected (custom model zeroes zzqq)
+_CONTAM = (4, _EVAL_201)  # verbatim eval doc -> contaminated
+_NEARDUP = (5, _ARCH_101.rsplit(" ", 1)[0] + " changed")  # ~0.95 jaccard
+_PRESENT = (101, _ARCH_101)  # already merged -> presence skip
+
+
+def _zzqq_model(spark):
+    """All 256 buckets weigh 10000 except zzqq's bucket (weighs 0), so
+    doc 3 scores 0 and every other doc scores ~10000."""
+    zb = int(hashlib.md5(b"zzqq").hexdigest()[:8], 16) % 256
+    return spark.range(256).select(
+        F.col("id").alias("bucket"),
+        F.when(F.col("id") == zb, 0).otherwise(10_000).alias("w_e4"),
+    )
+
+
+@pytest.fixture()
+def gated(spark, tmp_path):
+    """(process_fn, store_path, mh_path) with indexes built and the store
+    seeded with the archive corpus."""
+    arch = spark.createDataFrame(
+        [(101, _ARCH_101), (102, _ARCH_102), (103, _ARCH_103)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(201, _EVAL_201), (202, _EVAL_202)], "doc_id long, text string"
+    )
+    mh = str(tmp_path / "mh")
+    ct = str(tmp_path / "ct")
+    store = str(tmp_path / "store")
+    build_minhash_index(spark, arch, mh)
+    build_contamination_index(spark, ev, ct)
+    # seed the store through the verb itself (merge-only path; the
+    # minhash append is a presence no-op since build already indexed)
+    seeded = maintain_ingest(store, minhash_index_path=mh)(arch, batch_id=0)
+    assert seeded == 3
+    process = maintain_ingest(
+        store,
+        quality_threshold_e4=5_000,
+        contamination_index_path=ct,
+        contamination_threshold_e4=0,
+        minhash_index_path=mh,
+        jaccard_threshold=0.8,
+        model=_zzqq_model(spark),
+    )
+    return process, store, mh
+
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [_CLEAN, _EMPTY, _LOWQ, _CONTAM, _NEARDUP, _PRESENT],
+        "doc_id long, text string",
+    )
+
+
+def test_per_stage_ledger_and_gate_before_merge(spark, gated):
+    process, store, mh = gated
+    idx_before = minhash_index_stats(spark, mh)["docs"]
+    assert process(_batch(spark), batch_id=1) == 1  # only the clean doc
+
+    st = maintenance_stats(store)
+    assert st["ingest_rows"] == 3 + 6  # seed batch + this one
+    assert st["ingest_unscored"] == 1  # doc 2
+    assert st["ingest_quality_rejected"] == 1  # doc 3
+    assert st["ingest_contaminated"] == 1  # doc 4
+    assert st["ingest_neardup"] == 1  # doc 5
+    assert st["ingest_merged"] == 3 + 1  # seed + doc 1
+    assert st["ingest_skipped"] == 1  # doc 101 (already present)
+
+    merged_ids = {
+        r["doc_id"] for r in read_ingested_docs(spark, store).collect()
+    }
+    assert merged_ids == {101, 102, 103, 1}  # rejects never reached the store
+    # the dedup index grew together with the store (doc 1 only)
+    assert minhash_index_stats(spark, mh)["docs"] == idx_before + 1
+
+
+def test_full_redelivery_is_a_noop_merge(spark, gated):
+    process, store, mh = gated
+    assert process(_batch(spark), batch_id=1) == 1
+    n_store = read_ingested_docs(spark, store).count()
+    idx = minhash_index_stats(spark, mh)["docs"]
+    # redeliver the identical batch: gates re-count (advisory), merge = 0
+    assert process(_batch(spark), batch_id=1) == 0
+    assert read_ingested_docs(spark, store).count() == n_store
+    assert minhash_index_stats(spark, mh)["docs"] == idx
+    st = maintenance_stats(store)
+    assert st["ingest_merged"] == 3 + 1  # unchanged by redelivery
+    assert st["ingest_skipped"] == 1 + 2  # doc 101 twice + doc 1 once
+
+
+def test_stream_ingest_end_to_end_and_restart(spark, gated, tmp_path):
+    process, store, mh = gated
+    src = str(tmp_path / "src")
+    _batch(spark).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_ingest(
+        stream,
+        store,
+        str(tmp_path / "ckpt"),
+        quality_threshold_e4=5_000,
+        contamination_index_path=str(tmp_path / "ct"),
+        contamination_threshold_e4=0,
+        minhash_index_path=mh,
+        jaccard_threshold=0.8,
+        model=_zzqq_model(spark),
+    )
+    q.awaitTermination()
+    assert {
+        r["doc_id"] for r in read_ingested_docs(spark, store).collect()
+    } == {101, 102, 103, 1}
+    # restart with a FRESH checkpoint = the at-least-once extreme:
+    # everything re-delivered, merge must be a no-op
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = stream_ingest(
+        stream2,
+        store,
+        str(tmp_path / "ckpt2"),
+        quality_threshold_e4=5_000,
+        contamination_index_path=str(tmp_path / "ct"),
+        contamination_threshold_e4=0,
+        minhash_index_path=mh,
+        jaccard_threshold=0.8,
+        model=_zzqq_model(spark),
+    )
+    q2.awaitTermination()
+    assert read_ingested_docs(spark, store).count() == 4
+    st = maintenance_stats(store)
+    assert st["ingest_merged"] == 3 + 1
