@@ -645,6 +645,22 @@ def _hybrid_indexed_oracle() -> str:
     lexical leg, spliced onto the same RRF fusion SQL as the inline
     form.  CTE namespaces are disjoint (el/cent/probes/s{m}*/qd{m}/adc vs
     toks/st/qterms/lxp/lxsc*) so the generators compose verbatim."""
+    parts = _hybrid_indexed_parts()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_e9, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}"""
+    )
+
+
+def _hybrid_indexed_parts() -> list[str]:
+    """The indexed hybrid's CTE chain through ``fused`` — shared by the
+    ranked-output oracle and the per-leg recall-arms harness."""
     from hnarchive_spark.plans.similarity import (
         IVFPQ_N_PROBE,
         PQ_ITERS,
@@ -713,16 +729,7 @@ def _hybrid_indexed_oracle() -> str:
       FROM lex_r l FULL JOIN dense_r d
         ON l.query_id = d.query_id AND l.doc_id = d.doc_id
     )""")
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_e9, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_e9 DESC, doc_id) AS rank
-      FROM fused
-    ) WHERE rank <= {HYBRID_TOPK}"""
-    )
+    return parts
 
 
 @query(
@@ -749,6 +756,17 @@ def _hybrid_indexed_oracle() -> str:
     "+ two k-row-per-query fusion frames — never a corpus pass.",
 )
 def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex, dense = _indexed_hybrid_legs(spark, sf_dir)
+    return _rrf_fuse(lex, dense)
+
+
+def _indexed_hybrid_legs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted-index serving legs: (lex, dense) as (query_id,
+    doc_id, *_rank) frames — shared by the indexed hybrid and its
+    per-leg recall-arms harness so the audited legs ARE the served
+    legs."""
     from hnarchive_spark.plans.similarity import (
         IVFPQ_N_PROBE,
         PQ_ITERS,
@@ -792,4 +810,109 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("dense_rank"),
     )
-    return _rrf_fuse(lex, dense)
+    return lex, dense
+
+
+def _hybrid_recall_arms_oracle() -> str:
+    """Three recall arms against the exact-cosine top-k: the indexed
+    chain's own lex_r / dense_r / fused CTEs feed per-leg top-k arms, a
+    standalone exact arm (ex_a / ex_q, disjoint namespace) supplies the
+    ground truth, and the three per-query hit counts join on query_id
+    (separate aggregates — a single multi-left-join would multiply
+    rows)."""
+    parts = _hybrid_indexed_parts()
+    arm = "SELECT x.query_id, count({a}.doc_id) AS {n} FROM exact x LEFT JOIN {t} {a} ON {a}.query_id = x.query_id AND {a}.doc_id = x.doc_id GROUP BY x.query_id"
+    parts.append(f"""ex_q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {HYBRID_QUERIES}
+    ),
+    exact AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, a.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) * 1000000) AS BIGINT) DESC,
+                          a.vec_id) AS rank
+        FROM embeddings a CROSS JOIN ex_q q WHERE a.vec_id != q.query_id
+      ) WHERE rank <= {HYBRID_TOPK}
+    ),
+    lex10 AS (SELECT query_id, doc_id FROM lex_r WHERE lex_rank <= {HYBRID_TOPK}),
+    dense10 AS (SELECT query_id, doc_id FROM dense_r WHERE dense_rank <= {HYBRID_TOPK}),
+    hyb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {HYBRID_TOPK}
+    ),
+    la AS ({arm.format(a="l", n="lex_hits", t="lex10")}),
+    da AS ({arm.format(a="d", n="dense_hits", t="dense10")}),
+    fa AS ({arm.format(a="h", n="fused_hits", t="hyb")})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT la.query_id,
+           CAST(lex_hits AS BIGINT) AS lex_hits,
+           CAST(dense_hits AS BIGINT) AS dense_hits,
+           CAST(fused_hits AS BIGINT) AS fused_hits,
+           CAST((lex_hits * 10000) // {HYBRID_TOPK} AS BIGINT) AS lex_recall_e4,
+           CAST((dense_hits * 10000) // {HYBRID_TOPK} AS BIGINT) AS dense_recall_e4,
+           CAST((fused_hits * 10000) // {HYBRID_TOPK} AS BIGINT) AS fused_recall_e4
+    FROM la JOIN da ON da.query_id = la.query_id
+    JOIN fa ON fa.query_id = la.query_id"""
+    )
+
+
+@query(
+    "q_hybrid_recall_arms",
+    oracle=_hybrid_recall_arms_oracle(),
+    doc=f"Per-LEG recall arms for the indexed hybrid serving path "
+    "(VERDICT r14 #5): recall@"
+    f"{HYBRID_TOPK} of the lexical-only (BM25-index top-k), dense-only "
+    "(IVF-PQ probe top-k) and RRF-fused rankings against the exact-"
+    "cosine ground truth, per query — 'what fusion buys over a single "
+    "leg' as three recorded integers per round instead of a docstring "
+    "claim. The legs are _indexed_hybrid_legs, the SAME frames the "
+    "serving query fuses (audited path = served path); each arm's hits "
+    "aggregate separately and join on query_id (a single multi-left-"
+    "join would multiply rows). At 100 TB the exact arm is the one "
+    "corpus pass a quality audit pays offline; the legs stay pruned "
+    "index probes.",
+)
+def q_hybrid_recall_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    lex, dense = _indexed_hybrid_legs(spark, sf_dir)
+    arms = {
+        "lex_hits": lex.filter(F.col("lex_rank") <= HYBRID_TOPK),
+        "dense_hits": dense.filter(F.col("dense_rank") <= HYBRID_TOPK),
+        "fused_hits": _rrf_fuse(lex, dense),
+    }
+    out = None
+    for name, arm in arms.items():
+        a = arm.select(
+            F.col("query_id").alias("a_qid"), F.col("doc_id").alias("a_did")
+        )
+        agg = (
+            exact.join(
+                a,
+                (exact.query_id == a.a_qid) & (exact.doc_id == a.a_did),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("a_did").alias(name))
+        )
+        out = agg if out is None else out.join(agg, "query_id")
+    return out.select(
+        "query_id",
+        "lex_hits",
+        "dense_hits",
+        "fused_hits",
+        F.expr(f"(lex_hits * 10000) div {HYBRID_TOPK}").alias("lex_recall_e4"),
+        F.expr(f"(dense_hits * 10000) div {HYBRID_TOPK}").alias("dense_recall_e4"),
+        F.expr(f"(fused_hits * 10000) div {HYBRID_TOPK}").alias("fused_recall_e4"),
+    )

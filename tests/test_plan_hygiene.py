@@ -534,6 +534,18 @@ def test_hybrid_indexed_serves_from_indexes_only(spark):
     assert pushed, plan[:1200]
 
 
+def test_hybrid_recall_arms_legs_stay_indexed(spark):
+    """q_hybrid_recall_arms: the audited legs must be the SAME pruned
+    index probes the serving query fuses — no corpus re-tokenize, no
+    training aggregate; the exact-cosine arm is the only corpus pass
+    (the offline audit cost) and fusion stays the k-row FullOuter."""
+    plan = _plan(spark, "q_hybrid_recall_arms")
+    assert "split(text" not in plan, plan[:800]
+    assert "avg(" not in plan, plan[:800]
+    assert "FullOuter" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_indexed_does_no_signature_work(spark):
     """q_dedup_minhash_indexed's claim is ZERO signature computation at
     query time: candidates come from the persisted band rows, so the
