@@ -51,69 +51,67 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 14
+_ROTATION_BUILT_FOR_ROUND = 15
 
 _VERIFY_FIRST = [
-    # Round-14 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=14) prefix and
+    # Round-15 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=15) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
-    # verified queries registered this round first (the composed
-    # curation pipeline, the SemDeDup hot-cluster cap and incremental
-    # batch probe, the persisted-index hybrid retrieval and its recall
-    # harness, the quality classifier),
-    # then the ENTIRE r9-green block (the staleness floor rises to r10
-    # after this round), then the oldest r10 names; ascending staleness,
-    # ALPHABETICAL tiebreak.
-    "q_curation_pipeline",
-    "q_hybrid_recall",
-    "q_hybrid_search_rrf_indexed",
-    "q_quality_score",
-    "q_semdedup_capped",
-    "q_semdedup_incremental",
-    "q_dedup_simhash",
-    "q_display_date",
-    "q_doc_fingerprint",
-    "q_embed_quantize",
-    "q_filtered_agg",
-    "q_fix_ptags",
-    "q_having",
-    "q_kmeans_assign",
-    "q_lang_id",
-    "q_map_funcs",
-    "q_max_key",
-    "q_merge_coalesce",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_multimodal_resize",
-    "q_orc_roundtrip",
-    "q_pack_sequences",
-    "q_pack_sequences_sharded",
-    "q_percentiles",
-    "q_regexp_funcs",
-    "q_session_window_builtin",
-    "q_setops_all",
-    "q_split_train_eval",
-    "q_stratified_sample",
-    "q_stream_dedup",
-    "q_stream_dim_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_string_funcs",
-    "q_token_count",
-    "q_tree_closure",
-    "q_unpivot",
-    "q_window_funcs",
-    "q_window_range_frame",
-    "q_winnow_fingerprint",
-    "q_wire_normalize",
-    "q_ann_int8",
-    "q_ann_int8_fidelity",
-    "q_ann_ivfpq",
-    "q_ann_ivfpq_append",
-    "q_ann_ivfpq_indexed",
-    "q_ann_ivfpq_recall",
+    # verified queries registered this round first (the BPE encoder
+    # closing the tokenizer induce->apply loop, the per-leg hybrid
+    # recall arms), then the ENTIRE remaining r10-green block (the
+    # staleness floor rises to r11 after this round) and the oldest
+    # r11 names; ascending staleness, ALPHABETICAL tiebreak.
+    "q_bpe_encode",
+    "q_hybrid_recall_arms",
+    "q_ann_ivfpq_residual",
+    "q_ann_pq_search",
+    "q_attribution_last_touch",
+    "q_bigram_lm",
+    "q_bm25_append",
+    "q_bm25_indexed",
+    "q_bm25_lite",
+    "q_chunk_documents",
+    "q_derived_pred",
+    "q_distinct_count",
+    "q_embed_dim_audit",
+    "q_funnel",
+    "q_gap_fill",
+    "q_global_index",
+    "q_hard_negatives",
+    "q_heavy_hitters_exact",
+    "q_idle_rich_customers",
+    "q_inverted_index",
+    "q_join_anti",
+    "q_join_semi",
+    "q_json_extract",
+    "q_kcore_peel",
+    "q_knn_classify",
+    "q_length_histogram",
+    "q_link_prediction",
+    "q_market_share",
+    "q_mix_temperature",
+    "q_orders_per_customer_dist",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_paragraph_dedup",
+    "q_percentiles_scalable",
+    "q_pii_redact",
+    "q_pivot_status",
+    "q_power_iteration",
+    "q_pq_codes",
+    "q_range_join",
+    "q_recency_weighted",
+    "q_self_join",
+    "q_setops",
+    "q_skew_salted_agg",
+    "q_staleness",
+    "q_vocab_coverage",
+    "q_window_sort",
+    "q_ann_clustered_recall_plain",
+    "q_ann_clustered_recall_residual",
+    "q_ann_ivf",
+    "q_ann_ivf_append",
 ]
 
 
