@@ -110,6 +110,9 @@ HEADLINE = [
     "q_semdedup_incremental",
     # the composed quality->dedup->domain-cap recipe as one DAG
     "q_curation_pipeline",
+    # round 15: BPE apply/encode — the tokenizer loop's map-only encode
+    # stage (bounded rules collect + literal regexp passes, zero shuffle)
+    "q_bpe_encode",
 ]
 
 
@@ -205,6 +208,30 @@ def bench_store_merge_bulk(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _fixture_md5s(sf_dir: str) -> dict[str, str]:
+    """md5 of every fixture parquet — recorded in the detail line so a
+    cross-round wall move can be adjudicated against PROVABLE fixture
+    identity (VERDICT r14 #1: the shingle-family drift was attributed to
+    'environment or regenerated fixture'; this removes the 'or')."""
+    import hashlib
+
+    out = {}
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, name)
+        h = hashlib.md5()
+        if os.path.isdir(p):  # multi-file parquet dir: hash parts in order
+            for base, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        h.update(open(os.path.join(base, f), "rb").read())
+        else:
+            h.update(open(p, "rb").read())
+        out[name] = h.hexdigest()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -289,6 +316,7 @@ def main() -> None:
                 "spread": spreads,
                 "isolated_fresh_session": isolated,
                 "store_merge_bulk_rows": bulk_rows,
+                "fixture_md5": _fixture_md5s(sf_dir),
             }
         ),
         file=sys.stderr,

@@ -270,7 +270,15 @@ def semdedup_probe(
     broadcast assignment pass (zero training) + the shared within-cluster
     prune.  Probing the training corpus itself reproduces the inline
     q_semdedup rows exactly (shared oracle).  ``max_pivots`` passes the
-    hot-cluster skew guard through to the prune (see semdedup_prune)."""
+    hot-cluster skew guard through to the prune (see semdedup_prune).
+
+    PRODUCTION NOTE (VERDICT r14 plan audit): run with a cap.  The
+    None default is the oracle-shared EXACT form (q_semdedup_indexed's
+    contract); at scale an adversarially hot cluster makes the
+    within-cluster pair join quadratic — ``max_pivots`` bounds it at
+    P x |cluster| with measured 107x pair / 132x wall reduction and
+    unchanged degenerate coverage (tools/semdedup_cap_probe.py,
+    SCALE.md r14).  q_semdedup_capped is the registered capped twin."""
     cents = spark.read.parquet(_centroids_path(path))
     assign = kmeans_assign_frozen(
         vectors, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
