@@ -1006,6 +1006,112 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENC_CTES = f"""st AS (
+      SELECT doc_id, regexp_extract_all(text, '{{pat}}') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS pair
+      FROM st
+    ),
+    counts AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM counts
+    ),
+    rules AS (
+      SELECT list(pair ORDER BY rank) AS rl
+      FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+    ),
+    enc AS (
+      SELECT doc_id, len(ts) AS n_subtokens,
+             list_reduce(
+               list_prepend(array_to_string(ts, chr(1)), rl),
+               (acc, r) -> list_reduce(
+                 string_split(acc, chr(1)),
+                 (a2, x) -> CASE
+                   WHEN x = string_split(r, ' ')[2]
+                        AND (a2 = string_split(r, ' ')[1]
+                             OR (len(a2) > len(string_split(r, ' ')[1])
+                                 AND substr(a2, len(a2) - len(string_split(r, ' ')[1]) + 1)
+                                     = string_split(r, ' ')[1]
+                                 AND substr(a2, len(a2) - len(string_split(r, ' ')[1]), 1)
+                                     = chr(1)))
+                   THEN a2 || x
+                   ELSE a2 || chr(1) || x END))
+             AS e
+      FROM st, rules
+      WHERE len(ts) > 0
+    )"""
+
+
+def _pack_bpe_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_BPE_ENC_CTES.format(pat=T.SUBTOKEN_PATTERN)},
+    bt AS (
+      SELECT d.source, e.doc_id,
+             CAST(len(string_split(e.e, chr(1))) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY d.source ORDER BY e.doc_id) AS rn
+      FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM bt WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {PACK_BUDGET}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM bt t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens AS n_bpe_tokens, seq_id FROM packed
+    """
+
+
+@query(
+    "q_pack_sequences_bpe",
+    oracle=_pack_bpe_oracle(),
+    doc=f"Sequence packing on REAL tokenizer output — the composed "
+    "induce->encode->pack loop (VERDICT r14 #2's point): documents are "
+    "packed per source in doc_id order into <= "
+    f"{PACK_BUDGET}-token training sequences where the token count is "
+    "q_bpe_encode's n_bpe_tokens (the induced 20-rule tokenizer's "
+    "output), not the whitespace count q_pack_sequences uses. The "
+    "encode stage stays the map-only literal-regexp projection; the "
+    "pack stage stays the ordered applyInPandas fold over (doc_id, "
+    "n_tokens) metadata — text never enters the kernel. Oracle replays "
+    "the nested-fold encode feeding the same recursive-CTE fold.",
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = q_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    toks = d.join(enc, "doc_id").select("source", "doc_id", "n_tokens")
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, cum, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > PACK_BUDGET:
+                b, cum = b + 1, 0
+            cum += t
+            seq_ids.append(b)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            pack, "source string, doc_id long, n_tokens long, seq_id long"
+        )
+        .withColumnRenamed("n_tokens", "n_bpe_tokens")
+    )
+
+
 CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
 
 
