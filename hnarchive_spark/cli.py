@@ -450,6 +450,65 @@ def cmd_query(spark, args):
     return 0
 
 
+def cmd_quality_model(spark, args):
+    """Versioned quality-model lifecycle (sources/quality_model_store.py):
+    publish a trained (bucket, w_e4) weight table — or the deterministic
+    fixture — behind the atomic pointer; stats prints the live version
+    and meta."""
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.sources.quality_model_store import (
+        model_meta,
+        publish_quality_model,
+    )
+
+    if args.action == "publish":
+        if args.weights:
+            model = spark.read.parquet(args.weights).select("bucket", "w_e4")
+        else:
+            from hnarchive_spark.operators.quality import fixture_model
+
+            model = fixture_model(spark)
+        vdir = publish_quality_model(spark, model, args.path)
+        print(f"published: {vdir}")
+    else:  # stats
+        import json as _json
+
+        print(
+            _json.dumps(
+                {
+                    "version": current_index_version(args.path),
+                    "meta": model_meta(args.path),
+                }
+            )
+        )
+
+
+def cmd_ingest(spark, args):
+    """Composed gate-before-merge ingest over a documents parquet
+    (streaming/ingest.py): quality -> contamination -> near-dup -> merge
+    as ONE verb, per-stage counts printed from the store ledger."""
+    import json as _json
+
+    from hnarchive_spark.streaming.index_maint import maintenance_stats
+    from hnarchive_spark.streaming.ingest import maintain_ingest
+
+    batch = spark.read.parquet(args.src)
+    process = maintain_ingest(
+        args.store,
+        quality_threshold_e4=args.quality_threshold_e4,
+        contamination_index_path=args.contamination_index,
+        contamination_threshold_e4=args.contamination_threshold_e4,
+        minhash_index_path=args.minhash_index,
+        jaccard_threshold=args.jaccard,
+        model_path=args.model_path,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    merged = process(batch, batch_id=0)
+    st = maintenance_stats(args.store)
+    print(_json.dumps({"merged": merged, "ledger": st}))
+
+
 def cmd_oracle_check(spark, args):
     """Run registered queries side-by-side with their DuckDB oracles and
     report MATCH/MISMATCH — the driver's correctness gate as a user-facing
@@ -649,6 +708,36 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--prune", action="store_true",
                     help="drop superseded version trees after a successful verb")
     mt.set_defaults(func=cmd_maintenance)
+
+    qm = sub.add_parser(
+        "quality-model",
+        help="versioned quality-classifier weight-table lifecycle: publish / stats",
+    )
+    qm.add_argument("action", choices=("publish", "stats"))
+    qm.add_argument("--path", required=True, help="model store root")
+    qm.add_argument(
+        "--weights",
+        default=None,
+        help="(bucket, w_e4) parquet to publish; omit to publish the fixture model",
+    )
+    qm.set_defaults(func=cmd_quality_model)
+
+    ig = sub.add_parser(
+        "ingest",
+        help="composed gate-before-merge ingest: quality -> contamination "
+        "-> near-dup -> merge, per-stage ledger",
+    )
+    ig.add_argument("--store", required=True, help="document store root")
+    ig.add_argument("--src", required=True, help="documents parquet to ingest")
+    ig.add_argument("--quality-threshold-e4", type=int, default=None)
+    ig.add_argument("--contamination-index", default=None)
+    ig.add_argument("--contamination-threshold-e4", type=int, default=0)
+    ig.add_argument("--minhash-index", default=None)
+    ig.add_argument("--jaccard", type=float, default=0.8)
+    ig.add_argument("--model-path", default=None, help="published quality-model store")
+    ig.add_argument("--id-col", default="doc_id")
+    ig.add_argument("--text-col", default="text")
+    ig.set_defaults(func=cmd_ingest)
 
     oc = sub.add_parser(
         "oracle_check",

@@ -567,3 +567,33 @@ def test_maintenance_detects_every_family(spark, tmp_path):
     build_semdedup_index(spark, e, p2, KMEANS_K, KMEANS_ITERS,
                          store_assignments=True)
     assert detect_index_kind(p2) == "semdedup"
+
+
+def test_cli_quality_model_and_ingest(spark, tmp_path, monkeypatch, capsys):
+    """The r15 verbs: quality-model publish/stats (versioned store) and
+    the composed gate-before-merge ingest with its per-stage ledger."""
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    qm = str(tmp_path / "qmodel")
+    assert cli.main(["quality-model", "publish", "--path", qm]) == 0
+    out = capsys.readouterr().out
+    assert "published" in out and out.strip().endswith("v1")
+    assert cli.main(["quality-model", "stats", "--path", qm]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["version"] == 1 and st["meta"]["n_buckets"] == 256
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a clean document with several tokens"), (2, "")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    store = str(tmp_path / "docstore")
+    assert cli.main([
+        "ingest", "--store", store, "--src", src,
+        "--quality-threshold-e4", "0", "--model-path", qm,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merged"] == 1  # the empty doc is quarantined (unscored)
+    assert rep["ledger"]["ingest_unscored"] == 1
+    assert rep["ledger"]["ingest_merged"] == 1
