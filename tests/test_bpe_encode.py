@@ -98,3 +98,44 @@ def test_bpe_encode_compresses_fixture(spark):
     ).collect()[0]
     assert agg["after"] < agg["before"]
     assert not agg["grew"]
+
+
+def test_bpe_encode_conserves_characters(spark):
+    """Merging can move token boundaries but never characters: the
+    delimiter-stripped encoded stream must equal the concatenated
+    subtokens, byte for byte, for every fixture doc.  Replays the
+    builder's own regexp chain (same rules, same quoting) and strips
+    the chr(1) delimiters."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.functions import text as T
+    from hnarchive_spark.plans.textops import (
+        _BPE_DELIM,
+        _bpe_merge_pairs_df,
+        _bpe_regex_quote,
+        _bpe_replacement_quote,
+    )
+    from hnarchive_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rules = [
+        (r["pair"].split(" ")[0], r["pair"].split(" ")[1])
+        for r in sorted(
+            _bpe_merge_pairs_df(spark, sf).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    stoks = (
+        load(spark, sf, "documents")
+        .select("doc_id", T.subtokens(F.col("text")).alias("stk"))
+        .filter(F.size("stk") > 0)
+    )
+    e = F.concat_ws(_BPE_DELIM, F.col("stk"))
+    for a, b in rules:
+        pat = (
+            "(?<![^\x01])" + _bpe_regex_quote(a) + "\x01"
+            + _bpe_regex_quote(b) + "(?![^\x01])"
+        )
+        e = F.regexp_replace(e, F.lit(pat), F.lit(_bpe_replacement_quote(a + b)))
+    stripped = F.regexp_replace(e, F.lit("\x01"), F.lit(""))
+    diff = stoks.filter(F.concat_ws("", F.col("stk")) != stripped)
+    assert diff.count() == 0

@@ -110,6 +110,23 @@ def test_per_stage_ledger_and_gate_before_merge(spark, gated):
     assert minhash_index_stats(spark, mh)["docs"] == idx_before + 1
 
 
+def test_ledger_conservation_law(spark, gated):
+    """Every batch row has exactly one fate: rows == unscored +
+    quality_rejected + contaminated + neardup + merged + skipped, for
+    every batch the verb ever processed (summed ledger)."""
+    process, store, _mh = gated
+    process(_batch(spark), batch_id=1)
+    st = maintenance_stats(store)
+    assert st["ingest_rows"] == (
+        st["ingest_unscored"]
+        + st["ingest_quality_rejected"]
+        + st["ingest_contaminated"]
+        + st["ingest_neardup"]
+        + st["ingest_merged"]
+        + st["ingest_skipped"]
+    )
+
+
 def test_full_redelivery_is_a_noop_merge(spark, gated):
     process, store, mh = gated
     assert process(_batch(spark), batch_id=1) == 1
