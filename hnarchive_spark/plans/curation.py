@@ -122,6 +122,135 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- URL canonicalization dedup -------------------------------------------
+# Raw-URL messiness recipe: documents in groups of 3 (g = doc_id div 3)
+# target the SAME logical page, each rendered as a different raw variant
+# keyed by doc_id % 3 — uppercase scheme/host + trailing slash + tracking
+# query, bare host + fragment, or www + explicit default port.  The
+# canonicalizer must collapse each group to ONE canonical URL.
+
+_RAW_URL_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN 'HTTP://WWW.SITE' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.COM/'
+                    || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 12)
+                    || '/?utm_source=feed&ref=' || source
+        WHEN 1 THEN 'https://site' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.com/'
+                    || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 12)
+                    || '#section-2'
+        ELSE 'https://www.site' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.com:443/'
+             || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 12)
+      END
+"""
+
+# Canonicalization steps shared verbatim by both engines.  Every regexp
+# is ANCHORED (^ or $), so Spark's replace-ALL and DuckDB's
+# replace-FIRST semantics coincide, and no pattern uses a backreference
+# (the replacement syntax differs: $1 vs \\1).  Order matters: lowercase
+# the scheme+host prefix, force https, drop fragment, drop query, drop
+# the default port, drop www., drop the trailing slash.
+_CANON_STEPS = (
+    ("^http://", "https://"),
+    ("#.*$", ""),
+    ("[?].*$", ""),
+    (":443/", "/"),  # plain-string-safe: md5 paths carry no colons
+    (":443$", ""),
+    ("^https://www[.]", "https://"),
+    ("/$", ""),
+)
+
+
+def _canon_sql(expr: str) -> str:
+    # lowercase scheme+host, preserve path case (md5 paths are lowercase
+    # already, but the rule is the real-world one)
+    out = (
+        f"lower(regexp_extract({expr}, '^([a-zA-Z]+://[^/?#]+)', 1)) || "
+        f"regexp_replace({expr}, '^[a-zA-Z]+://[^/?#]+', '')"
+    )
+    for pat, rep in _CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+def _canon_col(url: F.Column) -> F.Column:
+    out = F.concat(
+        F.lower(F.regexp_extract(url, "^([a-zA-Z]+://[^/?#]+)", 1)),
+        F.regexp_replace(url, F.lit("^[a-zA-Z]+://[^/?#]+"), F.lit("")),
+    )
+    for pat, rep in _CANON_STEPS:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(rep))
+    return out
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, {_canon_sql("url")} AS curl FROM raw
+    ),
+    grouped AS (
+      SELECT doc_id, curl,
+             CAST(count(*) OVER (PARTITION BY curl) AS BIGINT) AS n_dups,
+             CAST(min(doc_id) OVER (PARTITION BY curl) AS BIGINT) AS survivor
+      FROM canon
+    )
+    SELECT doc_id, substr(md5(curl), 1, 16) AS canon_fp, n_dups,
+           CAST(CASE WHEN doc_id = survivor THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM grouped
+    """,
+    doc="URL-canonicalization dedup (the Common-Crawl refetch-collapse "
+    "step): raw URLs that differ only in scheme case, host case, a "
+    "www. prefix, an explicit default port, a tracking query string, a "
+    "fragment, or a trailing slash collapse to ONE canonical form; docs "
+    "sharing a canonical URL dedup with min-doc_id survivorship. The "
+    "canonicalizer is a fixed chain of ANCHORED regexp_replace steps "
+    "(replace-all vs replace-first coincide; no backreferences — the "
+    "two engines' replacement syntaxes differ) over the scheme/host-"
+    "lowercased URL. Plan: one codegen projection per doc, then one "
+    "canonical-URL exchange for the count/min windows — metadata-width; "
+    "at 100 TB this is the cheapest dedup family (no shingles, no "
+    "signatures, key length ~60 bytes).",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 3").cast("string")
+    site = F.expr("(doc_id div 3) % 50").cast("string")
+    p = F.substring(F.md5(g), 1, 12)
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.SITE"), site, F.lit(".COM/"), p,
+                F.lit("/?utm_source=feed&ref="), F.col("source"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com/"), p,
+                F.lit("#section-2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), site, F.lit(".com:443/"), p
+            )
+        )
+    )
+    canon = d.select("doc_id", _canon_col(raw).alias("curl"))
+    w = Window.partitionBy("curl")
+    return canon.select(
+        "doc_id",
+        F.substring(F.md5("curl"), 1, 16).alias("canon_fp"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(w), 1
+        ).otherwise(0).cast("long").alias("keep"),
+    )
+
+
 DOMAIN_CAP_K = 20
 
 

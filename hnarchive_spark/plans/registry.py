@@ -59,13 +59,15 @@ _VERIFY_FIRST = [
     # locked by tests/test_rotation_consistency.py: the never-driver-
     # verified queries registered this round first (the BPE encoder
     # closing the tokenizer induce->apply loop, the per-leg hybrid
-    # recall arms, the pack-on-BPE-output composition), then the
+    # recall arms, the pack-on-BPE-output composition, the URL-
+    # canonicalization dedup), then the
     # ENTIRE remaining r10-green block (the
     # staleness floor rises to r11 after this round) and the oldest
     # r11 names; ascending staleness, ALPHABETICAL tiebreak.
     "q_bpe_encode",
     "q_hybrid_recall_arms",
     "q_pack_sequences_bpe",
+    "q_url_dedup",
     "q_ann_ivfpq_residual",
     "q_ann_pq_search",
     "q_attribution_last_touch",
@@ -112,7 +114,6 @@ _VERIFY_FIRST = [
     "q_window_sort",
     "q_ann_clustered_recall_plain",
     "q_ann_clustered_recall_residual",
-    "q_ann_ivf",
 ]
 
 

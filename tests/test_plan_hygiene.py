@@ -593,6 +593,15 @@ def test_curation_pipeline_keeps_stage_guards(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_url_dedup_single_exchange_no_join(spark):
+    """q_url_dedup: derivation + canonicalization stay one codegen
+    projection; the only shuffle is the canonical-URL exchange feeding
+    the count/min windows — no join of any kind."""
+    plan = _plan(spark, "q_url_dedup")
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange") <= 2, plan[:800]  # 1 shuffle (+AQE echo)
+
+
 def test_bpe_encode_is_map_only(spark):
     """q_bpe_encode: after the bounded 20-row rules collect, the encode
     stage must be a PURE PROJECTION over the documents scan — zero
