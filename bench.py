@@ -113,6 +113,11 @@ HEADLINE = [
     # round 15: BPE apply/encode — the tokenizer loop's map-only encode
     # stage (bounded rules collect + literal regexp passes, zero shuffle)
     "q_bpe_encode",
+    # packing on the encoder's real token counts (the composed loop) and
+    # the canonical-URL dedup (the cheapest dedup family) — first
+    # recorded in BENCH_r15, join the bar at the next complete run
+    "q_pack_sequences_bpe",
+    "q_url_dedup",
 ]
 
 
