@@ -179,3 +179,39 @@ def test_stream_ingest_end_to_end_and_restart(spark, gated, tmp_path):
     assert read_ingested_docs(spark, store).count() == 4
     st = maintenance_stats(store)
     assert st["ingest_merged"] == 3 + 1
+
+
+def test_url_canonicalizer_idempotent_and_collapsing(spark):
+    """canon(canon(x)) == canon(x) for adversarial URL shapes, and every
+    messy rendering of one logical page collapses to the same form."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.plans.curation import _canon_col
+
+    pages = [f"p{i}" for i in range(20)]
+    variants = [
+        "HTTP://WWW.EXAMPLE.COM/{p}/?utm_source=x",
+        "https://example.com/{p}#frag",
+        "https://www.example.com:443/{p}",
+        "http://example.com/{p}?a=1&b=2",
+        "https://WWW.example.COM/{p}/",
+    ]
+    rows = [
+        (i * len(variants) + j, v.format(p=p))
+        for i, p in enumerate(pages)
+        for j, v in enumerate(variants)
+    ]
+    df = spark.createDataFrame(rows, "rid long, url string")
+    out = df.select(
+        "rid",
+        "url",
+        _canon_col(F.col("url")).alias("c1"),
+        _canon_col(_canon_col(F.col("url"))).alias("c2"),
+    )
+    assert out.filter(F.col("c1") != F.col("c2")).count() == 0  # idempotent
+    # all 5 variants of each page collapse to exactly one canonical form
+    n = out.select("c1").distinct().count()
+    assert n == len(pages), n
+    expect = "https://example.com/p0"
+    got = {r["c1"] for r in out.filter(F.col("url").contains("p0/") | F.col("url").endswith("p0") | F.col("url").contains("p0#") | F.col("url").contains("p0?")).collect()}
+    assert got == {expect}, got
