@@ -503,6 +503,7 @@ def cmd_ingest(spark, args):
         model_path=args.model_path,
         id_col=args.id_col,
         text_col=args.text_col,
+        url_col=args.url_col,
     )
     merged = process(batch, batch_id=0)
     st = maintenance_stats(args.store)
@@ -737,6 +738,10 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--model-path", default=None, help="published quality-model store")
     ig.add_argument("--id-col", default="doc_id")
     ig.add_argument("--text-col", default="text")
+    ig.add_argument(
+        "--url-col", default=None,
+        help="switch on canonical-URL dedup (stage 0) using this column",
+    )
     ig.set_defaults(func=cmd_ingest)
 
     oc = sub.add_parser(

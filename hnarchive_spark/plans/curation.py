@@ -142,43 +142,13 @@ _RAW_URL_SQL = """
       END
 """
 
-# Canonicalization steps shared verbatim by both engines.  Every regexp
-# is ANCHORED (^ or $), so Spark's replace-ALL and DuckDB's
-# replace-FIRST semantics coincide, and no pattern uses a backreference
-# (the replacement syntax differs: $1 vs \\1).  Order matters: lowercase
-# the scheme+host prefix, force https, drop fragment, drop query, drop
-# the default port, drop www., drop the trailing slash.
-_CANON_STEPS = (
-    ("^http://", "https://"),
-    ("#.*$", ""),
-    ("[?].*$", ""),
-    (":443/", "/"),  # plain-string-safe: md5 paths carry no colons
-    (":443$", ""),
-    ("^https://www[.]", "https://"),
-    ("/$", ""),
+# The canonicalization chain lives in functions/urls.py (shared with
+# the streaming ingest gate's URL-dedup stage); re-exported here under
+# the names this module's oracle generator and tests use.
+from hnarchive_spark.functions.urls import (  # noqa: E402
+    canonical_url as _canon_col,
+    canonical_url_sql as _canon_sql,
 )
-
-
-def _canon_sql(expr: str) -> str:
-    # lowercase scheme+host, preserve path case (md5 paths are lowercase
-    # already, but the rule is the real-world one)
-    out = (
-        f"lower(regexp_extract({expr}, '^([a-zA-Z]+://[^/?#]+)', 1)) || "
-        f"regexp_replace({expr}, '^[a-zA-Z]+://[^/?#]+', '')"
-    )
-    for pat, rep in _CANON_STEPS:
-        out = f"regexp_replace({out}, '{pat}', '{rep}')"
-    return out
-
-
-def _canon_col(url: F.Column) -> F.Column:
-    out = F.concat(
-        F.lower(F.regexp_extract(url, "^([a-zA-Z]+://[^/?#]+)", 1)),
-        F.regexp_replace(url, F.lit("^[a-zA-Z]+://[^/?#]+"), F.lit("")),
-    )
-    for pat, rep in _CANON_STEPS:
-        out = F.regexp_replace(out, F.lit(pat), F.lit(rep))
-    return out
 
 
 @query(

@@ -13,6 +13,11 @@ never reach the store, and the store + dedup index grow together.
 
 Stage semantics (each stage optional — pass None to skip):
 
+0. **URL dedup** (``url_col``) — canonical-URL collapse against the
+   store's curl-bucketed ``urls`` table (functions/urls.py rule set),
+   run FIRST because it is the cheapest gate (~60-byte keys, no
+   shingles); see maintain_ingest's docstring for the urls-last write
+   order and its missed-dedup-never-lost-data crash analysis.
 1. **quality** — broadcast weight-table scoring (operators/quality.py;
    ``model_path`` serves the PUBLISHED store version per batch).  Docs
    scoring below ``quality_threshold_e4`` are rejected; zero-token docs
@@ -64,8 +69,16 @@ def _store_docs_path(store_path: str) -> str:
     return os.path.join(store_path, "docs")
 
 
+def _store_urls_path(store_path: str) -> str:
+    return os.path.join(store_path, "urls")
+
+
 def _d_bucket(col: str = "doc_id") -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(N_STORE_BUCKETS)).alias("d_bucket")
+
+
+def _u_bucket(col: str = "curl") -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_STORE_BUCKETS)).alias("u_bucket")
 
 
 def read_ingested_docs(spark, store_path: str) -> DataFrame:
@@ -106,21 +119,64 @@ def maintain_ingest(
     model_path: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
 ):
     """``foreachBatch`` function composing the full gate-before-merge
     ingest.  Returns the per-batch merged count; the stage-by-stage
-    decomposition lands in the store ledger (``ingest_*`` keys)."""
+    decomposition lands in the store ledger (``ingest_*`` keys).
+
+    ``url_col`` switches on the URL-dedup stage (stage 0 — production
+    pipelines run it FIRST because it is the cheapest gate): raw URLs
+    canonicalize (functions/urls.py, the q_url_dedup rule set), the
+    batch keeps one doc per canonical URL (min doc_id), and survivors
+    anti-join the store's curl-bucketed ``urls`` table.  The urls table
+    is written LAST in the merge (after the docs commit marker): a
+    crash between the two leaves a merged doc with no url row, which a
+    redelivery skips by doc-id presence and a future URL-duplicate of
+    that page would MERGE rather than dedup — missed dedup, never lost
+    data (the safe failure direction; the reverse order would let a
+    crash permanently block a document behind a phantom url row)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> int:
         if batch_df.isEmpty():
             return 0
         spark = batch_df.sparkSession
-        b = batch_df.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        ).dropDuplicates(["doc_id"])
+        cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+        if url_col is not None:
+            from hnarchive_spark.functions.urls import canonical_url
+
+            cols.append(canonical_url(F.col(url_col)).alias("curl"))
+        b = batch_df.select(*cols).dropDuplicates(["doc_id"])
         b = b.localCheckpoint(eager=True)  # batch-sized by definition
         n_rows = b.count()
         counts = {"ingest_batches": 1, "ingest_rows": n_rows}
+
+        # ---- stage 0: canonical-URL dedup (the cheapest gate first) ----
+        if url_col is not None and n_rows:
+            from pyspark.sql import Window
+
+            wu = Window.partitionBy("curl").orderBy("doc_id")
+            kept = (
+                b.withColumn("_ur", F.row_number().over(wu))
+                .filter(F.col("_ur") == 1)
+                .drop("_ur")
+            )
+            urls_dir = _store_urls_path(store_path)
+            if os.path.isdir(urls_dir):
+                kb = kept.withColumn("u_bucket", _u_bucket())
+                ubuckets = [
+                    r[0] for r in kb.select("u_bucket").distinct().collect()
+                ]
+                existing = (
+                    spark.read.parquet(urls_dir)
+                    .filter(F.col("u_bucket").isin(ubuckets))
+                    .select("curl")
+                )
+                kept = kb.join(existing, "curl", "left_anti").drop("u_bucket")
+            kept = kept.localCheckpoint(eager=True)
+            n_kept = kept.count()
+            counts["ingest_url_dup"] = n_rows - n_kept
+            b, n_rows = kept, n_kept
 
         # ---- stage 1: quality gate (reject low scores + unscorable) ----
         if quality_threshold_e4 is not None:
@@ -232,6 +288,19 @@ def maintain_ingest(
                     .partitionBy("d_bucket")
                     .parquet(docs_dir)
                 )
+                if url_col is not None:
+                    # urls LAST (after the docs commit marker): a crash
+                    # here means missed future URL-dedup for these pages,
+                    # never a lost or blocked document (docstring)
+                    (
+                        novel.select("curl", "doc_id")
+                        .withColumn("u_bucket", _u_bucket())
+                        .repartition("u_bucket")
+                        .write.mode("append")
+                        .option("compression", "zstd")
+                        .partitionBy("u_bucket")
+                        .parquet(_store_urls_path(store_path))
+                    )
         counts["ingest_merged"] = n_merged
         counts["ingest_skipped"] = n_rows - n_merged
         _bump(store_path, **counts)

@@ -215,3 +215,43 @@ def test_url_canonicalizer_idempotent_and_collapsing(spark):
     expect = "https://example.com/p0"
     got = {r["c1"] for r in out.filter(F.col("url").contains("p0/") | F.col("url").endswith("p0") | F.col("url").contains("p0#") | F.col("url").contains("p0?")).collect()}
     assert got == {expect}, got
+
+
+def test_url_dedup_stage_in_ingest(spark, tmp_path):
+    """Stage 0 (url_col): canonical-URL dedup runs before everything —
+    intra-batch variants collapse, URLs already in the store's urls
+    table reject, survivors merge and publish their url rows; a full
+    redelivery is dropped entirely at stage 0 (every url now present)."""
+    store = str(tmp_path / "ustore")
+    seed = spark.createDataFrame(
+        [(1, "seed page about wildlife", "https://example.com/pageY")],
+        "doc_id long, text string, url string",
+    )
+    process = maintain_ingest(store, url_col="url")
+    assert process(seed, batch_id=0) == 1
+
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh page about rivers", "HTTP://WWW.EXAMPLE.COM/pageX/?utm_source=a"),
+            (11, "different text same page", "https://example.com/pageX#top"),
+            (12, "refetched page about wildlife", "https://www.example.com:443/pageY"),
+            (13, "another fresh page", "https://example.com/pageZ"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    assert process(batch, batch_id=1) == 2  # docs 10 and 13
+    st = maintenance_stats(store)
+    assert st["ingest_url_dup"] == 2  # 11 (intra-batch), 12 (vs store)
+    assert {
+        r["doc_id"] for r in read_ingested_docs(spark, store).collect()
+    } == {1, 10, 13}
+    # conservation with the new fate
+    assert st["ingest_rows"] == (
+        st["ingest_url_dup"] + st["ingest_merged"] + st["ingest_skipped"]
+    )
+    # full redelivery: every canonical URL is now published -> all four
+    # drop at stage 0, nothing merges
+    assert process(batch, batch_id=1) == 0
+    st2 = maintenance_stats(store)
+    assert st2["ingest_url_dup"] == 2 + 4
+    assert read_ingested_docs(spark, store).count() == 3
