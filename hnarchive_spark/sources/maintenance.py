@@ -72,6 +72,11 @@ def detect_index_kind(path: str) -> str | None:
         # the quality-classifier model store: a k-row (bucket, w_e4)
         # weight table plus its n_buckets meta (quality_model_store.py)
         return "quality_model"
+    if has("docs") and not has("bands"):
+        # the composed-ingest document store (streaming/ingest.py):
+        # docs (+ optional urls) bucket partitions — the bands check
+        # keeps MinHash's docs+bands layout classified first
+        return "docstore"
     if any(e.startswith("bucket=") for e in entries):
         # gram and LSH share the flat bucket= layout; the gram index
         # carries its gram length in _META.json
@@ -100,6 +105,7 @@ _ACTIONS = {
         False,
         "republish (needs training labels: publish_quality_model)",
     ),
+    "docstore": (True, "compact_ingest_store"),
 }
 
 
@@ -136,6 +142,10 @@ def _execute(spark, kind: str, path: str) -> str:
         from hnarchive_spark.sources.scd2_store import compact_scd2
 
         return compact_scd2(spark, path)
+    if kind == "docstore":
+        from hnarchive_spark.streaming.ingest import compact_ingest_store
+
+        return compact_ingest_store(spark, path)
     raise ValueError(f"no self-contained verb for {kind}")
 
 

@@ -66,11 +66,15 @@ N_STORE_BUCKETS = 64
 
 
 def _store_docs_path(store_path: str) -> str:
-    return os.path.join(store_path, "docs")
+    from hnarchive_spark.sources.index_version import index_root
+
+    return os.path.join(index_root(store_path), "docs")
 
 
 def _store_urls_path(store_path: str) -> str:
-    return os.path.join(store_path, "urls")
+    from hnarchive_spark.sources.index_version import index_root
+
+    return os.path.join(index_root(store_path), "urls")
 
 
 def _d_bucket(col: str = "doc_id") -> F.Column:
@@ -303,10 +307,55 @@ def maintain_ingest(
                     )
         counts["ingest_merged"] = n_merged
         counts["ingest_skipped"] = n_rows - n_merged
+        # generic append-triple aliases so the standard maintenance
+        # predicate (needs_maintenance's batch budget -> compaction due)
+        # schedules the doc store like every other append family
+        counts["batches"] = 1
+        counts["appended"] = n_merged
         _bump(store_path, **counts)
         return n_merged
 
     return _process
+
+
+def compact_ingest_store(spark, store_path: str) -> str:
+    """Collapse the per-batch small-file pileup: every ingest batch
+    appends ~1 file per touched bucket, so K batches leave ~K files per
+    bucket until compacted.  Rewrites docs (and urls, if the URL stage
+    ever ran) coalesced per bucket into ``<store>/v<N+1>`` and publishes
+    at the atomic pointer swap (index_version.py) — readers that
+    resolved the old root keep a complete tree until
+    prune_index_versions.  Returns the new version directory."""
+    from hnarchive_spark.sources.index_version import (
+        current_index_version,
+        publish_index_version,
+    )
+
+    docs = spark.read.parquet(_store_docs_path(store_path))
+    urls = None
+    if os.path.isdir(_store_urls_path(store_path)):
+        urls = spark.read.parquet(_store_urls_path(store_path))
+    new_v = (current_index_version(store_path) or 0) + 1
+    vdir = os.path.join(store_path, f"v{new_v}")
+    (
+        docs.repartition("d_bucket")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("d_bucket")
+        .parquet(os.path.join(vdir, "docs"))
+    )
+    if urls is not None:
+        (
+            urls.repartition("u_bucket")
+            .sortWithinPartitions("curl")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("u_bucket")
+            .parquet(os.path.join(vdir, "urls"))
+        )
+    publish_index_version(store_path, new_v)
+    return vdir
 
 
 def stream_ingest(

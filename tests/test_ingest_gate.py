@@ -255,3 +255,66 @@ def test_url_dedup_stage_in_ingest(spark, tmp_path):
     st2 = maintenance_stats(store)
     assert st2["ingest_url_dup"] == 2 + 4
     assert read_ingested_docs(spark, store).count() == 3
+
+
+def test_docstore_compaction_and_scheduler(spark, tmp_path):
+    """The ingest doc store completes the lifecycle discipline: K
+    appends leave ~K files per touched bucket; detect_index_kind
+    classifies the layout as docstore; run_maintenance trips on the
+    batch budget, compacts into v<N> behind the pointer, and consumes
+    the ledger; contents are identical before/after."""
+    import os
+
+    from hnarchive_spark.sources.maintenance import (
+        detect_index_kind,
+        run_maintenance,
+    )
+    from hnarchive_spark.streaming.ingest import _store_docs_path
+
+    store = str(tmp_path / "cstore")
+    process = maintain_ingest(store, url_col="url")
+    # 4 batches x 40 docs over 64 buckets -> most buckets touched by
+    # several batches, so the per-batch file pileup is real
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [
+                (b * 100 + i, f"text for doc {b * 100 + i}",
+                 f"https://example.com/p{b * 100 + i}")
+                for i in range(40)
+            ],
+            "doc_id long, text string, url string",
+        )
+        assert process(batch, batch_id=b) == 40
+
+    def n_files(root):
+        return sum(
+            1 for _d, _s, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    assert detect_index_kind(store) == "docstore"
+    before_rows = {
+        (r["doc_id"], r["text"])
+        for r in read_ingested_docs(spark, store).collect()
+    }
+    files_before = n_files(_store_docs_path(store))
+
+    reps = run_maintenance(spark, [store], max_batches=2)
+    assert reps[0]["due"] and reps[0]["executed"], reps
+    assert _store_docs_path(store).count("/v1/") or "/v1/" in _store_docs_path(store)
+    after_rows = {
+        (r["doc_id"], r["text"])
+        for r in read_ingested_docs(spark, store).collect()
+    }
+    assert after_rows == before_rows
+    assert n_files(_store_docs_path(store)) < files_before
+    # ledger consumed: a second pass is not due
+    reps2 = run_maintenance(spark, [store], max_batches=2)
+    assert not reps2[0]["due"]
+    # appends keep working against the published version
+    more = spark.createDataFrame(
+        [(999, "post-compaction doc", "https://example.com/p999")],
+        "doc_id long, text string, url string",
+    )
+    assert process(more, batch_id=99) == 1
+    assert read_ingested_docs(spark, store).count() == 161
