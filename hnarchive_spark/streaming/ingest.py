@@ -45,6 +45,11 @@ Restart/redelivery: every stage recomputes (advisory ledger
 double-count, the gate contract), and the merge's presence check makes
 a fully re-delivered batch a no-op — zero rows appended anywhere.
 
+ONE configuration per store: the docs table's schema follows the verb's
+configuration (``url_col`` adds a ``curl`` column), so all writers of a
+given store must share one gate configuration — mixing url and non-url
+closures on the same store would append mixed-schema parquet.
+
 At 100 TB: each stage is O(batch + pruned candidates), never a corpus
 pass — the batch shuffles at metadata width, the model and Bloom bitmap
 broadcast, and the store/index appends land in bucket partitions.
