@@ -595,6 +595,160 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_curation_pipeline_url",
+    oracle=f"""
+    WITH uraw AS (
+      SELECT doc_id, source, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    ucanon AS (
+      SELECT doc_id, {_canon_sql("url")} AS curl FROM uraw
+    ),
+    usurv AS (
+      SELECT doc_id, n_url_dups FROM (
+        SELECT doc_id,
+               CAST(count(*) OVER (PARTITION BY curl) AS BIGINT) AS n_url_dups,
+               row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS uo
+        FROM ucanon
+      ) WHERE uo = 1
+    ),
+    toks AS (
+      SELECT d.doc_id,
+             unnest(list_filter(string_split(d.text, ' '), w -> w != '')) AS tok
+      FROM documents d JOIN usurv u ON u.doc_id = d.doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, {_BUCKET_SQL.format(b=QUALITY_W_BUCKETS)} AS bucket FROM toks
+    ),
+    model AS (
+      SELECT range AS bucket,
+             ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 8))::BIGINT % 20001 AS w_e4
+      FROM range({QUALITY_W_BUCKETS})
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(sum(m.w_e4) // count(*) AS BIGINT) AS quality_e4
+      FROM bucketed b JOIN model m ON m.bucket = b.bucket
+      GROUP BY b.doc_id
+    ),
+    kept_q AS (SELECT doc_id, quality_e4 FROM scored
+               WHERE quality_e4 >= {QUALITY_KEEP_E4}),
+    fp AS (
+      SELECT d.doc_id, q.quality_e4, u.n_url_dups,
+             substr(md5(regexp_replace(lower(d.text), ' +', ' ', 'g')), 1, 16) AS fp
+      FROM documents d
+      JOIN kept_q q ON q.doc_id = d.doc_id
+      JOIN usurv u ON u.doc_id = d.doc_id
+    ),
+    surv AS (
+      SELECT doc_id, quality_e4, n_url_dups,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS fo
+      FROM fp
+    ),
+    {_URL_CTE},
+    capped AS (
+      SELECT p.doc_id, p.domain, p.n_chars, s.quality_e4, s.n_dups, s.n_url_dups,
+             row_number() OVER (PARTITION BY p.domain
+                                ORDER BY p.n_chars DESC, p.doc_id) AS rk
+      FROM parsed p JOIN surv s ON s.doc_id = p.doc_id AND s.fo = 1
+    )
+    SELECT doc_id, domain, n_chars, quality_e4, n_dups, n_url_dups,
+           CAST(rk AS BIGINT) AS rk
+    FROM capped WHERE rk <= {DOMAIN_CAP_K}
+    """,
+    doc="The FOUR-stage composed curation pipeline — the batch twin of "
+    "the streaming ingest verb's full gate order: (0) canonical-URL "
+    "survivorship FIRST (the cheapest gate: q_url_dedup's rule set, "
+    "min-doc_id winner, dup count carried as audit), then (1) the "
+    "broadcast quality gate over SURVIVORS ONLY (the tokenize pass "
+    "never touches URL-duplicate docs — the whole point of gate "
+    "ordering), (2) exact-dedup survivorship, (3) per-domain cap. "
+    "Audit columns carry both dup counts (n_url_dups, n_dups) plus "
+    "quality and rank. Same scale shape as q_curation_pipeline plus "
+    "ONE ~60-byte-key exchange in front that SHRINKS every downstream "
+    "stage's input.",
+)
+def q_curation_pipeline_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.quality import fixture_model, quality_scores
+
+    d = load(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 3").cast("string")
+    site = F.expr("(doc_id div 3) % 50").cast("string")
+    p = F.substring(F.md5(g), 1, 12)
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.SITE"), site, F.lit(".COM/"), p,
+                F.lit("/?utm_source=feed&ref="), F.col("source"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com/"), p,
+                F.lit("#section-2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), site, F.lit(".com:443/"), p
+            )
+        )
+    )
+    wu = Window.partitionBy("curl")
+    wuo = Window.partitionBy("curl").orderBy("doc_id")
+    usurv = (
+        d.select("doc_id", _canon_col(raw).alias("curl"))
+        .select(
+            "doc_id",
+            F.count(F.lit(1)).over(wu).alias("n_url_dups"),
+            F.row_number().over(wuo).alias("uo"),
+        )
+        .filter(F.col("uo") == 1)
+        .drop("uo")
+    )
+    # quality gate over URL SURVIVORS only — cheapest gate first
+    kept_q = quality_scores(
+        d.join(usurv.select("doc_id"), "doc_id"), fixture_model(spark)
+    ).filter(F.col("quality_e4") >= QUALITY_KEEP_E4)
+    fp = (
+        d.join(kept_q.select("doc_id", "quality_e4"), "doc_id")
+        .join(usurv, "doc_id")
+        .select(
+            "doc_id", "quality_e4", "n_url_dups",
+            T.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    wc = Window.partitionBy("fp")
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        fp.select(
+            "doc_id",
+            "quality_e4",
+            "n_url_dups",
+            F.count(F.lit(1)).over(wc).alias("n_dups"),
+            F.row_number().over(wf).alias("fo"),
+        )
+        .filter(F.col("fo") == 1)
+        .drop("fo")
+    )
+    parsed = _domain_cols(_with_url(spark, sf_dir)).select(
+        "doc_id", "domain", "n_chars"
+    )
+    wd = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        parsed.join(surv, "doc_id")
+        .withColumn("rk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP_K)
+        .select(
+            "doc_id", "domain", "n_chars", "quality_e4", "n_dups",
+            "n_url_dups", "rk",
+        )
+    )
+
+
+@query(
     "q_curation_pipeline",
     oracle=f"""
     WITH toks AS (

@@ -60,11 +60,12 @@ _VERIFY_FIRST = [
     # verified queries registered this round first (the BPE encoder
     # closing the tokenizer induce->apply loop, the per-leg hybrid
     # recall arms, the pack-on-BPE-output composition, the URL-
-    # canonicalization dedup), then the
-    # ENTIRE remaining r10-green block (the
+    # canonicalization dedup and the four-stage URL-first curation
+    # pipeline), then the ENTIRE remaining r10-green block (the
     # staleness floor rises to r11 after this round) and the oldest
     # r11 names; ascending staleness, ALPHABETICAL tiebreak.
     "q_bpe_encode",
+    "q_curation_pipeline_url",
     "q_hybrid_recall_arms",
     "q_pack_sequences_bpe",
     "q_url_dedup",
@@ -113,7 +114,6 @@ _VERIFY_FIRST = [
     "q_vocab_coverage",
     "q_window_sort",
     "q_ann_clustered_recall_plain",
-    "q_ann_clustered_recall_residual",
 ]
 
 

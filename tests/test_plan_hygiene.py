@@ -593,6 +593,18 @@ def test_curation_pipeline_keeps_stage_guards(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curation_pipeline_url_keeps_stage_guards(spark):
+    """q_curation_pipeline_url: the four-stage composition keeps every
+    stage's guard — the weight table still broadcasts, the domain cap
+    still plans WindowGroupLimit, no Cartesian anywhere — and the URL
+    stage adds only window exchanges, never a join blowup."""
+    plan = _plan(spark, "q_curation_pipeline_url")
+    assert "BroadcastExchange" in plan, plan[:800]
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
 def test_url_dedup_single_exchange_no_join(spark):
     """q_url_dedup: derivation + canonicalization stay one codegen
     projection; the only shuffle is the canonical-URL exchange feeding
