@@ -118,6 +118,8 @@ HEADLINE = [
     # recorded in BENCH_r15, join the bar at the next complete run
     "q_pack_sequences_bpe",
     "q_url_dedup",
+    # the four-stage URL-first composition beside its three-stage twin
+    "q_curation_pipeline_url",
 ]
 
 
