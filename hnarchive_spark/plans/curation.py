@@ -594,10 +594,11 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- the composed curation pipeline ---------------------------------------
 
 
-@query(
-    "q_curation_pipeline_url",
-    oracle=f"""
-    WITH uraw AS (
+# The four-stage URL-first pipeline's CTE chain through ``capped`` —
+# shared verbatim by q_curation_pipeline_url's ranked-output oracle and
+# q_curation_funnel's per-stage loss accounting, so the audited stages
+# ARE the pipeline's stages.
+_URL_PIPE_CTES = f"""uraw AS (
       SELECT doc_id, source, {_RAW_URL_SQL} AS url FROM documents
     ),
     ucanon AS (
@@ -651,7 +652,13 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY p.domain
                                 ORDER BY p.n_chars DESC, p.doc_id) AS rk
       FROM parsed p JOIN surv s ON s.doc_id = p.doc_id AND s.fo = 1
-    )
+    )"""
+
+
+@query(
+    "q_curation_pipeline_url",
+    oracle=f"""
+    WITH {_URL_PIPE_CTES}
     SELECT doc_id, domain, n_chars, quality_e4, n_dups, n_url_dups,
            CAST(rk AS BIGINT) AS rk
     FROM capped WHERE rk <= {DOMAIN_CAP_K}
@@ -669,6 +676,15 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage's input.",
 )
 def q_curation_pipeline_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _url_pipeline_stages(spark, sf_dir)["final"]
+
+
+def _url_pipeline_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four-stage pipeline's stage frames — ``usurv`` (URL-dedup
+    survivors), ``kept_q`` (quality-gate survivors), ``surv`` (exact-dedup
+    survivors), ``final`` (domain-capped output).  q_curation_pipeline_url
+    returns ``final``; q_curation_funnel counts every stage, so the
+    accounting can never drift from the pipeline it accounts for."""
     from hnarchive_spark.operators.quality import fixture_model, quality_scores
 
     d = load(spark, sf_dir, "documents")
@@ -737,13 +753,116 @@ def q_curation_pipeline_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "domain", "n_chars"
     )
     wd = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
-    return (
+    final = (
         parsed.join(surv, "doc_id")
         .withColumn("rk", F.row_number().over(wd).cast("long"))
         .filter(F.col("rk") <= DOMAIN_CAP_K)
         .select(
             "doc_id", "domain", "n_chars", "quality_e4", "n_dups",
             "n_url_dups", "rk",
+        )
+    )
+    return {"usurv": usurv, "kept_q": kept_q, "surv": surv, "final": final}
+
+
+CURATION_STAGES = ("raw", "url_dedup", "quality_gate", "exact_dedup", "domain_cap")
+
+
+def _funnel_oracle() -> str:
+    """Loss accounting over the URL pipeline's own CTE chain: one
+    token-count CTE, one flags frame (four LEFT joins of the stage id
+    sets), one aggregate, five UNION ALL stage rows."""
+    aggs = ", ".join(
+        f"CAST(count(*) FILTER (WHERE i{i}) AS BIGINT) AS d{i}, "
+        f"CAST(coalesce(sum(nt) FILTER (WHERE i{i}), 0) AS BIGINT) AS t{i}"
+        for i in (1, 2, 3, 4)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS stage_name, "
+        f"d{i} AS n_docs, t{i} AS n_tokens, "
+        f"CAST(d{i} * 10000 // d0 AS BIGINT) AS docs_pct_e4, "
+        f"CAST(t{i} * 10000 // t0 AS BIGINT) AS tokens_pct_e4 FROM c"
+        for i, name in enumerate(CURATION_STAGES)
+    )
+    return f"""
+    WITH {_URL_PIPE_CTES},
+    tokc AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                  AS BIGINT) AS nt
+      FROM documents
+    ),
+    flags AS (
+      SELECT t.doc_id, t.nt,
+             u.doc_id IS NOT NULL AS i1,
+             q.doc_id IS NOT NULL AS i2,
+             s3.doc_id IS NOT NULL AS i3,
+             f4.doc_id IS NOT NULL AS i4
+      FROM tokc t
+      LEFT JOIN usurv u ON u.doc_id = t.doc_id
+      LEFT JOIN kept_q q ON q.doc_id = t.doc_id
+      LEFT JOIN (SELECT doc_id FROM surv WHERE fo = 1) s3 ON s3.doc_id = t.doc_id
+      LEFT JOIN (SELECT doc_id FROM capped WHERE rk <= {DOMAIN_CAP_K}) f4
+        ON f4.doc_id = t.doc_id
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS d0, CAST(sum(nt) AS BIGINT) AS t0,
+             {aggs}
+      FROM flags
+    )
+    SELECT * FROM ({unions})
+    """
+
+
+@query(
+    "q_curation_funnel",
+    oracle=_funnel_oracle(),
+    doc="Per-stage LOSS ACCOUNTING for the four-stage curation pipeline — "
+    "the audit report a training-data team reads before blessing a crawl "
+    "drop: one row per stage (raw -> url_dedup -> quality_gate -> "
+    "exact_dedup -> domain_cap) with surviving docs, surviving whitespace "
+    "tokens, and both as floor-divided e4 fractions of the raw corpus. "
+    "The stage id-frames are _url_pipeline_stages' OWN frames (accounting "
+    "cannot drift from the pipeline), composed as one declarative DAG: a "
+    "single tokenize-count pass over documents, four (doc_id, flag) LEFT "
+    "joins — metadata-width, all keyed the same — ONE partial+final "
+    "aggregate, and a 5-row stack. At 100 TB the funnel costs the "
+    "pipeline it audits plus one token-count scan; nothing in it is "
+    "corpus x corpus.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _url_pipeline_stages(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    tokc = d.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    flags = tokc
+    for i, frame in enumerate(
+        (s["usurv"], s["kept_q"], s["surv"], s["final"]), start=1
+    ):
+        flags = flags.join(
+            frame.select("doc_id", F.lit(1).alias(f"in{i}")), "doc_id", "left"
+        )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("nt").cast("long").alias("t0"),
+    ]
+    for i in (1, 2, 3, 4):
+        aggs.append(F.count(F.col(f"in{i}")).cast("long").alias(f"d{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.col(f"in{i}") * F.col("nt")), F.lit(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    rows = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', d{i}, t{i}, "
+        f"(d{i} * 10000) div d0, (t{i} * 10000) div t0"
+        for i, name in enumerate(CURATION_STAGES)
+    )
+    return flags.agg(*aggs).select(
+        F.expr(
+            f"stack(5, {rows}) AS "
+            "(stage, stage_name, n_docs, n_tokens, docs_pct_e4, tokens_pct_e4)"
         )
     )
 

@@ -58,15 +58,17 @@ _VERIFY_FIRST = [
     # tools/rotation_report.rotation_order(before_round=15) prefix and
     # locked by tests/test_rotation_consistency.py: the never-driver-
     # verified queries registered this round first (the BPE encoder
-    # closing the tokenizer induce->apply loop, the per-leg hybrid
-    # recall arms, the pack-on-BPE-output composition, the URL-
-    # canonicalization dedup and the four-stage URL-first curation
-    # pipeline), then the ENTIRE remaining r10-green block (the
-    # staleness floor rises to r11 after this round) and the oldest
-    # r11 names; ascending staleness, ALPHABETICAL tiebreak.
+    # closing the tokenizer induce->apply loop, the curation-funnel
+    # loss accounting, the four-stage URL-first curation pipeline, the
+    # per-leg hybrid recall arms, the exact-refine hybrid rerank, the
+    # pack-on-BPE-output composition and the URL-canonicalization
+    # dedup), then the oldest r10-green names filling the 50-slot
+    # budget; ascending staleness, ALPHABETICAL tiebreak.
     "q_bpe_encode",
+    "q_curation_funnel",
     "q_curation_pipeline_url",
     "q_hybrid_recall_arms",
+    "q_hybrid_rerank",
     "q_pack_sequences_bpe",
     "q_url_dedup",
     "q_ann_ivfpq_residual",
@@ -112,8 +114,6 @@ _VERIFY_FIRST = [
     "q_skew_salted_agg",
     "q_staleness",
     "q_vocab_coverage",
-    "q_window_sort",
-    "q_ann_clustered_recall_plain",
 ]
 
 

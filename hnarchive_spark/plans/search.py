@@ -916,3 +916,93 @@ def q_hybrid_recall_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(dense_hits * 10000) div {HYBRID_TOPK}").alias("dense_recall_e4"),
         F.expr(f"(fused_hits * 10000) div {HYBRID_TOPK}").alias("fused_recall_e4"),
     )
+
+
+def _hybrid_rerank_oracle() -> str:
+    """The rerank oracle: the indexed chain's own ``fused`` CTE supplies
+    the stage-1 shortlist, then the exact-cosine refine replays as a
+    plain join of the shortlist against the query and candidate vectors
+    (namespaces rq/rr, disjoint from the chain's)."""
+    parts = _hybrid_indexed_parts()
+    parts.append(f"""hyb AS (
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rrf_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {HYBRID_TOPK}
+    ),
+    rq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {HYBRID_QUERIES}
+    ),
+    rr AS (
+      SELECT h.query_id, h.doc_id, h.rrf_rank,
+             CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[])
+                        * 1000000) AS BIGINT) AS cos_e6
+      FROM hyb h JOIN rq q ON q.query_id = h.query_id
+      JOIN embeddings a ON a.vec_id = h.doc_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT query_id, doc_id, rrf_rank, cos_e6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, doc_id) AS BIGINT)
+             AS rerank
+    FROM rr"""
+    )
+
+
+@query(
+    "q_hybrid_rerank",
+    oracle=_hybrid_rerank_oracle(),
+    doc=f"Second-stage EXACT-REFINE rerank over the indexed hybrid "
+    "serving path — the stage the RAG stack runs between retrieval and "
+    f"the context window: stage 1 serves the fused top-{HYBRID_TOPK} "
+    "per query from the persisted BM25 + IVF-PQ indexes "
+    "(q_hybrid_search_rrf_indexed's exact frames), stage 2 fetches the "
+    "candidates' FULL-PRECISION vectors and re-orders the shortlist by "
+    "exact cosine (doc_id tiebreak) — repairing the rank error the "
+    "PQ-compressed ADC distances and the integer RRF introduce, at a "
+    "cost that is O(queries x k), never a corpus pass. The stage-1 "
+    "shortlist is collected app-side (bounded: HYBRID_QUERIES x "
+    f"{HYBRID_TOPK} rows — in a serving system it lives there anyway) "
+    "so stage 2 pushes an explicit In(vec_id, ...) id-list filter into "
+    "the vector-store scan: a point-list fetch with row-group pruning, "
+    "not a join against the corpus. Output carries both orders "
+    "(rrf_rank, rerank) plus cos_e6, so the refine's effect is "
+    "auditable per query.",
+)
+def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.similarity import as_double, cosine
+
+    lex, dense = _indexed_hybrid_legs(spark, sf_dir)
+    shortlist = _rrf_fuse(lex, dense).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rrf_rank")
+    )
+    # bounded collect (HYBRID_QUERIES * HYBRID_TOPK rows, the :774
+    # discipline): materializing the stage-1 shortlist is what makes the
+    # stage-2 fetch a PUSHED id-list scan instead of a corpus join.
+    rows = shortlist.collect()
+    cand_ids = sorted({int(r["doc_id"]) for r in rows})
+    cand = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_id"]), int(r["rrf_rank"])) for r in rows],
+        "query_id long, doc_id long, rrf_rank long",
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < HYBRID_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    cv = e.filter(F.col("vec_id").isin(cand_ids)).select(
+        F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    cos_e6 = F.round(cosine(F.col("qv"), F.col("cv")) * 1_000_000, 0).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), "doc_id")
+    return (
+        F.broadcast(cand)
+        .join(qv, "query_id")
+        .join(F.broadcast(cv), "doc_id")
+        .select("query_id", "doc_id", "rrf_rank", cos_e6.alias("cos_e6"))
+        .withColumn("rerank", F.row_number().over(wr).cast("long"))
+    )

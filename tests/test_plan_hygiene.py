@@ -659,3 +659,35 @@ def test_dpp_join_scan_is_dynamically_pruned(spark):
     from hnarchive_spark.plans.analytics import DPP_HOT_DAYS
 
     assert DPP_HOT_DAYS * 5 <= len(days), "dim must select a strict minority"
+
+
+def test_hybrid_rerank_stage2_is_pushed_pointlist(spark):
+    """q_hybrid_rerank: the plan the query RETURNS is stage 2 alone
+    (stage 1's shortlist is collected app-side, the serving shape), so
+    it must fetch candidate vectors via a PUSHED id-list scan
+    (In(vec_id, ...) in PushedFilters — a point-list fetch with
+    row-group pruning), join only by broadcast (shortlist and candidate
+    frames are both <= queries x k rows), and do no corpus work: no
+    re-tokenize, no training aggregate, no SortMergeJoin, no
+    cartesian."""
+    plan = _plan(spark, "q_hybrid_rerank")
+    assert "In(vec_id" in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "split(text" not in plan
+    assert "avg(" not in plan
+
+
+def test_curation_funnel_one_dag_no_cartesian(spark):
+    """q_curation_funnel: the loss accounting composes the pipeline's
+    own stage frames into ONE declarative DAG — the 256-row quality
+    model must stay a broadcast join, the flag joins must all key on
+    doc_id (metadata-width), and nothing may go cartesian or
+    nested-loop; the stage rows come from a single partial+final
+    aggregate, not five corpus passes."""
+    plan = _plan(spark, "q_curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
