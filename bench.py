@@ -120,6 +120,11 @@ HEADLINE = [
     "q_url_dedup",
     # the four-stage URL-first composition beside its three-stage twin
     "q_curation_pipeline_url",
+    # the exact-refine stage-2 rerank over the indexed serve path, and
+    # the pipeline's per-stage loss accounting — first recorded in the
+    # r15 session, join the bar at the next complete run
+    "q_hybrid_rerank",
+    "q_curation_funnel",
 ]
 
 
