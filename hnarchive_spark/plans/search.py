@@ -975,7 +975,8 @@ def _hybrid_rerank_oracle() -> str:
     "auditable per query.",
 )
 def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hnarchive_spark.operators.similarity import as_double, cosine
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.vec_store import build_vec_store, fetch_vectors
 
     lex, dense = _indexed_hybrid_legs(spark, sf_dir)
     shortlist = _rrf_fuse(lex, dense).select(
@@ -983,18 +984,41 @@ def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded collect (HYBRID_QUERIES * HYBRID_TOPK rows, the :774
     # discipline): materializing the stage-1 shortlist is what makes the
-    # stage-2 fetch a PUSHED id-list scan instead of a corpus join.
+    # stage-2 fetch a PUSHED point-list read instead of a corpus join.
     rows = shortlist.collect()
+    ids = sorted({int(r["doc_id"]) for r in rows} | set(range(HYBRID_QUERIES)))
+    # stage 2 serves from the id-bucketed raw-vector store (built_once —
+    # the warmup pays the build, like the text/IVF-PQ indexes): the fetch
+    # carries a bucket PartitionFilter AND the pushed In(vec_id, ...), so
+    # at scale it reads only the shortlist's own buckets.
+    vpath = built_once(
+        "vec_store",
+        sf_dir,
+        lambda p: build_vec_store(spark, load(spark, sf_dir, "embeddings"), p),
+    )
+    return _exact_refine(spark, rows, fetch_vectors(spark, vpath, ids))
+
+
+def _exact_refine(spark: SparkSession, rows, vectors: DataFrame) -> DataFrame:
+    """Stage 2 of the retrieve->rerank serve, shared by q_hybrid_rerank
+    and the amplified-archive probe (tools/rag_serving_probe.py) so the
+    measured path IS the served path: re-order a COLLECTED shortlist
+    (query_id, doc_id, rrf_rank rows) by full-precision exact cosine
+    against ``vectors`` (vec_id, embedding).  The id-list filter is
+    built from the bounded shortlist, so the fetch is a pushed
+    point-list scan — cost O(queries x k), independent of archive
+    size."""
+    from hnarchive_spark.operators.similarity import as_double, cosine
+
     cand_ids = sorted({int(r["doc_id"]) for r in rows})
     cand = spark.createDataFrame(
         [(int(r["query_id"]), int(r["doc_id"]), int(r["rrf_rank"])) for r in rows],
         "query_id long, doc_id long, rrf_rank long",
     )
-    e = load(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") < HYBRID_QUERIES).select(
+    qv = vectors.filter(F.col("vec_id") < HYBRID_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     )
-    cv = e.filter(F.col("vec_id").isin(cand_ids)).select(
+    cv = vectors.filter(F.col("vec_id").isin(cand_ids)).select(
         F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("cv")
     )
     cos_e6 = F.round(cosine(F.col("qv"), F.col("cv")) * 1_000_000, 0).cast("long")

@@ -91,10 +91,10 @@ def prune_index_versions(path: str, keep_current_only: bool = True) -> list[str]
         elif name in (
             "codes", "lists", "centroids", "codebooks", "postings",
             # MinHash index (bands/docs), contamination gate (ev/bloom/tot),
-            # SCD2 store (runs), ingest doc store (docs/urls) — all
-            # publish rebuilds into v<N>, leaving their flat
-            # pre-versioning trees superseded
-            "bands", "docs", "ev", "bloom", "tot", "runs", "urls",
+            # SCD2 store (runs), ingest doc store (docs/urls), raw-vector
+            # store (vectors) — all publish rebuilds into v<N>, leaving
+            # their flat pre-versioning trees superseded
+            "bands", "docs", "ev", "bloom", "tot", "runs", "urls", "vectors",
         ) or name.startswith("bucket="):
             # pre-versioning flat data superseded by the published version
             # (bucket=* is the LSH index's flat layout — its partitions

@@ -44,6 +44,11 @@ def detect_index_kind(path: str) -> str | None:
         return all(os.path.exists(os.path.join(root, n)) for n in names)
 
     entries = os.listdir(root)
+    if has("vectors"):
+        # the id-bucketed raw-vector store (vec_store.py): vectors/
+        # bucket partitions + n_buckets meta — the point-fetch side of
+        # the RAG serving stack
+        return "vecstore"
     if has("runs"):
         return "scd2"
     if has("postings"):
@@ -106,6 +111,7 @@ _ACTIONS = {
         "republish (needs training labels: publish_quality_model)",
     ),
     "docstore": (True, "compact_ingest_store"),
+    "vecstore": (True, "compact_vec_store"),
 }
 
 
@@ -146,6 +152,10 @@ def _execute(spark, kind: str, path: str) -> str:
         from hnarchive_spark.streaming.ingest import compact_ingest_store
 
         return compact_ingest_store(spark, path)
+    if kind == "vecstore":
+        from hnarchive_spark.sources.vec_store import compact_vec_store
+
+        return compact_vec_store(spark, path)
     raise ValueError(f"no self-contained verb for {kind}")
 
 

@@ -672,6 +672,11 @@ def test_hybrid_rerank_stage2_is_pushed_pointlist(spark):
     cartesian."""
     plan = _plan(spark, "q_hybrid_rerank")
     assert "In(vec_id" in plan, plan[:1200]
+    # the fetch reads the id-bucketed vec store: the shortlist's buckets
+    # arrive as a directory-pruning PartitionFilter
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln for ln in plan.split("\n")
+    ), plan[:1200]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

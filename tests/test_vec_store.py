@@ -1,0 +1,123 @@
+"""Id-bucketed raw-vector store (sources/vec_store.py): the point-fetch
+side of the RAG serving stack.  Fetch must return exactly the requested
+ids' vectors with a bucket-pruned scan, builds must reject duplicate
+ids, appends must be idempotent under re-delivery and leave untouched
+buckets inode-stable, and compaction must preserve rows behind the
+atomic pointer swap — the house lifecycle discipline."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hnarchive_spark.sources.index_version import (
+    current_index_version,
+    prune_index_versions,
+)
+from hnarchive_spark.sources.maintenance import _ACTIONS, detect_index_kind
+from hnarchive_spark.sources.vec_store import (
+    append_vec_store,
+    build_vec_store,
+    compact_vec_store,
+    fetch_vectors,
+    vec_store_meta,
+)
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark):
+    return load(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def _files(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_ino, st.st_size)
+    return out
+
+
+def test_build_fetch_roundtrip_and_detection(spark, tmp_path):
+    e = _vecs(spark)
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, e, root, n_buckets=8)
+    assert detect_index_kind(root) == "vecstore"
+    assert _ACTIONS["vecstore"] == (True, "compact_vec_store")
+    assert vec_store_meta(root)["n_buckets"] == 8
+
+    ids = [3, 17, 42, 999_999]  # one id absent from the corpus
+    got = {r["vec_id"]: r["embedding"] for r in fetch_vectors(spark, root, ids).collect()}
+    want = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert got == want and 999_999 not in got
+
+    # the fetch plan carries BOTH pruning levers
+    plan = fetch_vectors(spark, root, ids)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln for ln in plan.split("\n")
+    ), plan[:1200]
+    assert "In(vec_id" in plan, plan[:1200]
+
+
+def test_build_rejects_duplicate_ids(spark, tmp_path):
+    e = _vecs(spark).limit(10)
+    root = str(tmp_path / "vs")
+    try:
+        build_vec_store(spark, e.unionByName(e), root)
+        raise AssertionError("duplicate ids must be rejected")
+    except ValueError:
+        pass
+    assert current_index_version(root) is None  # live version untouched
+
+
+def test_append_idempotent_and_bucket_pruned(spark, tmp_path):
+    e = _vecs(spark)
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 50))
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, base, root, n_buckets=8)
+    before = _files(root)
+
+    n1 = append_vec_store(spark, batch, root)
+    assert n1 == batch.count() > 0
+    # untouched-bucket files are inode-stable (append never rewrites)
+    after = _files(root)
+    assert all(after[p] == before[p] for p in before)
+
+    # full re-delivery is a no-op
+    assert append_vec_store(spark, batch, root) == 0
+    got = fetch_vectors(spark, root, [r["vec_id"] for r in batch.collect()])
+    assert got.count() == n1
+
+
+def test_compact_preserves_rows_behind_pointer_swap(spark, tmp_path):
+    e = _vecs(spark)
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, e.filter(F.col("vec_id") % 2 == 0), root, n_buckets=8)
+    append_vec_store(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+    v_before = current_index_version(root)
+    n_before = fetch_vectors(
+        spark, root, [r["vec_id"] for r in e.select("vec_id").collect()]
+    ).count()
+
+    compact_vec_store(spark, root)
+    assert current_index_version(root) == v_before + 1
+    n_after = fetch_vectors(
+        spark, root, [r["vec_id"] for r in e.select("vec_id").collect()]
+    ).count()
+    assert n_after == n_before == e.count()
+    assert vec_store_meta(root)["n_vectors"] == n_after
+
+    removed = prune_index_versions(root)
+    assert any(f"v{v_before}" in p for p in removed)
+    assert fetch_vectors(spark, root, [2, 3]).count() == 2

@@ -19,11 +19,13 @@ amplify the sf corpus x{1,2,4,8} the ORGANIC way —
   decision, not a plan property, and rebuild_ivfpq_index re-lists on
   rebuild.)
 
-Per G, each leg + the fusion is timed min-of-3 on the REGISTERED
-serving functions (bm25_query_topk with the stop-term guard,
-probe_ivfpq_topk, _rrf_fuse), with the matched-postings row count and
-the probed-codes row count reported next to the wall so "tracks the
-pruned work, not the archive" is a read-off, not an inference.
+Per G, each leg + the fusion + the stage-2 exact refine is timed
+min-of-3 on the REGISTERED serving functions (bm25_query_topk with the
+stop-term guard, probe_ivfpq_topk, _rrf_fuse, _exact_refine against a
+size-G vector store), with the matched-postings row count, the
+probed-codes row count, and the fetched-vector count reported next to
+the walls so "tracks the pruned work, not the archive" is a read-off,
+not an inference.
 
 Run: python tools/rag_serving_probe.py [SF_DIR]
 Output: one JSON line per growth factor.
@@ -160,6 +162,40 @@ def main() -> None:
         dense_wall = _min_wall(dense)
         fuse_wall = _min_wall(fused)
 
+        # stage-2 exact refine (q_hybrid_rerank's _exact_refine + the
+        # id-bucketed vec store, the SAME functions the registered query
+        # serves): shortlist computed ONCE outside the timed arm, the
+        # size-G store built like production — the design predicts this
+        # arm FLAT in G (bucket PartitionFilter + pushed In(vec_id,...)).
+        from hnarchive_spark.plans.search import HYBRID_QUERIES as _HQ
+        from hnarchive_spark.plans.search import _exact_refine
+        from hnarchive_spark.sources.vec_store import build_vec_store, fetch_vectors
+
+        vroot = os.path.join(root, "vec_store")
+        build_vec_store(spark, e, vroot)
+        lx = bm25_query_topk(
+            spark, tpath, queries, HYBRID_CAND_K, max_df_pct=HYBRID_MAX_DF_PCT
+        ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+        dn = probe_ivfpq_topk(
+            spark, apath, qvecs, HYBRID_CAND_K, PQ_M, n_probe=IVFPQ_N_PROBE
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+        sl_rows = (
+            _rrf_fuse(lx, dn)
+            .select("query_id", "doc_id", F.col("rank").cast("long").alias("rrf_rank"))
+            .collect()
+        )
+        sl_ids = sorted({int(r["doc_id"]) for r in sl_rows} | set(range(_HQ)))
+        rerank = lambda: _exact_refine(  # noqa: E731
+            spark, sl_rows, fetch_vectors(spark, vroot, sl_ids)
+        ).collect()
+        rerank()  # warm
+        rerank_wall = _min_wall(rerank)
+        fetched_vecs = len(sl_ids)
+
         # the pruned work the walls should track
         from hnarchive_spark.sources.index_version import index_root
 
@@ -189,6 +225,8 @@ def main() -> None:
                     "lex_wall": round(lex_wall, 3),
                     "dense_wall": round(dense_wall, 3),
                     "fuse_wall": round(fuse_wall, 3),
+                    "rerank_wall": round(rerank_wall, 3),
+                    "fetched_vecs": fetched_vecs,
                     "matched_postings": matched_postings,
                     "total_postings": total_postings,
                     "avg_list_codes": round(avg_list, 1),
