@@ -283,6 +283,20 @@ def cmd_index(spark, args):
         )
         print(f"rebuilt into {vdir} (now version {current_index_version(args.path)})")
         _ledger_fresh()
+    elif args.action == "build-vec-store":
+        from hnarchive_spark.sources.vec_store import build_vec_store
+        from hnarchive_spark.tables import load
+
+        sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        e = load(spark, sf_dir, "embeddings")
+        vdir = build_vec_store(spark, e, args.path)
+        print(f"built into {vdir} (now version {current_index_version(args.path)})")
+    elif args.action == "compact-vec-store":
+        from hnarchive_spark.sources.vec_store import compact_vec_store
+
+        vdir = compact_vec_store(spark, args.path)
+        print(f"compacted into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()
     elif args.action == "stats":
         import json as _json
 
@@ -634,7 +648,8 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=(
             "rebuild-ivfpq", "compact-text", "compact-lsh", "compact-grams",
-            "recover-text", "prune", "stats",
+            "recover-text", "build-vec-store", "compact-vec-store",
+            "prune", "stats",
         ),
     )
     ix.add_argument("--path", required=True, help="index root directory")

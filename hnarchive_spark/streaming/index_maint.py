@@ -227,6 +227,32 @@ def maintain_lsh_index(
     return _process
 
 
+def maintain_vec_store(
+    index_path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """``foreachBatch`` function for raw-vector-store maintenance
+    (sources/vec_store.py — the point-fetch side of the serving stack):
+    per micro-batch, novel vectors append into their own bucket
+    partitions (presence anti-join pruned to the batch's buckets), so
+    the vectors the ANN index ingests stay fetchable for the exact-
+    refine rerank at the same cadence.  Re-delivery idempotence comes
+    from the shared skip-on-conflict rail like every append family."""
+    from hnarchive_spark.sources.vec_store import append_vec_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> int:
+        n_in = batch_df.count()
+        if n_in == 0:
+            return 0
+        appended = append_vec_store(
+            batch_df.sparkSession, batch_df, index_path,
+            id_col=id_col, vec_col=vec_col, on_conflict="skip",
+        )
+        _bump_maint_stats(index_path, appended, n_in - appended)
+        return appended
+
+    return _process
+
+
 def maintain_gram_index(index_path: str, id_col: str = "doc_id", text_col: str = "text"):
     """``foreachBatch`` function for substring-gram-index maintenance —
     the simplest family: a gram SET makes duplicate delivery a semantic
@@ -324,6 +350,24 @@ def stream_index_ivfpq(
     quantizers; recall drift is the scheduled rebuild's job)."""
     writer = vec_stream.writeStream.foreachBatch(
         maintain_ivfpq_index(index_path, n_sub, id_col, vec_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_vec_store(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Vector stream → per-micro-batch raw-vector-store append (the
+    fetch side stays as fresh as the ANN side it serves alongside)."""
+    writer = vec_stream.writeStream.foreachBatch(
+        maintain_vec_store(store_path, id_col, vec_col)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

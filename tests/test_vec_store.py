@@ -121,3 +121,37 @@ def test_compact_preserves_rows_behind_pointer_swap(spark, tmp_path):
     removed = prune_index_versions(root)
     assert any(f"v{v_before}" in p for p in removed)
     assert fetch_vectors(spark, root, [2, 3]).count() == 2
+
+
+def test_stream_maintenance_skip_idempotent(spark, tmp_path):
+    """The vec store rides the same micro-batch cadence as the ANN
+    families: a files stream appends with availableNow; a second run
+    from a FRESH checkpoint (every batch re-delivered) plus new files
+    ends row-identical to a full build over the union, and the ledger
+    records the skips."""
+    from hnarchive_spark.streaming.index_maint import (
+        maintenance_stats,
+        stream_vec_store,
+    )
+
+    e = _vecs(spark)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, e.filter(F.col("vec_id") % 4 == 0), root, n_buckets=8)
+    e.filter(F.col("vec_id") % 4 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    stream_vec_store(stream, root, str(tmp_path / "ckpt1")).awaitTermination()
+
+    # new files + a fresh checkpoint: ALL files re-delivered
+    e.filter(F.col("vec_id") % 4 == 2).write.mode("append").parquet(src)
+    e.filter(F.col("vec_id") % 4 == 3).write.mode("append").parquet(src)
+    stream_vec_store(stream, root, str(tmp_path / "ckpt2")).awaitTermination()
+
+    all_ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+    got = fetch_vectors(spark, root, all_ids)
+    assert got.count() == e.count()
+    assert got.select("vec_id").distinct().count() == e.count()
+    stats = maintenance_stats(root)
+    assert stats["appended"] == e.count() - e.filter(F.col("vec_id") % 4 == 0).count()
+    assert stats["skipped"] > 0  # the re-delivered first file
