@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "q_hybrid_recall_arms",
     "q_hybrid_rerank",
     "q_pack_sequences_bpe",
+    "q_rerank_top1_fix",
     "q_url_dedup",
     "q_ann_ivfpq_residual",
     "q_ann_pq_search",
@@ -113,7 +114,6 @@ _VERIFY_FIRST = [
     "q_setops",
     "q_skew_salted_agg",
     "q_staleness",
-    "q_vocab_coverage",
 ]
 
 

@@ -1030,3 +1030,109 @@ def _exact_refine(spark: SparkSession, rows, vectors: DataFrame) -> DataFrame:
         .select("query_id", "doc_id", "rrf_rank", cos_e6.alias("cos_e6"))
         .withColumn("rerank", F.row_number().over(wr).cast("long"))
     )
+
+
+def _rerank_top1_oracle() -> str:
+    """Three top-1 arms over the rerank chain's own CTEs: the fused
+    top-1 (rrf_rank = 1), the reranked top-1 (exact-cosine re-order of
+    the shortlist), and the offline exact-cosine top-1 over the WHOLE
+    corpus (ground truth) — namespaces rr2/f1/r1/xq/x1, disjoint from
+    the chain's."""
+    parts = _hybrid_indexed_parts()
+    parts.append(f"""hyb AS (
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rrf_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {HYBRID_TOPK}
+    ),
+    rq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {HYBRID_QUERIES}
+    ),
+    rr AS (
+      SELECT h.query_id, h.doc_id, h.rrf_rank,
+             CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[])
+                        * 1000000) AS BIGINT) AS cos_e6
+      FROM hyb h JOIN rq q ON q.query_id = h.query_id
+      JOIN embeddings a ON a.vec_id = h.doc_id
+    ),
+    rr2 AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, doc_id) AS rerank
+      FROM rr
+    ),
+    f1 AS (SELECT query_id, doc_id AS fused_top1 FROM rr2 WHERE rrf_rank = 1),
+    r1 AS (SELECT query_id, doc_id AS rerank_top1 FROM rr2 WHERE rerank = 1),
+    x1 AS (
+      SELECT query_id, doc_id AS exact_top1 FROM (
+        SELECT q.query_id, a.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) * 1000000) AS BIGINT) DESC,
+                          a.vec_id) AS rk
+        FROM embeddings a CROSS JOIN rq q WHERE a.vec_id != q.query_id
+      ) WHERE rk = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT f1.query_id, fused_top1, rerank_top1, exact_top1,
+           CAST(CASE WHEN fused_top1 = exact_top1 THEN 1 ELSE 0 END AS BIGINT)
+             AS fused_correct,
+           CAST(CASE WHEN rerank_top1 = exact_top1 THEN 1 ELSE 0 END AS BIGINT)
+             AS rerank_correct
+    FROM f1
+    JOIN r1 ON r1.query_id = f1.query_id
+    JOIN x1 ON x1.query_id = f1.query_id"""
+    )
+
+
+@query(
+    "q_rerank_top1_fix",
+    oracle=_rerank_top1_oracle(),
+    doc="What the exact-refine rerank BUYS, recorded as integers per "
+    "round (the q_hybrid_recall_arms discipline applied to stage 2): "
+    "per query, the fused top-1 (what RRF over PQ-compressed distances "
+    "would serve first), the reranked top-1 (after the full-precision "
+    "re-order), and the offline exact-cosine top-1 over the whole "
+    "corpus (ground truth), with correctness flags for both arms. "
+    "rerank_correct >= fused_correct by construction whenever the true "
+    "top-1 is anywhere in the shortlist — the refine turns candidate "
+    "recall into top-rank precision, which is exactly its job in a RAG "
+    "stack. The audited path IS the served path (the arms derive from "
+    "q_hybrid_rerank's own output); the exact arm is the one corpus "
+    "pass a quality audit pays offline.",
+)
+def q_rerank_top1_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.similarity import cosine_topk
+
+    rr = q_hybrid_rerank(spark, sf_dir)
+    f1 = rr.filter(F.col("rrf_rank") == 1).select(
+        "query_id", F.col("doc_id").alias("fused_top1")
+    )
+    r1 = rr.filter(F.col("rerank") == 1).select(
+        "query_id", F.col("doc_id").alias("rerank_top1")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    x1 = cosine_topk(e, e.filter(F.col("vec_id") < HYBRID_QUERIES), 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    return (
+        f1.join(r1, "query_id")
+        .join(x1, "query_id")
+        .select(
+            "query_id",
+            "fused_top1",
+            "rerank_top1",
+            "exact_top1",
+            F.when(F.col("fused_top1") == F.col("exact_top1"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("fused_correct"),
+            F.when(F.col("rerank_top1") == F.col("exact_top1"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rerank_correct"),
+        )
+    )

@@ -187,3 +187,10 @@ def compact_vec_store(spark: SparkSession, path: str) -> str:
     os.replace(tmp, os.path.join(vdir, "_META.json"))
     publish_index_version(path, new_v)
     return vdir
+
+
+def read_vec_store(spark: SparkSession, path: str) -> DataFrame:
+    """(vec_id, embedding) for the whole store — the archive accessor
+    gates verify against (the read_ingested_docs twin).  Full-store
+    consumers only; point fetches go through :func:`fetch_vectors`."""
+    return spark.read.parquet(_vectors_path(path)).select("vec_id", "embedding")

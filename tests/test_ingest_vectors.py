@@ -1,0 +1,122 @@
+"""Composed streaming VECTOR ingest (streaming/ingest_vectors.py): the
+semantic near-dup gate must reject batch vectors with an archive
+neighbor, survivors must land in the vec store + membership + IVF-PQ
+together, the ledger must obey the conservation law, full redelivery
+must append nothing anywhere, and a crash between the fetch-side and
+search-side appends must self-heal on redelivery (the fetch-first write
+order's claim)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnarchive_spark.sources.ann_index import build_ivfpq_index
+from hnarchive_spark.sources.semdedup_index import build_semdedup_index
+from hnarchive_spark.sources.vec_store import build_vec_store, read_vec_store
+from hnarchive_spark.streaming.index_maint import _MAINT_STATS
+from hnarchive_spark.streaming.ingest_vectors import maintain_vector_ingest
+from hnarchive_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+N_SUB = 4
+T_EXACT_E6 = 1_000_000  # exact-copy gate: round(cos*1e6) == 1e6
+
+
+def _vecs(spark):
+    # label stays: build_ivfpq_index seeds its coarse lists from it
+    return load(spark, SF, "embeddings").select("vec_id", "embedding", "label")
+
+
+def _ledger(root: str) -> dict:
+    with open(os.path.join(root, _MAINT_STATS)) as fh:
+        return json.load(fh)
+
+
+def _setup(spark, tmp_path):
+    e = _vecs(spark)
+    seed = e.filter(F.col("vec_id") % 2 == 0)
+    vs = str(tmp_path / "vs")
+    ivf = str(tmp_path / "ivf")
+    sd = str(tmp_path / "sd")
+    build_vec_store(spark, seed, vs, n_buckets=8)
+    build_ivfpq_index(seed, ivf, N_SUB, 8, 2)
+    build_semdedup_index(spark, seed, sd, k=8, iters=2, store_assignments=True)
+    novel = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200))
+    # planted archive copies under fresh ids: the gate must reject them
+    dups = seed.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"), "embedding", "label"
+    )
+    return e, seed, vs, ivf, sd, novel, dups
+
+
+def test_gate_fates_conservation_and_redelivery(spark, tmp_path):
+    e, seed, vs, ivf, sd, novel, dups = _setup(spark, tmp_path)
+    batch = novel.unionByName(dups)
+    process = maintain_vector_ingest(
+        vs, ivfpq_path=ivf, n_sub=N_SUB, semdedup_index_path=sd, t_e6=T_EXACT_E6
+    )
+
+    appended = process(batch, 0)
+    assert appended == novel.count()
+    led = _ledger(vs)
+    assert led["vingest_neardup"] == dups.count()
+    assert led["vingest_rows"] == (
+        led["vingest_neardup"] + led["vingest_appended"] + led["vingest_skipped"]
+    )
+
+    # everything landed together: store, membership-gated archive, codes
+    assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
+    codes = spark.read.parquet(os.path.join(ivf, "codes"))
+    assert codes.select("vec_id").distinct().count() == seed.count() + novel.count()
+
+    # full redelivery: gate re-counts advisorily, nothing appends
+    assert process(batch, 0) == 0
+    led2 = _ledger(vs)
+    assert led2["vingest_appended"] == led["vingest_appended"]
+    assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
+    # per-batch conservation still holds over the accumulated ledger
+    assert led2["vingest_rows"] == (
+        led2["vingest_neardup"] + led2["vingest_appended"] + led2["vingest_skipped"]
+    )
+
+    # the ingested novel vectors are now ARCHIVE: a later batch that
+    # copies one of them is gated out
+    copy_of_novel = novel.limit(3).select(
+        (F.col("vec_id") + 2_000_001).alias("vec_id"), "embedding", "label"
+    )
+    assert process(copy_of_novel, 1) == 0
+    assert _ledger(vs)["vingest_neardup"] - led2["vingest_neardup"] == 3
+
+
+def test_crash_between_appends_self_heals(spark, tmp_path, monkeypatch):
+    """Fetch-side-first order: a crash after the vec-store append but
+    before the IVF-PQ append leaves vectors fetchable-not-searchable;
+    the redelivered batch must repair the codes without duplicating the
+    store."""
+    import hnarchive_spark.sources.ann_index as AI
+
+    e, seed, vs, ivf, sd, novel, _dups = _setup(spark, tmp_path)
+    real_append = AI.append_ivfpq_index
+
+    def _crash(*a, **kw):
+        raise RuntimeError("crash before search-side append")
+
+    monkeypatch.setattr(AI, "append_ivfpq_index", _crash)
+    process = maintain_vector_ingest(
+        vs, ivfpq_path=ivf, n_sub=N_SUB, semdedup_index_path=sd, t_e6=T_EXACT_E6
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        process(novel, 0)
+    # fetchable (store has the rows) but not searchable (codes don't)
+    assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
+    codes = spark.read.parquet(os.path.join(ivf, "codes"))
+    assert codes.select("vec_id").distinct().count() == seed.count()
+
+    monkeypatch.setattr(AI, "append_ivfpq_index", real_append)
+    assert process(novel, 0) == 0  # store append is the no-op skip rail
+    codes = spark.read.parquet(os.path.join(ivf, "codes"))
+    assert codes.select("vec_id").distinct().count() == seed.count() + novel.count()
