@@ -524,6 +524,36 @@ def cmd_ingest(spark, args):
     print(_json.dumps({"merged": merged, "ledger": st}))
 
 
+def cmd_ingest_vectors(spark, args):
+    """Composed gate-before-index VECTOR ingest over an embeddings
+    parquet (streaming/ingest_vectors.py): semantic near-dup gate ->
+    vec-store append -> membership append -> IVF-PQ append as ONE verb,
+    per-stage counts printed from the vec store ledger."""
+    import json as _json
+
+    from hnarchive_spark.streaming.ingest_vectors import maintain_vector_ingest
+
+    batch = spark.read.parquet(args.src)
+    process = maintain_vector_ingest(
+        args.store,
+        ivfpq_path=args.ivfpq_index,
+        n_sub=args.n_sub,
+        semdedup_index_path=args.semdedup_index,
+        t_e6=args.t_e6,
+        max_pivots=args.max_pivots,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    appended = process(batch, batch_id=0)
+    import os as _os
+
+    from hnarchive_spark.streaming.index_maint import _MAINT_STATS
+
+    with open(_os.path.join(args.store, _MAINT_STATS)) as fh:
+        st = _json.load(fh)
+    print(_json.dumps({"appended": appended, "ledger": st}))
+
+
 def cmd_oracle_check(spark, args):
     """Run registered queries side-by-side with their DuckDB oracles and
     report MATCH/MISMATCH — the driver's correctness gate as a user-facing
@@ -758,6 +788,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="switch on canonical-URL dedup (stage 0) using this column",
     )
     ig.set_defaults(func=cmd_ingest)
+
+    iv = sub.add_parser(
+        "ingest_vectors",
+        help="composed gate-before-index vector ingest: semantic near-dup "
+        "gate -> vec store -> membership -> IVF-PQ, per-stage ledger",
+    )
+    iv.add_argument("--store", required=True, help="vec store root")
+    iv.add_argument("--src", required=True, help="embeddings parquet to ingest")
+    iv.add_argument("--ivfpq-index", default=None)
+    iv.add_argument("--n-sub", type=int, default=4)
+    iv.add_argument("--semdedup-index", default=None)
+    iv.add_argument("--t-e6", type=int, default=None, help="near-dup gate cosine threshold (e6)")
+    iv.add_argument("--max-pivots", type=int, default=None, help="hot-cluster cap for the gate's pair join")
+    iv.add_argument("--id-col", default="vec_id")
+    iv.add_argument("--vec-col", default="embedding")
+    iv.set_defaults(func=cmd_ingest_vectors)
 
     oc = sub.add_parser(
         "oracle_check",

@@ -597,3 +597,43 @@ def test_cli_quality_model_and_ingest(spark, tmp_path, monkeypatch, capsys):
     assert rep["merged"] == 1  # the empty doc is quarantined (unscored)
     assert rep["ledger"]["ingest_unscored"] == 1
     assert rep["ledger"]["ingest_merged"] == 1
+
+
+def test_cli_ingest_vectors(spark, tmp_path, monkeypatch, capsys):
+    """The composed vector-ingest verb: gate -> vec store -> membership
+    -> IVF-PQ with the vingest_* ledger and its conservation law."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.sources.semdedup_index import build_semdedup_index
+    from hnarchive_spark.sources.vec_store import build_vec_store, read_vec_store
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = e.filter(F.col("vec_id") % 2 == 0)
+    vs = str(tmp_path / "vs")
+    sd = str(tmp_path / "sd")
+    build_vec_store(spark, seed, vs, n_buckets=8)
+    build_semdedup_index(spark, seed, sd, k=8, iters=2, store_assignments=True)
+
+    src = str(tmp_path / "src")
+    novel = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 60))
+    dup = seed.limit(2).select(
+        (F.col("vec_id") + 9_000_001).alias("vec_id"), "embedding", "label"
+    )
+    novel.unionByName(dup).write.parquet(src)
+
+    assert cli.main([
+        "ingest_vectors", "--store", vs, "--src", src,
+        "--semdedup-index", sd, "--t-e6", "1000000",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    led = rep["ledger"]
+    assert rep["appended"] == novel.count()
+    assert led["vingest_neardup"] == 2
+    assert led["vingest_rows"] == (
+        led["vingest_neardup"] + led["vingest_appended"] + led["vingest_skipped"]
+    )
+    assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
