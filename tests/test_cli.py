@@ -568,6 +568,13 @@ def test_maintenance_detects_every_family(spark, tmp_path):
                          store_assignments=True)
     assert detect_index_kind(p2) == "semdedup"
 
+    # the raw-vector store (vectors/ bucket partitions)
+    from hnarchive_spark.sources.vec_store import build_vec_store
+
+    p3 = str(tmp_path / "vecstore")
+    build_vec_store(spark, e, p3, n_buckets=4)
+    assert detect_index_kind(p3) == "vecstore"
+
 
 def test_cli_quality_model_and_ingest(spark, tmp_path, monkeypatch, capsys):
     """The r15 verbs: quality-model publish/stats (versioned store) and
