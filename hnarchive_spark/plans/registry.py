@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     # pack-on-BPE-output composition and the URL-canonicalization
     # dedup), then the oldest r10-green names filling the 50-slot
     # budget; ascending staleness, ALPHABETICAL tiebreak.
+    "q_ann_nprobe_sweep",
     "q_bpe_encode",
     "q_curation_funnel",
     "q_curation_pipeline_url",
@@ -113,7 +114,6 @@ _VERIFY_FIRST = [
     "q_self_join",
     "q_setops",
     "q_skew_salted_agg",
-    "q_staleness",
 ]
 
 

@@ -1889,3 +1889,74 @@ def q_ann_clustered_recall_residual(spark: SparkSession, sf_dir: str) -> DataFra
         c, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=IVFPQ_N_PROBE
     )
     return _recall_frame(exact, approx)
+
+
+IVFPQ_SWEEP = (1, 2, 4)  # the n_probe tuning curve's arms
+
+
+def _nprobe_sweep_oracle() -> str:
+    """The tuning curve as one statement: each arm is the COMPLETE
+    parameterized recall chain (_ivfpq_recall_oracle at that n_probe)
+    wrapped as a subquery — CTE namespaces cannot collide because each
+    WITH is scoped to its own arm — labeled and UNION ALLed."""
+    arms = []
+    for p in IVFPQ_SWEEP:
+        inner = _ivfpq_recall_oracle(
+            PQ_K, PQ_ITERS, PQ_M, S.DIM // PQ_M, N_QUERIES, ANN_K, p
+        )
+        arms.append(
+            f"SELECT CAST({p} AS BIGINT) AS n_probe, * FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+@query(
+    "q_ann_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    doc=f"The IVF-PQ TUNING CURVE recorded per round: recall@{ANN_K} vs "
+    f"exact squared-L2 at n_probe in {IVFPQ_SWEEP} — the recall/cost "
+    "trade a production operator actually dials (each +1 probe reads "
+    "one more list's codes per query; recall rises toward the PQ "
+    "quantization ceiling). One row per (n_probe, query), so the curve "
+    "is hash-checked integers, not a docstring claim: where it "
+    "plateaus tells the operator the coarse router — not code "
+    "precision — stops being the binding error, the q_ann_ivfpq_recall "
+    "harness generalized over its one fixed operating point. Per-QUERY "
+    "recall is legitimately non-monotone in n_probe (a newly probed "
+    "list can inject an ADC-closer false positive that evicts a true "
+    "hit from the approximate top-k); the aggregate trend is the "
+    "tuning signal. Scale "
+    "shape per arm = q_ann_ivfpq's (pruned lists x PQ codes); the "
+    "exact arm is the one corpus pass a tuning audit pays offline.",
+)
+def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.kmeans import ivf_pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.l2_topk(e, qset, ANN_K).select("query_id", "neighbor_id")
+    out = None
+    for p in IVFPQ_SWEEP:
+        approx = ivf_pq_adc_topk(
+            e, N_QUERIES, PQ_M, PQ_K, PQ_ITERS, ANN_K, n_probe=p
+        ).select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        arm = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.a_qid)
+                & (exact.neighbor_id == approx.a_nid),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("a_nid").alias("n_hits"))
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "query_id",
+                "n_hits",
+                F.expr(f"(n_hits * 10000) div {ANN_K}").alias("recall_e4"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
