@@ -63,7 +63,17 @@ _VERIFY_FIRST = [
     # per-leg hybrid recall arms, the exact-refine hybrid rerank, the
     # pack-on-BPE-output composition and the URL-canonicalization
     # dedup), then the oldest r10-green names filling the 50-slot
-    # budget; ascending staleness, ALPHABETICAL tiebreak.
+    # budget; ascending staleness, ALPHABETICAL tiebreak.  The second
+    # r15 session registered five MORE never-verified names (the
+    # curation funnel, the exact-refine rerank, the rerank top-1 arms,
+    # the n_probe sweep, the vec-store fetch), which displace the r10
+    # block's tail (q_skew_salted_agg, q_staleness, q_vocab_coverage,
+    # q_window_sort) past the budget —
+    # so the staleness floor rises to r11 one round later than VERDICT
+    # r14 #7 projected: the mechanical never-verified-first policy
+    # deliberately prioritizes a new operator's FIRST driver check over
+    # an old operator's re-check (every oracled query is still parity-
+    # swept against DuckDB on every pytest run regardless).
     "q_ann_nprobe_sweep",
     "q_bpe_encode",
     "q_curation_funnel",
@@ -73,6 +83,7 @@ _VERIFY_FIRST = [
     "q_pack_sequences_bpe",
     "q_rerank_top1_fix",
     "q_url_dedup",
+    "q_vec_store_fetch",
     "q_ann_ivfpq_residual",
     "q_ann_pq_search",
     "q_attribution_last_touch",
@@ -113,7 +124,6 @@ _VERIFY_FIRST = [
     "q_recency_weighted",
     "q_self_join",
     "q_setops",
-    "q_skew_salted_agg",
 ]
 
 

@@ -1960,3 +1960,49 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# a fixed, corpus-independent probe list for the vec store's driver
+# check: ids that exist at every SF return their vectors, absent ids
+# (the 10_000_000 sentinel) are absent from BOTH engines symmetrically
+VEC_FETCH_IDS = tuple(range(3, 390, 31)) + (10_000_000,)
+
+
+@query(
+    "q_vec_store_fetch",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                x -> x * x))) * 1000000) AS BIGINT) AS norm_e6
+    FROM embeddings
+    WHERE vec_id IN ({", ".join(str(i) for i in VEC_FETCH_IDS)})
+    """,
+    doc="The raw-vector store's POINT FETCH, driver-verified: build the "
+    "id-bucketed store from the corpus (built_once — shared with "
+    "q_hybrid_rerank's stage 2), fetch a fixed id list, and prove the "
+    "store returns exactly the corpus vectors by value (dim + e6 L2 "
+    "norm per id, both computed as the same left-to-right double fold "
+    "on each engine; a missing id — the 10M sentinel — is absent from "
+    "both sides symmetrically). The plan is the store's two pruning "
+    "levers: bucket PartitionFilter + pushed In(vec_id, ...) — the "
+    "fetch a serving system runs per shortlist, O(touched buckets) at "
+    "any corpus size.",
+)
+def q_vec_store_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.vec_store import build_vec_store, fetch_vectors
+
+    vpath = built_once(
+        "vec_store",
+        sf_dir,
+        lambda p: build_vec_store(spark, load(spark, sf_dir, "embeddings"), p),
+    )
+    got = fetch_vectors(spark, vpath, list(VEC_FETCH_IDS))
+    return got.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(S.norm(S.as_double(F.col("embedding"))) * 1_000_000, 0)
+        .cast("long")
+        .alias("norm_e6"),
+    )
