@@ -153,6 +153,11 @@ def fetch_vectors(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
     I/O, never a store pass."""
     n_buckets = int(vec_store_meta(path)["n_buckets"])
     ids = sorted({int(i) for i in ids})
+    if not ids:
+        # loud contract over a silent empty scan: every caller has a
+        # concrete shortlist/candidate list — an empty one is a bug
+        # upstream, not a fetch of nothing
+        raise ValueError("fetch_vectors requires a non-empty id list")
     buckets = sorted({i % n_buckets for i in ids})
     return (
         spark.read.parquet(_vectors_path(path))

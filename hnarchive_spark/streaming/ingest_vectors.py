@@ -51,8 +51,6 @@ seeded non-empty (the house build verbs), like every append family.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -143,7 +141,7 @@ def maintain_vector_ingest(
                 )
         counts["vingest_appended"] = appended
         counts["vingest_skipped"] = n_rows - appended
-        _bump(os.path.join(vec_store_path), **counts)
+        _bump(vec_store_path, **counts)
         return appended
 
     return _process

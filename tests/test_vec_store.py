@@ -155,3 +155,12 @@ def test_stream_maintenance_skip_idempotent(spark, tmp_path):
     stats = maintenance_stats(root)
     assert stats["appended"] == e.count() - e.filter(F.col("vec_id") % 4 == 0).count()
     assert stats["skipped"] > 0  # the re-delivered first file
+
+
+def test_fetch_rejects_empty_id_list(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, _vecs(spark).limit(10), root, n_buckets=4)
+    with pytest.raises(ValueError, match="non-empty"):
+        fetch_vectors(spark, root, [])
