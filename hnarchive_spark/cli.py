@@ -291,6 +291,7 @@ def cmd_index(spark, args):
         e = load(spark, sf_dir, "embeddings")
         vdir = build_vec_store(spark, e, args.path)
         print(f"built into {vdir} (now version {current_index_version(args.path)})")
+        _ledger_fresh()  # a full rebuild supersedes the appends that argued for it
     elif args.action == "compact-vec-store":
         from hnarchive_spark.sources.vec_store import compact_vec_store
 
@@ -549,8 +550,11 @@ def cmd_ingest_vectors(spark, args):
 
     from hnarchive_spark.streaming.index_maint import _MAINT_STATS
 
-    with open(_os.path.join(args.store, _MAINT_STATS)) as fh:
-        st = _json.load(fh)
+    try:
+        with open(_os.path.join(args.store, _MAINT_STATS)) as fh:
+            st = _json.load(fh)
+    except FileNotFoundError:  # empty src: the verb early-exits, no ledger
+        st = {}
     print(_json.dumps({"appended": appended, "ledger": st}))
 
 

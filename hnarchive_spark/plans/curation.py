@@ -834,7 +834,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _url_pipeline_stages(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     tokc = d.select(
-        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("nt")
+        "doc_id", T.n_tokens(F.col("text")).cast("long").alias("nt")
     )
     flags = tokc
     for i, frame in enumerate(

@@ -1925,7 +1925,11 @@ def _nprobe_sweep_oracle() -> str:
     "recall is legitimately non-monotone in n_probe (a newly probed "
     "list can inject an ADC-closer false positive that evicts a true "
     "hit from the approximate top-k); the aggregate trend is the "
-    "tuning signal. Scale "
+    "tuning signal. Inline-by-design like q_ann_ivfpq: each arm "
+    "retrains the (deterministic, identical) quantizers per invocation "
+    "so the curve reflects the registered operator end to end — the "
+    "sweep pays ~3x one inline run and is a tuning AUDIT, not a "
+    "serving path (q_ann_ivfpq_indexed is the production twin). Scale "
     "shape per arm = q_ann_ivfpq's (pruned lists x PQ codes); the "
     "exact arm is the one corpus pass a tuning audit pays offline.",
 )

@@ -95,11 +95,21 @@ def maintain_vector_ingest(
             )
             from hnarchive_spark.sources.vec_store import read_vec_store
 
+            # the archive EXCLUDES this batch's own ids: a redelivered
+            # batch (whose rows already landed in the store before a
+            # crash) must reproduce its FIRST-delivery gating, not be
+            # gated against itself — otherwise a batch-internal near-dup
+            # pair redelivered after a crash between the appends would
+            # drop at the gate and never reach the IVF-PQ repair append,
+            # staying fetchable-but-unsearchable forever (review r15).
+            archive = read_vec_store(spark, vec_store_path).join(
+                b.select("vec_id"), "vec_id", "left_anti"
+            )
             drops = semdedup_probe_batch(
                 spark,
                 b,
                 semdedup_index_path,
-                read_vec_store(spark, vec_store_path),
+                archive,
                 t_e6,
                 max_pivots=max_pivots,
             )

@@ -96,10 +96,30 @@ def test_crash_between_appends_self_heals(spark, tmp_path, monkeypatch):
     """Fetch-side-first order: a crash after the vec-store append but
     before the IVF-PQ append leaves vectors fetchable-not-searchable;
     the redelivered batch must repair the codes without duplicating the
-    store."""
+    store — INCLUDING a batch-internal near-dup pair (review r15: the
+    gate must reproduce first-delivery gating on redelivery, so it
+    excludes the batch's own ids from the archive; otherwise the pair
+    would gate itself out and never reach the repair append)."""
     import hnarchive_spark.sources.ann_index as AI
 
     e, seed, vs, ivf, sd, novel, _dups = _setup(spark, tmp_path)
+    # plant a batch-INTERNAL near-dup pair: two fresh ids, same vector
+    pair = seed.limit(1).select(
+        (F.col("vec_id") + 3_000_001).alias("vec_id"), "embedding", "label"
+    ).unionByName(
+        seed.limit(1).select(
+            (F.col("vec_id") + 3_000_002).alias("vec_id"), "embedding", "label"
+        )
+    )
+    # use fresh vectors for the pair so the ARCHIVE gate doesn't reject
+    # them on first delivery: negate the embedding (cosine -1 vs seed)
+    pair = pair.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+    )
+    batch = novel.unionByName(pair)
+    n_batch = batch.count()
     real_append = AI.append_ivfpq_index
 
     def _crash(*a, **kw):
@@ -110,13 +130,18 @@ def test_crash_between_appends_self_heals(spark, tmp_path, monkeypatch):
         vs, ivfpq_path=ivf, n_sub=N_SUB, semdedup_index_path=sd, t_e6=T_EXACT_E6
     )
     with pytest.raises(RuntimeError, match="crash"):
-        process(novel, 0)
-    # fetchable (store has the rows) but not searchable (codes don't)
-    assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
+        process(batch, 0)
+    # fetchable (store has the rows, pair included: batch x batch is
+    # never gated) but not searchable (codes don't)
+    assert read_vec_store(spark, vs).count() == seed.count() + n_batch
     codes = spark.read.parquet(os.path.join(ivf, "codes"))
     assert codes.select("vec_id").distinct().count() == seed.count()
 
     monkeypatch.setattr(AI, "append_ivfpq_index", real_append)
-    assert process(novel, 0) == 0  # store append is the no-op skip rail
+    assert process(batch, 0) == 0  # store append is the no-op skip rail
     codes = spark.read.parquet(os.path.join(ivf, "codes"))
-    assert codes.select("vec_id").distinct().count() == seed.count() + novel.count()
+    got = {r[0] for r in codes.select("vec_id").distinct().collect()}
+    # EVERY batch row is searchable after the repair — the near-dup pair
+    # was not gated against its own store rows on redelivery
+    assert {r["vec_id"] for r in batch.select("vec_id").collect()} <= got
+    assert len(got) == seed.count() + n_batch
