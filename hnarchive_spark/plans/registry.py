@@ -67,8 +67,8 @@ _VERIFY_FIRST = [
     # r15 session registered five MORE never-verified names (the
     # curation funnel, the exact-refine rerank, the rerank top-1 arms,
     # the n_probe sweep, the vec-store fetch), which displace the r10
-    # block's tail (q_skew_salted_agg, q_staleness, q_vocab_coverage,
-    # q_window_sort) past the budget —
+    # block's tail (q_ann_clustered_recall_plain, q_skew_salted_agg,
+    # q_staleness, q_vocab_coverage, q_window_sort) past the budget —
     # so the staleness floor rises to r11 one round later than VERDICT
     # r14 #7 projected: the mechanical never-verified-first policy
     # deliberately prioritizes a new operator's FIRST driver check over

@@ -112,8 +112,12 @@ def append_vec_store(
     check anti-joins only the batch's OWN bucket partitions (an id always
     routes to the same bucket, so scanning the touched buckets finds any
     re-delivered row — the _filter_duplicate_ids discipline), then the
-    survivors append one file per touched bucket.  Returns rows
-    appended; a fully re-delivered micro-batch appends 0."""
+    survivors append one file per touched bucket.  Intra-batch duplicate
+    ids are collapsed first (dropDuplicates, the append_lsh_index rule):
+    the store-presence anti-join alone can't see two copies of an id
+    arriving in the SAME micro-batch, and a double row would break the
+    point-fetch uniqueness invariant build_vec_store enforces.  Returns
+    rows appended; a fully re-delivered micro-batch appends 0."""
     from hnarchive_spark.sources.ann_index import _filter_duplicate_ids
 
     n_buckets = int(vec_store_meta(path)["n_buckets"])
@@ -122,6 +126,7 @@ def append_vec_store(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).alias("embedding"),
         )
+        .dropDuplicates(["vec_id"])
         .withColumn("bucket", _bucket(F.col("vec_id"), n_buckets))
         .persist()
     )

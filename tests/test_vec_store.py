@@ -100,6 +100,26 @@ def test_append_idempotent_and_bucket_pruned(spark, tmp_path):
     assert got.count() == n1
 
 
+def test_append_collapses_intra_batch_duplicate_ids(spark, tmp_path):
+    """A micro-batch carrying the same vec_id twice must land ONE row:
+    the store-presence anti-join can't see duplicates that arrive
+    together, so append_vec_store collapses them first (ADVICE r15 —
+    the append_lsh_index rule).  Point fetch stays unique per id."""
+    e = _vecs(spark)
+    root = str(tmp_path / "vs")
+    build_vec_store(spark, e.filter(F.col("vec_id") % 2 == 0), root, n_buckets=8)
+
+    batch = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 20))
+    doubled = batch.unionByName(batch)
+    n = append_vec_store(spark, doubled, root)
+    assert n == batch.count() > 0  # one row per distinct id, not two
+
+    ids = [r["vec_id"] for r in batch.collect()]
+    fetched = fetch_vectors(spark, root, ids)
+    assert fetched.count() == len(ids)
+    assert fetched.select("vec_id").distinct().count() == len(ids)
+
+
 def test_compact_preserves_rows_behind_pointer_swap(spark, tmp_path):
     e = _vecs(spark)
     root = str(tmp_path / "vs")
