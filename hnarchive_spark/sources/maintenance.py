@@ -77,6 +77,11 @@ def detect_index_kind(path: str) -> str | None:
         # the quality-classifier model store: a k-row (bucket, w_e4)
         # weight table plus its n_buckets meta (quality_model_store.py)
         return "quality_model"
+    if has("_RULES.json"):
+        # the trained-tokenizer store (tokenizer_store.py): an immutable
+        # versioned rule list — no appends, so no compaction; retrains
+        # publish whole new versions
+        return "tokenizer"
     if has("docs") and not has("bands"):
         # the composed-ingest document store (streaming/ingest.py):
         # docs (+ optional urls) bucket partitions — the bands check
@@ -112,6 +117,10 @@ _ACTIONS = {
     ),
     "docstore": (True, "compact_ingest_store"),
     "vecstore": (True, "compact_vec_store"),
+    "tokenizer": (
+        False,
+        "retrain (needs corpus: build_tokenizer_store publishes a new version)",
+    ),
 }
 
 

@@ -1,10 +1,13 @@
-"""q_bpe_encode: the BPE apply step must match a literal Python greedy-fold
-reference on an ADVERSARIAL corpus (regex metachars as tokens, consecutive
-same-pair runs, digit runs) — the DuckDB oracle covers the synthetic corpus;
-this covers the inputs the fixture never exercises.  The Spark side applies
-each merge rule as one literal regexp_replace pass with zero-width token-
-boundary lookarounds, so the equivalence under test is regex-greedy ==
-fold-greedy on every edge the regex could plausibly get wrong."""
+"""q_bpe_train / q_bpe_encode: the ITERATIVE BPE induction (re-count pair
+frequencies after EACH merge — VERDICT r15 #2) and the apply step must match
+a literal Python greedy-fold reference on an ADVERSARIAL corpus (regex
+metachars as tokens, consecutive same-pair runs, digit runs, rules that only
+exist after an earlier merge) — the DuckDB oracle covers the synthetic
+corpus; this covers the inputs the fixture never exercises.  The Spark side
+applies each merge rule as one literal regexp_replace pass with zero-width
+token-boundary lookarounds, so the equivalence under test is regex-greedy ==
+fold-greedy on every edge the regex could plausibly get wrong — including
+multi-char non-alnum MERGED tokens as rule sides (per-char quoting)."""
 
 from __future__ import annotations
 
@@ -16,7 +19,7 @@ import pytest
 
 from hnarchive_spark.functions.text import SUBTOKEN_PATTERN
 from hnarchive_spark.plans.registry import all_queries
-from hnarchive_spark.plans.textops import BPE_TOP_PAIRS
+from hnarchive_spark.plans.textops import BPE_TRAIN_ROUNDS, induce_bpe_rules
 
 # texts chosen to stress: '(' '.' '$' '\\' '*' '+' single-glyph tokens (regex
 # quoting), runs like "! ! !" (greedy non-overlap within a same-token run),
@@ -39,29 +42,50 @@ _TEXTS = [
 ]
 
 
+def _fold(ts: list[str], a: str, b: str) -> list[str]:
+    """One greedy left-to-right merge pass of rule (a, b)."""
+    acc: list[str] = []
+    for x in ts:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def _py_induce(
+    toks: dict[int, list[str]], rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """Literal iterative reference: per round, count adjacent pairs on the
+    CURRENT streams, take the argmax (count desc, pair asc), apply it."""
+    streams = [list(ts) for ts in toks.values() if len(ts) >= 2]
+    rules: list[tuple[int, str, str, int]] = []
+    for k in range(1, rounds + 1):
+        pairs: Counter[str] = Counter()
+        for ts in streams:
+            for x, y in zip(ts, ts[1:]):
+                pairs[f"{x} {y}"] += 1
+        if not pairs:
+            break
+        pair, n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        rules.append((k, a, b, n))
+        streams = [_fold(ts, a, b) for ts in streams]
+    return rules
+
+
 def _py_bpe(texts: list[str]) -> dict[int, tuple[int, int, str]]:
-    """Literal reference: top-K adjacent pairs (count desc, pair asc), then
-    one greedy left-to-right fold pass per rule in rank order."""
+    """Iterative reference encode: induce BPE_TRAIN_ROUNDS rules, then one
+    greedy fold pass per rule in induction order over every document."""
     toks = {i: re.findall(SUBTOKEN_PATTERN, t) for i, t in enumerate(texts)}
-    pairs: Counter[str] = Counter()
-    for ts in toks.values():
-        for x, y in zip(ts, ts[1:]):
-            pairs[f"{x} {y}"] += 1
-    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-    rules = [p.split(" ") for p, _ in ranked[:BPE_TOP_PAIRS]]
+    rules = _py_induce(toks, BPE_TRAIN_ROUNDS)
     out = {}
     for i, ts in toks.items():
         if not ts:
             continue
         cur = ts
-        for a, b in rules:
-            acc: list[str] = []
-            for x in cur:
-                if acc and acc[-1] == a and x == b:
-                    acc[-1] = a + b
-                else:
-                    acc.append(x)
-            cur = acc
+        for _k, a, b, _n in rules:
+            cur = _fold(cur, a, b)
         joined = "\x01".join(cur)
         fp = hashlib.md5(joined.encode("utf-8")).hexdigest()[:16]
         out[i] = (len(ts), len(cur), fp)
@@ -85,8 +109,48 @@ def test_bpe_encode_matches_python_reference(spark, crafted_sf):
     assert got == _py_bpe(_TEXTS)
 
 
+def test_induction_matches_python_reference(spark, crafted_sf):
+    from hnarchive_spark.tables import load
+
+    got = induce_bpe_rules(spark, load(spark, crafted_sf, "documents"))
+    toks = {i: re.findall(SUBTOKEN_PATTERN, t) for i, t in enumerate(_TEXTS)}
+    assert got == _py_induce(toks, BPE_TRAIN_ROUNDS)
+
+
+def test_iterative_induction_composes_merges(spark):
+    """THE case one-shot induction gets wrong (VERDICT r15 #2's required
+    test): merge #2's pair exists ONLY in merge #1's output.  'ab ab ab
+    ab' has one distinct pair ('ab','ab'); after that merge the stream is
+    [abab, abab], so round 2 must induce ('abab','abab') — a pair whose
+    raw-corpus count is ZERO and which a frequency snapshot can never
+    rank."""
+    docs = spark.createDataFrame(
+        [("ab ab ab ab",), ("ab ab ab ab",)], "text string"
+    )
+    rules = induce_bpe_rules(spark, docs, rounds=2)
+    assert [(a, b) for _k, a, b, _n in rules] == [("ab", "ab"), ("abab", "abab")]
+    # round-2's pair has zero occurrences in the RAW corpus
+    raw_pairs = Counter()
+    for t in ["ab ab ab ab", "ab ab ab ab"]:
+        ts = re.findall(SUBTOKEN_PATTERN, t)
+        for x, y in zip(ts, ts[1:]):
+            raw_pairs[(x, y)] += 1
+    assert raw_pairs[("abab", "abab")] == 0
+    assert rules[1][3] == 2  # one post-merge occurrence per doc
+
+
+def test_induced_multichar_metachar_rule_sides(spark):
+    """Round 2+ rule sides can be MERGED multi-char non-alnum tokens
+    ('..' from '. .') — the per-char regex quoting must keep them literal
+    (the old whole-token single escape would emit '\\..' where the second
+    '.' is a metachar)."""
+    docs = spark.createDataFrame([(". . . .",), (". . . .",)], "text string")
+    rules = induce_bpe_rules(spark, docs, rounds=2)
+    assert [(a, b) for _k, a, b, _n in rules] == [(".", "."), ("..", "..")]
+
+
 def test_bpe_encode_compresses_fixture(spark):
-    """On the synthetic corpus the top-20 merges must actually fire: total
+    """On the synthetic corpus the induced merges must actually fire: total
     encoded tokens strictly below total subtokens, and never above per-doc."""
     from pyspark.sql import functions as F
 
@@ -104,25 +168,21 @@ def test_bpe_encode_conserves_characters(spark):
     """Merging can move token boundaries but never characters: the
     delimiter-stripped encoded stream must equal the concatenated
     subtokens, byte for byte, for every fixture doc.  Replays the
-    builder's own regexp chain (same rules, same quoting) and strips
-    the chr(1) delimiters."""
+    builder's own regexp chain (the ITERATIVELY-induced rules, same
+    quoting) and strips the chr(1) delimiters."""
     from pyspark.sql import functions as F
 
     from hnarchive_spark.functions import text as T
     from hnarchive_spark.plans.textops import (
         _BPE_DELIM,
-        _bpe_merge_pairs_df,
-        _bpe_regex_quote,
+        _bpe_merge_pattern,
         _bpe_replacement_quote,
     )
     from hnarchive_spark.tables import load
 
     sf = "/root/testdata/sf0.001"
     rules = [
-        (r["pair"].split(" ")[0], r["pair"].split(" ")[1])
-        for r in sorted(
-            _bpe_merge_pairs_df(spark, sf).collect(), key=lambda r: r["rank"]
-        )
+        (a, b) for _k, a, b, _n in induce_bpe_rules(spark, load(spark, sf, "documents"))
     ]
     stoks = (
         load(spark, sf, "documents")
@@ -131,11 +191,9 @@ def test_bpe_encode_conserves_characters(spark):
     )
     e = F.concat_ws(_BPE_DELIM, F.col("stk"))
     for a, b in rules:
-        pat = (
-            "(?<![^\x01])" + _bpe_regex_quote(a) + "\x01"
-            + _bpe_regex_quote(b) + "(?![^\x01])"
+        e = F.regexp_replace(
+            e, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
         )
-        e = F.regexp_replace(e, F.lit(pat), F.lit(_bpe_replacement_quote(a + b)))
     stripped = F.regexp_replace(e, F.lit("\x01"), F.lit(""))
     diff = stoks.filter(F.concat_ws("", F.col("stk")) != stripped)
     assert diff.count() == 0

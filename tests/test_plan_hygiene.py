@@ -615,7 +615,8 @@ def test_url_dedup_single_exchange_no_join(spark):
 
 
 def test_bpe_encode_is_map_only(spark):
-    """q_bpe_encode: after the bounded 20-row rules collect, the encode
+    """q_bpe_encode: after the bounded iterative-induction driver loop
+    (one 1-row argmax collect per round), the encode
     stage must be a PURE PROJECTION over the documents scan — zero
     Exchange, zero Join of any kind (the merge rules are baked in as
     literal regexp_replace passes, so at 100 TB this is a map-only stage
