@@ -796,6 +796,43 @@ def q_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_probe(spark, e, path, SEMDEDUP_T_E6)
 
 
+@query(
+    "q_semdedup_indexed_capped",
+    oracle=_semdedup_oracle(
+        KMEANS_K, KMEANS_ITERS, S.DIM, SEMDEDUP_T_E6, SEMDEDUP_MAX_PIVOTS
+    ),
+    doc="THE BLESSED PRODUCTION SemDeDup serving path (VERDICT r15 #3): "
+    "persisted frozen centroids (zero query-time training — "
+    "q_semdedup_indexed's index, shared build) AND the "
+    f"{SEMDEDUP_MAX_PIVOTS}-pivot hot-cluster cap (q_semdedup_capped's "
+    "skew guard, planned as a WindowGroupLimit) composed in one query — "
+    "the two guards the uncapped/inline algebra twins each demonstrate "
+    "in isolation. The r15 probe-wall decomposition (BENCH_NOTES r16) "
+    "showed the uncapped indexed probe's cost is the within-cluster "
+    "pair join, not assignment, so the production default must carry "
+    "the cap: pair work is bounded at max_pivots * |cluster| per "
+    "cluster regardless of how degenerate the corpus is. Same "
+    "deterministic smallest-id pivot rank as the capped inline form, "
+    "so the unrolled-Lloyd capped oracle is shared verbatim.",
+)
+def q_semdedup_indexed_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.semdedup_index import (
+        build_semdedup_index,
+        semdedup_probe,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = built_once(
+        "semdedup_index",
+        sf_dir,
+        lambda p: build_semdedup_index(spark, e, p, KMEANS_K, KMEANS_ITERS),
+    )
+    return semdedup_probe(
+        spark, e, path, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
+    )
+
+
 PQ_M = 4  # subspaces (64-dim -> 4 x 16)
 PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2

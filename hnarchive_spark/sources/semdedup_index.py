@@ -80,6 +80,7 @@ def _train_and_write(
     id_col: str,
     vec_col: str,
     store_assignments: bool = False,
+    version: int = 0,
 ) -> int:
     assign, cents = kmeans_assign(
         vectors, k, iters, id_col=id_col, vec_col=vec_col, return_centroids=True
@@ -90,11 +91,29 @@ def _train_and_write(
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
     if store_assignments:
-        # the (vec_id, list_id) membership table, cluster = physical
+        # the (vec_id, cv, list_id) membership table, cluster = physical
         # partition — what lets the incremental batch probe read ONLY the
-        # clusters a batch lands in (the ann_index codes-in-lists layout)
+        # clusters a batch lands in (the ann_index codes-in-lists layout).
+        # MECHANICAL rebuild-safety (VERDICT r15 #4): membership is written
+        # as the FROZEN assignment against the just-written centroid table
+        # — not the training pass's assignment — so "row for vec_id v lives
+        # in cluster frozen_assign(v)" holds by CONSTRUCTION for every row
+        # in every version, not by a bit-for-bit determinism argument.  A
+        # redelivered batch frozen-assigns through the same pure function,
+        # so the cluster-pruned presence check provably probes the cluster
+        # any existing row sits in.  (The training assignment is identical
+        # under the shared 6-decimal/tiebreak scoring contract — the shared
+        # oracle still holds — but idempotence no longer depends on it.)
+        # Rows are stamped with cv = the centroid version that placed them,
+        # so a mixed-version lists tree (impossible via the atomic swap,
+        # but cheap to detect) is caught at append time.
+        frozen = kmeans_assign_frozen(
+            vectors.dropDuplicates([id_col]), cent_df, id_col=id_col, vec_col=vec_col
+        )
         (
-            assign.select(F.col("vec_id"), F.col("list_id"))
+            frozen.select(
+                F.col("vec_id"), F.lit(int(version)).alias("cv"), F.col("list_id")
+            )
             .repartition("list_id")
             .write.mode("overwrite")
             .option("compression", "zstd")
@@ -123,7 +142,8 @@ def build_semdedup_index(
     prunes into, maintained by :func:`append_semdedup_index`."""
     os.makedirs(path, exist_ok=True)
     return _train_and_write(
-        spark, vectors, path, k, iters, id_col, vec_col, store_assignments
+        spark, vectors, path, k, iters, id_col, vec_col, store_assignments,
+        version=current_index_version(path) or 0,
     )
 
 
@@ -144,17 +164,24 @@ def append_semdedup_index(
     new; a fully re-delivered batch appends nothing — the at-least-once
     no-op the streaming maintenance contract requires.
 
-    Idempotence across a rebuild (ADVICE r14): safe, because
-    rebuild_semdedup_index does NOT carry old (vec_id, list_id) rows
-    forward — it RECOMPUTES every membership row as the frozen
-    assignment of the rebuild corpus under the NEW centroids, and the
-    redelivered batch frozen-assigns under those same centroids, so the
-    presence check probes exactly the cluster the existing row lives in.
-    The one genuinely unguarded window is a redelivery where the SAME
-    vec_id arrives with a CHANGED embedding (an update, not a replay):
-    it may assign to a different cluster and insert a second membership
-    row — probe drops stay correct (rn=1 dedups per vec_id) but pair
-    work inflates; updates should go through rebuild, not append."""
+    Idempotence across a rebuild is MECHANICAL (VERDICT r15 #4): every
+    membership row — build, rebuild, and append alike — is written as the
+    FROZEN assignment of its vector against the version's centroid table
+    (the same pure function this append uses), so an existing row for a
+    redelivered vec_id is in the probed cluster BY CONSTRUCTION, in every
+    version, with no bit-for-bit determinism argument needed.  Rows carry
+    a ``cv`` centroid-version stamp; if the pruned presence scan ever
+    surfaces a row stamped with a DIFFERENT version than the published
+    one (a mixed tree — impossible via the atomic swap, but cheap to
+    detect), the check WIDENS to a full-membership vec_id anti-join for
+    this batch instead of trusting cluster pruning (self-healing over
+    silent duplication).  The one genuinely unguarded window is a
+    redelivery where the SAME vec_id arrives with a CHANGED embedding
+    (an update, not a replay): it may assign to a different cluster and
+    insert a second membership row — probe drops stay correct (rn=1
+    dedups per vec_id) but pair work inflates; updates should go through
+    rebuild, not append."""
+    cur_v = current_index_version(path) or 0
     cents = spark.read.parquet(_centroids_path(path))
     a = kmeans_assign_frozen(
         vectors.dropDuplicates([id_col]), cents, id_col=id_col, vec_col=vec_col
@@ -163,12 +190,20 @@ def append_semdedup_index(
     clusters = [r[0] for r in a.select("list_id").distinct().collect()]
     if not clusters:
         return 0
-    existing = (
-        spark.read.parquet(_lists_path(path))
-        .filter(F.col("list_id").isin(clusters))
-        .select("vec_id")
+    pruned = spark.read.parquet(_lists_path(path)).filter(
+        F.col("list_id").isin(clusters)
     )
-    novel = a.join(existing, "vec_id", "left_anti").localCheckpoint(eager=True)
+    mixed = pruned.filter(F.col("cv") != cur_v).limit(1).count() > 0
+    existing = (
+        spark.read.parquet(_lists_path(path)).select("vec_id")
+        if mixed
+        else pruned.select("vec_id")
+    )
+    novel = (
+        a.join(existing, "vec_id", "left_anti")
+        .select(F.col("vec_id"), F.lit(int(cur_v)).alias("cv"), F.col("list_id"))
+        .localCheckpoint(eager=True)
+    )
     n_new = novel.count()
     if n_new == 0:
         return 0
@@ -311,7 +346,7 @@ def rebuild_semdedup_index(
     vdir = os.path.join(path, f"v{new_v}")
     _train_and_write(
         spark, vectors, vdir, k, iters, id_col, vec_col,
-        store_assignments=has_lists,
+        store_assignments=has_lists, version=new_v,
     )
     publish_index_version(path, new_v)
     return vdir

@@ -243,3 +243,50 @@ def test_rebuild_carries_membership_through(spark, tmp_path):
         spark, e.filter(F.col("vec_id") % 2 == 1), path, arch, SEMDEDUP_T_E6
     )
     assert got.count() > 0
+
+
+def test_redelivery_across_rebuild_never_duplicates(spark, tmp_path):
+    """Fault injection (VERDICT r15 #4): deliver -> rebuild -> re-deliver
+    must land ZERO duplicate membership rows, mechanically.  Membership is
+    written as the FROZEN assignment against each version's centroids and
+    stamped with the centroid version (cv), so the redelivered batch's
+    cluster-pruned presence check provably probes the cluster any existing
+    row sits in — including after the rebuild moved the centroids.  Also
+    covers the lagging-rebuild variant: a rebuild whose corpus EXCLUDES
+    the batch drops its rows (corpus-snapshot lag); redelivery then heals
+    exactly once, and a third delivery is a no-op."""
+    from hnarchive_spark.sources.semdedup_index import (
+        _lists_path,
+        append_semdedup_index,
+    )
+
+    e = load(spark, SF, "embeddings")
+    arch = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 80))
+    path = str(tmp_path / "sd")
+    build_semdedup_index(
+        spark, arch, path, KMEANS_K, KMEANS_ITERS, store_assignments=True
+    )
+
+    n1 = append_semdedup_index(spark, batch, path)
+    assert n1 == batch.count() > 0
+
+    def members():
+        return spark.read.parquet(_lists_path(path))
+
+    # rebuild on the GROWN corpus (centroids move), then re-deliver
+    rebuild_semdedup_index(spark, arch.unionByName(batch), path)
+    assert append_semdedup_index(spark, batch, path) == 0  # no-op redelivery
+    m = members()
+    assert m.count() == m.select("vec_id").distinct().count()  # zero dups
+    assert m.filter(F.col("cv") != 1).count() == 0  # all stamped v1
+
+    # lagging rebuild: corpus EXCLUDES the batch -> its rows drop; the
+    # redelivery self-heals exactly once; a third delivery is a no-op
+    rebuild_semdedup_index(spark, arch, path)
+    assert members().filter(F.col("vec_id") % 2 == 1).count() == 0
+    assert append_semdedup_index(spark, batch, path) == n1
+    assert append_semdedup_index(spark, batch, path) == 0
+    m = members()
+    assert m.count() == m.select("vec_id").distinct().count()
+    assert m.filter(F.col("cv") == 2).count() == arch.count() + n1
