@@ -439,13 +439,17 @@ RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
 HYBRID_MAX_DF_PCT = 79
 
 
-def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+def _rrf_fuse(
+    lex: DataFrame, dense: DataFrame, topk: int = HYBRID_TOPK
+) -> DataFrame:
     """Reciprocal rank fusion of two (query_id, doc_id, *_rank) legs —
     exact integer math (floor-div reciprocals, missing-leg contribution
     0), final top-k per query with doc_id tiebreak.  Shared by the inline
     and the persisted-index hybrid so the fusion cannot drift between
     them; both legs are k-rows-per-query frames, so the full-outer join
-    and the window are metadata-width."""
+    and the window are metadata-width.  ``topk`` widens the served depth
+    for rerank-shortlist consumers (q_rerank_recall10 reranks a deeper
+    fused list before serving the head)."""
     fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -459,7 +463,7 @@ def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
     wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), "doc_id")
     return (
         fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= HYBRID_TOPK)
+        .filter(F.col("rank") <= topk)
     )
 
 
@@ -1085,6 +1089,141 @@ def _rerank_top1_oracle() -> str:
     FROM f1
     JOIN r1 ON r1.query_id = f1.query_id
     JOIN x1 ON x1.query_id = f1.query_id"""
+    )
+
+
+RERANK_DEPTH = HYBRID_CAND_K  # stage-1 shortlist depth the rerank re-orders
+
+
+def _rerank_recall10_oracle() -> str:
+    """Recall@{topk} arms for the reranked serve: the indexed chain's own
+    ``fused`` CTE ranked to RERANK_DEPTH (hyb20), the exact-cosine
+    re-order (rr2), head-10 of each order (f10/g10), the exact-cosine
+    top-10 ground truth (x10), per-arm hit counts aggregated separately
+    and joined on query_id (the q_hybrid_recall_arms discipline)."""
+    parts = _hybrid_indexed_parts()
+    parts.append(f"""hyb20 AS (
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rrf_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, doc_id) AS rank
+        FROM fused
+      ) WHERE rank <= {RERANK_DEPTH}
+    ),
+    rq AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {HYBRID_QUERIES}
+    ),
+    rr2 AS (
+      SELECT query_id, doc_id, rrf_rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_e6 DESC, doc_id) AS rerank
+      FROM (
+        SELECT h.query_id, h.doc_id, h.rrf_rank,
+               CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[])
+                          * 1000000) AS BIGINT) AS cos_e6
+        FROM hyb20 h JOIN rq q ON q.query_id = h.query_id
+        JOIN embeddings a ON a.vec_id = h.doc_id
+      )
+    ),
+    f10 AS (SELECT query_id, doc_id FROM rr2 WHERE rrf_rank <= {HYBRID_TOPK}),
+    g10 AS (SELECT query_id, doc_id FROM rr2 WHERE rerank <= {HYBRID_TOPK}),
+    x10 AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.query_id, a.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(round(list_cosine_similarity(q.qv, a.embedding::DOUBLE[]) * 1000000) AS BIGINT) DESC,
+                          a.vec_id) AS rk
+        FROM embeddings a CROSS JOIN rq q WHERE a.vec_id != q.query_id
+      ) WHERE rk <= {HYBRID_TOPK}
+    ),
+    fa AS (
+      SELECT x.query_id, count(f.doc_id) AS fused_hits FROM x10 x
+      LEFT JOIN f10 f ON f.query_id = x.query_id AND f.doc_id = x.doc_id
+      GROUP BY x.query_id
+    ),
+    ga AS (
+      SELECT x.query_id, count(g.doc_id) AS rerank_hits FROM x10 x
+      LEFT JOIN g10 g ON g.query_id = x.query_id AND g.doc_id = x.doc_id
+      GROUP BY x.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT fa.query_id,
+           CAST(fused_hits AS BIGINT) AS fused_hits,
+           CAST(rerank_hits AS BIGINT) AS rerank_hits,
+           CAST((fused_hits * 10000) // {HYBRID_TOPK} AS BIGINT) AS fused_recall_e4,
+           CAST((rerank_hits * 10000) // {HYBRID_TOPK} AS BIGINT) AS rerank_recall_e4
+    FROM fa JOIN ga ON ga.query_id = fa.query_id"""
+    )
+
+
+@query(
+    "q_rerank_recall10",
+    oracle=_rerank_recall10_oracle(),
+    doc=f"Recall@{HYBRID_TOPK} AFTER the exact-refine rerank (VERDICT r15 "
+    "#6) — the refine's effect on the FULL served list, beside "
+    "q_rerank_top1_fix's top-1 arms: stage 1 serves a DEEPER fused "
+    f"shortlist (top-{RERANK_DEPTH}, the per-leg candidate depth), "
+    "stage 2 re-orders it by full-precision cosine from the vec store, "
+    "and the arms compare the head-10 of the FUSED order (what stage 1 "
+    "alone would serve) vs the head-10 of the RERANKED order against "
+    "the exact-cosine top-10 ground truth. The deeper shortlist is what "
+    "gives the refine room to work: it can PROMOTE true neighbors that "
+    f"RRF over PQ-compressed distances ranked 11..{RERANK_DEPTH} into "
+    "the served 10 — rerank_hits >= fused_hits whenever the truth is "
+    "anywhere in the shortlist. Same bounded-collect + point-fetch "
+    "serve shape as q_hybrid_rerank; the exact arm is the one corpus "
+    "pass a quality audit pays offline.",
+)
+def q_rerank_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.similarity import cosine_topk
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.vec_store import build_vec_store, fetch_vectors
+
+    lex, dense = _indexed_hybrid_legs(spark, sf_dir)
+    shortlist = _rrf_fuse(lex, dense, topk=RERANK_DEPTH).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rrf_rank")
+    )
+    rows = shortlist.collect()  # bounded: HYBRID_QUERIES x RERANK_DEPTH
+    ids = sorted({int(r["doc_id"]) for r in rows} | set(range(HYBRID_QUERIES)))
+    vpath = built_once(
+        "vec_store",
+        sf_dir,
+        lambda p: build_vec_store(spark, load(spark, sf_dir, "embeddings"), p),
+    )
+    rr = _exact_refine(spark, rows, fetch_vectors(spark, vpath, ids))
+
+    e = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_TOPK
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    arms = {
+        "fused_hits": rr.filter(F.col("rrf_rank") <= HYBRID_TOPK),
+        "rerank_hits": rr.filter(F.col("rerank") <= HYBRID_TOPK),
+    }
+    out = None
+    for name, arm in arms.items():
+        a = arm.select(
+            F.col("query_id").alias("a_qid"), F.col("doc_id").alias("a_did")
+        )
+        agg = (
+            exact.join(
+                a,
+                (exact.query_id == a.a_qid) & (exact.doc_id == a.a_did),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("a_did").alias(name))
+        )
+        out = agg if out is None else out.join(agg, "query_id")
+    return out.select(
+        "query_id",
+        "fused_hits",
+        "rerank_hits",
+        F.expr(f"(fused_hits * 10000) div {HYBRID_TOPK}").alias("fused_recall_e4"),
+        F.expr(f"(rerank_hits * 10000) div {HYBRID_TOPK}").alias("rerank_recall_e4"),
     )
 
 
