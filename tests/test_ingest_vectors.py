@@ -145,3 +145,67 @@ def test_crash_between_appends_self_heals(spark, tmp_path, monkeypatch):
     # was not gated against its own store rows on redelivery
     assert {r["vec_id"] for r in batch.select("vec_id").collect()} <= got
     assert len(got) == seed.count() + n_batch
+
+
+def test_ingested_store_serves_rerank_identically(spark, tmp_path, monkeypatch):
+    """Ingest -> serve integration (VERDICT r15 #7): after the composed
+    vector ingest — INCLUDING a crash between the fetch-side and
+    search-side appends and the redelivery heal — q_hybrid_rerank's
+    fetch path (_exact_refine over fetch_vectors, the shared serve
+    code) run against the JUST-INGESTED vec store must produce output
+    identical to the same shortlist served from a FULL-BUILD store over
+    the same corpus.  The mid-crash assertion is the
+    fetchable-not-searchable contract's point: a shortlist winner from
+    the crashed batch is already servable before the heal."""
+    import hnarchive_spark.sources.ann_index as AI
+    from hnarchive_spark.plans.search import _exact_refine
+    from hnarchive_spark.sources.vec_store import fetch_vectors
+
+    e, seed, vs, ivf, sd, novel, _dups = _setup(spark, tmp_path)
+
+    # a stage-1 shortlist naming BOTH seed docs and about-to-be-ingested
+    # novel docs (ids 1,3 are in `novel`), queries from the seed (0,2,4)
+    rows = [
+        {"query_id": q, "doc_id": d, "rrf_rank": r}
+        for q in (0, 2, 4)
+        for r, d in enumerate([1, 3, 6, 8, 101], start=1)
+        if d != q
+    ]
+    ids = sorted({r["doc_id"] for r in rows} | {0, 2, 4})
+
+    # deliver the batch with a crash before the search-side append
+    real_append = AI.append_ivfpq_index
+    monkeypatch.setattr(
+        AI, "append_ivfpq_index",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    process = maintain_vector_ingest(
+        vs, ivfpq_path=ivf, n_sub=N_SUB, semdedup_index_path=sd, t_e6=T_EXACT_E6
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        process(novel, 0)
+
+    # the reference: a FULL BUILD over the final corpus in a fresh path
+    full = str(tmp_path / "vs_full")
+    build_vec_store(spark, seed.unionByName(novel), full, n_buckets=8)
+
+    def serve(path):
+        return sorted(
+            tuple(r)
+            for r in _exact_refine(
+                spark, rows, fetch_vectors(spark, path, ids)
+            ).collect()
+        )
+
+    want = serve(full)
+    assert len(want) == len(rows)  # every shortlist row served
+    # MID-CRASH: the ingested store already serves the full rerank —
+    # batch winners are fetchable even though not yet searchable
+    assert serve(vs) == want
+
+    # heal (redelivery repairs the codes), then the serve is unchanged
+    monkeypatch.setattr(AI, "append_ivfpq_index", real_append)
+    assert process(novel, 0) == 0
+    assert serve(vs) == want
+    codes = spark.read.parquet(os.path.join(ivf, "codes"))
+    assert codes.select("vec_id").distinct().count() == seed.count() + novel.count()
