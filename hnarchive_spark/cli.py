@@ -623,6 +623,30 @@ def cmd_oracle_check(spark, args):
     return 1 if n_fail else 0
 
 
+def cmd_release(spark, args):
+    """The release run (plans/release.py): url_dedup -> quality ->
+    exact_dedup -> domain_cap -> mix/temperature -> token-budget ->
+    pack -> shard -> datacard as ONE verb over the corpus tables,
+    writing the shard-partitioned selection plus the conservation-law
+    manifest, and printing the manifest."""
+    import json as _json
+    import os as _os
+
+    from hnarchive_spark.plans.release import run_release
+
+    sf_dir = args.sf_dir or _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    manifest = run_release(
+        spark,
+        sf_dir,
+        args.out,
+        token_budget=args.token_budget,
+        pack_budget=args.pack_budget,
+        n_shards=args.n_shards,
+    )
+    print(_json.dumps(manifest))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hnarchive-spark")
     p.add_argument("--store", default="./hnarchive_store")
@@ -816,6 +840,18 @@ def build_parser() -> argparse.ArgumentParser:
     oc.add_argument("names", nargs="*", default=None, help="query slugs (omit for all oracled)")
     oc.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR or sf0.01)")
     oc.set_defaults(func=cmd_oracle_check)
+
+    rl = sub.add_parser(
+        "release",
+        help="batch release run: gates -> sampling -> pack/shard/datacard "
+        "with a conservation-law manifest",
+    )
+    rl.add_argument("--out", required=True, help="output directory (selection + _MANIFEST.json)")
+    rl.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR or sf0.1)")
+    rl.add_argument("--token-budget", type=int, default=None, help="per-source token budget (default SELECT_TOKEN_BUDGET)")
+    rl.add_argument("--pack-budget", type=int, default=None, help="tokens per packed sequence (default PACK_BUDGET)")
+    rl.add_argument("--n-shards", type=int, default=None, help="shards per source (default N_SHARDS)")
+    rl.set_defaults(func=cmd_release)
     return p
 
 

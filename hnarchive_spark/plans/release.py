@@ -1,0 +1,278 @@
+"""The RELEASE run: the batch twin of streaming/ingest.py's gated verb
+(VERDICT r15 #5) — one CLI-drivable pipeline chaining the full curation
+stack over the corpus tables and emitting a MANIFEST with per-stage
+conservation counts:
+
+    url_dedup -> quality -> exact_dedup -> domain_cap        (the four-stage
+                                                              pipeline, its
+                                                              counts ARE
+                                                              q_curation_funnel's)
+    -> mix/temperature -> token-budget selection             (sampling)
+    -> pack -> shard -> datacard                             (assembly)
+
+Every stage is the REGISTERED query's own recipe (shared helpers /
+identical expressions), so the manifest can never drift from the oracled
+outputs: stages 0-4 are literally q_curation_funnel's collected rows, the
+shard audit is q_shard_assignment's round-robin LPT recipe applied to the
+release's own selection, and the conservation law
+
+    raw == url_dup + quality_rejected + exact_dup + domain_capped
+           + mix_dropped + budget_dropped + selected
+
+is checked before the manifest is published (atomic tmp+rename, the
+ledger discipline).
+
+Scale shape: each stage is the registered query's plan (see their
+docstrings — one ~60-byte-key exchange for URL dedup, broadcast quality
+weights, fingerprint exchange, WindowGroupLimit domain cap, broadcast
+mix rates, grouped_prefix_sum budget selection, per-source applyInPandas
+pack over metadata, one window + partial-agg shard audit).  The funnel
+accounting is ONE aggregate over flag joins (q_curation_funnel's plan),
+and the selection is persisted once and reused by pack/shard/datacard/
+write — nothing downstream re-runs the gates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnarchive_spark.functions import text as T
+from hnarchive_spark.tables import load
+
+
+def _mix_temperature_filter(surv_docs: DataFrame) -> DataFrame:
+    """q_mix_temperature's recipe (alpha=0.5 acceptance via the
+    deterministic doc_id hash) applied over the SURVIVING docs — in the
+    composed pipeline the language distribution that matters is the
+    survivors', not the raw crawl's."""
+    counts = surv_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.round(F.sqrt(F.col("m").cast("double") / F.col("n")) * 1_000_000, 0)
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return surv_docs.join(F.broadcast(rates), "lang").filter(
+        bucket < F.col("rate_e6")
+    )
+
+
+def _budget_select(mixed_docs: DataFrame, budget: int) -> DataFrame:
+    """q_select_token_budget's recipe (integer quality score, scalable
+    grouped prefix sum, greedy per-source budget) over the mixed set."""
+    from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+
+    ws = T.tokens(F.col("text"))
+    q = mixed_docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(ws).cast("long").alias("n_tokens"),
+        T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
+        T.sum_token_len(F.col("text")).alias("sum_len"),
+    ).select("doc_id", "source", "lang", "n_tokens", T.quality_e4_int().alias("q_e4"))
+    # grouped_prefix_sum drops non-key columns; re-join lang after
+    cum = grouped_prefix_sum(
+        q.select("source", "doc_id", "n_tokens", "q_e4"),
+        "source", "q_e4", "doc_id", "n_tokens",
+        descending=True, bucket_width=256,
+    )
+    return (
+        cum.filter(F.col("cum") <= budget)
+        .select("source", "doc_id", "n_tokens", "q_e4")
+        .join(q.select("doc_id", "lang"), "doc_id")
+    )
+
+
+def _pack_selected(selected: DataFrame, pack_budget: int) -> DataFrame:
+    """q_pack_sequences' next-fit fold (ordered applyInPandas over
+    (doc_id, n_tokens) metadata per source) applied to the selection."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, cum, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > pack_budget:
+                b, cum = b + 1, 0
+            cum += t
+            seq_ids.append(b)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return selected.select("source", "doc_id", "n_tokens").groupBy(
+        "source"
+    ).applyInPandas(pack, "source string, doc_id long, n_tokens long, seq_id long")
+
+
+def shard_assign(rows: DataFrame, n_shards: int) -> DataFrame:
+    """q_shard_assignment's recipe — per source, deal documents
+    round-robin across shards in descending token order (LPT) — exposed
+    for the release run AND the cross-check test, so the manifest's
+    shard audit is definitionally the registered query's assignment."""
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return rows.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) % n_shards).alias("shard_id"),
+    )
+
+
+def run_release(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    token_budget: int | None = None,
+    pack_budget: int | None = None,
+    n_shards: int | None = None,
+) -> dict:
+    """Run the full release pipeline over ``sf_dir``'s documents table,
+    write the selection (parquet, shard-partitioned) and the manifest
+    (JSON, atomic rename) under ``out_dir``, and return the manifest."""
+    from hnarchive_spark.plans.curation import _url_pipeline_stages
+    from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
+    from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
+    from hnarchive_spark.plans.textops import PACK_BUDGET
+
+    token_budget = SELECT_TOKEN_BUDGET if token_budget is None else token_budget
+    pack_budget = PACK_BUDGET if pack_budget is None else pack_budget
+    n_shards = N_SHARDS if n_shards is None else n_shards
+
+    _ensure_loaded()
+    # stages 0-4: the oracled funnel's OWN rows (accounting cannot drift)
+    funnel = sorted(
+        (r.asDict() for r in REGISTRY["q_curation_funnel"].spark(spark, sf_dir).collect()),
+        key=lambda r: r["stage"],
+    )
+    stages = [
+        {
+            "stage": int(r["stage"]),
+            "name": r["stage_name"],
+            "docs": int(r["n_docs"]),
+            "tokens": int(r["n_tokens"]),
+        }
+        for r in funnel
+    ]
+
+    d = load(spark, sf_dir, "documents")
+    final = _url_pipeline_stages(spark, sf_dir)["final"]
+    surv_docs = d.join(final.select("doc_id"), "doc_id").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mixed = _mix_temperature_filter(surv_docs)
+    n_mix = mixed.count()
+    stages.append({"stage": 5, "name": "mix_temperature", "docs": n_mix})
+
+    selected = _budget_select(mixed, token_budget).persist()
+    try:
+        n_sel = selected.count()
+        sel_tokens = int(
+            selected.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+        )
+        stages.append(
+            {"stage": 6, "name": "token_budget", "docs": n_sel, "tokens": sel_tokens}
+        )
+
+        packed = _pack_selected(selected, pack_budget)
+        sharded = shard_assign(selected, n_shards)
+        out_rows = (
+            selected.select("source", "doc_id", "lang", "n_tokens", "q_e4")
+            .join(packed.select("doc_id", "seq_id"), "doc_id")
+            .join(sharded.select("doc_id", "shard_id"), "doc_id")
+            .persist()
+        )
+        try:
+            shard_audit = [
+                {
+                    "source": r["source"],
+                    "shard_id": int(r["shard_id"]),
+                    "n_docs": int(r["n_docs"]),
+                    "shard_tokens": int(r["shard_tokens"]),
+                }
+                for r in sorted(
+                    out_rows.groupBy("source", "shard_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("n_tokens").alias("shard_tokens"),
+                    )
+                    .collect(),
+                    key=lambda r: (r["source"], r["shard_id"]),
+                )
+            ]
+            datacard = [
+                {
+                    "source": r["source"],
+                    "n_docs": int(r["n_docs"]),
+                    "n_tokens": int(r["n_tokens"]),
+                    "n_seqs": int(r["n_seqs"]),
+                    "n_shards": int(r["n_shards"]),
+                    "langs": sorted(r["langs"]),
+                }
+                for r in sorted(
+                    out_rows.groupBy("source")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("n_tokens").alias("n_tokens"),
+                        F.count_distinct("seq_id").alias("n_seqs"),
+                        F.count_distinct("shard_id").alias("n_shards"),
+                        F.collect_set("lang").alias("langs"),
+                    )
+                    .collect(),
+                    key=lambda r: r["source"],
+                )
+            ]
+            os.makedirs(out_dir, exist_ok=True)
+            (
+                out_rows.repartition("shard_id")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("shard_id")
+                .parquet(os.path.join(out_dir, "selected"))
+            )
+        finally:
+            out_rows.unpersist()
+    finally:
+        selected.unpersist()
+
+    # the conservation law (the streaming ledger's batch twin): every raw
+    # doc is accounted to exactly one fate
+    by_name = {s["name"]: s["docs"] for s in stages}
+    fates = {
+        "url_dup": by_name["raw"] - by_name["url_dedup"],
+        "quality_rejected": by_name["url_dedup"] - by_name["quality_gate"],
+        "exact_dup": by_name["quality_gate"] - by_name["exact_dedup"],
+        "domain_capped": by_name["exact_dedup"] - by_name["domain_cap"],
+        "mix_dropped": by_name["domain_cap"] - by_name["mix_temperature"],
+        "budget_dropped": by_name["mix_temperature"] - by_name["token_budget"],
+        "selected": by_name["token_budget"],
+    }
+    conserved = sum(fates.values()) == by_name["raw"]
+    manifest = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "params": {
+            "token_budget": token_budget,
+            "pack_budget": pack_budget,
+            "n_shards": n_shards,
+        },
+        "stages": stages,
+        "fates": fates,
+        "conservation_ok": bool(conserved),
+        "shards": shard_audit,
+        "datacard": datacard,
+    }
+    if not conserved:  # loud: a manifest that doesn't add up must not publish
+        raise ValueError(f"release conservation violated: {fates}")
+    tmp = os.path.join(out_dir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_MANIFEST.json"))
+    return manifest

@@ -644,3 +644,72 @@ def test_cli_ingest_vectors(spark, tmp_path, monkeypatch, capsys):
         led["vingest_neardup"] + led["vingest_appended"] + led["vingest_skipped"]
     )
     assert read_vec_store(spark, vs).count() == seed.count() + novel.count()
+
+
+def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
+    """The release verb (VERDICT r15 #5): one CLI run over the fixture
+    tables must write the shard-partitioned selection and a manifest
+    whose stage counts (a) obey the conservation law and (b) CROSS-CHECK
+    against the oracled queries on the same fixture — stages 0-4 equal
+    q_curation_funnel's rows, and the shard audit equals the
+    q_shard_assignment recipe (shared shard_assign helper) recomputed
+    over the release's own selection."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
+    from hnarchive_spark.plans.release import shard_assign
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "release")
+    assert cli.main(["release", "--out", out, "--sf-dir", sf]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert printed == manifest
+    assert manifest["conservation_ok"]
+    assert sum(manifest["fates"].values()) == manifest["stages"][0]["docs"]
+
+    # cross-check stages 0-4 against the ORACLED funnel on the same fixture
+    _ensure_loaded()
+    funnel = {
+        r["stage_name"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in REGISTRY["q_curation_funnel"].spark(spark, sf).collect()
+    }
+    for s in manifest["stages"][:5]:
+        assert (s["docs"], s["tokens"]) == funnel[s["name"]], s
+
+    # the written selection matches the manifest and the shard audit
+    sel = spark.read.parquet(os.path.join(out, "selected"))
+    n_sel = manifest["fates"]["selected"]
+    assert sel.count() == n_sel == manifest["stages"][-1]["docs"]
+    audit = {
+        (r["source"], r["shard_id"]): (r["n_docs"], r["shard_tokens"])
+        for r in manifest["shards"]
+    }
+    assert sum(d for d, _t in audit.values()) == n_sel
+    assert sum(t for _d, t in audit.values()) == manifest["stages"][-1]["tokens"]
+
+    # shard audit == q_shard_assignment's recipe over the SAME selection
+    want = {
+        (r["source"], int(r["shard_id"])): (int(r["n_docs"]), int(r["t"]))
+        for r in shard_assign(
+            sel.select("source", "doc_id", "n_tokens"), manifest["params"]["n_shards"]
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert audit == want
+    # and the written rows agree with their own shard/seq columns
+    assert {
+        (r["source"], r["shard_id"]): (r["n"], r["t"])
+        for r in sel.groupBy("source", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    } == audit
+    # datacard conservation: per-source totals re-add to the selection
+    assert sum(c["n_docs"] for c in manifest["datacard"]) == n_sel
