@@ -125,6 +125,16 @@ HEADLINE = [
     # r15 session, join the bar at the next complete run
     "q_hybrid_rerank",
     "q_curation_funnel",
+    # round 16: the iterative BPE trainer (inline per-invocation by
+    # design — the q_semdedup convention; q_bpe_encode amortizes it
+    # through the persisted tokenizer store built in the untimed
+    # warmup), the BLESSED indexed+capped SemDeDup production probe
+    # (VERDICT r15 #3 — beside its uncapped/inline twins so the
+    # cap's delta is recorded per round), and the recall@10-after-
+    # rerank arm (served-list effect of the exact refine)
+    "q_bpe_train",
+    "q_semdedup_indexed_capped",
+    "q_rerank_recall10",
 ]
 
 

@@ -51,79 +51,71 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 15
+_ROTATION_BUILT_FOR_ROUND = 16
 
 _VERIFY_FIRST = [
-    # Round-15 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=15) prefix and
-    # locked by tests/test_rotation_consistency.py: the never-driver-
-    # verified queries registered this round first (the BPE encoder
-    # closing the tokenizer induce->apply loop, the curation-funnel
-    # loss accounting, the four-stage URL-first curation pipeline, the
-    # per-leg hybrid recall arms, the exact-refine hybrid rerank, the
-    # pack-on-BPE-output composition and the URL-canonicalization
-    # dedup), then the oldest r10-green names filling the 50-slot
-    # budget; ascending staleness, ALPHABETICAL tiebreak.  The second
-    # r15 session registered five MORE never-verified names (the
-    # curation funnel, the exact-refine rerank, the rerank top-1 arms,
-    # the n_probe sweep, the vec-store fetch), which displace the r10
-    # block's tail (q_ann_clustered_recall_plain, q_skew_salted_agg,
-    # q_staleness, q_vocab_coverage, q_window_sort) past the budget —
-    # so the staleness floor rises to r11 one round later than VERDICT
-    # r14 #7 projected: the mechanical never-verified-first policy
-    # deliberately prioritizes a new operator's FIRST driver check over
-    # an old operator's re-check (every oracled query is still parity-
-    # swept against DuckDB on every pytest run regardless).
-    "q_ann_nprobe_sweep",
-    "q_bpe_encode",
-    "q_curation_funnel",
-    "q_curation_pipeline_url",
-    "q_hybrid_recall_arms",
-    "q_hybrid_rerank",
-    "q_pack_sequences_bpe",
-    "q_rerank_top1_fix",
-    "q_url_dedup",
-    "q_vec_store_fetch",
-    "q_ann_ivfpq_residual",
-    "q_ann_pq_search",
-    "q_attribution_last_touch",
-    "q_bigram_lm",
-    "q_bm25_append",
-    "q_bm25_indexed",
-    "q_bm25_lite",
-    "q_chunk_documents",
-    "q_derived_pred",
-    "q_distinct_count",
-    "q_embed_dim_audit",
-    "q_funnel",
-    "q_gap_fill",
-    "q_global_index",
-    "q_hard_negatives",
-    "q_heavy_hitters_exact",
-    "q_idle_rich_customers",
-    "q_inverted_index",
-    "q_join_anti",
-    "q_join_semi",
-    "q_json_extract",
-    "q_kcore_peel",
-    "q_knn_classify",
-    "q_length_histogram",
-    "q_link_prediction",
-    "q_market_share",
-    "q_mix_temperature",
-    "q_orders_per_customer_dist",
-    "q_pagerank",
-    "q_pagerank_weighted",
-    "q_paragraph_dedup",
-    "q_percentiles_scalable",
-    "q_pii_redact",
-    "q_pivot_status",
-    "q_power_iteration",
-    "q_pq_codes",
-    "q_range_join",
-    "q_recency_weighted",
-    "q_self_join",
-    "q_setops",
+    # Round-16 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=16) prefix and
+    # locked by tests/test_rotation_consistency.py: the three queries
+    # registered this round first (the iterative BPE induction closing
+    # VERDICT r15 #2, the recall@10-after-rerank arm, and the blessed
+    # indexed+capped SemDeDup production probe), then the FULL r10
+    # verification floor (q_skew_salted_agg, q_staleness,
+    # q_vocab_coverage, q_window_sort — the four stragglers VERDICT r15
+    # #1 requires this round), then the r11 block filling the 50-slot
+    # budget; ascending staleness, ALPHABETICAL tiebreak.  With this
+    # window green the staleness floor over CORRECTNESS_r01-r16 rises
+    # to r11.
+    "q_bpe_train",
+    "q_rerank_recall10",
+    "q_semdedup_indexed_capped",
+    "q_skew_salted_agg",
+    "q_staleness",
+    "q_vocab_coverage",
+    "q_window_sort",
+    "q_ann_clustered_recall_plain",
+    "q_ann_clustered_recall_residual",
+    "q_ann_ivf",
+    "q_ann_ivf_append",
+    "q_ann_ivf_indexed",
+    "q_ann_ivf_probe2",
+    "q_ann_ivfpq_rebuild",
+    "q_ann_lsh",
+    "q_ann_lsh_indexed",
+    "q_ann_lsh_multi",
+    "q_ann_topk",
+    "q_association_rules",
+    "q_autocorr_lag1",
+    "q_benford_audit",
+    "q_bm25_compacted",
+    "q_changepoint_cusum",
+    "q_class_weights",
+    "q_containment_dup",
+    "q_corpus_datacard",
+    "q_corr_rational",
+    "q_csv_roundtrip",
+    "q_decile_binning",
+    "q_decile_binning_scalable",
+    "q_dedup_canonical",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_ngram_maxdf",
+    "q_dow_profile",
+    "q_embed_dup",
+    "q_embed_dup_capped",
+    "q_expectations",
+    "q_gini_revenue",
+    "q_group_kfold",
+    "q_histogram_equiwidth",
+    "q_join_full_outer",
+    "q_jsonl_roundtrip",
+    "q_retention_cohorts",
+    "q_revenue_trend",
+    "q_semdedup",
+    "q_sessionize",
+    "q_shard_assignment",
+    "q_shard_assignment_scalable",
+    "q_skew_salted_join",
 ]
 
 
