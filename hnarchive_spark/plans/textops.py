@@ -924,6 +924,7 @@ def induce_bpe_rules(
     docs: DataFrame,
     rounds: int = BPE_TRAIN_ROUNDS,
     text_col: str = "text",
+    initial_rules: list[tuple[int, str, str, int]] | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """TRUE iterative BPE induction (VERDICT r15 #2): re-count adjacent-pair
     frequencies after EACH merge, so a rule can consume an earlier rule's
@@ -943,14 +944,27 @@ def induce_bpe_rules(
     persist becomes a per-round parquet checkpoint (state is a single
     string column, smaller than the input text); total cost is
     O(rounds) map passes + O(rounds) vocabulary-sized aggregates, the same
-    shape a production tokenizer trainer's counting phase has."""
+    shape a production tokenizer trainer's counting phase has.
+
+    ``initial_rules`` CONTINUES training: the given rules are applied to
+    the raw streams first (one chained map-only pass — BPE's training
+    state IS the rule list, so rules 1..n applied to the raw corpus
+    reproduce round n's streams exactly), then ``rounds`` MORE merges
+    are induced, numbered after the prefix.  extend == train-longer by
+    this identity (locked in tests/test_tokenizer_store.py)."""
     st = docs.select(T.subtokens(F.col(text_col)).alias("st")).filter(
         F.size("st") >= 2
     )
-    cur = st.select(F.concat_ws(_BPE_DELIM, "st").alias("e")).persist()
+    enc = F.concat_ws(_BPE_DELIM, F.col("st"))
+    for _k, a, b, _n in initial_rules or []:
+        enc = F.regexp_replace(
+            enc, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
+        )
+    cur = st.select(enc.alias("e")).persist()
+    start = (initial_rules[-1][0] if initial_rules else 0) + 1
     rules: list[tuple[int, str, str, int]] = []
     try:
-        for k in range(1, rounds + 1):
+        for k in range(start, start + rounds):
             # materialize the split in its own projection (no lambda CSE)
             ts = cur.select(F.split("e", _BPE_DELIM).alias("ts")).filter(
                 F.size("ts") >= 2
@@ -975,7 +989,7 @@ def induce_bpe_rules(
                 break
             a, b = top[0]["pair"].split(" ")
             rules.append((k, a, b, int(top[0]["n"])))
-            if k == rounds:  # last rule needs no stream rewrite
+            if k == start + rounds - 1:  # last rule needs no stream rewrite
                 break
             nxt = cur.select(
                 F.regexp_replace(

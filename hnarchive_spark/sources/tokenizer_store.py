@@ -71,6 +71,50 @@ def build_tokenizer_store(
     return vdir
 
 
+def extend_tokenizer_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    extra_rounds: int,
+    text_col: str = "text",
+) -> str:
+    """CONTINUE training from the published rules: apply the current
+    version's rule list to the corpus (one chained map-only pass —
+    BPE's training state IS the rule list, so the evolved streams are
+    reproduced exactly), induce ``extra_rounds`` more merges, and
+    publish prefix+new as a new version behind the pointer.
+
+    On the SAME corpus this is provably identical to training
+    rounds+extra_rounds from scratch (the equivalence the test locks) —
+    which is the point: growing a vocabulary costs only the NEW rounds,
+    never a from-scratch retrain.  Returns the new version directory."""
+    from hnarchive_spark.plans.textops import induce_bpe_rules
+
+    prefix = load_tokenizer_rules(path)
+    new = induce_bpe_rules(
+        spark, docs, extra_rounds, text_col, initial_rules=prefix
+    )
+    rules = prefix + new
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    os.makedirs(vdir, exist_ok=True)
+    tmp = os.path.join(vdir, "_RULES.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "rounds": len(rules),
+                "rules": [
+                    {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
+                    for k, a, b, n in rules
+                ],
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(vdir, "_RULES.json"))
+    publish_index_version(path, new_v)
+    return vdir
+
+
 def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
     """The CURRENT version's rules, in induction order."""
     with open(os.path.join(index_root(path), "_RULES.json")) as fh:

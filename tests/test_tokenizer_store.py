@@ -56,3 +56,22 @@ def test_retrain_publishes_new_version(spark, tmp_path):
     assert any("v1" in p for p in removed)
     assert len(load_tokenizer_rules(root)) == 3  # current survives prune
     assert v1_rules  # (rules captured before prune were non-empty)
+
+
+def test_extend_equals_training_longer(spark, tmp_path):
+    """The incremental-training identity: build(4 rounds) then
+    extend(+3) over the same corpus publishes EXACTLY the rule list
+    build(7 rounds) induces from scratch — BPE's training state is the
+    rule list, so applying the prefix reproduces round 4's streams and
+    the continuation sees what a longer run would have seen.  Growing a
+    vocabulary therefore costs only the new rounds."""
+    from hnarchive_spark.sources.tokenizer_store import extend_tokenizer_store
+
+    docs = load(spark, SF, "documents")
+    root = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, root, rounds=4)
+    extend_tokenizer_store(spark, docs, root, extra_rounds=3)
+    assert current_index_version(root) == 2
+    got = load_tokenizer_rules(root)
+    assert got == induce_bpe_rules(spark, docs, rounds=7)
+    assert [k for k, *_ in got] == list(range(1, 8))
