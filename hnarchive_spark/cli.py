@@ -623,6 +623,52 @@ def cmd_oracle_check(spark, args):
     return 1 if n_fail else 0
 
 
+def cmd_tokenizer(spark, args):
+    """Trained-tokenizer lifecycle (sources/tokenizer_store.py): train
+    publishes the iteratively-induced rule list behind the atomic
+    pointer; extend continues training incrementally (provably equal to
+    training longer from scratch); stats prints the live version and
+    rules."""
+    import json as _json
+
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        extend_tokenizer_store,
+        load_tokenizer_rules,
+    )
+
+    if args.action in ("train", "extend"):
+        if not args.src:
+            raise SystemExit(f"tokenizer {args.action} requires --src")
+        if args.action == "extend" and not args.rounds:
+            raise SystemExit("tokenizer extend requires --rounds (additional)")
+        docs = spark.read.parquet(args.src)
+        if args.action == "train":
+            vdir = build_tokenizer_store(
+                spark, docs, args.path, rounds=args.rounds, text_col=args.text_col
+            )
+        else:
+            vdir = extend_tokenizer_store(
+                spark, docs, args.path, extra_rounds=args.rounds,
+                text_col=args.text_col,
+            )
+        print(f"published: {vdir} ({len(load_tokenizer_rules(args.path))} rules)")
+    else:  # stats
+        print(
+            _json.dumps(
+                {
+                    "version": current_index_version(args.path),
+                    "rules": [
+                        {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
+                        for k, a, b, n in load_tokenizer_rules(args.path)
+                    ],
+                }
+            )
+        )
+    return 0
+
+
 def cmd_release(spark, args):
     """The release run (plans/release.py): url_dedup -> quality ->
     exact_dedup -> domain_cap -> mix/temperature -> token-budget ->
@@ -852,6 +898,19 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--pack-budget", type=int, default=None, help="tokens per packed sequence (default PACK_BUDGET)")
     rl.add_argument("--n-shards", type=int, default=None, help="shards per source (default N_SHARDS)")
     rl.set_defaults(func=cmd_release)
+
+    tk = sub.add_parser(
+        "tokenizer",
+        help="trained-tokenizer lifecycle: train / extend (incremental) / stats",
+    )
+    tk.add_argument("action", choices=("train", "extend", "stats"))
+    tk.add_argument("--path", required=True, help="tokenizer store root")
+    tk.add_argument("--src", default=None, help="documents parquet (train/extend)")
+    tk.add_argument("--rounds", type=int, default=None,
+                    help="merge rounds to induce (train: total, default "
+                    "BPE_TRAIN_ROUNDS; extend: additional)")
+    tk.add_argument("--text-col", default="text")
+    tk.set_defaults(func=cmd_tokenizer)
     return p
 
 

@@ -713,3 +713,35 @@ def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
     } == audit
     # datacard conservation: per-source totals re-add to the selection
     assert sum(c["n_docs"] for c in manifest["datacard"]) == n_sel
+
+
+def test_cli_tokenizer_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    """tokenizer train -> extend -> stats: the CLI face of the trained-
+    tokenizer store; extend's published rules equal training longer from
+    scratch (the store-level identity test, driven end to end)."""
+    import os
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.plans.textops import induce_bpe_rules
+    from hnarchive_spark.sources.tokenizer_store import load_tokenizer_rules
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    root = str(tmp_path / "tok")
+
+    assert cli.main(["tokenizer", "train", "--path", root, "--src", src,
+                     "--rounds", "3"]) == 0
+    assert "3 rules" in capsys.readouterr().out
+    assert cli.main(["tokenizer", "extend", "--path", root, "--src", src,
+                     "--rounds", "2"]) == 0
+    assert "5 rules" in capsys.readouterr().out
+    assert cli.main(["tokenizer", "stats", "--path", root]) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["version"] == 2 and len(stats["rules"]) == 5
+    assert load_tokenizer_rules(root) == induce_bpe_rules(
+        spark, load(spark, "/root/testdata/sf0.001", "documents"), rounds=5
+    )
+    # missing-args contracts are loud (main() converts the SystemExit to rc=1)
+    assert cli.main(["tokenizer", "extend", "--path", root, "--src", src]) == 1
