@@ -697,3 +697,26 @@ def test_curation_funnel_one_dag_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semdedup_indexed_capped_plan_guards(spark):
+    """q_semdedup_indexed_capped — the blessed production probe — must
+    carry BOTH guards in one plan: zero training (no corpus-wide
+    centroid aggregate: the centroid read is a k-row scan feeding a
+    broadcast) AND the max_pivots cap planned as a WindowGroupLimit
+    partial rank pushdown bounding the within-cluster pair join."""
+    plan = _plan(spark, "q_semdedup_indexed_capped")
+    assert "avg(" not in plan, plan[:800]  # no Lloyd aggregate at probe time
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, plan[:800]
+
+
+def test_rerank_recall10_arm_plan_guards(spark):
+    """q_rerank_recall10: the arms aggregate metadata-width frames — the
+    collected shortlist re-enters as a broadcast local relation and the
+    exact ground-truth arm is the one corpus pass; no Cartesian, no
+    SortMergeJoin of corpus-width sides."""
+    plan = _plan(spark, "q_rerank_recall10")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, plan[:800]
