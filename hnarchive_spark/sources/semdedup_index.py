@@ -307,13 +307,18 @@ def semdedup_probe(
     q_semdedup rows exactly (shared oracle).  ``max_pivots`` passes the
     hot-cluster skew guard through to the prune (see semdedup_prune).
 
-    PRODUCTION NOTE (VERDICT r14 plan audit): run with a cap.  The
-    None default is the oracle-shared EXACT form (q_semdedup_indexed's
-    contract); at scale an adversarially hot cluster makes the
-    within-cluster pair join quadratic — ``max_pivots`` bounds it at
-    P x |cluster| with measured 107x pair / 132x wall reduction and
-    unchanged degenerate coverage (tools/semdedup_cap_probe.py,
-    SCALE.md r14).  q_semdedup_capped is the registered capped twin."""
+    PRODUCTION NOTE (VERDICT r14 plan audit; closed r16): run with a
+    cap.  The None default is the oracle-shared EXACT form
+    (q_semdedup_indexed's contract); at scale an adversarially hot
+    cluster makes the within-cluster pair join quadratic —
+    ``max_pivots`` bounds it at P x |cluster| with measured 107x pair /
+    132x wall reduction and unchanged degenerate coverage
+    (tools/semdedup_cap_probe.py, SCALE.md r14).  The registered
+    BLESSED production serving path is ``q_semdedup_indexed_capped``
+    (index + cap composed — 1.15 s vs the uncapped probe's 8.9 s at
+    sf0.1; the r16 decomposition in BENCH_NOTES showed the uncapped
+    wall is ~90% pair join); q_semdedup_capped is the inline capped
+    twin."""
     cents = spark.read.parquet(_centroids_path(path))
     assign = kmeans_assign_frozen(
         vectors, cents, id_col=id_col, vec_col=vec_col, keep_vec=True
