@@ -831,8 +831,18 @@ def _funnel_oracle() -> str:
     "corpus x corpus.",
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _url_pipeline_stages(spark, sf_dir)
-    d = load(spark, sf_dir, "documents")
+    return funnel_from_stages(
+        load(spark, sf_dir, "documents"), _url_pipeline_stages(spark, sf_dir)
+    )
+
+
+def funnel_from_stages(d: DataFrame, s: dict[str, DataFrame]) -> DataFrame:
+    """The funnel aggregate over GIVEN stage frames — factored out so the
+    release run (plans/release.py) can feed it the stage frames it has
+    already materialized once (and published as audit artifacts) instead
+    of re-running every gate, while the registered query keeps building
+    its own frames.  One token-count scan, four metadata-width flag
+    joins, ONE partial+final aggregate, a 5-row stack."""
     tokc = d.select(
         "doc_id", T.n_tokens(F.col("text")).cast("long").alias("nt")
     )

@@ -12,9 +12,13 @@ conservation counts:
 
 Every stage is the REGISTERED query's own recipe (shared helpers /
 identical expressions), so the manifest can never drift from the oracled
-outputs: stages 0-4 are literally q_curation_funnel's collected rows, the
-shard audit is q_shard_assignment's round-robin LPT recipe applied to the
-release's own selection, and the conservation law
+outputs: stages 0-4 are q_curation_funnel's own aggregate
+(funnel_from_stages) over the gate-stage frames — which the run
+materializes ONCE, publishes under ``<out>/stages/`` as the manifest's
+audit evidence, and reuses for the downstream chain (the gates run one
+time, not once per consumer); the shard audit is q_shard_assignment's
+round-robin LPT recipe applied to the release's own selection; and the
+conservation law
 
     raw == url_dup + quality_rejected + exact_dup + domain_capped
            + mix_dropped + budget_dropped + selected
@@ -138,19 +142,37 @@ def run_release(
     """Run the full release pipeline over ``sf_dir``'s documents table,
     write the selection (parquet, shard-partitioned) and the manifest
     (JSON, atomic rename) under ``out_dir``, and return the manifest."""
-    from hnarchive_spark.plans.curation import _url_pipeline_stages
+    from hnarchive_spark.plans.curation import (
+        _url_pipeline_stages,
+        funnel_from_stages,
+    )
     from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
-    from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
     from hnarchive_spark.plans.textops import PACK_BUDGET
 
     token_budget = SELECT_TOKEN_BUDGET if token_budget is None else token_budget
     pack_budget = PACK_BUDGET if pack_budget is None else pack_budget
     n_shards = N_SHARDS if n_shards is None else n_shards
 
-    _ensure_loaded()
-    # stages 0-4: the oracled funnel's OWN rows (accounting cannot drift)
+    d = load(spark, sf_dir, "documents")
+
+    # Materialize the gate-stage frames ONCE as PUBLISHED audit artifacts
+    # (<out>/stages/<name>), then derive BOTH the funnel counts and the
+    # downstream chain from the written copies — the gates run one time,
+    # and the manifest's evidence trail is on disk next to it.  The
+    # funnel aggregate itself is the registered query's own code
+    # (funnel_from_stages — q_curation_funnel is literally that helper
+    # over frames it builds itself), so the counts still cannot drift:
+    # the frames are deterministic and the cross-check test re-runs the
+    # registered query independently and asserts equality.
+    built = _url_pipeline_stages(spark, sf_dir)
+    stage_frames: dict[str, DataFrame] = {}
+    for name in ("usurv", "kept_q", "surv", "final"):
+        p = os.path.join(out_dir, "stages", name)
+        built[name].write.mode("overwrite").option("compression", "zstd").parquet(p)
+        stage_frames[name] = spark.read.parquet(p)
+
     funnel = sorted(
-        (r.asDict() for r in REGISTRY["q_curation_funnel"].spark(spark, sf_dir).collect()),
+        (r.asDict() for r in funnel_from_stages(d, stage_frames).collect()),
         key=lambda r: r["stage"],
     )
     stages = [
@@ -163,8 +185,7 @@ def run_release(
         for r in funnel
     ]
 
-    d = load(spark, sf_dir, "documents")
-    final = _url_pipeline_stages(spark, sf_dir)["final"]
+    final = stage_frames["final"]
     surv_docs = d.join(final.select("doc_id"), "doc_id").select(
         "doc_id", "source", "lang", "text"
     )

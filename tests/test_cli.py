@@ -682,6 +682,11 @@ def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
     for s in manifest["stages"][:5]:
         assert (s["docs"], s["tokens"]) == funnel[s["name"]], s
 
+    # the stage frames are PUBLISHED audit artifacts, and the funnel's
+    # domain_cap count equals the written final frame's row count
+    final = spark.read.parquet(os.path.join(out, "stages", "final"))
+    assert final.count() == funnel["domain_cap"][0]
+
     # the written selection matches the manifest and the shard audit
     sel = spark.read.parquet(os.path.join(out, "selected"))
     n_sel = manifest["fates"]["selected"]
