@@ -197,3 +197,23 @@ def test_bpe_encode_conserves_characters(spark):
     stripped = F.regexp_replace(e, F.lit("\x01"), F.lit(""))
     diff = stoks.filter(F.concat_ws("", F.col("stk")) != stripped)
     assert diff.count() == 0
+
+
+def test_induction_matches_reference_on_seeded_fuzz_corpus(spark):
+    """Seeded-random corpus (fixed seed — deterministic, no flake): 40
+    docs over a small alphabet stacked with same-glyph runs and regex
+    metachars, 6 induction rounds — the Spark regexp-greedy trainer must
+    equal the Python fold-greedy reference on inputs nobody hand-picked
+    (the crafted-corpus test's complement)."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    alphabet = ["a", "b", "ab", "1", "2", ".", "(", "$", "\\", "*"]
+    texts = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 30)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = induce_bpe_rules(spark, docs, rounds=6)
+    toks = {i: re.findall(SUBTOKEN_PATTERN, t) for i, t in enumerate(texts)}
+    assert got == _py_induce(toks, 6) and len(got) == 6
