@@ -575,6 +575,16 @@ def test_maintenance_detects_every_family(spark, tmp_path):
     build_vec_store(spark, e, p3, n_buckets=4)
     assert detect_index_kind(p3) == "vecstore"
 
+    # the trained-tokenizer store (_RULES.json behind the pointer) —
+    # classified retrain-only, never scheduled for compaction
+    from hnarchive_spark.sources.maintenance import _ACTIONS
+    from hnarchive_spark.sources.tokenizer_store import build_tokenizer_store
+
+    p4 = str(tmp_path / "tokenizer")
+    build_tokenizer_store(spark, d, p4, rounds=2)
+    assert detect_index_kind(p4) == "tokenizer"
+    assert _ACTIONS["tokenizer"][0] is False
+
 
 def test_cli_quality_model_and_ingest(spark, tmp_path, monkeypatch, capsys):
     """The r15 verbs: quality-model publish/stats (versioned store) and
