@@ -688,6 +688,7 @@ def cmd_release(spark, args):
         token_budget=args.token_budget,
         pack_budget=args.pack_budget,
         n_shards=args.n_shards,
+        tokenizer_path=args.tokenizer,
     )
     print(_json.dumps(manifest))
     return 0
@@ -897,6 +898,9 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--token-budget", type=int, default=None, help="per-source token budget (default SELECT_TOKEN_BUDGET)")
     rl.add_argument("--pack-budget", type=int, default=None, help="tokens per packed sequence (default PACK_BUDGET)")
     rl.add_argument("--n-shards", type=int, default=None, help="shards per source (default N_SHARDS)")
+    rl.add_argument("--tokenizer", default=None,
+                    help="trained tokenizer store: budget/pack/shard in "
+                    "REAL tokenizer tokens instead of whitespace tokens")
     rl.set_defaults(func=cmd_release)
 
     tk = sub.add_parser(

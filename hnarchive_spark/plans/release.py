@@ -70,12 +70,47 @@ def _mix_temperature_filter(surv_docs: DataFrame) -> DataFrame:
     )
 
 
-def _budget_select(mixed_docs: DataFrame, budget: int) -> DataFrame:
+def _bpe_token_count(rules) -> "F.Column":
+    """Token count under a TRAINED tokenizer: q_bpe_encode's map-only
+    literal-regexp chain over the chr(1)-joined subtoken stream, counting
+    the resulting tokens — so a release budgeted with a tokenizer store
+    measures the SAME unit the training run will consume.  Pure
+    projection (whole-stage codegen), zero shuffle added."""
+    from hnarchive_spark.plans.textops import (
+        _BPE_DELIM,
+        _bpe_merge_pattern,
+        _bpe_replacement_quote,
+    )
+
+    st = T.subtokens(F.col("text"))
+    enc = F.concat_ws(_BPE_DELIM, st)
+    for _k, a, b, _n in rules:
+        enc = F.regexp_replace(
+            enc, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
+        )
+    return (
+        F.when(F.size(st) == 0, F.lit(0))
+        .otherwise(F.size(F.split(enc, _BPE_DELIM)))
+        .cast("long")
+    )
+
+
+def _budget_select(
+    mixed_docs: DataFrame, budget: int, tokenizer_rules=None
+) -> DataFrame:
     """q_select_token_budget's recipe (integer quality score, scalable
-    grouped prefix sum, greedy per-source budget) over the mixed set."""
+    grouped prefix sum, greedy per-source budget) over the mixed set.
+    With ``tokenizer_rules`` the budget unit is the TRAINED tokenizer's
+    token count (_bpe_token_count); the quality score stays the
+    whitespace-stat recipe either way (same gate, different meter)."""
     from hnarchive_spark.operators.rankselect import grouped_prefix_sum
 
     ws = T.tokens(F.col("text"))
+    n_tok = (
+        F.size(ws).cast("long")
+        if tokenizer_rules is None
+        else _bpe_token_count(tokenizer_rules)
+    )
     q = mixed_docs.select(
         "doc_id",
         "source",
@@ -84,6 +119,10 @@ def _budget_select(mixed_docs: DataFrame, budget: int) -> DataFrame:
         T.stopword_hits(F.col("text"), T.EN_STOPWORDS).cast("long").alias("stop_hits"),
         T.sum_token_len(F.col("text")).alias("sum_len"),
     ).select("doc_id", "source", "lang", "n_tokens", T.quality_e4_int().alias("q_e4"))
+    if tokenizer_rules is not None:
+        q = q.drop("n_tokens").join(
+            mixed_docs.select("doc_id", n_tok.alias("n_tokens")), "doc_id"
+        )
     # grouped_prefix_sum drops non-key columns; re-join lang after
     cum = grouped_prefix_sum(
         q.select("source", "doc_id", "n_tokens", "q_e4"),
@@ -138,10 +177,20 @@ def run_release(
     token_budget: int | None = None,
     pack_budget: int | None = None,
     n_shards: int | None = None,
+    tokenizer_path: str | None = None,
 ) -> dict:
     """Run the full release pipeline over ``sf_dir``'s documents table,
     write the selection (parquet, shard-partitioned) and the manifest
-    (JSON, atomic rename) under ``out_dir``, and return the manifest."""
+    (JSON, atomic rename) under ``out_dir``, and return the manifest.
+
+    ``tokenizer_path`` points at a trained tokenizer store
+    (sources/tokenizer_store.py): the budget / pack / shard / datacard
+    token unit becomes the TRAINED tokenizer's token count (the unit the
+    training run actually consumes) instead of whitespace tokens; the
+    funnel's stage-0..4 token audit stays whitespace (it meters the raw
+    corpus, consistently across releases regardless of tokenizer
+    version).  The manifest records ``token_unit`` and the tokenizer
+    version used."""
     from hnarchive_spark.plans.curation import (
         _url_pipeline_stages,
         funnel_from_stages,
@@ -193,7 +242,14 @@ def run_release(
     n_mix = mixed.count()
     stages.append({"stage": 5, "name": "mix_temperature", "docs": n_mix})
 
-    selected = _budget_select(mixed, token_budget).persist()
+    tokenizer_rules = tokenizer_version = None
+    if tokenizer_path is not None:
+        from hnarchive_spark.sources.index_version import current_index_version
+        from hnarchive_spark.sources.tokenizer_store import load_tokenizer_rules
+
+        tokenizer_rules = load_tokenizer_rules(tokenizer_path)
+        tokenizer_version = current_index_version(tokenizer_path)
+    selected = _budget_select(mixed, token_budget, tokenizer_rules).persist()
     try:
         n_sel = selected.count()
         sel_tokens = int(
@@ -283,6 +339,9 @@ def run_release(
             "token_budget": token_budget,
             "pack_budget": pack_budget,
             "n_shards": n_shards,
+            "token_unit": "whitespace" if tokenizer_rules is None else "bpe",
+            "tokenizer_version": tokenizer_version,
+            "tokenizer_rules": None if tokenizer_rules is None else len(tokenizer_rules),
         },
         "stages": stages,
         "fates": fates,

@@ -760,3 +760,49 @@ def test_cli_tokenizer_lifecycle(spark, tmp_path, monkeypatch, capsys):
     )
     # missing-args contracts are loud (main() converts the SystemExit to rc=1)
     assert cli.main(["tokenizer", "extend", "--path", root, "--src", src]) == 1
+
+
+def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, capsys):
+    """release --tokenizer: the budget/pack/shard token unit becomes the
+    TRAINED tokenizer's token count (the unit training actually
+    consumes).  The manifest records the unit + tokenizer version, the
+    selection's n_tokens equal an independent q_bpe_encode-style
+    recomputation for those doc_ids, and the conservation law holds
+    unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.plans.release import _bpe_token_count
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_rules,
+    )
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    tok = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, tok, rounds=3)
+    out = str(tmp_path / "release")
+
+    assert cli.main(["release", "--out", out, "--sf-dir", sf,
+                     "--tokenizer", tok]) == 0
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["params"]["token_unit"] == "bpe"
+    assert manifest["params"]["tokenizer_version"] == 1
+    assert manifest["params"]["tokenizer_rules"] == 3
+    assert manifest["conservation_ok"]
+
+    sel = spark.read.parquet(os.path.join(out, "selected"))
+    rules = load_tokenizer_rules(tok)
+    want = docs.select("doc_id", _bpe_token_count(rules).alias("bt"))
+    diff = sel.join(want, "doc_id").filter(F.col("n_tokens") != F.col("bt"))
+    assert sel.count() > 0 and diff.count() == 0
+    # shard audit + datacard still re-add to the selection in the new unit
+    assert sum(s["shard_tokens"] for s in manifest["shards"]) == (
+        manifest["stages"][-1]["tokens"]
+    )
