@@ -135,6 +135,11 @@ HEADLINE = [
     "q_bpe_train",
     "q_semdedup_indexed_capped",
     "q_rerank_recall10",
+    # token-budget selection metered in REAL tokenizer tokens (the
+    # map-only encode from the persisted store + grouped prefix sum) —
+    # first recorded after the r16 blessed cut, joins the bar at the
+    # next complete run
+    "q_select_token_budget_bpe",
 ]
 
 

@@ -56,10 +56,11 @@ _ROTATION_BUILT_FOR_ROUND = 16
 _VERIFY_FIRST = [
     # Round-16 rotation, generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=16) prefix and
-    # locked by tests/test_rotation_consistency.py: the three queries
+    # locked by tests/test_rotation_consistency.py: the four queries
     # registered this round first (the iterative BPE induction closing
-    # VERDICT r15 #2, the recall@10-after-rerank arm, and the blessed
-    # indexed+capped SemDeDup production probe), then the FULL r10
+    # VERDICT r15 #2, the recall@10-after-rerank arm, the BPE-unit
+    # token-budget selection, and the blessed indexed+capped SemDeDup
+    # production probe), then the FULL r10
     # verification floor (q_skew_salted_agg, q_staleness,
     # q_vocab_coverage, q_window_sort — the four stragglers VERDICT r15
     # #1 requires this round), then the r11 block filling the 50-slot
@@ -68,6 +69,7 @@ _VERIFY_FIRST = [
     # to r11.
     "q_bpe_train",
     "q_rerank_recall10",
+    "q_select_token_budget_bpe",
     "q_semdedup_indexed_capped",
     "q_skew_salted_agg",
     "q_staleness",
@@ -115,7 +117,6 @@ _VERIFY_FIRST = [
     "q_sessionize",
     "q_shard_assignment",
     "q_shard_assignment_scalable",
-    "q_skew_salted_join",
 ]
 
 

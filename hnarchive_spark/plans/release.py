@@ -70,46 +70,24 @@ def _mix_temperature_filter(surv_docs: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_token_count(rules) -> "F.Column":
-    """Token count under a TRAINED tokenizer: q_bpe_encode's map-only
-    literal-regexp chain over the chr(1)-joined subtoken stream, counting
-    the resulting tokens — so a release budgeted with a tokenizer store
-    measures the SAME unit the training run will consume.  Pure
-    projection (whole-stage codegen), zero shuffle added."""
-    from hnarchive_spark.plans.textops import (
-        _BPE_DELIM,
-        _bpe_merge_pattern,
-        _bpe_replacement_quote,
-    )
-
-    st = T.subtokens(F.col("text"))
-    enc = F.concat_ws(_BPE_DELIM, st)
-    for _k, a, b, _n in rules:
-        enc = F.regexp_replace(
-            enc, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
-        )
-    return (
-        F.when(F.size(st) == 0, F.lit(0))
-        .otherwise(F.size(F.split(enc, _BPE_DELIM)))
-        .cast("long")
-    )
-
-
 def _budget_select(
     mixed_docs: DataFrame, budget: int, tokenizer_rules=None
 ) -> DataFrame:
     """q_select_token_budget's recipe (integer quality score, scalable
     grouped prefix sum, greedy per-source budget) over the mixed set.
     With ``tokenizer_rules`` the budget unit is the TRAINED tokenizer's
-    token count (_bpe_token_count); the quality score stays the
-    whitespace-stat recipe either way (same gate, different meter)."""
+    token count (textops.bpe_token_count — the oracled
+    q_select_token_budget_bpe's shared meter); the quality score stays
+    the whitespace-stat recipe either way (same gate, different
+    meter)."""
     from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+    from hnarchive_spark.plans.textops import bpe_token_count
 
     ws = T.tokens(F.col("text"))
     n_tok = (
         F.size(ws).cast("long")
         if tokenizer_rules is None
-        else _bpe_token_count(tokenizer_rules)
+        else bpe_token_count(tokenizer_rules)
     )
     q = mixed_docs.select(
         "doc_id",

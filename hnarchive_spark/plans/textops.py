@@ -1262,6 +1262,133 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_count(rules) -> F.Column:
+    """Token count of ``text`` under a TRAINED tokenizer's rule list:
+    q_bpe_encode's map-only literal-regexp chain over the chr(1)-joined
+    subtoken stream, counting the resulting tokens — pure projection
+    inside whole-stage codegen, zero shuffle.  Shared by
+    q_select_token_budget_bpe and the release run's --tokenizer unit
+    (plans/release.py), so every consumer meters the SAME unit the
+    training run consumes."""
+    st = T.subtokens(F.col("text"))
+    enc = F.concat_ws(_BPE_DELIM, st)
+    for _k, a, b, _n in rules:
+        enc = F.regexp_replace(
+            enc, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
+        )
+    return (
+        F.when(F.size(st) == 0, F.lit(0))
+        .otherwise(F.size(F.split(enc, _BPE_DELIM)))
+        .cast("long")
+    )
+
+
+def _select_budget_bpe_oracle(rounds: int, budget: int) -> str:
+    """q_select_token_budget's oracle with the budget metered in the
+    ITERATIVELY-induced tokenizer's tokens: the unrolled BPE chain
+    supplies per-doc n_tokens (s{rounds}'s stream length), the quality
+    score stays the whitespace-stat integer recipe (same gate, different
+    meter), the running sum stays the CAST-to-BIGINT windowed prefix."""
+    return f"""
+    WITH {_bpe_train_ctes(rounds).format(pat=T.SUBTOKEN_PATTERN)},
+    raw AS (
+      SELECT doc_id, source, len(ws) AS n_tokens,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','is'))) AS stop_hits,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), w -> w != '') AS ws
+            FROM documents)
+    ),
+    qx AS (
+      SELECT doc_id, source,
+             (2 * (5000 * stop_hits * (n_tokens + abs(sum_len - 5 * n_tokens))
+                   + 5000 * n_tokens * n_tokens)
+              + n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens)))
+             // (2 * n_tokens * (n_tokens + abs(sum_len - 5 * n_tokens))) AS q_e4
+      FROM raw
+    ),
+    bt AS (
+      SELECT doc_id, CAST(len(string_split(e, chr(1))) AS BIGINT) AS n_tokens
+      FROM s{rounds}
+    ),
+    j AS (
+      SELECT qx.source, qx.doc_id, bt.n_tokens, qx.q_e4
+      FROM qx JOIN bt ON bt.doc_id = qx.doc_id
+    ),
+    ranked AS (
+      SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY q_e4 DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM j
+    )
+    SELECT source, doc_id, n_tokens, q_e4, cum_tokens
+    FROM ranked WHERE cum_tokens <= {budget}
+    """
+
+
+def _register_select_budget_bpe():
+    from hnarchive_spark.plans.dedup import SELECT_TOKEN_BUDGET
+
+    @query(
+        "q_select_token_budget_bpe",
+        oracle=_select_budget_bpe_oracle(BPE_TRAIN_ROUNDS, SELECT_TOKEN_BUDGET),
+        doc=f"Token-budget data selection metered in REAL tokenizer tokens "
+        "— q_select_token_budget with the running total counting the "
+        f"ITERATIVELY-induced {BPE_TRAIN_ROUNDS}-rule tokenizer's output "
+        "(the unit a training run actually consumes; a whitespace-token "
+        "budget overfills the context window by the tokenizer's "
+        "compression ratio) while the quality ORDER stays the shared "
+        "whitespace-stat integer recipe (same gate, different meter — "
+        "the release run's --tokenizer contract, plans/release.py). "
+        "Spark: the encode is the map-only literal-regexp projection "
+        "(rules amortized through the persisted tokenizer store, "
+        "built_once) feeding the same scalable grouped_prefix_sum; no "
+        "per-source ordered window ever scans fact rows. Oracle: the "
+        "unrolled BPE CTE chain supplies n_tokens, the budget fold is "
+        "the CAST windowed prefix sum.",
+    )
+    def q_select_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+        from hnarchive_spark.scratch import built_once
+        from hnarchive_spark.sources.tokenizer_store import (
+            build_tokenizer_store,
+            load_tokenizer_rules,
+        )
+
+        d = load(spark, sf_dir, "documents")
+        path = built_once(
+            "bpe_tokenizer",
+            sf_dir,
+            lambda p: build_tokenizer_store(spark, d, p),
+        )
+        rules = load_tokenizer_rules(path)
+        ws = T.tokens(F.col("text"))
+        qx = d.select(
+            "doc_id",
+            "source",
+            F.size(ws).cast("long").alias("n_tokens"),
+            T.stopword_hits(F.col("text"), T.EN_STOPWORDS)
+            .cast("long")
+            .alias("stop_hits"),
+            T.sum_token_len(F.col("text")).alias("sum_len"),
+        ).select("doc_id", "source", T.quality_e4_int().alias("q_e4"))
+        bt = d.filter(F.size(T.subtokens(F.col("text"))) > 0).select(
+            "doc_id", bpe_token_count(rules).alias("n_tokens")
+        )
+        q = qx.join(bt, "doc_id").select("source", "doc_id", "n_tokens", "q_e4")
+        cum = grouped_prefix_sum(
+            q, "source", "q_e4", "doc_id", "n_tokens",
+            descending=True, bucket_width=256,
+        )
+        return cum.select(
+            "source", "doc_id", "n_tokens", "q_e4",
+            F.col("cum").alias("cum_tokens"),
+        ).filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
+
+
+_register_select_budget_bpe()
+
+
 CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
 
 

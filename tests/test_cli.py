@@ -774,7 +774,7 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
     from pyspark.sql import functions as F
 
     from hnarchive_spark import cli
-    from hnarchive_spark.plans.release import _bpe_token_count
+    from hnarchive_spark.plans.textops import bpe_token_count
     from hnarchive_spark.sources.tokenizer_store import (
         build_tokenizer_store,
         load_tokenizer_rules,
@@ -799,7 +799,7 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
 
     sel = spark.read.parquet(os.path.join(out, "selected"))
     rules = load_tokenizer_rules(tok)
-    want = docs.select("doc_id", _bpe_token_count(rules).alias("bt"))
+    want = docs.select("doc_id", bpe_token_count(rules).alias("bt"))
     diff = sel.join(want, "doc_id").filter(F.col("n_tokens") != F.col("bt"))
     assert sel.count() > 0 and diff.count() == 0
     # shard audit + datacard still re-add to the selection in the new unit
