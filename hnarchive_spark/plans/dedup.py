@@ -1006,25 +1006,57 @@ RESERVOIR_K = 16  # fixed-size per-source sample
     "shard.",
 )
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     rows = d.select(
         "source", "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
     return (
-        rows.select(
-            "source",
-            "n_tokens",
-            ((F.row_number().over(w) - 1) % N_SHARDS).alias("shard_id"),
-        )
+        shard_assign(rows, N_SHARDS)
         .groupBy("source", "shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("shard_tokens"),
         )
     )
+
+
+def shard_assign(rows: DataFrame, n_shards: int) -> DataFrame:
+    """The round-robin LPT shard assignment — per source, deal documents
+    across shards in descending token order.  ONE definition shared by
+    q_shard_assignment (which aggregates it into the audit) and the
+    release run (plans/release.py, which writes per-doc shard ids), so
+    the manifest's shard audit is definitionally the registered query's
+    assignment (review r16: previously two verbatim copies)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return rows.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) % n_shards).alias("shard_id"),
+    )
+
+
+def temperature_sample(docs: DataFrame) -> DataFrame:
+    """q_mix_temperature's alpha=0.5 acceptance — per-lang rate
+    (n_min/n_s)^0.5 applied via the deterministic doc_id hash — over
+    whatever rows ``docs`` carries (needs doc_id + lang; extra columns
+    pass through, plus rate_e6).  ONE definition shared by the
+    registered query and the release run's mix stage (review r16)."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.round(F.sqrt(F.col("m").cast("double") / F.col("n")) * 1_000_000, 0)
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return docs.join(F.broadcast(rates), "lang").filter(bucket < F.col("rate_e6"))
 
 
 @query(
@@ -1281,23 +1313,7 @@ MIX_ALPHA = 0.5  # temperature exponent: sampled share of source s ~ n_s^alpha
 )
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    min_n = counts.agg(F.min("n").alias("m"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
-        "lang",
-        F.round(F.sqrt(F.col("m").cast("double") / F.col("n")) * 1_000_000, 0)
-        .cast("long")
-        .alias("rate_e6"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1_000_000
-    )
-    return (
-        d.join(F.broadcast(rates), "lang")
-        .filter(bucket < F.col("rate_e6"))
-        .select("doc_id", "lang", "rate_e6")
-    )
+    return temperature_sample(d).select("doc_id", "lang", "rate_e6")
 
 
 CONTAIN_T = 0.6

@@ -41,33 +41,20 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hnarchive_spark.functions import text as T
+from hnarchive_spark.plans.dedup import shard_assign, temperature_sample
 from hnarchive_spark.tables import load
 
 
 def _mix_temperature_filter(surv_docs: DataFrame) -> DataFrame:
-    """q_mix_temperature's recipe (alpha=0.5 acceptance via the
-    deterministic doc_id hash) applied over the SURVIVING docs — in the
-    composed pipeline the language distribution that matters is the
-    survivors', not the raw crawl's."""
-    counts = surv_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    min_n = counts.agg(F.min("n").alias("m"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
-        "lang",
-        F.round(F.sqrt(F.col("m").cast("double") / F.col("n")) * 1_000_000, 0)
-        .cast("long")
-        .alias("rate_e6"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1_000_000
-    )
-    return surv_docs.join(F.broadcast(rates), "lang").filter(
-        bucket < F.col("rate_e6")
-    )
+    """q_mix_temperature's acceptance (the SHARED temperature_sample —
+    review r16: one definition, not a copy) applied over the SURVIVING
+    docs — in the composed pipeline the language distribution that
+    matters is the survivors', not the raw crawl's."""
+    return temperature_sample(surv_docs)
 
 
 def _budget_select(
@@ -115,37 +102,11 @@ def _budget_select(
 
 
 def _pack_selected(selected: DataFrame, pack_budget: int) -> DataFrame:
-    """q_pack_sequences' next-fit fold (ordered applyInPandas over
-    (doc_id, n_tokens) metadata per source) applied to the selection."""
+    """q_pack_sequences' next-fit fold (the SHARED textops.pack_fold —
+    review r16: one definition, not a copy) applied to the selection."""
+    from hnarchive_spark.plans.textops import pack_fold
 
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, cum, b = [], 0, 0
-        for t in pdf["n_tokens"]:
-            if cum > 0 and cum + t > pack_budget:
-                b, cum = b + 1, 0
-            cum += t
-            seq_ids.append(b)
-        pdf["seq_id"] = seq_ids
-        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
-
-    return selected.select("source", "doc_id", "n_tokens").groupBy(
-        "source"
-    ).applyInPandas(pack, "source string, doc_id long, n_tokens long, seq_id long")
-
-
-def shard_assign(rows: DataFrame, n_shards: int) -> DataFrame:
-    """q_shard_assignment's recipe — per source, deal documents
-    round-robin across shards in descending token order (LPT) — exposed
-    for the release run AND the cross-check test, so the manifest's
-    shard audit is definitionally the registered query's assignment."""
-    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
-    return rows.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        ((F.row_number().over(w) - 1) % n_shards).alias("shard_id"),
-    )
+    return pack_fold(selected.select("source", "doc_id", "n_tokens"), pack_budget)
 
 
 def run_release(
@@ -193,10 +154,23 @@ def run_release(
     # registered query independently and asserts equality.
     built = _url_pipeline_stages(spark, sf_dir)
     stage_frames: dict[str, DataFrame] = {}
+    # persist each frame before writing: the stage lineages chain (kept_q
+    # reads usurv, surv reads both, ...), so an unpersisted write loop
+    # would re-run the gate-chain PREFIX once per written stage — with
+    # the caches each gate executes once and later stages read their
+    # parents from memory (review r16)
     for name in ("usurv", "kept_q", "surv", "final"):
-        p = os.path.join(out_dir, "stages", name)
-        built[name].write.mode("overwrite").option("compression", "zstd").parquet(p)
-        stage_frames[name] = spark.read.parquet(p)
+        built[name] = built[name].persist()
+    try:
+        for name in ("usurv", "kept_q", "surv", "final"):
+            p = os.path.join(out_dir, "stages", name)
+            built[name].write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(p)
+            stage_frames[name] = spark.read.parquet(p)
+    finally:
+        for name in ("usurv", "kept_q", "surv", "final"):
+            built[name].unpersist()
 
     funnel = sorted(
         (r.asDict() for r in funnel_from_stages(d, stage_frames).collect()),
@@ -217,8 +191,22 @@ def run_release(
         "doc_id", "source", "lang", "text"
     )
     mixed = _mix_temperature_filter(surv_docs)
-    n_mix = mixed.count()
-    stages.append({"stage": 5, "name": "mix_temperature", "docs": n_mix})
+    mix_stats = mixed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(T.n_tokens(F.col("text")).cast("long")).alias("t"),
+    ).collect()[0]
+    n_mix = int(mix_stats["n"])
+    # tokens here are whitespace (the stage-0..4 audit unit) so the
+    # stages list stays schema-homogeneous; stage 6's tokens switch to
+    # the SELECTION unit (params.token_unit) by design
+    stages.append(
+        {
+            "stage": 5,
+            "name": "mix_temperature",
+            "docs": n_mix,
+            "tokens": int(mix_stats["t"] or 0),
+        }
+    )
 
     tokenizer_rules = tokenizer_version = None
     if tokenizer_path is not None:
@@ -299,7 +287,13 @@ def run_release(
         selected.unpersist()
 
     # the conservation law (the streaming ledger's batch twin): every raw
-    # doc is accounted to exactly one fate
+    # doc is accounted to exactly one NONNEGATIVE fate.  The sum of the
+    # fates telescopes to the raw count by construction, so summation is
+    # NOT the check (review r16 — a tautology can't fail); the real
+    # invariants are (a) every stage is a SUBSET of its predecessor
+    # (fates >= 0 — a negative fate means a stage invented rows, e.g. a
+    # join fan-out), and (b) the final fate equals the independently
+    # counted selection.
     by_name = {s["name"]: s["docs"] for s in stages}
     fates = {
         "url_dup": by_name["raw"] - by_name["url_dedup"],
@@ -310,7 +304,9 @@ def run_release(
         "budget_dropped": by_name["mix_temperature"] - by_name["token_budget"],
         "selected": by_name["token_budget"],
     }
-    conserved = sum(fates.values()) == by_name["raw"]
+    conserved = (
+        all(v >= 0 for v in fates.values()) and fates["selected"] == n_sel
+    )
     manifest = {
         "sf_dir": os.path.abspath(sf_dir),
         "params": {

@@ -532,12 +532,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("source", "doc_id", T.n_tokens(F.col("text")).alias("n_tokens"))
+    return pack_fold(toks, PACK_BUDGET)
+
+
+def pack_fold(toks: DataFrame, budget: int) -> DataFrame:
+    """The greedy next-fit packing fold over (source, doc_id, n_tokens)
+    metadata — ordered applyInPandas per source, text never enters the
+    kernel.  ONE definition shared by q_pack_sequences,
+    q_pack_sequences_bpe, and the release run's pack stage (review r16:
+    previously three verbatim copies)."""
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         seq_ids, cum, b = [], 0, 0
         for t in pdf["n_tokens"]:
-            if cum > 0 and cum + t > PACK_BUDGET:
+            if cum > 0 and cum + t > budget:
                 b, cum = b + 1, 0
             cum += t
             seq_ids.append(b)
@@ -1241,25 +1250,7 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load(spark, sf_dir, "documents").select("source", "doc_id")
     toks = d.join(enc, "doc_id").select("source", "doc_id", "n_tokens")
-
-    def pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, cum, b = [], 0, 0
-        for t in pdf["n_tokens"]:
-            if cum > 0 and cum + t > PACK_BUDGET:
-                b, cum = b + 1, 0
-            cum += t
-            seq_ids.append(b)
-        pdf["seq_id"] = seq_ids
-        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
-
-    return (
-        toks.groupBy("source")
-        .applyInPandas(
-            pack, "source string, doc_id long, n_tokens long, seq_id long"
-        )
-        .withColumnRenamed("n_tokens", "n_bpe_tokens")
-    )
+    return pack_fold(toks, PACK_BUDGET).withColumnRenamed("n_tokens", "n_bpe_tokens")
 
 
 def bpe_token_count(rules) -> F.Column:

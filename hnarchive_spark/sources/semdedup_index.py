@@ -164,23 +164,31 @@ def append_semdedup_index(
     new; a fully re-delivered batch appends nothing — the at-least-once
     no-op the streaming maintenance contract requires.
 
-    Idempotence across a rebuild is MECHANICAL (VERDICT r15 #4): every
-    membership row — build, rebuild, and append alike — is written as the
-    FROZEN assignment of its vector against the version's centroid table
-    (the same pure function this append uses), so an existing row for a
-    redelivered vec_id is in the probed cluster BY CONSTRUCTION, in every
-    version, with no bit-for-bit determinism argument needed.  Rows carry
-    a ``cv`` centroid-version stamp; if the pruned presence scan ever
-    surfaces a row stamped with a DIFFERENT version than the published
-    one (a mixed tree — impossible via the atomic swap, but cheap to
-    detect), the check WIDENS to a full-membership vec_id anti-join for
-    this batch instead of trusting cluster pruning (self-healing over
-    silent duplication).  The one genuinely unguarded window is a
-    redelivery where the SAME vec_id arrives with a CHANGED embedding
-    (an update, not a replay): it may assign to a different cluster and
-    insert a second membership row — probe drops stay correct (rn=1
-    dedups per vec_id) but pair work inflates; updates should go through
-    rebuild, not append."""
+    Idempotence across a rebuild is MECHANICAL (VERDICT r15 #4), and the
+    mechanism is the WRITE invariant, not the stamp: every membership
+    row — build, rebuild, and append alike — is written as the FROZEN
+    assignment of its vector against its version's centroid table (the
+    same pure function this append uses), so an existing row for a
+    redelivered vec_id is in the probed cluster BY CONSTRUCTION, in
+    every version, with no bit-for-bit determinism argument needed.
+    Rows additionally carry a ``cv`` centroid-version stamp as an audit
+    column: if the pruned presence scan surfaces a row stamped with a
+    DIFFERENT version than the published one — a state the verbs can
+    never produce (the rebuild swap is atomic and rewrites every row),
+    so it evidences out-of-band mutation — the check WIDENS to a
+    full-membership vec_id anti-join for this batch.  That detection is
+    best-effort by nature (a foreign row parked in a cluster the batch
+    does NOT probe is invisible to any O(batch) check); the guarantee
+    against duplication rests on the write invariant above, which
+    out-of-band mutation voids for ANY scheme.  A legacy store whose
+    rows predate the cv column is treated as unverifiable and always
+    takes the widened full anti-join (appends then stay cv-less so the
+    store schema remains consistent).  The one genuinely unguarded
+    window is a redelivery where the SAME vec_id arrives with a CHANGED
+    embedding (an update, not a replay): it may assign to a different
+    cluster and insert a second membership row — probe drops stay
+    correct (rn=1 dedups per vec_id) but pair work inflates; updates
+    should go through rebuild, not append."""
     cur_v = current_index_version(path) or 0
     cents = spark.read.parquet(_centroids_path(path))
     a = kmeans_assign_frozen(
@@ -190,20 +198,21 @@ def append_semdedup_index(
     clusters = [r[0] for r in a.select("list_id").distinct().collect()]
     if not clusters:
         return 0
-    pruned = spark.read.parquet(_lists_path(path)).filter(
-        F.col("list_id").isin(clusters)
+    lists = spark.read.parquet(_lists_path(path))
+    has_cv = "cv" in lists.columns
+    pruned = lists.filter(F.col("list_id").isin(clusters))
+    widen = (not has_cv) or (
+        pruned.filter(F.col("cv") != cur_v).limit(1).count() > 0
     )
-    mixed = pruned.filter(F.col("cv") != cur_v).limit(1).count() > 0
-    existing = (
-        spark.read.parquet(_lists_path(path)).select("vec_id")
-        if mixed
-        else pruned.select("vec_id")
-    )
-    novel = (
-        a.join(existing, "vec_id", "left_anti")
-        .select(F.col("vec_id"), F.lit(int(cur_v)).alias("cv"), F.col("list_id"))
-        .localCheckpoint(eager=True)
-    )
+    existing = lists.select("vec_id") if widen else pruned.select("vec_id")
+    novel = a.join(existing, "vec_id", "left_anti")
+    if has_cv:
+        novel = novel.select(
+            F.col("vec_id"), F.lit(int(cur_v)).alias("cv"), F.col("list_id")
+        )
+    else:  # legacy layout: keep the store schema consistent
+        novel = novel.select(F.col("vec_id"), F.col("list_id"))
+    novel = novel.localCheckpoint(eager=True)
     n_new = novel.count()
     if n_new == 0:
         return 0

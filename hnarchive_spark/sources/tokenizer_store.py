@@ -37,6 +37,32 @@ from hnarchive_spark.sources.index_version import (
 )
 
 
+def _publish_rules(path: str, rules: list[tuple[int, str, str, int]]) -> str:
+    """Write the rule list as ``<path>/v<N+1>/_RULES.json`` and publish
+    at the atomic pointer swap.  ``rounds`` is recorded as len(rules) —
+    the count actually induced, which is SHORTER than the requested
+    rounds when induction exhausts a tiny corpus (review r16: build
+    previously recorded the request, extend the reality)."""
+    new_v = (current_index_version(path) or 0) + 1
+    vdir = os.path.join(path, f"v{new_v}")
+    os.makedirs(vdir, exist_ok=True)
+    tmp = os.path.join(vdir, "_RULES.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "rounds": len(rules),
+                "rules": [
+                    {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
+                    for k, a, b, n in rules
+                ],
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(vdir, "_RULES.json"))
+    publish_index_version(path, new_v)
+    return vdir
+
+
 def build_tokenizer_store(
     spark: SparkSession,
     docs: DataFrame,
@@ -50,25 +76,7 @@ def build_tokenizer_store(
     from hnarchive_spark.plans.textops import BPE_TRAIN_ROUNDS, induce_bpe_rules
 
     n_rounds = BPE_TRAIN_ROUNDS if rounds is None else rounds
-    rules = induce_bpe_rules(spark, docs, n_rounds, text_col)
-    new_v = (current_index_version(path) or 0) + 1
-    vdir = os.path.join(path, f"v{new_v}")
-    os.makedirs(vdir, exist_ok=True)
-    tmp = os.path.join(vdir, "_RULES.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "rounds": n_rounds,
-                "rules": [
-                    {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
-                    for k, a, b, n in rules
-                ],
-            },
-            fh,
-        )
-    os.replace(tmp, os.path.join(vdir, "_RULES.json"))
-    publish_index_version(path, new_v)
-    return vdir
+    return _publish_rules(path, induce_bpe_rules(spark, docs, n_rounds, text_col))
 
 
 def extend_tokenizer_store(
@@ -94,25 +102,7 @@ def extend_tokenizer_store(
     new = induce_bpe_rules(
         spark, docs, extra_rounds, text_col, initial_rules=prefix
     )
-    rules = prefix + new
-    new_v = (current_index_version(path) or 0) + 1
-    vdir = os.path.join(path, f"v{new_v}")
-    os.makedirs(vdir, exist_ok=True)
-    tmp = os.path.join(vdir, "_RULES.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "rounds": len(rules),
-                "rules": [
-                    {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
-                    for k, a, b, n in rules
-                ],
-            },
-            fh,
-        )
-    os.replace(tmp, os.path.join(vdir, "_RULES.json"))
-    publish_index_version(path, new_v)
-    return vdir
+    return _publish_rules(path, prefix + new)
 
 
 def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:

@@ -290,3 +290,40 @@ def test_redelivery_across_rebuild_never_duplicates(spark, tmp_path):
     m = members()
     assert m.count() == m.select("vec_id").distinct().count()
     assert m.filter(F.col("cv") == 2).count() == arch.count() + n1
+
+
+def test_append_to_legacy_store_without_cv_column(spark, tmp_path):
+    """A membership store written BEFORE the cv stamp existed must stay
+    appendable (review r16: an unconditional cv read would crash the
+    streaming maintenance path on upgrade): a legacy layout is treated
+    as unverifiable — the presence check widens to the full anti-join —
+    and appended rows stay cv-less so the store schema remains
+    consistent."""
+    from hnarchive_spark.sources.semdedup_index import (
+        _lists_path,
+        append_semdedup_index,
+    )
+
+    e = load(spark, SF, "embeddings")
+    arch = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40))
+    path = str(tmp_path / "sd")
+    build_semdedup_index(
+        spark, arch, path, KMEANS_K, KMEANS_ITERS, store_assignments=True
+    )
+    # strip the cv column in place: the pre-r16 on-disk layout
+    lp = _lists_path(path)
+    legacy = spark.read.parquet(lp).select("vec_id", "list_id").collect()
+    import shutil
+
+    shutil.rmtree(lp)
+    spark.createDataFrame(legacy, "vec_id long, list_id long").repartition(
+        "list_id"
+    ).write.partitionBy("list_id").parquet(lp)
+
+    n1 = append_semdedup_index(spark, batch, path)
+    assert n1 == batch.count() > 0
+    assert append_semdedup_index(spark, batch, path) == 0  # idempotent
+    m = spark.read.parquet(lp)
+    assert "cv" not in m.columns  # schema stayed legacy-consistent
+    assert m.count() == m.select("vec_id").distinct().count()
