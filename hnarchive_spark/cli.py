@@ -689,6 +689,7 @@ def cmd_release(spark, args):
         pack_budget=args.pack_budget,
         n_shards=args.n_shards,
         tokenizer_path=args.tokenizer,
+        tokenizer_encoder=args.tokenizer_encoder,
     )
     print(_json.dumps(manifest))
     return 0
@@ -901,6 +902,11 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--tokenizer", default=None,
                     help="trained tokenizer store: budget/pack/shard in "
                     "REAL tokenizer tokens instead of whitespace tokens")
+    rl.add_argument("--tokenizer-encoder", default="regexp",
+                    choices=("regexp", "kernel"),
+                    help="BPE meter: oracled chained-regexp projection or "
+                    "the row-identical Arrow kernel (production path for "
+                    "large vocabularies)")
     rl.set_defaults(func=cmd_release)
 
     tk = sub.add_parser(

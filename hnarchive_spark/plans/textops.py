@@ -1203,6 +1203,44 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bpe_encode_kernel",
+    oracle=_bpe_encode_oracle(BPE_TRAIN_ROUNDS),
+    doc="BPE APPLY via the ARROW KERNEL (VERDICT r16 #1) — the production "
+    "encode path for trained vocabularies: ONE mapInPandas stage applying "
+    "the whole broadcast rule list per document "
+    "(operators/bpe_encode.encode_bpe_kernel), instead of q_bpe_encode's "
+    "one-regexp-node-per-rule chain.  Same trained tokenizer store, same "
+    "JVM-side subtokenization, same oracle (the per-round unrolled CTE "
+    "fold), and hash-checked to the SAME result — the regexp chain stays "
+    "the exact-algebra twin; this is what a 30k-merge vocabulary runs, "
+    "where 30k chained regexp nodes would kill Catalyst plan size and "
+    "30k corpus passes would kill the wall.  Kernel cost per doc is "
+    "O(applied_rules x tokens) with applied_rules bounded by the doc's "
+    "distinct adjacent pairs, NOT the vocabulary size; identity to the "
+    "chain is additionally locked per-row on fixture + seeded-fuzz "
+    "corpora (tests/test_bpe_kernel.py, the UDTF-chunking twin "
+    "discipline).",
+)
+def q_bpe_encode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.bpe_encode import encode_bpe_kernel
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_rules,
+    )
+
+    path = built_once(
+        "bpe_tokenizer",
+        sf_dir,
+        lambda p: build_tokenizer_store(
+            spark, load(spark, sf_dir, "documents"), p
+        ),
+    )
+    rules = [(a, b) for _k, a, b, _n in load_tokenizer_rules(path)]
+    return encode_bpe_kernel(load(spark, sf_dir, "documents"), rules)
+
+
 def _pack_bpe_oracle() -> str:
     n = BPE_TRAIN_ROUNDS
     return f"""

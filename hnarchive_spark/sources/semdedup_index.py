@@ -202,7 +202,14 @@ def append_semdedup_index(
     has_cv = "cv" in lists.columns
     pruned = lists.filter(F.col("list_id").isin(clusters))
     widen = (not has_cv) or (
-        pruned.filter(F.col("cv") != cur_v).limit(1).count() > 0
+        # null-safe: a schema-merged read of mixed cv-stamped / legacy
+        # files yields NULL cv, and `cv != cur_v` would drop those rows
+        # as NULL instead of widening — the exact out-of-band-mutation
+        # signal this column exists to catch (ADVICE r16).
+        pruned.filter(~F.col("cv").eqNullSafe(F.lit(int(cur_v))))
+        .limit(1)
+        .count()
+        > 0
     )
     existing = lists.select("vec_id") if widen else pruned.select("vec_id")
     novel = a.join(existing, "vec_id", "left_anti")

@@ -670,7 +670,11 @@ def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
 
     from hnarchive_spark import cli
     from hnarchive_spark.plans.registry import REGISTRY, _ensure_loaded
-    from hnarchive_spark.plans.release import shard_assign
+    from hnarchive_spark.plans.release import (
+        latest_release_manifest,
+        release_root,
+        shard_assign,
+    )
 
     monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
     monkeypatch.setattr(spark, "stop", lambda: None)
@@ -678,8 +682,13 @@ def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
     out = str(tmp_path / "release")
     assert cli.main(["release", "--out", out, "--sf-dir", sf]) == 0
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    # releases publish as <out>/v<N> behind the atomic _CURRENT pointer
+    # (r17) — readers resolve through release_root, never a raw path
+    root = release_root(out)
+    assert root == os.path.join(out, "v1")
+    manifest = latest_release_manifest(out)
     assert printed == manifest
+    assert manifest["version"] == 1
     assert manifest["conservation_ok"]
     # the REAL invariants (the fates' sum telescopes to raw by
     # construction, so summation alone cannot fail — review r16):
@@ -703,11 +712,11 @@ def test_cli_release_manifest_crosschecks(spark, tmp_path, monkeypatch, capsys):
 
     # the stage frames are PUBLISHED audit artifacts, and the funnel's
     # domain_cap count equals the written final frame's row count
-    final = spark.read.parquet(os.path.join(out, "stages", "final"))
+    final = spark.read.parquet(os.path.join(root, "stages", "final"))
     assert final.count() == funnel["domain_cap"][0]
 
     # the written selection matches the manifest and the shard audit
-    sel = spark.read.parquet(os.path.join(out, "selected"))
+    sel = spark.read.parquet(os.path.join(root, "selected"))
     n_sel = manifest["fates"]["selected"]
     assert sel.count() == n_sel == manifest["stages"][-1]["docs"]
     audit = {
@@ -800,13 +809,16 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
 
     assert cli.main(["release", "--out", out, "--sf-dir", sf,
                      "--tokenizer", tok]) == 0
-    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    from hnarchive_spark.plans.release import latest_release_manifest, release_root
+
+    manifest = latest_release_manifest(out)
     assert manifest["params"]["token_unit"] == "bpe"
     assert manifest["params"]["tokenizer_version"] == 1
     assert manifest["params"]["tokenizer_rules"] == 3
+    assert manifest["params"]["tokenizer_encoder"] == "regexp"
     assert manifest["conservation_ok"]
 
-    sel = spark.read.parquet(os.path.join(out, "selected"))
+    sel = spark.read.parquet(os.path.join(release_root(out), "selected"))
     rules = load_tokenizer_rules(tok)
     want = docs.select("doc_id", bpe_token_count(rules).alias("bt"))
     diff = sel.join(want, "doc_id").filter(F.col("n_tokens") != F.col("bt"))

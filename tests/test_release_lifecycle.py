@@ -1,0 +1,171 @@
+"""Release publication lifecycle (VERDICT r16 #4 and #7):
+
+* ATOMIC publish — a release lands as ``<out>/v<N>`` behind the
+  ``_CURRENT`` pointer; a crash between the shard write and the
+  manifest write (fault-injected) leaves the previous release fully
+  readable, the torn attempt manifest-less and unpublished, and the
+  next run self-heals it;
+* ENCODER identity — ``--tokenizer-encoder kernel`` (the Arrow BPE
+  meter) produces the SAME release as the oracled regexp meter;
+* INGEST -> RELEASE reconciliation — the batch/streaming seam: drive
+  the release over a store populated by the streaming document-ingest
+  verb; on a quiesced store the ingest ledger's merged count equals
+  the release manifest's raw count (the two composed verbs account
+  for the same documents)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnarchive_spark.plans.release import (
+    heal_torn_releases,
+    latest_release_manifest,
+    release_root,
+    run_release,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_torn_release_detected_and_healed(spark, tmp_path, monkeypatch):
+    """Kill the run between the shard write and the manifest write: the
+    pointer must still serve v1 in full, and the next run must remove
+    the torn v2 and publish a complete replacement."""
+    out = str(tmp_path / "rel")
+    m1 = run_release(spark, SF, out)
+    assert m1["version"] == 1 and release_root(out) == os.path.join(out, "v1")
+
+    real_replace = os.replace
+
+    def _crash_before_manifest(src, dst):
+        if str(dst).endswith("_MANIFEST.json"):
+            raise RuntimeError("injected crash before manifest publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", _crash_before_manifest)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_release(spark, SF, out)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the torn attempt is on disk (stages + selected written) but has no
+    # manifest and was never published — readers still resolve v1 whole
+    v2 = os.path.join(out, "v2")
+    assert os.path.isdir(os.path.join(v2, "selected"))
+    assert not os.path.exists(os.path.join(v2, "_MANIFEST.json"))
+    assert release_root(out) == os.path.join(out, "v1")
+    assert latest_release_manifest(out) == m1
+    assert spark.read.parquet(
+        os.path.join(release_root(out), "selected")
+    ).count() == m1["fates"]["selected"]
+
+    # the next run self-heals the torn dir and supersedes it
+    m2 = run_release(spark, SF, out)
+    assert m2["healed_torn"] == [v2]
+    assert m2["version"] == 2 and m2["conservation_ok"]
+    assert release_root(out) == v2
+    assert latest_release_manifest(out)["version"] == 2
+    # fates are identical across the reruns (same corpus, same params)
+    assert m2["fates"] == m1["fates"]
+
+
+def test_heal_never_touches_published_version(tmp_path):
+    """A published version missing its manifest is out-of-band damage,
+    not a torn publish — heal must leave it for a human, loudly absent
+    from the removed list."""
+    from hnarchive_spark.sources.index_version import publish_index_version
+
+    out = str(tmp_path / "rel")
+    os.makedirs(os.path.join(out, "v1", "selected"))
+    publish_index_version(out, 1)
+    assert heal_torn_releases(out) == []
+    assert os.path.isdir(os.path.join(out, "v1"))
+
+
+def test_kernel_encoder_release_identical(spark, tmp_path):
+    """release --tokenizer-encoder=kernel == the regexp meter: same
+    manifest (modulo the recorded encoder name) and the same selected
+    rows — the Arrow kernel is a drop-in production meter."""
+    from hnarchive_spark.sources.tokenizer_store import build_tokenizer_store
+    from hnarchive_spark.tables import load
+
+    tok = str(tmp_path / "tok")
+    build_tokenizer_store(spark, load(spark, SF, "documents"), tok, rounds=3)
+
+    out_a = str(tmp_path / "rel_regexp")
+    out_b = str(tmp_path / "rel_kernel")
+    ma = run_release(spark, SF, out_a, tokenizer_path=tok)
+    mb = run_release(
+        spark, SF, out_b, tokenizer_path=tok, tokenizer_encoder="kernel"
+    )
+    assert ma["params"]["tokenizer_encoder"] == "regexp"
+    assert mb["params"]["tokenizer_encoder"] == "kernel"
+    ka = {**ma, "params": {**ma["params"], "tokenizer_encoder": None}}
+    kb = {**mb, "params": {**mb["params"], "tokenizer_encoder": None}}
+    assert ka == kb
+    rows = lambda o: sorted(  # noqa: E731
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(release_root(o), "selected"))
+            .select("doc_id", "source", "n_tokens", "q_e4", "seq_id", "shard_id")
+            .collect(),
+        )
+    )
+    a = rows(out_a)
+    assert len(a) > 0 and a == rows(out_b)
+
+
+def test_ingest_then_release_reconcile(spark, tmp_path):
+    """The batch/streaming seam (VERDICT r16 #7): stream the fixture
+    documents through the gated ingest verb, quiesce, then run the
+    release over the ingested store — the ingest ledger's merged count,
+    the store's row count, and the release manifest's raw count are one
+    number, and the release conserves from there."""
+    from hnarchive_spark.streaming.index_maint import maintenance_stats
+    from hnarchive_spark.streaming.ingest import read_ingested_docs, stream_ingest
+    from hnarchive_spark.tables import load
+
+    d = load(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    d.select("doc_id", "text").write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "store")
+    # all-pass quality model: every bucket weighs 10000, threshold 5000 —
+    # the gate RUNS (scored path, unscorable docs quarantined) without
+    # changing the fixture's fate mix
+    model = spark.range(256).select(
+        F.col("id").alias("bucket"), F.lit(10_000).alias("w_e4")
+    )
+    q = stream_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store,
+        str(tmp_path / "ckpt"),
+        quality_threshold_e4=5_000,
+        model=model,
+    )
+    q.awaitTermination()
+
+    st = maintenance_stats(store)
+    ingested = read_ingested_docs(spark, store)
+    n_store = ingested.count()
+    assert st["ingest_merged"] == n_store > 0
+
+    # the release consumes the INGESTED store as its corpus: rebuild the
+    # documents table from the store's own text (metadata columns joined
+    # back from the source-of-truth fixture by doc_id)
+    sf2 = str(tmp_path / "sf_ingested")
+    (
+        ingested.join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(sf2, "documents.parquet"))
+    )
+    out = str(tmp_path / "rel")
+    m = run_release(spark, sf2, out)
+    assert m["conservation_ok"]
+    raw = next(s for s in m["stages"] if s["name"] == "raw")
+    # THE reconciliation identity: ingest merged == release raw
+    assert raw["docs"] == n_store == st["ingest_merged"]
+    assert sum(v for k, v in m["fates"].items()) == raw["docs"]
