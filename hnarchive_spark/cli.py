@@ -386,6 +386,16 @@ def cmd_maintenance(spark, args):
                 paths.append(full)
     if not paths:
         raise SystemExit("give --paths a,b,c or --scan-dir DIR")
+    corpus = None
+    if args.corpus:
+        import os as _os
+
+        src = args.corpus
+        if _os.path.isdir(src) and _os.path.exists(
+            _os.path.join(src, "documents.parquet")
+        ):
+            src = _os.path.join(src, "documents.parquet")
+        corpus = spark.read.parquet(src)
     reports = run_maintenance(
         spark,
         paths,
@@ -393,6 +403,8 @@ def cmd_maintenance(spark, args):
         max_batches=args.max_batches,
         dry_run=args.dry_run,
         prune=args.prune,
+        corpus=corpus,
+        min_coverage_e6=args.min_coverage_e6,
     )
     for r in reports:
         print(_json.dumps(r))
@@ -829,6 +841,13 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--dry-run", action="store_true", help="report, execute nothing")
     mt.add_argument("--prune", action="store_true",
                     help="drop superseded version trees after a successful verb")
+    mt.add_argument("--corpus", default=None,
+                    help="documents parquet (file or sf dir): audit tokenizer "
+                    "stores' training-snapshot coverage against this corpus "
+                    "and recommend `tokenizer extend` on drift")
+    mt.add_argument("--min-coverage-e6", type=int, default=990_000,
+                    help="tokenizer coverage floor (integer e6) below which "
+                    "an extend is recommended")
     mt.set_defaults(func=cmd_maintenance)
 
     qm = sub.add_parser(

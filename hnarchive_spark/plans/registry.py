@@ -51,72 +51,71 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 16
+_ROTATION_BUILT_FOR_ROUND = 17
 
 _VERIFY_FIRST = [
-    # Round-16 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=16) prefix and
-    # locked by tests/test_rotation_consistency.py: the four queries
-    # registered this round first (the iterative BPE induction closing
-    # VERDICT r15 #2, the recall@10-after-rerank arm, the BPE-unit
-    # token-budget selection, and the blessed indexed+capped SemDeDup
-    # production probe), then the FULL r10
-    # verification floor (q_skew_salted_agg, q_staleness,
-    # q_vocab_coverage, q_window_sort — the four stragglers VERDICT r15
-    # #1 requires this round), then the r11 block filling the 50-slot
+    # Round-17 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=17) prefix and
+    # locked by tests/test_rotation_consistency.py: the one query
+    # registered this round first (the Arrow-kernel BPE encoder,
+    # VERDICT r16 #1), then the FULL r11 verification floor — the 8
+    # stragglers VERDICT r16 #2 names (q_skew_salted_join,
+    # q_sole_late_supplier, q_store_changelog, q_stream_late_drop,
+    # q_stream_outer_join, q_stream_rollup_mv, q_user_anomaly,
+    # q_vocab_top_subtokens) — then the r12 block filling the 50-slot
     # budget; ascending staleness, ALPHABETICAL tiebreak.  With this
-    # window green the staleness floor over CORRECTNESS_r01-r16 rises
-    # to r11.
-    "q_bpe_train",
-    "q_rerank_recall10",
-    "q_select_token_budget_bpe",
-    "q_semdedup_indexed_capped",
-    "q_skew_salted_agg",
-    "q_staleness",
-    "q_vocab_coverage",
-    "q_window_sort",
-    "q_ann_clustered_recall_plain",
-    "q_ann_clustered_recall_residual",
-    "q_ann_ivf",
-    "q_ann_ivf_append",
-    "q_ann_ivf_indexed",
-    "q_ann_ivf_probe2",
-    "q_ann_ivfpq_rebuild",
-    "q_ann_lsh",
-    "q_ann_lsh_indexed",
-    "q_ann_lsh_multi",
-    "q_ann_topk",
-    "q_association_rules",
-    "q_autocorr_lag1",
-    "q_benford_audit",
-    "q_bm25_compacted",
-    "q_changepoint_cusum",
-    "q_class_weights",
-    "q_containment_dup",
-    "q_corpus_datacard",
-    "q_corr_rational",
-    "q_csv_roundtrip",
-    "q_decile_binning",
-    "q_decile_binning_scalable",
-    "q_dedup_canonical",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_ngram_maxdf",
-    "q_dow_profile",
-    "q_embed_dup",
-    "q_embed_dup_capped",
-    "q_expectations",
-    "q_gini_revenue",
-    "q_group_kfold",
-    "q_histogram_equiwidth",
-    "q_join_full_outer",
-    "q_jsonl_roundtrip",
-    "q_retention_cohorts",
-    "q_revenue_trend",
-    "q_semdedup",
-    "q_sessionize",
-    "q_shard_assignment",
-    "q_shard_assignment_scalable",
+    # window green the staleness floor over CORRECTNESS_r01-r17 rises
+    # to r12.
+    "q_bpe_encode_kernel",
+    "q_skew_salted_join",
+    "q_sole_late_supplier",
+    "q_store_changelog",
+    "q_stream_late_drop",
+    "q_stream_outer_join",
+    "q_stream_rollup_mv",
+    "q_user_anomaly",
+    "q_vocab_top_subtokens",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_ann_recall",
+    "q_bigram_novelty",
+    "q_bpe_merge_pairs",
+    "q_bucketed_join",
+    "q_contamination",
+    "q_disjunctive_filter",
+    "q_domain_cap",
+    "q_domain_stats",
+    "q_dpp_join",
+    "q_dsir_resample",
+    "q_dsir_weights",
+    "q_fk_filter",
+    "q_fk_filter_2",
+    "q_flagship",
+    "q_forecast_revenue",
+    "q_fuzzy_match_blocked",
+    "q_groupby_agg",
+    "q_grouping_sets",
+    "q_interval_overlap",
+    "q_join_broadcast",
+    "q_join_fk",
+    "q_k_anonymity",
+    "q_knn_confusion",
+    "q_lorenz_deciles",
+    "q_minhash_accuracy",
+    "q_mode_per_group",
+    "q_outlier_mad",
+    "q_percentile_rank_transform",
+    "q_pipeline_clean_corpus",
+    "q_reservoir_per_source",
+    "q_rolling_active_users",
+    "q_scd2_history",
+    "q_scd2_incremental",
+    "q_scd2_store",
+    "q_select_token_budget",
+    "q_skew_report",
+    "q_stream_funnel",
+    "q_substring_dedup",
+    "q_substring_dedup_clean",
 ]
 
 

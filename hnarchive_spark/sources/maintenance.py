@@ -175,6 +175,8 @@ def run_maintenance(
     max_batches: int = 8,
     dry_run: bool = False,
     prune: bool = False,
+    corpus=None,
+    min_coverage_e6: int = 990_000,
 ) -> list[dict]:
     """One scheduler pass: for each index root, detect the family, read
     the ledger, and if ``needs_maintenance`` trips execute (or, dry run,
@@ -185,7 +187,17 @@ def run_maintenance(
     deferred-update volume (rebuild pressure), ``max_batches`` the
     append count (small-file pileup -> compaction); 0 disables a
     dimension.  Executed verbs consume the ledger; with ``prune=True``
-    superseded version trees are dropped after a successful verb."""
+    superseded version trees are dropped after a successful verb.
+
+    TOKENIZER freshness (VERDICT r16 #5) is corpus-relative, not
+    ledger-relative (the store is immutable — nothing appends): pass the
+    CURRENT corpus as ``corpus`` (a documents DataFrame) and each
+    tokenizer store is audited with :func:`tokenizer_coverage` against
+    its own training snapshot; coverage below ``min_coverage_e6`` marks
+    it due with the ``tokenizer extend`` recommendation (reported, never
+    executed — extend rounds are the operator's call, like every trained
+    family).  Without ``corpus`` tokenizer stores are skipped silently
+    (there is nothing to measure drift against)."""
     from hnarchive_spark.streaming.index_maint import (
         maintenance_stats,
         needs_maintenance,
@@ -208,6 +220,28 @@ def run_maintenance(
             out.append(rec)
             continue
         executable, label = _ACTIONS[kind]
+        if kind == "tokenizer":
+            if corpus is not None:
+                from hnarchive_spark.sources.tokenizer_store import (
+                    tokenizer_coverage,
+                )
+
+                cov = tokenizer_coverage(spark, corpus, path)
+                rec["coverage"] = cov
+                if cov is None:
+                    rec["result"] = (
+                        "legacy store without training snapshot — "
+                        "freshness unverifiable, retrain to upgrade"
+                    )
+                elif cov["coverage_e6"] < min_coverage_e6:
+                    rec["due"] = True
+                    rec["action"] = (
+                        f"tokenizer extend (coverage {cov['coverage_e6']}e-6 "
+                        f"< {min_coverage_e6}e-6 over the given corpus: "
+                        f"cli tokenizer extend --path {path})"
+                    )
+            out.append(rec)
+            continue
         rec["due"] = needs_maintenance(
             path, max_skipped=max_skipped, max_batches=max_batches
         )

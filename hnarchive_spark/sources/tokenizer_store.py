@@ -37,12 +37,21 @@ from hnarchive_spark.sources.index_version import (
 )
 
 
-def _publish_rules(path: str, rules: list[tuple[int, str, str, int]]) -> str:
+def _publish_rules(
+    path: str,
+    rules: list[tuple[int, str, str, int]],
+    vocab: list[str] | None = None,
+) -> str:
     """Write the rule list as ``<path>/v<N+1>/_RULES.json`` and publish
     at the atomic pointer swap.  ``rounds`` is recorded as len(rules) —
     the count actually induced, which is SHORTER than the requested
     rounds when induction exhausts a tiny corpus (review r16: build
-    previously recorded the request, extend the reality)."""
+    previously recorded the request, extend the reality).  ``vocab`` is
+    the TRAINING-CORPUS SNAPSHOT — the distinct base subtokens the
+    training run saw (vocabulary-sized metadata, the centroid-list
+    convention) — recorded so the maintenance scheduler can measure how
+    far a future corpus has drifted from what this tokenizer was trained
+    on (:func:`tokenizer_coverage`, VERDICT r16 #5)."""
     new_v = (current_index_version(path) or 0) + 1
     vdir = os.path.join(path, f"v{new_v}")
     os.makedirs(vdir, exist_ok=True)
@@ -55,12 +64,31 @@ def _publish_rules(path: str, rules: list[tuple[int, str, str, int]]) -> str:
                     {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
                     for k, a, b, n in rules
                 ],
+                **({} if vocab is None else {"vocab": sorted(vocab)}),
             },
             fh,
         )
     os.replace(tmp, os.path.join(vdir, "_RULES.json"))
     publish_index_version(path, new_v)
     return vdir
+
+
+def _training_vocab(docs: DataFrame, text_col: str) -> list[str]:
+    """Distinct base subtokens of the training corpus — ONE partial-agg
+    shuffle collapsing occurrences to types before anything reaches the
+    driver (the q_vocab_coverage aggregation shape)."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.functions import text as T
+
+    return [
+        r["tok"]
+        for r in docs.select(
+            F.explode(T.subtokens(F.col(text_col))).alias("tok")
+        )
+        .distinct()
+        .collect()
+    ]
 
 
 def build_tokenizer_store(
@@ -76,7 +104,11 @@ def build_tokenizer_store(
     from hnarchive_spark.plans.textops import BPE_TRAIN_ROUNDS, induce_bpe_rules
 
     n_rounds = BPE_TRAIN_ROUNDS if rounds is None else rounds
-    return _publish_rules(path, induce_bpe_rules(spark, docs, n_rounds, text_col))
+    return _publish_rules(
+        path,
+        induce_bpe_rules(spark, docs, n_rounds, text_col),
+        vocab=_training_vocab(docs, text_col),
+    )
 
 
 def extend_tokenizer_store(
@@ -102,7 +134,10 @@ def extend_tokenizer_store(
     new = induce_bpe_rules(
         spark, docs, extra_rounds, text_col, initial_rules=prefix
     )
-    return _publish_rules(path, prefix + new)
+    # the vocab snapshot refreshes to the EXTEND corpus: this version
+    # has now seen these subtokens, so a freshness check against the
+    # same corpus goes quiet (the post-extend-clears contract)
+    return _publish_rules(path, prefix + new, vocab=_training_vocab(docs, text_col))
 
 
 def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
@@ -113,3 +148,77 @@ def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
         (r["merge_round"], r["left"], r["right"], r["n_occurrences"])
         for r in meta["rules"]
     ]
+
+
+def load_tokenizer_vocab(path: str) -> list[str] | None:
+    """The CURRENT version's training-corpus subtoken snapshot, or None
+    for a store published before the snapshot existed (legacy — its
+    freshness is unverifiable; retrain to upgrade)."""
+    with open(os.path.join(index_root(path), "_RULES.json")) as fh:
+        return json.load(fh).get("vocab")
+
+
+def tokenizer_coverage(
+    spark: SparkSession, docs: DataFrame, path: str, text_col: str = "text"
+) -> dict | None:
+    """How well the published tokenizer's TRAINING snapshot covers the
+    given corpus — q_vocab_coverage's exact aggregation shape (one
+    partial-agg shuffle to (tok, n) type rows, the snapshot joined in as
+    a broadcast, integer-e6 floor coverage) with the audit vocabulary
+    replaced by the store's own training snapshot.  Returns
+    ``{total_tokens, in_vocab_tokens, oov_tokens, oov_types,
+    coverage_e6}``, or None for a legacy store with no snapshot.  A
+    falling coverage_e6 means the corpus has drifted to subtokens the
+    tokenizer never trained on — the <unk>-flood precursor the
+    maintenance scheduler watches (VERDICT r16 #5)."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.functions import text as T
+
+    vocab = load_tokenizer_vocab(path)
+    if vocab is None:
+        return None
+    st = (
+        docs.select(F.explode(T.subtokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vdf = spark.createDataFrame([(t,) for t in vocab], "tok string").withColumn(
+        "iv", F.lit(1)
+    )
+    row = (
+        st.join(F.broadcast(vdf), "tok", "left")
+        .withColumn("iv", F.coalesce(F.col("iv"), F.lit(0)))
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * F.col("iv")).alias("in_vocab"),
+            F.sum(F.lit(1) - F.col("iv")).alias("oov_types"),
+        )
+        .collect()[0]
+    )
+    total = int(row["total"] or 0)
+    in_vocab = int(row["in_vocab"] or 0)
+    return {
+        "total_tokens": total,
+        "in_vocab_tokens": in_vocab,
+        "oov_tokens": total - in_vocab,
+        "oov_types": int(row["oov_types"] or 0),
+        "coverage_e6": 1_000_000 if total == 0 else in_vocab * 1_000_000 // total,
+    }
+
+
+def tokenizer_needs_extend(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    min_coverage_e6: int = 990_000,
+    text_col: str = "text",
+) -> bool:
+    """The freshness predicate the scheduler consults: True once the
+    current corpus's coverage under the published training snapshot
+    drops below ``min_coverage_e6`` — the signal to run ``tokenizer
+    extend`` (which both learns the new merges AND refreshes the
+    snapshot, so the predicate goes quiet).  Legacy stores without a
+    snapshot return False (unverifiable, not due)."""
+    cov = tokenizer_coverage(spark, docs, path, text_col)
+    return cov is not None and cov["coverage_e6"] < min_coverage_e6

@@ -532,6 +532,51 @@ def test_cli_maintenance_scheduler(spark, tmp_path, capsys, monkeypatch):
     assert not reps["grams_aged"]["due"] and not reps["grams_aged"]["executed"]
 
 
+def test_cli_maintenance_reports_tokenizer_drift(spark, tmp_path, capsys, monkeypatch):
+    """maintenance --dry-run --corpus (VERDICT r16 #5): a tokenizer store
+    whose training snapshot no longer covers the corpus is reported due
+    with the `tokenizer extend` recommendation; after the extend the
+    report goes quiet."""
+    import json as _json
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        extend_tokenizer_store,
+    )
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    tok = str(tmp_path / "roots" / "tok")
+    build_tokenizer_store(spark, docs, tok, rounds=2)
+    drifted = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(10_000 + i, " ".join(f"xenoword{i}q{j}" for j in range(40)))
+             for i in range(80)],
+            "doc_id long, text string",
+        )
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    drifted.write.parquet(corpus)
+
+    def _reports(*argv):
+        assert cli.main(["maintenance", *argv]) == 0
+        out = capsys.readouterr().out
+        return [_json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+
+    [rec] = _reports(f"--paths={tok}", "--dry-run", f"--corpus={corpus}")
+    assert rec["kind"] == "tokenizer" and rec["due"]
+    assert "tokenizer extend" in rec["action"]
+    assert rec["coverage"]["coverage_e6"] < 990_000
+
+    extend_tokenizer_store(spark, drifted, tok, extra_rounds=1)
+    [rec2] = _reports(f"--paths={tok}", "--dry-run", f"--corpus={corpus}")
+    assert not rec2["due"] and rec2["coverage"]["coverage_e6"] == 1_000_000
+
+
 def test_maintenance_detects_every_family(spark, tmp_path):
     """detect_index_kind: structural detection across the persisted
     families (the scheduler's no-registry claim)."""

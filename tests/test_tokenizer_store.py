@@ -75,3 +75,85 @@ def test_extend_equals_training_longer(spark, tmp_path):
     got = load_tokenizer_rules(root)
     assert got == induce_bpe_rules(spark, docs, rounds=7)
     assert [k for k, *_ in got] == list(range(1, 8))
+
+
+def test_freshness_drift_flags_then_extend_clears(spark, tmp_path):
+    """VERDICT r16 #5 — the tokenizer-freshness loop: the store records
+    its training-corpus subtoken snapshot; a drifted corpus (novel
+    subtokens the training never saw) drops coverage below the floor
+    and the scheduler recommends `tokenizer extend`; running the extend
+    refreshes both the rules AND the snapshot, so the recommendation
+    clears."""
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.sources.maintenance import run_maintenance
+    from hnarchive_spark.sources.tokenizer_store import (
+        extend_tokenizer_store,
+        tokenizer_coverage,
+        tokenizer_needs_extend,
+    )
+
+    docs = load(spark, SF, "documents")
+    root = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, root, rounds=3)
+
+    # same corpus: 100% coverage by construction, nothing due
+    cov = tokenizer_coverage(spark, docs, root)
+    assert cov["coverage_e6"] == 1_000_000 and cov["oov_tokens"] == 0
+    assert not tokenizer_needs_extend(spark, docs, root)
+
+    # drifted corpus: half the docs speak a vocabulary that did not
+    # exist at training time
+    drift_rows = [
+        (100_000 + i, " ".join(f"neolex{i}x{j}" for j in range(30)))
+        for i in range(60)
+    ]
+    drifted = docs.select("doc_id", "text").union(
+        spark.createDataFrame(drift_rows, "doc_id long, text string")
+    )
+    cov2 = tokenizer_coverage(spark, drifted, root)
+    assert cov2["oov_tokens"] > 0 and cov2["coverage_e6"] < 990_000
+    assert tokenizer_needs_extend(spark, drifted, root)
+
+    # the scheduler surfaces it (report-only, like every trained family)
+    [rec] = run_maintenance(spark, [root], dry_run=True, corpus=drifted)
+    assert rec["kind"] == "tokenizer" and rec["due"] and not rec["executed"]
+    assert "tokenizer extend" in rec["action"]
+    assert rec["coverage"]["coverage_e6"] == cov2["coverage_e6"]
+
+    # extend over the drifted corpus -> snapshot refreshes -> quiet
+    extend_tokenizer_store(spark, drifted, root, extra_rounds=2)
+    assert not tokenizer_needs_extend(spark, drifted, root)
+    [rec2] = run_maintenance(spark, [root], dry_run=True, corpus=drifted)
+    assert not rec2["due"] and rec2["action"] is None
+
+    # without a corpus there is nothing to measure drift against
+    [rec3] = run_maintenance(spark, [root], dry_run=True)
+    assert not rec3["due"]
+
+
+def test_legacy_store_without_snapshot_is_unverifiable(spark, tmp_path):
+    """A store published before the snapshot existed must not trip the
+    scheduler (freshness unverifiable, report says so)."""
+    import json
+
+    from hnarchive_spark.sources.index_version import index_root
+    from hnarchive_spark.sources.maintenance import run_maintenance
+    from hnarchive_spark.sources.tokenizer_store import (
+        load_tokenizer_vocab,
+        tokenizer_needs_extend,
+    )
+
+    docs = load(spark, SF, "documents")
+    root = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, root, rounds=2)
+    # strip the snapshot in place: the legacy on-disk shape
+    rules_file = os.path.join(index_root(root), "_RULES.json")
+    meta = json.load(open(rules_file))
+    meta.pop("vocab")
+    json.dump(meta, open(rules_file, "w"))
+
+    assert load_tokenizer_vocab(root) is None
+    assert not tokenizer_needs_extend(spark, docs, root)
+    [rec] = run_maintenance(spark, [root], dry_run=True, corpus=docs)
+    assert not rec["due"] and "unverifiable" in rec["result"]
