@@ -140,6 +140,13 @@ HEADLINE = [
     # first recorded after the r16 blessed cut, joins the bar at the
     # next complete run
     "q_select_token_budget_bpe",
+    # round 17: the Arrow-kernel BPE apply beside its regexp-chain twin
+    # (q_bpe_encode) — same trained store (warmup builds it once), so
+    # the pair records the kernel-vs-chain delta per round at the
+    # fixture's 10 rules (the kernel's win appears at 30k-rule
+    # vocabularies, where the chain is unviable; this entry guards the
+    # small-vocab end never regresses past the chain's band)
+    "q_bpe_encode_kernel",
 ]
 
 

@@ -136,11 +136,13 @@ def encode_bpe_kernel(
                 fp.append(hashlib.md5(e.encode("utf-8")).hexdigest()[:16])
             yield pd.DataFrame(
                 {
-                    id_col: ids,
+                    # explicit dtypes: an EMPTY batch would otherwise
+                    # infer object columns and fail the Arrow cast
+                    id_col: pd.Series(ids, dtype="int64"),
                     "n_subtokens": pd.Series(n_sub, dtype="int64"),
                     "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
                     "compression_e4": pd.Series(comp, dtype="int64"),
-                    "enc_fp": fp,
+                    "enc_fp": pd.Series(fp, dtype="object"),
                 }
             )
 

@@ -47,9 +47,9 @@ def _publish_rules(
     the count actually induced, which is SHORTER than the requested
     rounds when induction exhausts a tiny corpus (review r16: build
     previously recorded the request, extend the reality).  ``vocab`` is
-    the TRAINING-CORPUS SNAPSHOT — the distinct base subtokens the
-    training run saw (vocabulary-sized metadata, the centroid-list
-    convention) — recorded so the maintenance scheduler can measure how
+    the TRAINING-CORPUS SNAPSHOT — the top-``SNAPSHOT_MAX_VOCAB`` base
+    subtokens the training run saw (vocabulary-sized metadata, the
+    centroid-list convention) — recorded so the maintenance scheduler can measure how
     far a future corpus has drifted from what this tokenizer was trained
     on (:func:`tokenizer_coverage`, VERDICT r16 #5)."""
     new_v = (current_index_version(path) or 0) + 1
@@ -73,20 +73,34 @@ def _publish_rules(
     return vdir
 
 
+SNAPSHOT_MAX_VOCAB = 65_536  # snapshot cap — the driver collect stays bounded
+
+
 def _training_vocab(docs: DataFrame, text_col: str) -> list[str]:
-    """Distinct base subtokens of the training corpus — ONE partial-agg
-    shuffle collapsing occurrences to types before anything reaches the
-    driver (the q_vocab_coverage aggregation shape)."""
+    """The top-``SNAPSHOT_MAX_VOCAB`` training-corpus subtokens by
+    occurrence count (count DESC, token text — a total order): ONE
+    partial-agg shuffle collapses occurrences to types, a bounded top-k
+    window sorts only the aggregated vocabulary, and the driver collect
+    is capped regardless of corpus size (the q_vocab_coverage shape — at
+    100 TB distinct letter/digit runs can reach tens of millions, and an
+    uncapped snapshot would be a corpus-shaped driver collect).  The
+    long tail a cap drops is by definition the rarest types, whose
+    absence can only make the freshness check MORE eager, never blind."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from hnarchive_spark.functions import text as T
 
+    agg = (
+        docs.select(F.explode(T.subtokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
     return [
         r["tok"]
-        for r in docs.select(
-            F.explode(T.subtokens(F.col(text_col))).alias("tok")
-        )
-        .distinct()
+        for r in agg.select("tok", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= SNAPSHOT_MAX_VOCAB)
         .collect()
     ]
 

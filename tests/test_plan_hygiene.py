@@ -630,6 +630,24 @@ def test_bpe_encode_is_map_only(spark):
     assert schema_line.count(":") <= 3, schema_line
 
 
+def test_bpe_encode_kernel_is_single_arrow_stage(spark):
+    """q_bpe_encode_kernel: the production apply for large vocabularies
+    must be ONE Arrow mapInPandas stage over the pruned documents scan —
+    zero Exchange, zero Join (the rule list rides in the kernel closure,
+    never as a joined frame), exactly one Python boundary regardless of
+    vocabulary size (the whole point: a 30k-merge tokenizer adds zero
+    plan nodes, where the regexp chain adds 30k)."""
+    plan = _plan(spark, "q_bpe_encode_kernel")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    # formatted explain names each node twice (tree line + detail
+    # block), so ONE MapInPandas node == exactly two mentions
+    assert plan.count("MapInPandas") == 2, plan[:800]
+    schema_line = next(ln for ln in plan.split("\n") if "ReadSchema" in ln)
+    assert "doc_id" in schema_line and "text" in schema_line, schema_line
+    assert schema_line.count(":") <= 3, schema_line
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
