@@ -283,7 +283,14 @@ def main() -> None:
     # warmup, before any other plan has been built or run — and report
     # both numbers. If isolated ~= round-4 wall while in-suite stays slow,
     # the drift is session aging, not a plan regression.
-    ISOLATE = ["q_asof_join", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram_maxdf"]
+    # round 17: the two UNCAPPED SemDeDup twins join the isolated block —
+    # the r17 discriminator closed the three-round creep watch as
+    # box-noise amplification (the quadratic within-cluster pair join
+    # multiplies per-task jitter by the suite's largest task count;
+    # BENCH_NOTES r17), so like the four historically noisy operators
+    # they are adjudicated on isolated_fresh_session, not the in-suite bar
+    ISOLATE = ["q_asof_join", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram_maxdf",
+               "q_semdedup", "q_semdedup_indexed"]
     isolated: dict[str, float] = {}
     for name in ISOLATE:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
