@@ -126,13 +126,23 @@ def encode_bpe_kernel(
         for pdf in it:
             ids, n_sub, n_bpe, comp, fp = [], [], [], [], []
             for doc_id, st in zip(pdf[id_col], pdf["st"]):
-                ts = list(st)
+                n_raw = len(st)
+                # round-trip through the chain's delimiter representation:
+                # if a token itself contains chr(1) (possible — the
+                # subtoken pattern's punctuation class admits it), the
+                # chain sees spurious segment boundaries in the joined
+                # stream, and row-identity demands the kernel see the SAME
+                # segments.  For control-char-free corpora (the fixture
+                # and any sane corpus) this is the identity function.
+                ts = _DELIM.join(st).split(_DELIM)
                 enc = encode_tokens(ts, rules, rank)
                 e = _DELIM.join(enc)
                 ids.append(doc_id)
-                n_sub.append(len(ts))
+                # n_subtokens is the RAW array length (the chain reports
+                # F.size(st), not the delimiter-segment count)
+                n_sub.append(n_raw)
                 n_bpe.append(len(enc))
-                comp.append((len(enc) * 10000) // len(ts))
+                comp.append((len(enc) * 10000) // n_raw)
                 fp.append(hashlib.md5(e.encode("utf-8")).hexdigest()[:16])
             yield pd.DataFrame(
                 {

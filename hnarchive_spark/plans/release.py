@@ -92,14 +92,18 @@ def _budget_select(
         T.sum_token_len(F.col("text")).alias("sum_len"),
     ).select("doc_id", "source", "lang", "n_tokens", T.quality_e4_int().alias("q_e4"))
     if tokenizer_rules is not None:
-        eligible = mixed_docs.filter(F.size(T.subtokens(F.col("text"))) > 0)
         if encoder == "kernel":
             from hnarchive_spark.operators.bpe_encode import (
                 bpe_token_counts_kernel,
             )
 
-            bt = bpe_token_counts_kernel(eligible, tokenizer_rules)
+            # the kernel applies the size(subtokens) > 0 gate itself (it
+            # drops zero-subtoken docs before the Arrow stage) — a
+            # pre-filter here would evaluate the subtoken extraction
+            # twice per row for nothing
+            bt = bpe_token_counts_kernel(mixed_docs, tokenizer_rules)
         else:
+            eligible = mixed_docs.filter(F.size(T.subtokens(F.col("text"))) > 0)
             bt = eligible.select(
                 "doc_id", bpe_token_count(tokenizer_rules).alias("n_tokens")
             )
@@ -138,16 +142,37 @@ def _existing_versions(out_dir: str) -> list[int]:
     )
 
 
+def _builder_alive(vdir: str) -> bool:
+    """True if the ``_BUILDING.json`` marker names a process that is
+    still running on this host — the guard that keeps a second release
+    run from rmtree-ing a LIVE first run's in-progress version (review
+    r17: without it, auto-heal turns an accidental concurrent run into
+    active data destruction).  A missing/corrupt marker or a dead pid
+    reads as not-alive: exactly the crashed-run case heal exists for."""
+    try:
+        with open(os.path.join(vdir, "_BUILDING.json")) as fh:
+            pid = int(json.load(fh)["pid"])
+        os.kill(pid, 0)  # signal 0: existence probe, delivers nothing
+        return True
+    except (FileNotFoundError, ValueError, KeyError, ProcessLookupError):
+        return False
+    except PermissionError:  # pid exists but owned elsewhere — alive
+        return True
+
+
 def heal_torn_releases(out_dir: str) -> list[str]:
     """Detect and remove TORN releases (VERDICT r16 'what's wrong' #2):
     a version directory with stage/shard data but no ``_MANIFEST.json``
     is a run that died between its writes and its publish — readers
     never saw it (the ``_CURRENT`` pointer only ever moves AFTER the
     manifest lands), so deleting it is safe and makes the next run's
-    version numbering clean.  The PUBLISHED version is never touched,
-    manifest or not (a pointer pointing at a manifest-less dir would be
-    an out-of-band mutation — left for a human, loudly).  Returns the
-    removed paths."""
+    version numbering clean.  Two dirs are never touched: the PUBLISHED
+    version (a pointer at a manifest-less dir would be out-of-band
+    mutation — left for a human, loudly), and a dir whose
+    ``_BUILDING.json`` pid is still alive (a concurrently running
+    release — same-host detection; releases are a single-operator batch
+    verb, and version numbers are allocated collision-free regardless).
+    Returns the removed paths."""
     import shutil
 
     from hnarchive_spark.sources.index_version import current_index_version
@@ -159,6 +184,8 @@ def heal_torn_releases(out_dir: str) -> list[str]:
             continue
         vdir = os.path.join(out_dir, f"v{v}")
         if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+            if _builder_alive(vdir):
+                continue
             shutil.rmtree(vdir)
             removed.append(vdir)
     return removed
@@ -210,17 +237,9 @@ def run_release(
     the production path for large vocabularies; row-identical).  The
     manifest records ``token_unit``, the tokenizer version, and the
     encoder used."""
-    from hnarchive_spark.plans.curation import (
-        _url_pipeline_stages,
-        funnel_from_stages,
-    )
     from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
     from hnarchive_spark.plans.textops import PACK_BUDGET
-
-    from hnarchive_spark.sources.index_version import (
-        current_index_version,
-        publish_index_version,
-    )
+    from hnarchive_spark.sources.index_version import current_index_version
 
     token_budget = SELECT_TOKEN_BUDGET if token_budget is None else token_budget
     pack_budget = PACK_BUDGET if pack_budget is None else pack_budget
@@ -228,11 +247,61 @@ def run_release(
 
     # self-heal any torn prior attempt, then build the next version OFF
     # to the side of whatever is published — readers keep resolving the
-    # old release through the pointer until the very last line
+    # old release through the pointer until the very last line.  The
+    # version number is allocated by exclusive mkdir (retrying upward),
+    # so even two concurrent runs can never interleave into one vdir;
+    # the _BUILDING pid marker keeps the other run's heal pass off this
+    # one while it lives.
     healed = heal_torn_releases(out_dir)
-    existing = _existing_versions(out_dir)
-    new_v = max([current_index_version(out_dir) or 0] + existing) + 1
-    vdir = os.path.join(out_dir, f"v{new_v}")
+    new_v = max([current_index_version(out_dir) or 0] + _existing_versions(out_dir))
+    while True:
+        new_v += 1
+        vdir = os.path.join(out_dir, f"v{new_v}")
+        try:
+            os.makedirs(vdir, exist_ok=False)
+            break
+        except FileExistsError:  # a concurrent run claimed this number
+            continue
+    with open(os.path.join(vdir, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": os.getpid()}, fh)
+    try:
+        return _build_release(
+            spark, sf_dir, out_dir, vdir, new_v, healed,
+            token_budget, pack_budget, n_shards,
+            tokenizer_path, tokenizer_encoder,
+        )
+    except BaseException:
+        # a run that FAILS (as opposed to being SIGKILLed) unregisters
+        # its liveness marker so the next run's heal treats the torn dir
+        # as dead immediately; a hard kill leaves the marker with a dead
+        # pid, which _builder_alive resolves the same way
+        try:
+            os.remove(os.path.join(vdir, "_BUILDING.json"))
+        except OSError:
+            pass
+        raise
+
+
+def _build_release(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    vdir: str,
+    new_v: int,
+    healed: list[str],
+    token_budget: int,
+    pack_budget: int,
+    n_shards: int,
+    tokenizer_path: str | None,
+    tokenizer_encoder: str,
+) -> dict:
+    """run_release's build body: everything between version allocation
+    and the pointer swap, under the caller's torn-marker guard."""
+    from hnarchive_spark.plans.curation import (
+        _url_pipeline_stages,
+        funnel_from_stages,
+    )
+    from hnarchive_spark.sources.index_version import publish_index_version
 
     d = load(spark, sf_dir, "documents")
 
@@ -433,6 +502,10 @@ def run_release(
         raise ValueError(
             f"release conservation violated: fates={fates} written={n_written}"
         )
+    # the build is done: unregister the liveness marker, then land the
+    # manifest (a crash exactly between the two leaves a marker-less
+    # manifest-less dir — plain torn, healed by the next run)
+    os.remove(os.path.join(vdir, "_BUILDING.json"))
     tmp = os.path.join(vdir, "_MANIFEST.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)

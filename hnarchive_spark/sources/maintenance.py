@@ -196,8 +196,9 @@ def run_maintenance(
     its own training snapshot; coverage below ``min_coverage_e6`` marks
     it due with the ``tokenizer extend`` recommendation (reported, never
     executed — extend rounds are the operator's call, like every trained
-    family).  Without ``corpus`` tokenizer stores are skipped silently
-    (there is nothing to measure drift against)."""
+    family).  Without ``corpus`` a tokenizer store still gets its report
+    record (kind/stats, never due) — there is simply nothing to measure
+    drift against, so no ``coverage`` key and no recommendation."""
     from hnarchive_spark.streaming.index_maint import (
         maintenance_stats,
         needs_maintenance,

@@ -40,7 +40,7 @@ from hnarchive_spark.sources.index_version import (
 def _publish_rules(
     path: str,
     rules: list[tuple[int, str, str, int]],
-    vocab: list[str] | None = None,
+    vocab: dict[str, int] | None = None,
 ) -> str:
     """Write the rule list as ``<path>/v<N+1>/_RULES.json`` and publish
     at the atomic pointer swap.  ``rounds`` is recorded as len(rules) —
@@ -64,7 +64,7 @@ def _publish_rules(
                     {"merge_round": k, "left": a, "right": b, "n_occurrences": n}
                     for k, a, b, n in rules
                 ],
-                **({} if vocab is None else {"vocab": sorted(vocab)}),
+                **({} if vocab is None else {"vocab": dict(sorted(vocab.items()))}),
             },
             fh,
         )
@@ -76,33 +76,50 @@ def _publish_rules(
 SNAPSHOT_MAX_VOCAB = 65_536  # snapshot cap — the driver collect stays bounded
 
 
-def _training_vocab(docs: DataFrame, text_col: str) -> list[str]:
-    """The top-``SNAPSHOT_MAX_VOCAB`` training-corpus subtokens by
-    occurrence count (count DESC, token text — a total order): ONE
-    partial-agg shuffle collapses occurrences to types, a bounded top-k
-    window sorts only the aggregated vocabulary, and the driver collect
-    is capped regardless of corpus size (the q_vocab_coverage shape — at
-    100 TB distinct letter/digit runs can reach tens of millions, and an
-    uncapped snapshot would be a corpus-shaped driver collect).  The
-    long tail a cap drops is by definition the rarest types, whose
-    absence can only make the freshness check MORE eager, never blind."""
-    from pyspark.sql import Window
+def _training_vocab(docs: DataFrame, text_col: str) -> dict[str, int]:
+    """The top-``SNAPSHOT_MAX_VOCAB`` training-corpus subtokens WITH their
+    occurrence counts (count DESC, token text — a total order): ONE
+    partial-agg shuffle collapses occurrences to types, the top-k runs
+    as a distributed ``orderBy().limit()`` (TakeOrderedAndProject —
+    per-partition heaps, never a single-task global sort; review r17:
+    an unpartitioned row_number window would funnel every distinct type
+    through one executor), and the driver collect is capped regardless
+    of corpus size (at 100 TB distinct letter/digit runs can reach tens
+    of millions).  The long tail a cap drops is by definition the
+    rarest types, whose absence can only make the freshness check MORE
+    eager, never blind.  Counts are kept so an EXTEND can merge its
+    corpus's snapshot with the prior one by summed frequency."""
     from pyspark.sql import functions as F
 
     from hnarchive_spark.functions import text as T
 
-    agg = (
+    rows = (
         docs.select(F.explode(T.subtokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.orderBy(F.col("n").desc(), "tok")
-    return [
-        r["tok"]
-        for r in agg.select("tok", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= SNAPSHOT_MAX_VOCAB)
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(SNAPSHOT_MAX_VOCAB)
         .collect()
-    ]
+    )
+    return {r["tok"]: int(r["n"]) for r in rows}
+
+
+def _merge_vocab(
+    prior: dict[str, int] | None, new: dict[str, int]
+) -> dict[str, int]:
+    """Snapshot for an EXTEND: union of the prior snapshot and the extend
+    corpus's, counts summed, re-capped by combined frequency.  A REPLACE
+    here would be wrong (review r17): extending on a delta corpus would
+    forget every subtoken of the original training corpus, the next
+    audit over the full corpus would count all of them OOV, and the
+    scheduler would recommend extends forever.  Union keeps the
+    post-extend-clears contract for BOTH the delta-corpus and
+    full-corpus extend styles."""
+    merged = dict(prior or {})
+    for tok, n in new.items():
+        merged[tok] = merged.get(tok, 0) + n
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    return dict(top[:SNAPSHOT_MAX_VOCAB])
 
 
 def build_tokenizer_store(
@@ -148,10 +165,12 @@ def extend_tokenizer_store(
     new = induce_bpe_rules(
         spark, docs, extra_rounds, text_col, initial_rules=prefix
     )
-    # the vocab snapshot refreshes to the EXTEND corpus: this version
-    # has now seen these subtokens, so a freshness check against the
-    # same corpus goes quiet (the post-extend-clears contract)
-    return _publish_rules(path, prefix + new, vocab=_training_vocab(docs, text_col))
+    # the vocab snapshot UNIONS the extend corpus's types into the prior
+    # snapshot (counts summed, re-capped): the version has now seen both
+    # corpora, so the freshness check goes quiet whether the operator
+    # extended on the full audit corpus or just the drifted delta
+    vocab = _merge_vocab(_load_vocab_counts(path), _training_vocab(docs, text_col))
+    return _publish_rules(path, prefix + new, vocab=vocab)
 
 
 def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
@@ -164,12 +183,23 @@ def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
     ]
 
 
-def load_tokenizer_vocab(path: str) -> list[str] | None:
-    """The CURRENT version's training-corpus subtoken snapshot, or None
-    for a store published before the snapshot existed (legacy — its
-    freshness is unverifiable; retrain to upgrade)."""
+def _load_vocab_counts(path: str) -> dict[str, int] | None:
+    """The CURRENT version's snapshot with counts (None for legacy
+    stores).  Tolerates the transitional count-less list shape."""
     with open(os.path.join(index_root(path), "_RULES.json")) as fh:
-        return json.load(fh).get("vocab")
+        v = json.load(fh).get("vocab")
+    if v is None:
+        return None
+    return dict(v) if isinstance(v, dict) else {tok: 1 for tok in v}
+
+
+def load_tokenizer_vocab(path: str) -> list[str] | None:
+    """The CURRENT version's training-corpus subtoken snapshot (token
+    types only), or None for a store published before the snapshot
+    existed (legacy — its freshness is unverifiable; retrain to
+    upgrade)."""
+    counts = _load_vocab_counts(path)
+    return None if counts is None else sorted(counts)
 
 
 def tokenizer_coverage(

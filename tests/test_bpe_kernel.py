@@ -20,30 +20,43 @@ work per doc — not O(|rules|) corpus passes)."""
 from __future__ import annotations
 
 import random
+import re
 
 from pyspark.sql import functions as F
 
 from hnarchive_spark.functions import text as T
 from hnarchive_spark.operators.bpe_encode import (
-    _fold_pass,
     bpe_token_counts_kernel,
     build_rank,
     encode_bpe_kernel,
     encode_tokens,
 )
 from hnarchive_spark.plans.registry import all_queries
-from hnarchive_spark.plans.textops import bpe_token_count, induce_bpe_rules
+from hnarchive_spark.plans.textops import (
+    _BPE_DELIM,
+    _bpe_merge_pattern,
+    bpe_token_count,
+    induce_bpe_rules,
+)
 from hnarchive_spark.tables import load
 
 SF = "/root/testdata/sf0.001"
 
 
 def _reference_apply(ts: list[str], rules: list[tuple[str, str]]) -> list[str]:
-    """The regexp chain's literal semantics: EVERY rule, in order, one
-    greedy left-to-right fold pass each — no skipping, no reordering."""
+    """The regexp chain's LITERAL semantics, independently of the kernel's
+    code: every rule, in order, as one leftmost non-overlapping regex
+    substitution over the chr(1)-joined stream — Python ``re.sub`` with
+    the SAME pattern string the Spark chain compiles
+    (textops._bpe_merge_pattern: per-char-quoted pair with zero-width
+    token-boundary lookarounds), whose leftmost-scan semantics match
+    Java's replaceAll.  If the kernel's fold had a shared bug, this
+    reference would catch it — it never calls the kernel's primitives."""
+    e = _BPE_DELIM.join(ts)
     for a, b in rules:
-        ts = _fold_pass(ts, a, b, a + b)
-    return ts
+        merged = a + b
+        e = re.sub(_bpe_merge_pattern(a, b), lambda _m: merged, e)
+    return e.split(_BPE_DELIM)
 
 
 def test_kernel_matches_naive_sequential_fold_fuzz():
@@ -56,7 +69,10 @@ def test_kernel_matches_naive_sequential_fold_fuzz():
     rng = random.Random(0xB9E17)
     alphabet = ["a", "b", "c", ".", "1"]
     for case in range(3000):
-        n = rng.randint(0, 24)
+        # n >= 1: the kernel's domain is non-empty streams (the query
+        # filters size(st) > 0 before the kernel, matching the chain) —
+        # the joined-string reference can't represent [] at all
+        n = rng.randint(1, 24)
         ts = [rng.choice(alphabet) for _ in range(n)]
         # grow a rule list over an expanding token universe, so rules can
         # legitimately reference merged tokens (and duplicate earlier pairs)
@@ -147,3 +163,99 @@ def test_kernel_metering_matches_chain_meter(spark):
         | (F.col("c") != F.col("n_tokens"))
     )
     assert chain.count() > 0 and bad.count() == 0
+
+
+def _chain_frame(spark, docs, pairs):
+    """The actual Spark regexp chain (q_bpe_encode's expression, verbatim
+    construction) producing (doc_id, enc_fp16, n_bpe_tokens)."""
+    from hnarchive_spark.plans.textops import _bpe_replacement_quote
+
+    st = docs.select("doc_id", T.subtokens(F.col("text")).alias("st")).filter(
+        F.size("st") > 0
+    )
+    enc = F.concat_ws(_BPE_DELIM, F.col("st"))
+    for a, b in pairs:
+        enc = F.regexp_replace(
+            enc, F.lit(_bpe_merge_pattern(a, b)), F.lit(_bpe_replacement_quote(a + b))
+        )
+    return st.select(
+        "doc_id",
+        F.substring(F.md5(enc), 1, 16).alias("fp"),
+        F.size(F.split(enc, _BPE_DELIM)).alias("n"),
+    )
+
+
+def test_kernel_matches_chain_on_adversarial_handcrafted_rules(spark):
+    """Chain-vs-kernel through SPARK with HAND-CRAFTED rule lists the
+    trainer would rarely emit — duplicate pairs, self-pairs, rules whose
+    sides are other rules' merged tokens (re-creating earlier rules'
+    pairs), punctuation needing regex quoting — over docs built to
+    trigger each shape.  This is the independence the fuzz reference
+    cannot give alone: the right side here is Java's actual regexp
+    engine."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # run of the same pair
+            (2, "a a a a a"),            # self-pair chain (a,a)
+            (3, "x y z x y z"),          # pair created by an earlier merge
+            (4, ". . .. . ."),           # punctuation quoting
+            (5, "a b c a b c a b"),      # (ab,c) over merged tokens
+            (6, "b a b a b"),            # offset phase of rule (a,b)
+        ],
+        "doc_id long, text string",
+    )
+    rule_sets = [
+        [("a", "b"), ("ab", "ab"), ("a", "b")],       # duplicate rule entry
+        [("a", "a"), ("aa", "a"), ("aa", "aa")],      # self-pairs stacking
+        [("x", "y"), ("xy", "z"), ("xyz", "xyz")],
+        [(".", "."), ("..", ".."), ("..", ".")],      # metachar quoting
+        [("a", "b"), ("c", "ab"), ("ab", "c")],       # sides from merges
+    ]
+    for pairs in rule_sets:
+        chain = {
+            r["doc_id"]: (r["fp"], r["n"])
+            for r in _chain_frame(spark, docs, pairs).collect()
+        }
+        kern = {
+            r["doc_id"]: (r["enc_fp"], r["n_bpe_tokens"])
+            for r in encode_bpe_kernel(docs, pairs).collect()
+        }
+        assert chain == kern, pairs
+
+
+def test_kernel_matches_chain_with_delimiter_collision(spark):
+    """A document CONTAINING chr(1): the subtoken pattern's punctuation
+    class emits it as a token, the chain's joined-stream representation
+    then sees spurious segment boundaries — and row-identity demands the
+    kernel reproduce exactly that behavior (it round-trips the token
+    list through the delimiter representation; operators/bpe_encode.py).
+    Production corpora are the kernel's whole audience, so this
+    assumption is tested, not just documented."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b \x01 a b"),          # stray control char between words
+            (2, "a\x01b a b"),            # control char inside a word
+            (3, "\x01\x01 a b"),          # leading run
+            (4, "normal a b text"),       # control-free control group
+        ],
+        "doc_id long, text string",
+    )
+    pairs = [("a", "b"), ("ab", "ab")]
+    chain = {
+        r["doc_id"]: (r["fp"], r["n"])
+        for r in _chain_frame(spark, docs, pairs).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["enc_fp"], r["n_bpe_tokens"])
+        for r in encode_bpe_kernel(docs, pairs).collect()
+    }
+    assert chain == kern
+    # and n_subtokens stays the RAW token-array length on both sides
+    raw = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(T.subtokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for r in encode_bpe_kernel(docs, pairs).collect():
+        assert r["n_subtokens"] == raw[r["doc_id"]]

@@ -157,3 +157,34 @@ def test_legacy_store_without_snapshot_is_unverifiable(spark, tmp_path):
     assert not tokenizer_needs_extend(spark, docs, root)
     [rec] = run_maintenance(spark, [root], dry_run=True, corpus=docs)
     assert not rec["due"] and "unverifiable" in rec["result"]
+
+
+def test_extend_on_delta_corpus_unions_snapshot(spark, tmp_path):
+    """Review r17: an extend driven by ONLY the drifted delta must not
+    forget the original training corpus's subtokens — the snapshot
+    unions (counts summed, re-capped), so the post-extend audit over the
+    FULL corpus still clears.  A replace-semantics snapshot would flag
+    the store due forever after any delta-corpus extend."""
+    from hnarchive_spark.sources.tokenizer_store import (
+        extend_tokenizer_store,
+        tokenizer_coverage,
+        tokenizer_needs_extend,
+    )
+
+    docs = load(spark, SF, "documents")
+    root = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, root, rounds=2)
+
+    delta = spark.createDataFrame(
+        [(200_000 + i, " ".join(f"brandnew{i}z{j}" for j in range(25)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    full = docs.select("doc_id", "text").union(delta)
+    assert tokenizer_needs_extend(spark, full, root)  # drift detected
+
+    # extend on the DELTA ONLY — the natural operator response
+    extend_tokenizer_store(spark, delta, root, extra_rounds=1)
+    cov = tokenizer_coverage(spark, full, root)
+    assert cov["coverage_e6"] == 1_000_000 and cov["oov_tokens"] == 0
+    assert not tokenizer_needs_extend(spark, full, root)
