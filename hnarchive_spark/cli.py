@@ -703,6 +703,10 @@ def cmd_release(spark, args):
         tokenizer_path=args.tokenizer,
         tokenizer_encoder=args.tokenizer_encoder,
     )
+    if args.prune_old:
+        from hnarchive_spark.sources.index_version import prune_index_versions
+
+        manifest["pruned"] = prune_index_versions(args.out)
     print(_json.dumps(manifest))
     return 0
 
@@ -926,6 +930,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="BPE meter: oracled chained-regexp projection or "
                     "the row-identical Arrow kernel (production path for "
                     "large vocabularies)")
+    rl.add_argument("--prune-old", action="store_true",
+                    help="after publishing, drop superseded release versions "
+                    "(retain-until-pruned, the store contract: only safe once "
+                    "no reader can still hold an old version)")
     rl.set_defaults(func=cmd_release)
 
     tk = sub.add_parser(

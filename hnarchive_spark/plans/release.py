@@ -160,6 +160,25 @@ def _builder_alive(vdir: str) -> bool:
         return True
 
 
+def torn_release_dirs(out_dir: str) -> list[str]:
+    """Healable torn attempts: manifest-less version dirs that are
+    neither published nor owned by a live builder — detection only (the
+    maintenance scheduler's due-predicate); :func:`heal_torn_releases`
+    is the removal."""
+    from hnarchive_spark.sources.index_version import current_index_version
+
+    cur = current_index_version(out_dir)
+    torn = []
+    for v in _existing_versions(out_dir):
+        if v == cur:
+            continue
+        vdir = os.path.join(out_dir, f"v{v}")
+        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+            if not _builder_alive(vdir):
+                torn.append(vdir)
+    return torn
+
+
 def heal_torn_releases(out_dir: str) -> list[str]:
     """Detect and remove TORN releases (VERDICT r16 'what's wrong' #2):
     a version directory with stage/shard data but no ``_MANIFEST.json``
@@ -175,19 +194,10 @@ def heal_torn_releases(out_dir: str) -> list[str]:
     Returns the removed paths."""
     import shutil
 
-    from hnarchive_spark.sources.index_version import current_index_version
-
-    cur = current_index_version(out_dir)
     removed = []
-    for v in _existing_versions(out_dir):
-        if v == cur:
-            continue
-        vdir = os.path.join(out_dir, f"v{v}")
-        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
-            if _builder_alive(vdir):
-                continue
-            shutil.rmtree(vdir)
-            removed.append(vdir)
+    for vdir in torn_release_dirs(out_dir):
+        shutil.rmtree(vdir)
+        removed.append(vdir)
     return removed
 
 

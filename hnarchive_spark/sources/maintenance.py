@@ -82,6 +82,11 @@ def detect_index_kind(path: str) -> str | None:
         # versioned rule list — no appends, so no compaction; retrains
         # publish whole new versions
         return "tokenizer"
+    if has("_MANIFEST.json"):
+        # a published release root (plans/release.py): versioned
+        # conservation-law manifests behind the pointer — maintenance is
+        # healing torn (crashed-unpublished) attempts
+        return "release"
     if has("docs") and not has("bands"):
         # the composed-ingest document store (streaming/ingest.py):
         # docs (+ optional urls) bucket partitions — the bands check
@@ -121,6 +126,7 @@ _ACTIONS = {
         False,
         "retrain (needs corpus: build_tokenizer_store publishes a new version)",
     ),
+    "release": (True, "heal_torn_releases"),
 }
 
 
@@ -165,6 +171,10 @@ def _execute(spark, kind: str, path: str) -> str:
         from hnarchive_spark.sources.vec_store import compact_vec_store
 
         return compact_vec_store(spark, path)
+    if kind == "release":
+        from hnarchive_spark.plans.release import heal_torn_releases
+
+        return f"healed: {heal_torn_releases(path)}"
     raise ValueError(f"no self-contained verb for {kind}")
 
 
@@ -243,9 +253,17 @@ def run_maintenance(
                     )
             out.append(rec)
             continue
-        rec["due"] = needs_maintenance(
-            path, max_skipped=max_skipped, max_batches=max_batches
-        )
+        if kind == "release":
+            # releases have no append ledger — due is structural: a
+            # healable torn attempt on disk (manifest-less, unpublished,
+            # builder dead; plans/release.torn_release_dirs)
+            from hnarchive_spark.plans.release import torn_release_dirs
+
+            rec["due"] = bool(torn_release_dirs(path))
+        else:
+            rec["due"] = needs_maintenance(
+                path, max_skipped=max_skipped, max_batches=max_batches
+            )
         if not rec["due"]:
             out.append(rec)
             continue

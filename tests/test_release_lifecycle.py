@@ -169,3 +169,73 @@ def test_ingest_then_release_reconcile(spark, tmp_path):
     # THE reconciliation identity: ingest merged == release raw
     assert raw["docs"] == n_store == st["ingest_merged"]
     assert sum(v for k, v in m["fates"].items()) == raw["docs"]
+
+
+def test_scheduler_detects_release_and_heals_torn(spark, tmp_path):
+    """The maintenance scheduler closes the release lifecycle loop: a
+    published release root is structurally detected as the 'release'
+    family, a torn attempt makes it due, and the executed verb is
+    heal_torn_releases — with a LIVE builder's dir left alone."""
+    import json as _json
+
+    from hnarchive_spark.sources.maintenance import (
+        detect_index_kind,
+        run_maintenance,
+    )
+
+    out = str(tmp_path / "rel")
+    run_release(spark, SF, out)
+    assert detect_index_kind(out) == "release"
+
+    # quiet: published-only root is never due
+    [rec] = run_maintenance(spark, [out], dry_run=True)
+    assert rec["kind"] == "release" and not rec["due"]
+
+    # a torn attempt (crashed run: data, no manifest, dead builder)
+    torn = os.path.join(out, "v7")
+    os.makedirs(os.path.join(torn, "selected"))
+    with open(os.path.join(torn, "_BUILDING.json"), "w") as fh:
+        _json.dump({"pid": 2**22 + 12345}, fh)  # guaranteed-dead pid
+    [rec] = run_maintenance(spark, [out], dry_run=True)
+    assert rec["due"] and rec["action"] == "heal_torn_releases"
+
+    # a LIVE builder's dir must keep the root quiet (review r17: heal
+    # must never remove a concurrently-running build)
+    with open(os.path.join(torn, "_BUILDING.json"), "w") as fh:
+        _json.dump({"pid": os.getpid()}, fh)
+    [rec] = run_maintenance(spark, [out], dry_run=True)
+    assert not rec["due"]
+
+    # dead again -> the real pass heals it
+    with open(os.path.join(torn, "_BUILDING.json"), "w") as fh:
+        _json.dump({"pid": 2**22 + 12345}, fh)
+    [rec] = run_maintenance(spark, [out])
+    assert rec["executed"] and torn in rec["result"]
+    assert not os.path.exists(torn)
+    # the published release is untouched
+    assert latest_release_manifest(out)["version"] == 1
+
+
+def test_release_prune_old_versions(spark, tmp_path, monkeypatch, capsys):
+    """release --prune-old: superseded versions drop after publish,
+    the current one survives, readers resolve it whole."""
+    import json as _json
+
+    from hnarchive_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    out = str(tmp_path / "rel")
+    assert cli.main(["release", "--out", out, "--sf-dir", SF]) == 0
+    capsys.readouterr()
+    assert cli.main(["release", "--out", out, "--sf-dir", SF,
+                     "--prune-old"]) == 0
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["version"] == 2
+    assert any(p.endswith("v1") for p in printed["pruned"])
+    assert not os.path.exists(os.path.join(out, "v1"))
+    m = latest_release_manifest(out)
+    assert m["version"] == 2 and m["conservation_ok"]
+    assert spark.read.parquet(
+        os.path.join(release_root(out), "selected")
+    ).count() == m["fates"]["selected"]
