@@ -62,6 +62,36 @@ def _time(df_fn, spark) -> float:
     return round(min(runs), 3)
 
 
+def _synthetic_tail(spark, docs, real: list, upto: int) -> list:
+    """Extend the trained rule list to ``upto`` entries with a seeded
+    cascade over the growing token universe — the model of a production
+    vocabulary's LONG TAIL (rules that exist but rarely fire on a given
+    doc).  Inert rules still exercise exactly what each path pays for
+    them: one regexp corpus pass + one plan node for the chain, one
+    dict probe per adjacent pair for the kernel."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hnarchive_spark.functions import text as T
+
+    rng = random.Random(0x30AD)
+    universe = sorted(
+        r["tok"]
+        for r in docs.select(
+            F.explode(T.subtokens(F.col("text"))).alias("tok")
+        )
+        .distinct()
+        .collect()
+    ) + [a + b for a, b in real]
+    pairs = list(real)
+    while len(pairs) < upto:
+        a, b = rng.choice(universe), rng.choice(universe)
+        pairs.append((a, b))
+        universe.append(a + b)
+    return pairs
+
+
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     prefixes = [int(x) for x in sys.argv[2:]] or [10, 25, 50]
@@ -73,16 +103,19 @@ def main() -> None:
     rules = induce_bpe_rules(spark, docs, rounds=rounds)
     train_s = round(time.perf_counter() - t0, 3)
     pairs = [(a, b) for _k, a, b, _n in rules]
-    out = {"sf_dir": sf_dir, "trained_rules": len(pairs), "train_s": train_s}
+    if max(prefixes) > len(pairs):  # synthetic long tail past the trained head
+        pairs = _synthetic_tail(spark, docs, pairs, max(prefixes))
+    out = {"sf_dir": sf_dir, "trained_rules": len(rules), "train_s": train_s}
     for k in prefixes:
-        if k > len(pairs):
-            break
         sub = pairs[:k]
-        out[f"chain_{k}"] = _time(lambda: _chain_apply(docs, sub), spark)
         out[f"kernel_{k}"] = _time(
             lambda: encode_bpe_kernel(docs, sub).select("doc_id", "n_bpe_tokens"),
             spark,
         )
+        try:
+            out[f"chain_{k}"] = _time(lambda: _chain_apply(docs, sub), spark)
+        except BaseException as ex:  # the chain's plan-size cliff, recorded
+            out[f"chain_{k}"] = f"FAILED: {type(ex).__name__}"
     print(json.dumps(out))
     spark.stop()
 
