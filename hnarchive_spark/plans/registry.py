@@ -56,17 +56,15 @@ _ROTATION_BUILT_FOR_ROUND = 17
 _VERIFY_FIRST = [
     # Round-17 rotation, generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=17) prefix and
-    # locked by tests/test_rotation_consistency.py: the one query
-    # registered this round first (the Arrow-kernel BPE encoder,
-    # VERDICT r16 #1), then the FULL r11 verification floor — the 8
-    # stragglers VERDICT r16 #2 names (q_skew_salted_join,
-    # q_sole_late_supplier, q_store_changelog, q_stream_late_drop,
-    # q_stream_outer_join, q_stream_rollup_mv, q_user_anomaly,
-    # q_vocab_top_subtokens) — then the r12 block filling the 50-slot
-    # budget; ascending staleness, ALPHABETICAL tiebreak.  With this
-    # window green the staleness floor over CORRECTNESS_r01-r17 rises
-    # to r12.
+    # locked by tests/test_rotation_consistency.py: the two queries
+    # registered this round first (the Arrow-kernel BPE encoder and
+    # the kernel-metered budget selection, VERDICT r16 #1), then the
+    # FULL r11 verification floor — the 8 stragglers VERDICT r16 #2
+    # names — then the r12 block filling the 50-slot budget;
+    # ascending staleness, ALPHABETICAL tiebreak.  With this window
+    # green the staleness floor over CORRECTNESS_r01-r17 rises to r12.
     "q_bpe_encode_kernel",
+    "q_select_token_budget_bpe_kernel",
     "q_skew_salted_join",
     "q_sole_late_supplier",
     "q_store_changelog",
@@ -115,7 +113,6 @@ _VERIFY_FIRST = [
     "q_skew_report",
     "q_stream_funnel",
     "q_substring_dedup",
-    "q_substring_dedup_clean",
 ]
 
 

@@ -1418,6 +1418,67 @@ def _register_select_budget_bpe():
 _register_select_budget_bpe()
 
 
+def _register_select_budget_bpe_kernel():
+    from hnarchive_spark.plans.dedup import SELECT_TOKEN_BUDGET
+
+    @query(
+        "q_select_token_budget_bpe_kernel",
+        oracle=_select_budget_bpe_oracle(BPE_TRAIN_ROUNDS, SELECT_TOKEN_BUDGET),
+        doc="Token-budget selection metered through the ARROW-KERNEL BPE "
+        "apply — q_select_token_budget_bpe with n_tokens produced by "
+        "operators/bpe_encode.bpe_token_counts_kernel instead of the "
+        "chained-regexp projection, hash-checked against the SAME "
+        "unrolled-CTE oracle.  This is the driver-verified form of the "
+        "release run's --tokenizer-encoder=kernel metering path: the "
+        "chain twin proves the algebra at fixture vocabularies, this "
+        "twin proves the meter a 30k-merge production vocabulary would "
+        "actually run (the chain stops compiling past ~200 rules and "
+        "stops BUILDING past ~500 — SCALE.md r17), and the budget fold "
+        "stays the shared grouped_prefix_sum.",
+    )
+    def q_select_token_budget_bpe_kernel(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from hnarchive_spark.operators.bpe_encode import bpe_token_counts_kernel
+        from hnarchive_spark.operators.rankselect import grouped_prefix_sum
+        from hnarchive_spark.scratch import built_once
+        from hnarchive_spark.sources.tokenizer_store import (
+            build_tokenizer_store,
+            load_tokenizer_rules,
+        )
+
+        d = load(spark, sf_dir, "documents")
+        path = built_once(
+            "bpe_tokenizer",
+            sf_dir,
+            lambda p: build_tokenizer_store(spark, d, p),
+        )
+        rules = load_tokenizer_rules(path)
+        ws = T.tokens(F.col("text"))
+        qx = d.select(
+            "doc_id",
+            "source",
+            F.size(ws).cast("long").alias("n_tokens"),
+            T.stopword_hits(F.col("text"), T.EN_STOPWORDS)
+            .cast("long")
+            .alias("stop_hits"),
+            T.sum_token_len(F.col("text")).alias("sum_len"),
+        ).select("doc_id", "source", T.quality_e4_int().alias("q_e4"))
+        bt = bpe_token_counts_kernel(d, rules)
+        q = qx.join(bt, "doc_id").select("source", "doc_id", "n_tokens", "q_e4")
+        cum = grouped_prefix_sum(
+            q, "source", "q_e4", "doc_id", "n_tokens",
+            descending=True, bucket_width=256,
+        )
+        return cum.select(
+            "source", "doc_id", "n_tokens", "q_e4",
+            F.col("cum").alias("cum_tokens"),
+        ).filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
+
+
+_register_select_budget_bpe_kernel()
+
+
 CHUNK_TOKENS = 64  # tokens per chunk (the embedding/context window unit)
 
 
