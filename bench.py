@@ -147,6 +147,9 @@ HEADLINE = [
     # vocabularies, where the chain is unviable; this entry guards the
     # small-vocab end never regresses past the chain's band)
     "q_bpe_encode_kernel",
+    # the kernel-metered budget selection beside its chain twin — the
+    # driver-verified form of release --tokenizer-encoder=kernel
+    "q_select_token_budget_bpe_kernel",
 ]
 
 
