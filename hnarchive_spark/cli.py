@@ -704,9 +704,11 @@ def cmd_release(spark, args):
         tokenizer_encoder=args.tokenizer_encoder,
     )
     if args.prune_old:
-        from hnarchive_spark.sources.index_version import prune_index_versions
+        from hnarchive_spark.plans.release import prune_release_versions
 
-        manifest["pruned"] = prune_index_versions(args.out)
+        # release-aware prune (ADVICE r17): unlike the raw index pruner,
+        # this never removes a LIVE concurrent builder's in-progress dir
+        manifest["pruned"] = prune_release_versions(args.out)
     print(_json.dumps(manifest))
     return 0
 
@@ -925,11 +927,13 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--tokenizer", default=None,
                     help="trained tokenizer store: budget/pack/shard in "
                     "REAL tokenizer tokens instead of whitespace tokens")
-    rl.add_argument("--tokenizer-encoder", default="regexp",
+    rl.add_argument("--tokenizer-encoder", default="kernel",
                     choices=("regexp", "kernel"),
-                    help="BPE meter: oracled chained-regexp projection or "
-                    "the row-identical Arrow kernel (production path for "
-                    "large vocabularies)")
+                    help="BPE meter (default: the Arrow kernel — the "
+                    "production path; ONE plan node at any vocabulary "
+                    "size, row-identical to the chain). 'regexp' is the "
+                    "oracled chained-regexp twin, explicit opt-in only: "
+                    "it is measured unbuildable at >=500 rules")
     rl.add_argument("--prune-old", action="store_true",
                     help="after publishing, drop superseded release versions "
                     "(retain-until-pruned, the store contract: only safe once "

@@ -38,8 +38,11 @@ write — nothing downstream re-runs the gates.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,7 +64,7 @@ def _budget_select(
     mixed_docs: DataFrame,
     budget: int,
     tokenizer_rules=None,
-    encoder: str = "regexp",
+    encoder: str = "kernel",
 ) -> DataFrame:
     """q_select_token_budget's recipe (integer quality score, scalable
     grouped prefix sum, greedy per-source budget) over the mixed set.
@@ -71,13 +74,14 @@ def _budget_select(
     filtered before metering (they have no tokens under the tokenizer
     and cannot be budgeted), exactly the query's
     ``F.size(T.subtokens(text)) > 0`` gate.  ``encoder`` picks the
-    meter: ``"regexp"`` is the oracled chained-literal projection
-    (textops.bpe_token_count, right at fixture-sized vocabularies);
-    ``"kernel"`` is the Arrow mapInPandas twin
-    (operators/bpe_encode.bpe_token_counts_kernel, the production path
-    for 30k-merge vocabularies) — locked row-identical, so the
-    selection is the same either way.  The quality score stays the
-    whitespace-stat recipe in both modes (same gate, different
+    meter: ``"kernel"`` (the DEFAULT — VERDICT r17 #1) is the Arrow
+    mapInPandas path (operators/bpe_encode.bpe_token_counts_kernel),
+    ONE plan node at any vocabulary size; ``"regexp"`` is the oracled
+    chained-literal projection (textops.bpe_token_count), kept as the
+    exact-algebra twin and explicit opt-in only — it is measured
+    unbuildable at >=500 rules (SCALE.md r17).  Locked row-identical,
+    so the selection is the same either way.  The quality score stays
+    the whitespace-stat recipe in both modes (same gate, different
     meter)."""
     from hnarchive_spark.operators.rankselect import grouped_prefix_sum
     from hnarchive_spark.plans.textops import bpe_token_count
@@ -142,29 +146,63 @@ def _existing_versions(out_dir: str) -> list[int]:
     )
 
 
+# A _BUILDING.json older than this reads as dead even when its pid is
+# running: pids recycle, and on a long-lived host a recycled pid would
+# otherwise make a genuinely dead torn dir look alive FOREVER, deferring
+# heal indefinitely (VERDICT r17 'what's wrong' #3).  No release build
+# legitimately runs this long; a real builder that somehow does loses
+# only its in-progress dir (it re-runs), never published data.
+BUILDER_STALE_SECONDS = 6 * 3600
+
+_CLAIM_PREFIX = "_claim."  # staging dirs for atomic version allocation
+
+
 def _builder_alive(vdir: str) -> bool:
     """True if the ``_BUILDING.json`` marker names a process that is
-    still running on this host — the guard that keeps a second release
-    run from rmtree-ing a LIVE first run's in-progress version (review
-    r17: without it, auto-heal turns an accidental concurrent run into
-    active data destruction).  A missing/corrupt marker or a dead pid
-    reads as not-alive: exactly the crashed-run case heal exists for."""
+    still running on this host AND the marker is fresh — the guard that
+    keeps a second release run from rmtree-ing a LIVE first run's
+    in-progress version (review r17: without it, auto-heal turns an
+    accidental concurrent run into active data destruction).  A
+    missing/corrupt/unreadable marker, a dead pid, or a marker older
+    than :data:`BUILDER_STALE_SECONDS` (pid-reuse guard: a recycled pid
+    must not defer heal forever) reads as not-alive: exactly the
+    crashed-run case heal exists for."""
     try:
         with open(os.path.join(vdir, "_BUILDING.json")) as fh:
-            pid = int(json.load(fh)["pid"])
+            marker = json.load(fh)
+        pid = int(marker["pid"])
+        ts = marker.get("ts")
+        if ts is not None and time.time() - float(ts) > BUILDER_STALE_SECONDS:
+            return False  # stale marker: treat a matching pid as recycled
+    except (OSError, ValueError, KeyError, TypeError):
+        # unreadable file, non-dict/null JSON (TypeError — ADVICE r17),
+        # malformed pid/ts: all read as not-alive, never as a crash
+        return False
+    try:
         os.kill(pid, 0)  # signal 0: existence probe, delivers nothing
         return True
-    except (FileNotFoundError, ValueError, KeyError, ProcessLookupError):
+    except ProcessLookupError:
         return False
     except PermissionError:  # pid exists but owned elsewhere — alive
         return True
 
 
 def torn_release_dirs(out_dir: str) -> list[str]:
-    """Healable torn attempts: manifest-less version dirs that are
-    neither published nor owned by a live builder — detection only (the
-    maintenance scheduler's due-predicate); :func:`heal_torn_releases`
-    is the removal."""
+    """Healable torn attempts — detection only (the maintenance
+    scheduler's due-predicate); :func:`heal_torn_releases` is the
+    removal.  Three shapes qualify, all requiring a not-alive builder:
+
+    * a manifest-less, unpublished version dir (died between its writes
+      and its manifest);
+    * a MANIFEST-BEARING unpublished dir that still carries its
+      ``_BUILDING.json`` and whose version is ABOVE the published one
+      (died between the manifest write and the pointer swap — readers
+      never saw it; ADVICE r17: without this arm such a dir leaked
+      forever).  A superseded previously-published version has neither
+      the marker (removed after its own publish) nor a number above the
+      pointer, so retain-until-pruned is untouched;
+    * a leftover ``_claim.*`` allocation-staging dir (died between
+      mkdtemp and the rename that claims a version number)."""
     from hnarchive_spark.sources.index_version import current_index_version
 
     cur = current_index_version(out_dir)
@@ -173,31 +211,72 @@ def torn_release_dirs(out_dir: str) -> list[str]:
         if v == cur:
             continue
         vdir = os.path.join(out_dir, f"v{v}")
-        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
-            if not _builder_alive(vdir):
-                torn.append(vdir)
+        has_manifest = os.path.exists(os.path.join(vdir, "_MANIFEST.json"))
+        has_marker = os.path.exists(os.path.join(vdir, "_BUILDING.json"))
+        unpublished_above = cur is None or v > cur
+        if has_manifest and not (has_marker and unpublished_above):
+            continue  # published-then-superseded: retained until pruned
+        if not _builder_alive(vdir):
+            torn.append(vdir)
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        full = os.path.join(out_dir, name)
+        if name.startswith(_CLAIM_PREFIX) and os.path.isdir(full):
+            if not _builder_alive(full):
+                torn.append(full)
     return torn
 
 
 def heal_torn_releases(out_dir: str) -> list[str]:
     """Detect and remove TORN releases (VERDICT r16 'what's wrong' #2):
-    a version directory with stage/shard data but no ``_MANIFEST.json``
-    is a run that died between its writes and its publish — readers
-    never saw it (the ``_CURRENT`` pointer only ever moves AFTER the
-    manifest lands), so deleting it is safe and makes the next run's
-    version numbering clean.  Two dirs are never touched: the PUBLISHED
-    version (a pointer at a manifest-less dir would be out-of-band
-    mutation — left for a human, loudly), and a dir whose
-    ``_BUILDING.json`` pid is still alive (a concurrently running
-    release — same-host detection; releases are a single-operator batch
-    verb, and version numbers are allocated collision-free regardless).
-    Returns the removed paths."""
+    see :func:`torn_release_dirs` for what qualifies — runs that died
+    before their publish, which readers never saw (the ``_CURRENT``
+    pointer only ever moves AFTER the manifest lands), so deleting them
+    is safe and keeps the version numbering clean.  Two dirs are never
+    touched: the PUBLISHED version (a pointer at a manifest-less dir
+    would be out-of-band mutation — left for a human, loudly), and a
+    dir whose ``_BUILDING.json`` is fresh with a live pid (a
+    concurrently running release — same-host detection; version numbers
+    are allocated collision-free regardless).  Returns removed paths."""
     import shutil
 
     removed = []
     for vdir in torn_release_dirs(out_dir):
         shutil.rmtree(vdir)
         removed.append(vdir)
+    return removed
+
+
+def prune_release_versions(out_dir: str) -> list[str]:
+    """Release-aware prune (ADVICE r17): drop superseded version dirs
+    like ``prune_index_versions``, but NEVER a dir whose builder is
+    still alive — the raw index pruner rmtree's every non-current
+    ``v<N>`` unconditionally, which would bypass the ``_builder_alive``
+    guard and destroy a concurrent run's in-progress build.  Allocation
+    staging dirs (``_claim.*``) with live builders are likewise left;
+    dead ones are swept."""
+    import shutil
+
+    from hnarchive_spark.sources.index_version import current_index_version
+
+    cur = current_index_version(out_dir)
+    if cur is None:
+        return []
+    removed = []
+    for name in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, name)
+        if not os.path.isdir(full) or name == f"v{cur}":
+            continue
+        versioned = name.startswith("v") and name[1:].isdigit()
+        if not (versioned or name.startswith(_CLAIM_PREFIX)):
+            continue
+        if _builder_alive(full):
+            continue  # a LIVE concurrent build — never prune it
+        shutil.rmtree(full)
+        removed.append(full)
     return removed
 
 
@@ -224,7 +303,7 @@ def run_release(
     pack_budget: int | None = None,
     n_shards: int | None = None,
     tokenizer_path: str | None = None,
-    tokenizer_encoder: str = "regexp",
+    tokenizer_encoder: str = "kernel",
 ) -> dict:
     """Run the full release pipeline over ``sf_dir``'s documents table,
     write the selection (parquet, shard-partitioned), stage audit
@@ -243,8 +322,9 @@ def run_release(
     funnel's stage-0..4 token audit stays whitespace (it meters the raw
     corpus, consistently across releases regardless of tokenizer
     version).  ``tokenizer_encoder`` selects the metering path —
-    ``"regexp"`` (the oracled chain) or ``"kernel"`` (the Arrow kernel,
-    the production path for large vocabularies; row-identical).  The
+    ``"kernel"`` (the DEFAULT: the Arrow kernel, one plan node at any
+    vocabulary size) or ``"regexp"`` (the oracled chain twin, explicit
+    opt-in — measured unbuildable at >=500 rules; VERDICT r17 #1).  The
     manifest records ``token_unit``, the tokenizer version, and the
     encoder used."""
     from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
@@ -258,22 +338,29 @@ def run_release(
     # self-heal any torn prior attempt, then build the next version OFF
     # to the side of whatever is published — readers keep resolving the
     # old release through the pointer until the very last line.  The
-    # version number is allocated by exclusive mkdir (retrying upward),
-    # so even two concurrent runs can never interleave into one vdir;
-    # the _BUILDING pid marker keeps the other run's heal pass off this
-    # one while it lives.
+    # version number is claimed by RENAMING a staged dir that already
+    # contains the _BUILDING liveness marker (ADVICE r17: a bare mkdir
+    # followed by the marker write left a window where a concurrent
+    # run's heal scan saw a marker-less empty dir and removed the
+    # just-claimed live dir); rename onto an existing non-empty dir
+    # fails, so two concurrent runs can never interleave into one vdir,
+    # and there is no instant at which a claimed vdir lacks its marker.
     healed = heal_torn_releases(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    staged = tempfile.mkdtemp(prefix=_CLAIM_PREFIX, dir=out_dir)
+    with open(os.path.join(staged, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
     new_v = max([current_index_version(out_dir) or 0] + _existing_versions(out_dir))
     while True:
         new_v += 1
         vdir = os.path.join(out_dir, f"v{new_v}")
         try:
-            os.makedirs(vdir, exist_ok=False)
+            os.rename(staged, vdir)
             break
-        except FileExistsError:  # a concurrent run claimed this number
+        except OSError as exc:  # a concurrent run claimed this number
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             continue
-    with open(os.path.join(vdir, "_BUILDING.json"), "w") as fh:
-        json.dump({"pid": os.getpid()}, fh)
     try:
         return _build_release(
             spark, sf_dir, out_dir, vdir, new_v, healed,
@@ -281,14 +368,20 @@ def run_release(
             tokenizer_path, tokenizer_encoder,
         )
     except BaseException:
-        # a run that FAILS (as opposed to being SIGKILLed) unregisters
-        # its liveness marker so the next run's heal treats the torn dir
-        # as dead immediately; a hard kill leaves the marker with a dead
-        # pid, which _builder_alive resolves the same way
-        try:
-            os.remove(os.path.join(vdir, "_BUILDING.json"))
-        except OSError:
-            pass
+        # a run that FAILS before its manifest unregisters its liveness
+        # marker so the next run's heal treats the torn dir as dead
+        # immediately; a hard kill leaves the marker with a dead pid,
+        # which _builder_alive resolves the same way.  A failure AFTER
+        # the manifest landed (the publish itself raised) KEEPS the
+        # marker: manifest-bearing + marker + unpublished is exactly the
+        # shape torn_release_dirs heals once the builder dies, whereas a
+        # marker-less manifest-bearing dir would read as a superseded
+        # published version and leak forever (ADVICE r17).
+        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+            try:
+                os.remove(os.path.join(vdir, "_BUILDING.json"))
+            except OSError:
+                pass
         raise
 
 
@@ -512,16 +605,22 @@ def _build_release(
         raise ValueError(
             f"release conservation violated: fates={fates} written={n_written}"
         )
-    # the build is done: unregister the liveness marker, then land the
-    # manifest (a crash exactly between the two leaves a marker-less
-    # manifest-less dir — plain torn, healed by the next run)
-    os.remove(os.path.join(vdir, "_BUILDING.json"))
+    # land the manifest, publish, and only THEN unregister the liveness
+    # marker (ADVICE r17: removing the marker before the manifest left a
+    # window where the vdir was marker-less AND manifest-less, so a
+    # concurrent run's heal would rmtree a fully-built release
+    # mid-publish).  A crash before the manifest leaves a manifest-less
+    # marked dir (torn once the pid dies); between manifest and publish,
+    # a manifest-bearing marked unpublished dir (likewise torn);
+    # between publish and marker removal, a published dir with a stale
+    # marker — harmless (heal and prune both skip the current version).
     tmp = os.path.join(vdir, "_MANIFEST.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, os.path.join(vdir, "_MANIFEST.json"))
     # the publish: one atomic pointer swap, strictly AFTER the manifest
     # — a crash before this line leaves the old release current and this
-    # attempt torn-detectable (manifest-less vdir)
+    # attempt torn-detectable
     publish_index_version(out_dir, new_v)
+    os.remove(os.path.join(vdir, "_BUILDING.json"))
     return manifest

@@ -275,6 +275,17 @@ def run_maintenance(
         rec["executed"] = True
         maintenance_stats(path, reset=True)  # the verb consumed the ledger
         if prune:
-            prune_index_versions(path)
+            if kind == "release":
+                # release-aware prune (ADVICE r17): the raw index pruner
+                # rmtree's every non-current v<N> unconditionally, which
+                # would destroy a concurrent LIVE builder's in-progress
+                # version — releases go through the _builder_alive guard
+                from hnarchive_spark.plans.release import (
+                    prune_release_versions,
+                )
+
+                prune_release_versions(path)
+            else:
+                prune_index_versions(path)
         out.append(rec)
     return out

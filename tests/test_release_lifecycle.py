@@ -86,9 +86,11 @@ def test_heal_never_touches_published_version(tmp_path):
 
 
 def test_kernel_encoder_release_identical(spark, tmp_path):
-    """release --tokenizer-encoder=kernel == the regexp meter: same
-    manifest (modulo the recorded encoder name) and the same selected
-    rows — the Arrow kernel is a drop-in production meter."""
+    """The DEFAULT release meter is the Arrow kernel (VERDICT r17 #1 —
+    the regexp chain is measured unbuildable at >=500 rules, so the
+    unflagged path must be the one that scales), and it produces the
+    SAME release as the explicit regexp oracle twin: same manifest
+    (modulo the recorded encoder name) and the same selected rows."""
     from hnarchive_spark.sources.tokenizer_store import build_tokenizer_store
     from hnarchive_spark.tables import load
 
@@ -97,10 +99,10 @@ def test_kernel_encoder_release_identical(spark, tmp_path):
 
     out_a = str(tmp_path / "rel_regexp")
     out_b = str(tmp_path / "rel_kernel")
-    ma = run_release(spark, SF, out_a, tokenizer_path=tok)
-    mb = run_release(
-        spark, SF, out_b, tokenizer_path=tok, tokenizer_encoder="kernel"
+    ma = run_release(
+        spark, SF, out_a, tokenizer_path=tok, tokenizer_encoder="regexp"
     )
+    mb = run_release(spark, SF, out_b, tokenizer_path=tok)  # default path
     assert ma["params"]["tokenizer_encoder"] == "regexp"
     assert mb["params"]["tokenizer_encoder"] == "kernel"
     ka = {**ma, "params": {**ma["params"], "tokenizer_encoder": None}}
@@ -239,3 +241,171 @@ def test_release_prune_old_versions(spark, tmp_path, monkeypatch, capsys):
     assert spark.read.parquet(
         os.path.join(release_root(out), "selected")
     ).count() == m["fates"]["selected"]
+
+
+def test_crash_between_manifest_and_publish_heals(spark, tmp_path, monkeypatch):
+    """ADVICE r17: a run that dies AFTER its manifest lands but BEFORE
+    the pointer swap must keep its _BUILDING marker (removing it would
+    make the dir read as a superseded published version and leak
+    forever) — once the builder is dead, heal removes the attempt and
+    the next run supersedes cleanly."""
+    import hnarchive_spark.sources.index_version as iv
+    from hnarchive_spark.plans.release import torn_release_dirs
+
+    out = str(tmp_path / "rel")
+    m1 = run_release(spark, SF, out)
+    assert m1["version"] == 1
+
+    real_publish = iv.publish_index_version
+
+    def _crash_publish(path, version):
+        raise RuntimeError("injected crash at pointer swap")
+
+    monkeypatch.setattr(iv, "publish_index_version", _crash_publish)
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        run_release(spark, SF, out)
+    monkeypatch.setattr(iv, "publish_index_version", real_publish)
+
+    # manifest landed, pointer did not move, marker KEPT (manifest-bearing
+    # failure path) — and while this process (the "builder") lives, the
+    # dir is not yet torn
+    v2 = os.path.join(out, "v2")
+    assert os.path.exists(os.path.join(v2, "_MANIFEST.json"))
+    assert os.path.exists(os.path.join(v2, "_BUILDING.json"))
+    assert release_root(out) == os.path.join(out, "v1")
+    assert torn_release_dirs(out) == []
+
+    # builder dies (forge a dead pid) -> the attempt becomes healable
+    with open(os.path.join(v2, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": 2**22 + 4242, "ts": 1.0}, fh)
+    assert torn_release_dirs(out) == [v2]
+    m2 = run_release(spark, SF, out)
+    assert m2["healed_torn"] == [v2] and m2["version"] == 2
+    assert release_root(out) == v2
+    assert latest_release_manifest(out)["version"] == 2
+
+
+def test_superseded_published_version_never_torn(spark, tmp_path):
+    """Retain-until-pruned: a previously-published version (manifest, no
+    marker, below the pointer) is NOT torn — only prune may remove it."""
+    from hnarchive_spark.plans.release import torn_release_dirs
+
+    out = str(tmp_path / "rel")
+    run_release(spark, SF, out)
+    run_release(spark, SF, out)
+    assert latest_release_manifest(out)["version"] == 2
+    assert torn_release_dirs(out) == []
+    assert os.path.isdir(os.path.join(out, "v1"))
+
+
+def test_prune_never_removes_live_builder(spark, tmp_path):
+    """ADVICE r17: release pruning must skip a concurrent LIVE builder's
+    in-progress dir (the raw index pruner rmtree's it unconditionally),
+    then remove it once the builder is dead."""
+    from hnarchive_spark.plans.release import prune_release_versions
+
+    out = str(tmp_path / "rel")
+    run_release(spark, SF, out)
+    run_release(spark, SF, out)  # v2 published; v1 superseded
+
+    live = os.path.join(out, "v9")
+    os.makedirs(live)
+    with open(os.path.join(live, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, fh)
+
+    removed = prune_release_versions(out)
+    assert os.path.join(out, "v1") in removed
+    assert live not in removed and os.path.isdir(live)
+    assert latest_release_manifest(out)["version"] == 2
+
+    with open(os.path.join(live, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": 2**22 + 999, "ts": 1.0}, fh)
+    assert prune_release_versions(out) == [live]
+    assert not os.path.exists(live)
+
+
+def test_builder_alive_stale_and_corrupt_markers(tmp_path):
+    """Pid-reuse guard (VERDICT r17 #3) + corrupt-marker hardening
+    (ADVICE r17): a marker older than BUILDER_STALE_SECONDS reads as
+    dead even with a LIVE pid; null / non-dict / malformed markers read
+    as dead instead of crashing heal."""
+    import time as _time
+
+    from hnarchive_spark.plans.release import (
+        BUILDER_STALE_SECONDS,
+        _builder_alive,
+    )
+
+    vdir = str(tmp_path / "v1")
+    os.makedirs(vdir)
+    marker = os.path.join(vdir, "_BUILDING.json")
+
+    # fresh marker, live pid -> alive
+    with open(marker, "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": _time.time()}, fh)
+    assert _builder_alive(vdir)
+
+    # STALE marker, same (live) pid -> dead: a recycled pid must not
+    # defer heal forever on a long-lived host
+    with open(marker, "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "ts": _time.time() - BUILDER_STALE_SECONDS - 60},
+            fh,
+        )
+    assert not _builder_alive(vdir)
+
+    # legacy ts-less marker keeps pid semantics
+    with open(marker, "w") as fh:
+        json.dump({"pid": os.getpid()}, fh)
+    assert _builder_alive(vdir)
+
+    # corrupt shapes: null, scalar, list, bad pid, bad ts -> dead, no crash
+    for payload in ("null", "7", '["pid"]', '{"pid": "nope"}',
+                    '{"pid": 1, "ts": {}}', "{not json"):
+        with open(marker, "w") as fh:
+            fh.write(payload)
+        assert not _builder_alive(vdir)
+
+    os.remove(marker)
+    assert not _builder_alive(vdir)
+
+
+def test_stale_claim_dir_swept_by_heal(spark, tmp_path):
+    """A run that died between mkdtemp and the version-claiming rename
+    leaves a _claim.* staging dir — heal sweeps it once the builder is
+    dead, and leaves a LIVE builder's staging dir alone."""
+    out = str(tmp_path / "rel")
+    run_release(spark, SF, out)
+
+    dead = os.path.join(out, "_claim.dead1234")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": 2**22 + 777, "ts": 1.0}, fh)
+    live = os.path.join(out, "_claim.live5678")
+    os.makedirs(live)
+    with open(os.path.join(live, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, fh)
+
+    healed = heal_torn_releases(out)
+    assert dead in healed and not os.path.exists(dead)
+    assert live not in healed and os.path.isdir(live)
+
+
+def test_version_allocation_skips_claimed_number(spark, tmp_path):
+    """Atomic allocation (ADVICE r17): the rename-based claim cannot
+    land on a number a concurrent run already holds — and at no instant
+    does a claimed vdir exist without its _BUILDING marker (heal during
+    the old mkdir-then-write window would have removed a live dir)."""
+    out = str(tmp_path / "rel")
+    run_release(spark, SF, out)
+
+    # a concurrent run holds v2 (marker inside, live pid)
+    held = os.path.join(out, "v2")
+    os.makedirs(held)
+    with open(os.path.join(held, "_BUILDING.json"), "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, fh)
+
+    m = run_release(spark, SF, out)
+    assert m["version"] == 3  # skipped the held number
+    assert os.path.isdir(held)  # and never touched the live claim
+    assert release_root(out) == os.path.join(out, "v3")
