@@ -32,12 +32,17 @@ bit):
   strict one-pass-per-rule-in-order semantics even when a later merge
   re-creates an earlier rule's pair.
 
-Scale shape: per document the cost is O(applied_rules x doc_tokens) with
-``applied_rules`` bounded by the distinct adjacent pairs the doc ever
-exhibits (<= doc_tokens), NOT by the vocabulary size — a 30k-merge rule
-list costs a dict lookup per adjacent pair per applied pass, never 30k
-corpus scans, and contributes exactly one plan node.  The rule list rides
-to executors once per task as a broadcast-sized Python closure
+Scale shape: per document the cost is O(doc_tokens x log doc_tokens),
+independent of BOTH the vocabulary size and the number of applied
+passes (ADVICE r17: the earlier per-pass full rescan was
+O(applied_passes x doc_tokens) — quadratic on one pathological long,
+pair-diverse document inside an Arrow batch).  :func:`encode_tokens`
+tracks candidate pairs incrementally (linked-list stream + per-pair
+occurrence sets + a min-heap keyed by rule index), so each pass touches
+only its own pair's occurrences and each merge does O(log) bookkeeping;
+a 30k-merge rule list costs a dict lookup per adjacent pair, never 30k
+corpus scans, and contributes exactly one plan node.  The rule list
+rides to executors once per task as a broadcast-sized Python closure
 (vocabulary-sized metadata, the centroid-list convention).  The chain
 stays the oracle twin; this kernel is what a 100 TB encode runs.
 """
@@ -45,6 +50,7 @@ stays the oracle twin; this kernel is what a 100 TB encode runs.
 from __future__ import annotations
 
 import hashlib
+import heapq
 from bisect import bisect_left
 from collections.abc import Iterator
 
@@ -83,14 +89,18 @@ def build_rank(rules: list[tuple[str, str]]) -> dict[tuple[str, str], list[int]]
     return rank
 
 
-def encode_tokens(
+def encode_tokens_scan(
     ts: list[str],
     rules: list[tuple[str, str]],
     rank: dict[tuple[str, str], list[int]],
 ) -> list[str]:
-    """Apply the trained rule list to one token stream with the chain's
-    sequential one-pass-per-rule semantics, skipping absent rules.
-    ``rank`` is :func:`build_rank`'s index (precompute once per batch)."""
+    """The STRAIGHTFORWARD per-pass rescan implementation of the chain's
+    sequential one-pass-per-rule semantics — O(applied_passes x
+    doc_tokens): each iteration rescans the whole stream for the lowest
+    live rule, then folds it.  Kept as the readable reference twin for
+    :func:`encode_tokens` (the incremental O(n log n) path — ADVICE
+    r17: one pathological long, pair-diverse document made the rescan
+    quadratic); tests lock the two identical on fuzz streams."""
     cursor = 0
     while True:
         best = -1
@@ -108,6 +118,123 @@ def encode_tokens(
         a, b = rules[best]
         ts = _fold_pass(ts, a, b, a + b)
         cursor = best + 1
+
+
+def encode_tokens(
+    ts: list[str],
+    rules: list[tuple[str, str]],
+    rank: dict[tuple[str, str], list[int]],
+) -> list[str]:
+    """Apply the trained rule list to one token stream with the chain's
+    EXACT sequential one-pass-per-rule semantics, skipping absent rules.
+    ``rank`` is :func:`build_rank`'s index (precompute once per batch).
+
+    Incremental O(n log n) implementation (ADVICE r17 — the per-pass
+    full rescan of :func:`encode_tokens_scan` is O(passes x tokens),
+    quadratic on a long document where most adjacent pairs merge):
+
+    * the stream is a doubly-linked list over the ORIGINAL positions
+      (a merge keeps the left node, so position order is stable);
+    * ``occ[pair]`` tracks the live left-positions of every adjacent
+      pair, updated only in the merged neighborhoods;
+    * a min-heap over candidate rule indices finds the lowest
+      not-yet-passed rule whose pair is currently adjacent.  Entries
+      are pushed as ``first index in rank[pair] >= cursor`` at push
+      time; because the cursor only grows, a live entry's index is
+      always <= the pair's CURRENT first-live index, so the popped
+      minimum (once stale entries are refreshed/skipped) is exactly
+      the rule the rescan would have chosen;
+    * one greedy left-to-right fold pass of the chosen rule touches
+      only that pair's occurrences (ascending original position ==
+      Java replaceAll's leftmost scan; within a pass the merged token
+      ``a+b`` can never re-create the pair, so the pass-start
+      occurrence snapshot is complete).
+
+    Total cost: every pair creation/destruction is O(log) heap work,
+    creations are bounded by n + 2*merges <= 3n, refresh pops by
+    |rules| — never O(passes x tokens)."""
+    n = len(ts)
+    if n < 2 or not rules:
+        return list(ts)
+    tok = list(ts)
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    occ: dict[tuple[str, str], set[int]] = {}
+    for i in range(n - 1):
+        occ.setdefault((tok[i], tok[i + 1]), set()).add(i)
+
+    heap: list[tuple[int, tuple[str, str]]] = []
+    entry_live: dict[tuple[str, str], int] = {}
+    cursor = 0
+
+    def _push(pair: tuple[str, str]) -> None:
+        idxs = rank.get(pair)
+        if not idxs:
+            return
+        j = bisect_left(idxs, cursor)
+        if j < len(idxs):
+            heapq.heappush(heap, (idxs[j], pair))
+            entry_live[pair] = entry_live.get(pair, 0) + 1
+
+    for pair in occ:
+        _push(pair)
+
+    def _add_pair(i: int) -> None:
+        p = (tok[i], tok[nxt[i]])
+        s = occ.get(p)
+        if s is None:
+            s = occ[p] = set()
+        s.add(i)
+        if not entry_live.get(p):
+            _push(p)
+
+    while heap:
+        r, pair = heapq.heappop(heap)
+        entry_live[pair] -= 1
+        s = occ.get(pair)
+        if not s:
+            continue  # every occurrence was consumed since the push
+        if r < cursor:
+            _push(pair)  # rule already passed: refresh to the next live index
+            continue
+        a, b = rules[r]
+        merged = a + b
+        cursor = r + 1
+        # ONE greedy left-to-right pass over the pass-start occurrences
+        for i in sorted(s):
+            if not alive[i] or tok[i] != a:
+                continue
+            j = nxt[i]
+            if j == -1 or tok[j] != b:
+                continue
+            p_left = prv[i]
+            k = nxt[j]
+            # destroy the pairs the merge invalidates
+            if p_left != -1:
+                occ[(tok[p_left], a)].discard(p_left)
+            if k != -1:
+                occ[(b, tok[k])].discard(j)
+            s.discard(i)
+            # splice: left node keeps the merged token, right node dies
+            tok[i] = merged
+            alive[j] = False
+            nxt[i] = k
+            if k != -1:
+                prv[k] = i
+            # register the pairs the merge creates (never (a, b) itself:
+            # merged != a and merged != b since both sides are non-empty)
+            if p_left != -1:
+                _add_pair(p_left)
+            if k != -1:
+                _add_pair(i)
+
+    out: list[str] = []
+    i = 0  # node 0 is never a merge's right side, so it is always alive
+    while i != -1:
+        out.append(tok[i])
+        i = nxt[i]
+    return out
 
 
 def encode_bpe_kernel(

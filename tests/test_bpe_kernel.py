@@ -259,3 +259,29 @@ def test_kernel_matches_chain_with_delimiter_collision(spark):
     }
     for r in encode_bpe_kernel(docs, pairs).collect():
         assert r["n_subtokens"] == raw[r["doc_id"]]
+
+
+def test_incremental_encoder_matches_scan_twin_fuzz():
+    """encode_tokens (the incremental O(n log n) path — ADVICE r17) ==
+    encode_tokens_scan (the per-pass-rescan reference) on LONGER fuzz
+    streams than the re.sub harness can afford, including merge-dense
+    tiny-alphabet streams where most adjacent pairs fold (the shape
+    that made the rescan quadratic) and deep rule lists over merged
+    tokens (cursor refresh paths in the heap)."""
+    from hnarchive_spark.operators.bpe_encode import encode_tokens_scan
+
+    rng = random.Random(0x1C4)
+    for case in range(400):
+        alphabet = ["a", "b", "c", "d", ".", "1"][: rng.randint(2, 6)]
+        n = rng.randint(1, 400)
+        ts = [rng.choice(alphabet) for _ in range(n)]
+        universe = list(alphabet)
+        rules: list[tuple[str, str]] = []
+        for _ in range(rng.randint(0, 60)):
+            a, b = rng.choice(universe), rng.choice(universe)
+            rules.append((a, b))
+            universe.append(a + b)
+        rank = build_rank(rules)
+        want = encode_tokens_scan(list(ts), rules, rank)
+        got = encode_tokens(list(ts), rules, rank)
+        assert got == want, (case, n, len(rules))

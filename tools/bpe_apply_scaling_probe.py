@@ -11,6 +11,21 @@ sink.
 
 Run: python tools/bpe_apply_scaling_probe.py [rounds] [prefix ...]
      (defaults: 50 rounds, prefixes 10 25 50)
+
+DOC-LENGTH axis (VERDICT r17 'what's wrong' #1 — the r17 probe varied
+|rules| only, never doc length, leaving the per-doc worst case
+unprobed):
+
+Run: python tools/bpe_apply_scaling_probe.py doclen [len ...]
+     (default lengths 1000 10000 100000)
+
+Builds adversarially merge-dense synthetic docs (tiny alphabet, rules
+TRAINED on the stream so most passes actually fire), then times
+(a) the pure-Python encoders — encode_tokens (incremental O(n log n))
+vs encode_tokens_scan (per-pass rescan, O(passes x n)) — per doc
+length, and (b) the Spark kernel end-to-end wall over one such doc per
+core.  The scan's wall should grow superlinearly on the merge-dense
+stream; the incremental path near-linearly.
 """
 
 from __future__ import annotations
@@ -92,7 +107,90 @@ def _synthetic_tail(spark, docs, real: list, upto: int) -> list:
     return pairs
 
 
+def _train_pure(ts: list[str], rounds: int) -> list[tuple[str, str]]:
+    """Pure-Python BPE training on one stream (argmax pair, fold,
+    re-count — induce_bpe_rules' loop without Spark), so the probe's
+    rule list is maximally LIVE on the probe's own doc: nearly every
+    pass applies, which is exactly the shape that made the rescan
+    encoder quadratic."""
+    from collections import Counter
+
+    from hnarchive_spark.operators.bpe_encode import _fold_pass
+
+    rules: list[tuple[str, str]] = []
+    for _ in range(rounds):
+        counts = Counter(zip(ts, ts[1:]))
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        rules.append((a, b))
+        ts = _fold_pass(ts, a, b, a + b)
+    return rules
+
+
+def doclen_probe(lengths: list[int]) -> None:
+    """The doc-length axis: encoder walls as ONE document grows."""
+    import random
+
+    from hnarchive_spark.operators.bpe_encode import (
+        build_rank,
+        encode_bpe_kernel,
+        encode_tokens,
+        encode_tokens_scan,
+    )
+
+    rng = random.Random(0xD0C1E)
+    train_rounds = int(os.environ.get("BPE_DOCLEN_ROUNDS", "300"))
+    out: dict = {"axis": "doc_length", "train_rounds": train_rounds}
+    spark = get_spark("bpe-doclen-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for L in lengths:
+        # merge-dense, pair-diverse stream: a tiny alphabet keeps pair
+        # frequencies high (many passes fire), the random draw keeps
+        # adjacent-pair diversity up (many DISTINCT rules fire)
+        ts = [rng.choice("abcd") for _ in range(L)]
+        rules = _train_pure(list(ts), train_rounds)
+        rank = build_rank(rules)
+        rec: dict = {"n_rules": len(rules)}
+        for label, fn in (
+            ("incremental", encode_tokens),
+            ("scan", encode_tokens_scan),
+        ):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                enc = fn(list(ts), rules, rank)
+                runs.append(time.perf_counter() - t0)
+            rec[label + "_s"] = round(min(runs), 3)
+            rec.setdefault("n_encoded", len(enc))
+        # identity while we're here: the two encoders must agree exactly
+        assert encode_tokens(list(ts), rules, rank) == encode_tokens_scan(
+            list(ts), rules, rank
+        )
+        # Spark end-to-end: one L-token doc per core through the kernel
+        n_cores = spark.sparkContext.defaultParallelism
+        docs = spark.createDataFrame(
+            [(i, " ".join(ts)) for i in range(n_cores)],
+            "doc_id long, text string",
+        )
+        rec["kernel_spark_s"] = _time(
+            lambda: encode_bpe_kernel(docs, rules).select(
+                "doc_id", "n_bpe_tokens"
+            ),
+            spark,
+        )
+        rec["kernel_docs"] = n_cores
+        out[f"len_{L}"] = rec
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "doclen":
+        doclen_probe([int(x) for x in sys.argv[2:]] or [1000, 10_000, 100_000])
+        return
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     prefixes = [int(x) for x in sys.argv[2:]] or [10, 25, 50]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
