@@ -405,6 +405,7 @@ def cmd_maintenance(spark, args):
         prune=args.prune,
         corpus=corpus,
         min_coverage_e6=args.min_coverage_e6,
+        tokenizer_extend_rounds=args.tokenizer_extend_rounds,
     )
     for r in reports:
         print(_json.dumps(r))
@@ -853,7 +854,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "and recommend `tokenizer extend` on drift")
     mt.add_argument("--min-coverage-e6", type=int, default=990_000,
                     help="tokenizer coverage floor (integer e6) below which "
-                    "an extend is recommended")
+                    "an extend is due (EXECUTED unless --dry-run: the "
+                    "extend is self-contained once --corpus is given)")
+    mt.add_argument("--tokenizer-extend-rounds", type=int, default=8,
+                    help="extra merge rounds per executed tokenizer extend")
     mt.set_defaults(func=cmd_maintenance)
 
     qm = sub.add_parser(

@@ -875,3 +875,59 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
     assert sum(s["shard_tokens"] for s in manifest["shards"]) == (
         manifest["stages"][-1]["tokens"]
     )
+
+
+def test_cli_maintenance_executes_tokenizer_extend(spark, tmp_path, capsys, monkeypatch):
+    """maintenance --corpus WITHOUT --dry-run (VERDICT r17 #5): a due
+    tokenizer extend is EXECUTED — a new version publishes with extra
+    merge rounds, the corpus is unioned into the freshness snapshot,
+    and the report carries coverage_after proving the recommendation
+    cleared in the same pass."""
+    import json as _json
+
+    from hnarchive_spark import cli
+    from hnarchive_spark.sources.index_version import current_index_version
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_rules,
+    )
+    from hnarchive_spark.tables import load
+
+    monkeypatch.setattr(cli, "get_spark", lambda *_a, **_k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    tok = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, tok, rounds=2)
+    n_rules_before = len(load_tokenizer_rules(tok))
+    drifted = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(20_000 + i, " ".join(f"novoterm{i}z{j}" for j in range(40)))
+             for i in range(80)],
+            "doc_id long, text string",
+        )
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    drifted.write.parquet(corpus)
+
+    assert cli.main(["maintenance", f"--paths={tok}", f"--corpus={corpus}",
+                     "--tokenizer-extend-rounds", "2"]) == 0
+    out = capsys.readouterr().out
+    [rec] = [_json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert rec["kind"] == "tokenizer" and rec["due"] and rec["executed"]
+    assert rec["coverage"]["coverage_e6"] < 990_000  # the pre-extend audit
+    # the recommendation PROVABLY cleared: post-extend coverage is full
+    # (the extend unions the audit corpus into the snapshot)
+    assert rec["coverage_after"]["coverage_e6"] == 1_000_000
+    assert "extended +2 rounds" in rec["result"]
+    # a new version published with the extra merges appended
+    assert current_index_version(tok) == 2
+    assert len(load_tokenizer_rules(tok)) == n_rules_before + 2
+
+    # the next pass is quiet — nothing re-executes
+    assert cli.main(["maintenance", f"--paths={tok}", f"--corpus={corpus}"]) == 0
+    out2 = capsys.readouterr().out
+    [rec2] = [_json.loads(ln) for ln in out2.splitlines() if ln.startswith("{")]
+    assert not rec2["due"] and not rec2["executed"]
+    assert rec2["coverage"]["coverage_e6"] == 1_000_000
+    assert current_index_version(tok) == 2
