@@ -703,6 +703,7 @@ def cmd_release(spark, args):
         n_shards=args.n_shards,
         tokenizer_path=args.tokenizer,
         tokenizer_encoder=args.tokenizer_encoder,
+        emit_tokens=args.emit_tokens,
     )
     if args.prune_old:
         from hnarchive_spark.plans.release import prune_release_versions
@@ -938,6 +939,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "size, row-identical to the chain). 'regexp' is the "
                     "oracled chained-regexp twin, explicit opt-in only: "
                     "it is measured unbuildable at >=500 rules")
+    rl.add_argument("--emit-tokens", action="store_true",
+                    help="with --tokenizer: ship each selected doc's "
+                    "token-id array (array<int>) in the shards — the "
+                    "training-ready output (decode-lossless, test-locked)")
     rl.add_argument("--prune-old", action="store_true",
                     help="after publishing, drop superseded release versions "
                     "(retain-until-pruned, the store contract: only safe once "

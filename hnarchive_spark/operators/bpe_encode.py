@@ -295,6 +295,53 @@ def encode_bpe_kernel(
     )
 
 
+def encode_bpe_ids_kernel(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    tok2id: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TOKEN-ID encode — (doc_id, n_tokens, token_ids array<int>): the
+    Arrow kernel's encode mapped through the tokenizer store's
+    token->id vocabulary (sources/tokenizer_store.load_tokenizer_id_map
+    — base snapshot ids + one id per merge, unknowns to 0/<unk>).  This
+    is what a training run actually consumes (VERDICT r17 #6): the
+    release's ``--emit-tokens`` mode writes these arrays into the
+    packed shards.  Same single-MapInPandas plan shape as
+    :func:`encode_bpe_kernel`; the id map rides with the rules as a
+    broadcast-sized closure (vocabulary-sized metadata).  Zero-subtoken
+    docs are excluded (they have no tokens — the metering contract)."""
+    rules = [(a, b) for a, b in rules]
+    lookup = dict(tok2id)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rank = build_rank(rules)
+        get = lookup.get
+        for pdf in it:
+            ids, n_tok, seqs = [], [], []
+            for doc_id, st in zip(pdf[id_col], pdf["st"]):
+                ts = _DELIM.join(st).split(_DELIM)
+                enc = encode_tokens(ts, rules, rank)
+                ids.append(doc_id)
+                n_tok.append(len(enc))
+                seqs.append([get(t, 0) for t in enc])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(n_tok, dtype="int64"),
+                    "token_ids": pd.Series(seqs, dtype="object"),
+                }
+            )
+
+    st = docs.select(
+        id_col, T.subtokens(F.col("text")).alias("st")
+    ).filter(F.size("st") > 0)
+    return st.mapInPandas(
+        _batches,
+        schema=f"{id_col} long, n_tokens long, token_ids array<int>",
+    )
+
+
 def bpe_token_counts_kernel(
     docs: DataFrame, rules, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -304,6 +304,7 @@ def run_release(
     n_shards: int | None = None,
     tokenizer_path: str | None = None,
     tokenizer_encoder: str = "kernel",
+    emit_tokens: bool = False,
 ) -> dict:
     """Run the full release pipeline over ``sf_dir``'s documents table,
     write the selection (parquet, shard-partitioned), stage audit
@@ -326,7 +327,16 @@ def run_release(
     vocabulary size) or ``"regexp"`` (the oracled chain twin, explicit
     opt-in — measured unbuildable at >=500 rules; VERDICT r17 #1).  The
     manifest records ``token_unit``, the tokenizer version, and the
-    encoder used."""
+    encoder used.
+
+    ``emit_tokens`` (requires ``tokenizer_path`` — VERDICT r17 #6, the
+    training-ready-shard step) adds each selected document's
+    ``token_ids array<int>`` to the shipped shards: the Arrow kernel's
+    encode mapped through the store's token->id vocabulary
+    (tokenizer_store.load_tokenizer_id_map), so the release output is
+    directly consumable by a training run instead of requiring a
+    re-encode.  Decode losslessness (ids -> the exact kernel token
+    stream) is test-locked."""
     from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
     from hnarchive_spark.plans.textops import PACK_BUDGET
     from hnarchive_spark.sources.index_version import current_index_version
@@ -334,6 +344,11 @@ def run_release(
     token_budget = SELECT_TOKEN_BUDGET if token_budget is None else token_budget
     pack_budget = PACK_BUDGET if pack_budget is None else pack_budget
     n_shards = N_SHARDS if n_shards is None else n_shards
+    if emit_tokens and tokenizer_path is None:
+        raise ValueError(
+            "emit_tokens requires tokenizer_path (token ids are defined "
+            "by a trained tokenizer's vocabulary)"
+        )
 
     # self-heal any torn prior attempt, then build the next version OFF
     # to the side of whatever is published — readers keep resolving the
@@ -365,7 +380,7 @@ def run_release(
         return _build_release(
             spark, sf_dir, out_dir, vdir, new_v, healed,
             token_budget, pack_budget, n_shards,
-            tokenizer_path, tokenizer_encoder,
+            tokenizer_path, tokenizer_encoder, emit_tokens,
         )
     except BaseException:
         # a run that FAILS before its manifest unregisters its liveness
@@ -397,6 +412,7 @@ def _build_release(
     n_shards: int,
     tokenizer_path: str | None,
     tokenizer_encoder: str,
+    emit_tokens: bool,
 ) -> dict:
     """run_release's build body: everything between version allocation
     and the pointer swap, under the caller's torn-marker guard."""
@@ -498,8 +514,39 @@ def _build_release(
             selected.select("source", "doc_id", "lang", "n_tokens", "q_e4")
             .join(packed.select("doc_id", "seq_id"), "doc_id")
             .join(sharded.select("doc_id", "shard_id"), "doc_id")
-            .persist()
         )
+        if emit_tokens:
+            # training-ready shards (VERDICT r17 #6): each selected doc
+            # ships its token-id array — the ids kernel re-encodes ONLY
+            # the selection (one MapInPandas over |selected| docs), and
+            # the join is 1:1 (the meter already excluded zero-subtoken
+            # docs, so every selected doc encodes) — the independent
+            # read-back count below would catch any drop or fan-out
+            from hnarchive_spark.operators.bpe_encode import (
+                encode_bpe_ids_kernel,
+            )
+            from hnarchive_spark.sources.tokenizer_store import (
+                load_tokenizer_id_map,
+            )
+
+            id_map = load_tokenizer_id_map(tokenizer_path)
+            if id_map is None:
+                raise ValueError(
+                    "emit_tokens needs a tokenizer store with a training "
+                    "snapshot (legacy store: retrain to upgrade)"
+                )
+            pairs = [(a, b) for _k, a, b, _n in tokenizer_rules]
+            ids = encode_bpe_ids_kernel(
+                d.join(selected.select("doc_id"), "doc_id").select(
+                    "doc_id", "text"
+                ),
+                pairs,
+                id_map[0],
+            )
+            out_rows = out_rows.join(
+                ids.select("doc_id", "token_ids"), "doc_id"
+            )
+        out_rows = out_rows.persist()
         try:
             shard_audit = [
                 {
@@ -592,6 +639,7 @@ def _build_release(
             "tokenizer_version": tokenizer_version,
             "tokenizer_rules": None if tokenizer_rules is None else len(tokenizer_rules),
             "tokenizer_encoder": None if tokenizer_rules is None else tokenizer_encoder,
+            "emit_tokens": bool(emit_tokens),
         },
         "stages": stages,
         "fates": fates,

@@ -1241,6 +1241,117 @@ def q_bpe_encode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_bpe_kernel(load(spark, sf_dir, "documents"), rules)
 
 
+def _bpe_encode_ids_oracle(rounds: int) -> str:
+    """The token->ID encode replayed in SQL: the unrolled training CTEs
+    reproduce the encoded streams, the ID TABLE is derived exactly the
+    way the tokenizer store defines it (tokenizer_store.
+    load_tokenizer_id_map — id 0 <unk>; base snapshot = top-65536
+    subtokens by (count DESC, tok), ids 1..B in LEXICOGRAPHIC order;
+    merge round k's merged token = id B+k, base-preferred and
+    first-merge-wins for duplicates), and the per-doc id sequence is
+    fingerprinted in order."""
+    from hnarchive_spark.sources.tokenizer_store import SNAPSHOT_MAX_VOCAB
+
+    winners = "\n      UNION ALL ".join(
+        f"SELECT {k} AS k, replace(pair, ' ', '') AS tok FROM w{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_bpe_train_ctes(rounds).format(pat=T.SUBTOKEN_PATTERN)},
+    base AS MATERIALIZED (
+      SELECT tok, row_number() OVER (ORDER BY tok) AS id FROM (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS n
+          FROM (SELECT unnest(ts) AS tok FROM st) GROUP BY tok
+        ) ORDER BY n DESC, tok LIMIT {SNAPSHOT_MAX_VOCAB}
+      )
+    ),
+    nb AS (SELECT count(*) AS b FROM base),
+    mid AS (
+      SELECT m.tok, nb.b + m.k AS id
+      FROM (SELECT tok, min(k) AS k FROM ({winners}) GROUP BY tok) m, nb
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(e, chr(1))) AS tok,
+             unnest(range(1, len(string_split(e, chr(1))) + 1)) AS ord
+      FROM s{rounds}
+    ),
+    idseq AS (
+      SELECT t.doc_id,
+             list(CAST(COALESCE(b.id, m.id, 0) AS BIGINT) ORDER BY t.ord)
+               AS ids
+      FROM toks t
+      LEFT JOIN base b ON b.tok = t.tok
+      LEFT JOIN mid m ON m.tok = t.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           substr(md5(array_to_string(
+             list_transform(ids, i -> CAST(i AS VARCHAR)), ',')), 1, 16)
+             AS ids_fp
+    FROM idseq
+    """
+
+
+@query(
+    "q_bpe_encode_ids",
+    oracle=_bpe_encode_ids_oracle(BPE_TRAIN_ROUNDS),
+    doc="TOKEN-ID encode (VERDICT r17 #6 — the last step between "
+    "'selection' and training-ready shards): the Arrow kernel's encode "
+    "mapped through the tokenizer store's token->id vocabulary (base "
+    "snapshot ids + one id per merge round, unknowns to 0/<unk>; "
+    "sources/tokenizer_store.load_tokenizer_id_map), emitting the "
+    "array<int> sequence a training run consumes and fingerprinting it "
+    "IN ORDER (md5 over the comma-joined ids).  Plan shape: the same "
+    "single MapInPandas stage as q_bpe_encode_kernel — the id map rides "
+    "with the rules as a vocabulary-sized broadcast closure; the "
+    "fingerprint stays JVM-side over the emitted array.  Oracle replays "
+    "the unrolled-CTE training chain for the streams AND derives the id "
+    "table the same way the store defines it (top-65536 base snapshot "
+    "by (count DESC, tok) with lexicographic ids, merge round k -> id "
+    "B+k, base-preferred, first-merge-wins), so Spark and DuckDB map "
+    "tokens to ids independently.  release --emit-tokens writes these "
+    "arrays into the packed shards; decode(ids) == the kernel token "
+    "stream is locked by the release losslessness test.",
+)
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.operators.bpe_encode import encode_bpe_ids_kernel
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_id_map,
+        load_tokenizer_rules,
+    )
+
+    path = built_once(
+        "bpe_tokenizer",
+        sf_dir,
+        lambda p: build_tokenizer_store(
+            spark, load(spark, sf_dir, "documents"), p
+        ),
+    )
+    pairs = [(a, b) for _k, a, b, _n in load_tokenizer_rules(path)]
+    tok2id, _id2tok = load_tokenizer_id_map(path)
+    ids = encode_bpe_ids_kernel(
+        load(spark, sf_dir, "documents"), pairs, tok2id
+    )
+    return ids.select(
+        "doc_id",
+        "n_tokens",
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform("token_ids", lambda x: x.cast("string")), ","
+                )
+            ),
+            1,
+            16,
+        ).alias("ids_fp"),
+    )
+
+
 def _pack_bpe_oracle() -> str:
     n = BPE_TRAIN_ROUNDS
     return f"""

@@ -202,6 +202,45 @@ def load_tokenizer_vocab(path: str) -> list[str] | None:
     return None if counts is None else sorted(counts)
 
 
+UNK_ID = 0  # reserved: a token outside base vocab + merges maps here
+
+
+def load_tokenizer_id_map(
+    path: str,
+) -> tuple[dict[str, int], list[str]] | None:
+    """The token <-> integer-id vocabulary the rule list DEFINES
+    (VERDICT r17 #6 — the last step between 'selection' and
+    training-ready shards): id 0 is the reserved ``<unk>``, ids
+    ``1..B`` are the training snapshot's base subtokens in LEXICOGRAPHIC
+    order (the snapshot is the base vocabulary — sorted so the mapping
+    is reproducible from the artifact alone), and merge round ``k``'s
+    merged token gets id ``B + k``.  Lookup is base-preferred and
+    first-merge-wins for duplicate merged strings (a merged token equal
+    to an existing base subtoken, or re-induced at a later round, maps
+    to its FIRST id — deterministic, and decode stays total because
+    every id still names exactly one string).  Returns ``(tok2id,
+    id2tok)`` where ``id2tok[i]`` inverts every emitted id, or None for
+    a legacy store without a snapshot (retrain to upgrade)."""
+    base = load_tokenizer_vocab(path)
+    if base is None:
+        return None
+    b = len(base)
+    id2tok = ["<unk>"] + list(base)
+    tok2id = {tok: i + 1 for i, tok in enumerate(base)}
+    for k, a, bb, _n in load_tokenizer_rules(path):
+        merged = a + bb
+        id2tok.append(merged)  # id b + k always DECODES to its string
+        tok2id.setdefault(merged, b + int(k))  # first-wins, base-preferred
+    return tok2id, id2tok
+
+
+def decode_token_ids(ids: list[int], id2tok: list[str]) -> list[str]:
+    """Invert an id sequence back to its token stream — the shard-side
+    losslessness check (``decode(encode_ids(doc)) == encode(doc)`` for
+    any doc whose subtokens the vocabulary covers)."""
+    return [id2tok[i] for i in ids]
+
+
 def tokenizer_coverage(
     spark: SparkSession, docs: DataFrame, path: str, text_col: str = "text"
 ) -> dict | None:

@@ -853,11 +853,12 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
     out = str(tmp_path / "release")
 
     assert cli.main(["release", "--out", out, "--sf-dir", sf,
-                     "--tokenizer", tok]) == 0
+                     "--tokenizer", tok, "--emit-tokens"]) == 0
     from hnarchive_spark.plans.release import latest_release_manifest, release_root
 
     manifest = latest_release_manifest(out)
     assert manifest["params"]["token_unit"] == "bpe"
+    assert manifest["params"]["emit_tokens"] is True
     assert manifest["params"]["tokenizer_version"] == 1
     assert manifest["params"]["tokenizer_rules"] == 3
     # the unflagged CLI default is the Arrow kernel (VERDICT r17 #1) —
@@ -871,6 +872,11 @@ def test_cli_release_with_trained_tokenizer_unit(spark, tmp_path, monkeypatch, c
     want = docs.select("doc_id", bpe_token_count(rules).alias("bt"))
     diff = sel.join(want, "doc_id").filter(F.col("n_tokens") != F.col("bt"))
     assert sel.count() > 0 and diff.count() == 0
+    # --emit-tokens: every shipped row carries its id array, sized
+    # exactly to the metered token count (losslessness is locked in
+    # tests/test_release_lifecycle.py)
+    assert "token_ids" in sel.columns
+    assert sel.filter(F.size("token_ids") != F.col("n_tokens")).count() == 0
     # shard audit + datacard still re-add to the selection in the new unit
     assert sum(s["shard_tokens"] for s in manifest["shards"]) == (
         manifest["stages"][-1]["tokens"]

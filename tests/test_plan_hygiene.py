@@ -648,6 +648,21 @@ def test_bpe_encode_kernel_is_single_arrow_stage(spark):
     assert schema_line.count(":") <= 3, schema_line
 
 
+def test_bpe_encode_ids_is_single_arrow_stage(spark):
+    """q_bpe_encode_ids (the training-ready token-id export): the same
+    single-Arrow-stage contract as the kernel encode — zero Exchange,
+    zero Join (rules AND the token->id vocabulary ride in the kernel
+    closure, never as joined frames), exactly one Python boundary, and
+    the fingerprint over the id array stays a JVM-side projection."""
+    plan = _plan(spark, "q_bpe_encode_ids")
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("MapInPandas") == 2, plan[:800]
+    schema_line = next(ln for ln in plan.split("\n") if "ReadSchema" in ln)
+    assert "doc_id" in schema_line and "text" in schema_line, schema_line
+    assert schema_line.count(":") <= 3, schema_line
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)

@@ -188,3 +188,71 @@ def test_extend_on_delta_corpus_unions_snapshot(spark, tmp_path):
     cov = tokenizer_coverage(spark, full, root)
     assert cov["coverage_e6"] == 1_000_000 and cov["oov_tokens"] == 0
     assert not tokenizer_needs_extend(spark, full, root)
+
+
+def test_id_map_base_preferred_and_first_merge_wins(tmp_path):
+    """load_tokenizer_id_map edge semantics, on a hand-built store: id 0
+    is <unk>; base snapshot ids are lexicographic 1..B; merge round k ->
+    id B+k; a merged string equal to a BASE subtoken keeps the base id
+    (base-preferred); a re-induced duplicate merged string keeps its
+    FIRST merge id; decode stays total over every id."""
+    import json as _json
+    import os as _os
+
+    from hnarchive_spark.sources.index_version import publish_index_version
+    from hnarchive_spark.sources.tokenizer_store import (
+        decode_token_ids,
+        load_tokenizer_id_map,
+    )
+
+    root = str(tmp_path / "tok")
+    vdir = _os.path.join(root, "v1")
+    _os.makedirs(vdir)
+    # base vocab: ab, x, y, z  (note: "ab" is ALSO rule 1's merged token)
+    rules = [
+        {"merge_round": 1, "left": "a", "right": "b", "n_occurrences": 9},
+        {"merge_round": 2, "left": "x", "right": "y", "n_occurrences": 5},
+        {"merge_round": 3, "left": "x", "right": "y", "n_occurrences": 2},
+    ]
+    with open(_os.path.join(vdir, "_RULES.json"), "w") as fh:
+        _json.dump(
+            {"rounds": 3, "rules": rules,
+             "vocab": {"ab": 4, "x": 3, "y": 2, "z": 1}},
+            fh,
+        )
+    publish_index_version(root, 1)
+
+    tok2id, id2tok = load_tokenizer_id_map(root)
+    # base: lexicographic ab=1, x=2, y=3, z=4 (B=4)
+    assert tok2id["ab"] == 1 and tok2id["x"] == 2
+    assert tok2id["y"] == 3 and tok2id["z"] == 4
+    # merge 1's "ab" collides with base "ab" -> base id kept
+    # merge 2's "xy" -> B+2 = 6; merge 3 re-induces "xy" -> first wins
+    assert tok2id["xy"] == 6
+    # decode is total: every id names exactly one string
+    assert id2tok[0] == "<unk>"
+    assert decode_token_ids([0, 1, 5, 6, 7], id2tok) == [
+        "<unk>", "ab", "ab", "xy", "xy",
+    ]
+    assert len(id2tok) == 1 + 4 + 3
+    # unknown token maps to <unk>
+    assert tok2id.get("never-seen", 0) == 0
+
+
+def test_id_map_none_for_legacy_store(tmp_path):
+    """A store published before the snapshot existed has no base
+    vocabulary — the id map is unavailable (retrain to upgrade), not
+    silently wrong."""
+    import json as _json
+    import os as _os
+
+    from hnarchive_spark.sources.index_version import publish_index_version
+    from hnarchive_spark.sources.tokenizer_store import load_tokenizer_id_map
+
+    root = str(tmp_path / "tok")
+    vdir = _os.path.join(root, "v1")
+    _os.makedirs(vdir)
+    with open(_os.path.join(vdir, "_RULES.json"), "w") as fh:
+        _json.dump({"rounds": 0, "rules": []}, fh)
+    publish_index_version(root, 1)
+    assert load_tokenizer_id_map(root) is None
