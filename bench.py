@@ -150,6 +150,10 @@ HEADLINE = [
     # the kernel-metered budget selection beside its chain twin — the
     # driver-verified form of release --tokenizer-encoder=kernel
     "q_select_token_budget_bpe_kernel",
+    # round 18: the token-id export (the training-ready shard unit —
+    # kernel encode + id mapping + in-order fingerprint, one Arrow
+    # stage) — first recorded in the r18 complete run
+    "q_bpe_encode_ids",
 ]
 
 

@@ -51,68 +51,68 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 17
+_ROTATION_BUILT_FOR_ROUND = 18
 
 _VERIFY_FIRST = [
-    # Round-17 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=17) prefix and
-    # locked by tests/test_rotation_consistency.py: the two queries
-    # registered this round first (the Arrow-kernel BPE encoder and
-    # the kernel-metered budget selection, VERDICT r16 #1), then the
-    # FULL r11 verification floor — the 8 stragglers VERDICT r16 #2
-    # names — then the r12 block filling the 50-slot budget;
-    # ascending staleness, ALPHABETICAL tiebreak.  With this window
-    # green the staleness floor over CORRECTNESS_r01-r17 rises to r12.
-    "q_bpe_encode_kernel",
-    "q_select_token_budget_bpe_kernel",
-    "q_skew_salted_join",
-    "q_sole_late_supplier",
-    "q_store_changelog",
-    "q_stream_late_drop",
-    "q_stream_outer_join",
-    "q_stream_rollup_mv",
-    "q_user_anomaly",
-    "q_vocab_top_subtokens",
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_ann_recall",
-    "q_bigram_novelty",
-    "q_bpe_merge_pairs",
-    "q_bucketed_join",
-    "q_contamination",
-    "q_disjunctive_filter",
-    "q_domain_cap",
-    "q_domain_stats",
-    "q_dpp_join",
-    "q_dsir_resample",
-    "q_dsir_weights",
-    "q_fk_filter",
-    "q_fk_filter_2",
-    "q_flagship",
-    "q_forecast_revenue",
-    "q_fuzzy_match_blocked",
-    "q_groupby_agg",
-    "q_grouping_sets",
-    "q_interval_overlap",
-    "q_join_broadcast",
-    "q_join_fk",
-    "q_k_anonymity",
-    "q_knn_confusion",
-    "q_lorenz_deciles",
-    "q_minhash_accuracy",
-    "q_mode_per_group",
-    "q_outlier_mad",
-    "q_percentile_rank_transform",
-    "q_pipeline_clean_corpus",
-    "q_reservoir_per_source",
-    "q_rolling_active_users",
-    "q_scd2_history",
-    "q_scd2_incremental",
-    "q_scd2_store",
-    "q_select_token_budget",
-    "q_skew_report",
-    "q_stream_funnel",
-    "q_substring_dedup",
+    # Round-18 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=18) prefix and
+    # locked by tests/test_rotation_consistency.py: the one query
+    # registered this round first (the token-id export, VERDICT r17
+    # #6), then the FULL r12 verification floor (the 10-query
+    # q_agg_cube-era block VERDICT r17 #4 names), then the r13 block
+    # filling the 50-slot budget; ascending staleness, ALPHABETICAL
+    # tiebreak.  With this window green the staleness floor over
+    # CORRECTNESS_r01-r18 rises to r13.
+    "q_bpe_encode_ids",
+    "q_substring_dedup_clean",
+    "q_substring_dedup_incremental",
+    "q_substring_dedup_indexed",
+    "q_subtree_agg",
+    "q_time_split_embargo",
+    "q_triangle_count",
+    "q_url_parse",
+    "q_winsorize",
+    "q_wow_growth",
+    "q_zorder_box",
+    "q_array_funcs",
+    "q_asof_join",
+    "q_asof_join_forward",
+    "q_asof_join_inner",
+    "q_boilerplate_ngrams",
+    "q_children_sorted",
+    "q_contamination_indexed",
+    "q_corpus_drift",
+    "q_correlated_subquery",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_minhash_incremental",
+    "q_dedup_minhash_indexed",
+    "q_dsir_weights_bigram",
+    "q_hybrid_search_rrf",
+    "q_large_orders",
+    "q_lateral_join",
+    "q_link_prediction_capped",
+    "q_lpa_communities",
+    "q_mix_equalize",
+    "q_multimodal_dedup",
+    "q_multimodal_phash_dup",
+    "q_null_handling",
+    "q_pandas_udaf_weighted",
+    "q_pandas_udf_score",
+    "q_point_lookup",
+    "q_priority_pipeline",
+    "q_promo_revenue",
+    "q_quality_repetition",
+    "q_returned_items",
+    "q_running_sum",
+    "q_sample_hash",
+    "q_sample_weighted",
+    "q_schema_evolution",
+    "q_semdedup_indexed",
+    "q_shipmode_priority",
+    "q_shipping_priority",
 ]
 
 
