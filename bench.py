@@ -152,8 +152,11 @@ HEADLINE = [
     "q_select_token_budget_bpe_kernel",
     # round 18: the token-id export (the training-ready shard unit —
     # kernel encode + id mapping + in-order fingerprint, one Arrow
-    # stage) — first recorded in the r18 complete run
+    # stage) and the sequence-level assembly (the training batch unit:
+    # metadata-only pack fold + bounded-state concatenation) — first
+    # recorded in the r18 complete run
     "q_bpe_encode_ids",
+    "q_pack_token_ids",
 ]
 
 

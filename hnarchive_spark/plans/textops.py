@@ -1352,6 +1352,182 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_token_ids(
+    docs: DataFrame,
+    pairs: list[tuple[str, str]],
+    tok2id: dict[str, int],
+    pack_budget: int,
+) -> DataFrame:
+    """SEQUENCE-LEVEL token-id assembly — the actual batch unit a
+    training run consumes: every packed sequence's documents'
+    ``token_ids`` concatenated in doc_id order into one ``array<int>``
+    per (source, seq_id).  Three stages, each with the scale-correct
+    shape:
+
+    * encode: ONE Arrow stage (encode_bpe_ids_kernel) — ids + counts;
+    * pack: the SHARED metadata-only next-fit fold (pack_fold) — the
+      per-source sequential pass sees (doc_id, n_tokens) ONLY; the id
+      arrays never enter it (a per-source pandas group carrying the
+      source's entire token stream would be the executor-memory blowup
+      the metadata-only rule exists to prevent);
+    * assemble: groupBy (source, seq_id) with an array-sort/flatten —
+      per-group state is bounded by the PACK BUDGET (a sequence is at
+      most ``pack_budget`` tokens by construction), so the shuffle that
+      co-locates a sequence's documents — the one inherently necessary
+      data movement — lands in bounded-memory groups.
+
+    Returns (source, seq_id, n_docs, n_tokens, ids array<int>)."""
+    from hnarchive_spark.operators.bpe_encode import encode_bpe_ids_kernel
+
+    ids = encode_bpe_ids_kernel(docs, pairs, tok2id)
+    toks = (
+        docs.select("source", "doc_id")
+        .join(ids.select("doc_id", "n_tokens"), "doc_id")
+        .select("source", "doc_id", "n_tokens")
+    )
+    packed = pack_fold(toks, pack_budget)
+    return (
+        packed.join(ids.select("doc_id", "token_ids"), "doc_id")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "token_ids"))
+                    ),
+                    lambda x: x["token_ids"],
+                )
+            ).alias("ids"),
+        )
+    )
+
+
+def _pack_token_ids_oracle(rounds: int, budget: int) -> str:
+    """The sequence assembly replayed in SQL: the unrolled training CTEs
+    for the streams, the id table derived the store's way
+    (_bpe_encode_ids_oracle's base/mid shape), the recursive next-fit
+    packing fold, then per-(source, seq_id) ordered list concatenation
+    fingerprinted in order."""
+    from hnarchive_spark.sources.tokenizer_store import SNAPSHOT_MAX_VOCAB
+
+    winners = "\n      UNION ALL ".join(
+        f"SELECT {k} AS k, replace(pair, ' ', '') AS tok FROM w{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE {_bpe_train_ctes(rounds).format(pat=T.SUBTOKEN_PATTERN)},
+    base AS MATERIALIZED (
+      SELECT tok, row_number() OVER (ORDER BY tok) AS id FROM (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS n
+          FROM (SELECT unnest(ts) AS tok FROM st) GROUP BY tok
+        ) ORDER BY n DESC, tok LIMIT {SNAPSHOT_MAX_VOCAB}
+      )
+    ),
+    nb AS (SELECT count(*) AS b FROM base),
+    mid AS (
+      SELECT m.tok, nb.b + m.k AS id
+      FROM (SELECT tok, min(k) AS k FROM ({winners}) GROUP BY tok) m, nb
+    ),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split(e, chr(1))) AS tok,
+             unnest(range(1, len(string_split(e, chr(1))) + 1)) AS ord
+      FROM s{rounds}
+    ),
+    idseq AS MATERIALIZED (
+      SELECT t.doc_id,
+             list(CAST(COALESCE(b.id, m.id, 0) AS BIGINT) ORDER BY t.ord)
+               AS ids
+      FROM tk t
+      LEFT JOIN base b ON b.tok = t.tok
+      LEFT JOIN mid m ON m.tok = t.tok
+      GROUP BY t.doc_id
+    ),
+    bt AS (
+      SELECT d.source, i.doc_id, CAST(len(i.ids) AS BIGINT) AS n_tokens,
+             i.ids,
+             row_number() OVER (PARTITION BY d.source ORDER BY i.doc_id)
+               AS rn
+      FROM idseq i JOIN documents d ON d.doc_id = i.doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, ids, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM bt WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.ids, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM bt t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           substr(md5(array_to_string(
+             list_transform(flatten(list(ids ORDER BY doc_id)),
+                            i -> CAST(i AS VARCHAR)), ',')), 1, 16)
+             AS ids_fp
+    FROM packed
+    GROUP BY source, seq_id
+    """
+
+
+@query(
+    "q_pack_token_ids",
+    oracle=_pack_token_ids_oracle(BPE_TRAIN_ROUNDS, PACK_BUDGET),
+    doc=f"SEQUENCE-LEVEL token-id export — the training batch unit: each "
+    f"packed <= {PACK_BUDGET}-token sequence's documents' id arrays "
+    "concatenated in doc_id order (plans/textops.pack_token_ids), "
+    "fingerprinted in order.  Composes the whole training-ready loop: "
+    "kernel encode (ONE Arrow stage) -> the SHARED metadata-only "
+    "next-fit fold (ids never enter the per-source sequential kernel — "
+    "the 100 TB memory rule) -> bounded-state assembly (per-group "
+    "payload is capped by the pack budget, so the one inherently "
+    "necessary shuffle — co-locating a sequence's documents — lands in "
+    "bounded-memory groups).  Oracle replays training, the id table, "
+    "the recursive next-fit fold, and the ordered concatenation "
+    "independently in SQL.",
+)
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_id_map,
+        load_tokenizer_rules,
+    )
+
+    path = built_once(
+        "bpe_tokenizer",
+        sf_dir,
+        lambda p: build_tokenizer_store(
+            spark, load(spark, sf_dir, "documents"), p
+        ),
+    )
+    pairs = [(a, b) for _k, a, b, _n in load_tokenizer_rules(path)]
+    tok2id, _id2tok = load_tokenizer_id_map(path)
+    seqs = pack_token_ids(
+        load(spark, sf_dir, "documents"), pairs, tok2id, PACK_BUDGET
+    )
+    return seqs.select(
+        "source",
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.substring(
+            F.md5(
+                F.array_join(F.transform("ids", lambda x: x.cast("string")), ",")
+            ),
+            1,
+            16,
+        ).alias("ids_fp"),
+    )
+
+
 def _pack_bpe_oracle() -> str:
     n = BPE_TRAIN_ROUNDS
     return f"""

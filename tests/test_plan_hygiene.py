@@ -663,6 +663,25 @@ def test_bpe_encode_ids_is_single_arrow_stage(spark):
     assert schema_line.count(":") <= 3, schema_line
 
 
+def test_pack_token_ids_shape(spark):
+    """q_pack_token_ids (sequence-level token-id assembly): the pack
+    fold must stay the metadata-only FlatMapGroupsInPandas (ONE node —
+    the id arrays never enter the per-source sequential kernel), the
+    encode stays MapInPandas (recomputed per consumer by design — the
+    r13 rule: let batch-sized frames recompute rather than cache
+    corpus-sized intermediates; the production composition materializes
+    ids once via release --emit-tokens), and nothing degenerates into a
+    cartesian product."""
+    plan = _plan(spark, "q_pack_token_ids")
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + detail block)
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan[:1200]
+    assert plan.count("MapInPandas") <= 4, plan[:1200]
+    # assembly is an object-hash aggregate with bounded per-group state
+    # (a sequence is <= PACK_BUDGET tokens by construction)
+    assert "ObjectHashAggregate" in plan, plan[:1200]
+
+
 def test_scd2_single_exchange(spark):
     """q_scd2_history: the change-flag window, the run aggregation, and
     the interval-close window must all reuse ONE hashpartitioning(user_id)
