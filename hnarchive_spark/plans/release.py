@@ -154,6 +154,11 @@ def _existing_versions(out_dir: str) -> list[int]:
 # only its in-progress dir (it re-runs), never published data.
 BUILDER_STALE_SECONDS = 6 * 3600
 
+# A marker-less _claim.* staging dir younger than this is presumed to be
+# a concurrent run mid-claim (between mkdtemp and its marker write) and
+# is never swept — the grace that closes the last half-made-dir window.
+CLAIM_GRACE_SECONDS = 300
+
 _CLAIM_PREFIX = "_claim."  # staging dirs for atomic version allocation
 
 
@@ -225,7 +230,17 @@ def torn_release_dirs(out_dir: str) -> list[str]:
     for name in names:
         full = os.path.join(out_dir, name)
         if name.startswith(_CLAIM_PREFIX) and os.path.isdir(full):
-            if not _builder_alive(full):
+            # GRACE WINDOW: between mkdtemp and the marker write inside
+            # it, a claim dir is marker-less — the same
+            # heal-sees-a-half-made-dir race the staged rename closed
+            # for vdirs.  A very fresh claim dir is therefore presumed
+            # live; a genuinely dead one ages past the grace and sweeps
+            # on the next pass.
+            try:
+                fresh = time.time() - os.path.getmtime(full) < CLAIM_GRACE_SECONDS
+            except OSError:  # raced away already
+                continue
+            if not fresh and not _builder_alive(full):
                 torn.append(full)
     return torn
 
@@ -273,6 +288,12 @@ def prune_release_versions(out_dir: str) -> list[str]:
         versioned = name.startswith("v") and name[1:].isdigit()
         if not (versioned or name.startswith(_CLAIM_PREFIX)):
             continue
+        if name.startswith(_CLAIM_PREFIX):
+            try:  # same mid-claim grace as torn detection
+                if time.time() - os.path.getmtime(full) < CLAIM_GRACE_SECONDS:
+                    continue
+            except OSError:
+                continue
         if _builder_alive(full):
             continue  # a LIVE concurrent build — never prune it
         shutil.rmtree(full)
@@ -331,12 +352,17 @@ def run_release(
 
     ``emit_tokens`` (requires ``tokenizer_path`` — VERDICT r17 #6, the
     training-ready-shard step) adds each selected document's
-    ``token_ids array<int>`` to the shipped shards: the Arrow kernel's
-    encode mapped through the store's token->id vocabulary
-    (tokenizer_store.load_tokenizer_id_map), so the release output is
-    directly consumable by a training run instead of requiring a
-    re-encode.  Decode losslessness (ids -> the exact kernel token
-    stream) is test-locked."""
+    ``token_ids array<int>`` to the shipped shards (the Arrow kernel's
+    encode mapped through the store's token->id vocabulary,
+    tokenizer_store.load_tokenizer_id_map) AND ships the
+    SEQUENCE-LEVEL artifact ``<vdir>/sequences`` — each packed
+    sequence's documents' arrays concatenated in doc_id order
+    (q_pack_token_ids' assembly shape), derived from a RE-READ of the
+    shipped doc-level parquet and conservation-checked (sequence doc
+    total == independent selected count, ids total == token total) —
+    so the release output is directly consumable by a training run at
+    both granularities.  Decode losslessness (ids -> the exact kernel
+    token stream) is test-locked."""
     from hnarchive_spark.plans.dedup import N_SHARDS, SELECT_TOKEN_BUDGET
     from hnarchive_spark.plans.textops import PACK_BUDGET
     from hnarchive_spark.sources.index_version import current_index_version
@@ -607,6 +633,56 @@ def _build_release(
     # never could.
     n_written = spark.read.parquet(os.path.join(vdir, "selected")).count()
 
+    seq_audit = None
+    if emit_tokens:
+        # SEQUENCE-LEVEL shards (the actual training batch unit): each
+        # packed sequence's documents' id arrays concatenated in doc_id
+        # order — q_pack_token_ids' assembly shape over the SHIPPED
+        # doc-level parquet (re-read, so the sequences provably derive
+        # from what was written, not from lineage that could diverge).
+        # Per-group state is bounded by the pack budget by construction.
+        shipped = spark.read.parquet(os.path.join(vdir, "selected"))
+        seqs = shipped.groupBy("source", "seq_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "token_ids"))
+                    ),
+                    lambda x: x["token_ids"],
+                )
+            ).alias("token_ids"),
+        )
+        seqs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(vdir, "sequences")
+        )
+        # conservation at the sequence level, against the re-read output
+        srow = (
+            spark.read.parquet(os.path.join(vdir, "sequences"))
+            .agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_docs").alias("docs"),
+                F.sum("n_tokens").alias("toks"),
+                F.sum(F.size("token_ids")).alias("ids"),
+            )
+            .collect()[0]
+        )
+        seq_audit = {
+            "n_sequences": int(srow["n_seqs"]),
+            "n_docs": int(srow["docs"] or 0),
+            "n_tokens": int(srow["toks"] or 0),
+            "n_ids": int(srow["ids"] or 0),
+        }
+        if (
+            seq_audit["n_docs"] != n_written
+            or seq_audit["n_ids"] != seq_audit["n_tokens"]
+        ):
+            raise ValueError(
+                f"sequence emission violated conservation: {seq_audit} "
+                f"vs selected={n_written}"
+            )
+
     # the conservation law (the streaming ledger's batch twin): every raw
     # doc is accounted to exactly one NONNEGATIVE fate.  The sum of the
     # fates telescopes to the raw count by construction, so summation is
@@ -644,6 +720,7 @@ def _build_release(
         "stages": stages,
         "fates": fates,
         "selected_rows_written": int(n_written),
+        "sequences": seq_audit,
         "conservation_ok": bool(conserved),
         "healed_torn": healed,
         "shards": shard_audit,

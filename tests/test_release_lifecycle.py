@@ -373,7 +373,9 @@ def test_builder_alive_stale_and_corrupt_markers(tmp_path):
 def test_stale_claim_dir_swept_by_heal(spark, tmp_path):
     """A run that died between mkdtemp and the version-claiming rename
     leaves a _claim.* staging dir — heal sweeps it once the builder is
-    dead, and leaves a LIVE builder's staging dir alone."""
+    dead AND the mid-claim grace has passed, and leaves both a LIVE
+    builder's staging dir and a FRESH marker-less one (a concurrent run
+    mid-claim, before its marker write) alone."""
     out = str(tmp_path / "rel")
     run_release(spark, SF, out)
 
@@ -381,14 +383,27 @@ def test_stale_claim_dir_swept_by_heal(spark, tmp_path):
     os.makedirs(dead)
     with open(os.path.join(dead, "_BUILDING.json"), "w") as fh:
         json.dump({"pid": 2**22 + 777, "ts": 1.0}, fh)
+    os.utime(dead, (1.0, 1.0))  # aged past the mid-claim grace
     live = os.path.join(out, "_claim.live5678")
     os.makedirs(live)
     with open(os.path.join(live, "_BUILDING.json"), "w") as fh:
         json.dump({"pid": os.getpid(), "ts": __import__("time").time()}, fh)
+    os.utime(live, (1.0, 1.0))  # aged, but the builder is alive
+    midclaim = os.path.join(out, "_claim.fresh900")  # no marker YET
+    os.makedirs(midclaim)
 
     healed = heal_torn_releases(out)
     assert dead in healed and not os.path.exists(dead)
     assert live not in healed and os.path.isdir(live)
+    assert midclaim not in healed and os.path.isdir(midclaim)
+
+    # prune applies the same guards: live + mid-claim survive
+    run_release(spark, SF, out)  # v2 so prune has something current
+    from hnarchive_spark.plans.release import prune_release_versions
+
+    removed = prune_release_versions(out)
+    assert live not in removed and midclaim not in removed
+    assert os.path.isdir(live) and os.path.isdir(midclaim)
 
 
 def test_version_allocation_skips_claimed_number(spark, tmp_path):
@@ -460,6 +475,29 @@ def test_release_emit_tokens_lossless(spark, tmp_path):
         ts = "\x01".join(st[r["doc_id"]]).split("\x01")
         want = encode_tokens(ts, pairs, rank)
         assert decode_token_ids(list(r["token_ids"]), id2tok) == want
+
+    # SEQUENCE-LEVEL artifact: per (source, seq_id) the shipped
+    # concatenation equals the doc-level arrays in doc_id order, and
+    # the manifest's sequence audit reconciles with the selection
+    assert m["sequences"]["n_docs"] == m["fates"]["selected"]
+    assert m["sequences"]["n_ids"] == m["sequences"]["n_tokens"]
+    by_seq: dict = {}
+    for r in sel.select("source", "seq_id", "doc_id", "token_ids").collect():
+        by_seq.setdefault((r["source"], r["seq_id"]), []).append(
+            (r["doc_id"], list(r["token_ids"]))
+        )
+    seq_rows = spark.read.parquet(
+        os.path.join(release_root(out), "sequences")
+    ).collect()
+    assert len(seq_rows) == m["sequences"]["n_sequences"] == len(by_seq)
+    for r in seq_rows:
+        docs_ids = [
+            ids for _d, ids in sorted(by_seq[(r["source"], r["seq_id"])])
+        ]
+        want_flat = [i for ids in docs_ids for i in ids]
+        assert list(r["token_ids"]) == want_flat
+        assert r["n_docs"] == len(docs_ids)
+        assert r["n_tokens"] == len(want_flat)
 
     # emit_tokens without a tokenizer is a loud contract error
     import pytest as _pytest
