@@ -237,6 +237,33 @@ def encode_tokens(
     return out
 
 
+def encode_stream(
+    st: list[str],
+    rules: list[tuple[str, str]],
+    rank: dict[tuple[str, str], list[int]],
+) -> list[str]:
+    """Encode ONE raw subtoken array: round-trip through the chain's
+    delimiter representation, then apply the rule list.  The round-trip
+    matters for row-identity: if a token itself contains chr(1)
+    (possible — the subtoken pattern's punctuation class admits it),
+    the chain sees spurious segment boundaries in the joined stream,
+    and the kernel must see the SAME segments.  For control-char-free
+    corpora (the fixture and any sane corpus) this is the identity
+    function.  ONE definition shared by every kernel variant
+    (encode/ids/counts — review discipline: no verbatim copies)."""
+    return encode_tokens(_DELIM.join(st).split(_DELIM), rules, rank)
+
+
+def _subtoken_frame(docs: DataFrame, id_col: str) -> DataFrame:
+    """The kernels' shared JVM-side input prep: subtokenize (the same
+    regexp_extract_all the chain uses, so every variant sees identical
+    token streams) and drop zero-subtoken docs (they have no tokens
+    under the tokenizer — the metering contract)."""
+    return docs.select(
+        id_col, T.subtokens(F.col("text")).alias("st")
+    ).filter(F.size("st") > 0)
+
+
 def encode_bpe_kernel(
     docs: DataFrame, rules: list[tuple[str, str]], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -254,15 +281,7 @@ def encode_bpe_kernel(
             ids, n_sub, n_bpe, comp, fp = [], [], [], [], []
             for doc_id, st in zip(pdf[id_col], pdf["st"]):
                 n_raw = len(st)
-                # round-trip through the chain's delimiter representation:
-                # if a token itself contains chr(1) (possible — the
-                # subtoken pattern's punctuation class admits it), the
-                # chain sees spurious segment boundaries in the joined
-                # stream, and row-identity demands the kernel see the SAME
-                # segments.  For control-char-free corpora (the fixture
-                # and any sane corpus) this is the identity function.
-                ts = _DELIM.join(st).split(_DELIM)
-                enc = encode_tokens(ts, rules, rank)
+                enc = encode_stream(st, rules, rank)
                 e = _DELIM.join(enc)
                 ids.append(doc_id)
                 # n_subtokens is the RAW array length (the chain reports
@@ -283,10 +302,7 @@ def encode_bpe_kernel(
                 }
             )
 
-    st = docs.select(
-        id_col, T.subtokens(F.col("text")).alias("st")
-    ).filter(F.size("st") > 0)
-    return st.mapInPandas(
+    return _subtoken_frame(docs, id_col).mapInPandas(
         _batches,
         schema=(
             f"{id_col} long, n_subtokens long, n_bpe_tokens long, "
@@ -320,8 +336,7 @@ def encode_bpe_ids_kernel(
         for pdf in it:
             ids, n_tok, seqs = [], [], []
             for doc_id, st in zip(pdf[id_col], pdf["st"]):
-                ts = _DELIM.join(st).split(_DELIM)
-                enc = encode_tokens(ts, rules, rank)
+                enc = encode_stream(st, rules, rank)
                 ids.append(doc_id)
                 n_tok.append(len(enc))
                 seqs.append([get(t, 0) for t in enc])
@@ -333,10 +348,7 @@ def encode_bpe_ids_kernel(
                 }
             )
 
-    st = docs.select(
-        id_col, T.subtokens(F.col("text")).alias("st")
-    ).filter(F.size("st") > 0)
-    return st.mapInPandas(
+    return _subtoken_frame(docs, id_col).mapInPandas(
         _batches,
         schema=f"{id_col} long, n_tokens long, token_ids array<int>",
     )

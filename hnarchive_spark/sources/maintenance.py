@@ -290,6 +290,8 @@ def run_maintenance(
                             f"extended +{tokenizer_extend_rounds} rounds: "
                             f"{vdir}"
                         )
+                        if prune:  # same opt-in as every executed verb
+                            prune_index_versions(path)
             out.append(rec)
             continue
         if kind == "release":
