@@ -183,6 +183,11 @@ def _builder_alive(vdir: str) -> bool:
         # unreadable file, non-dict/null JSON (TypeError — ADVICE r17),
         # malformed pid/ts: all read as not-alive, never as a crash
         return False
+    if pid <= 0:
+        # no real builder has a non-positive pid — and os.kill(-1, 0)
+        # probes a whole PROCESS GROUP (always "alive"), so a corrupt
+        # negative pid would otherwise defer heal forever (review r18)
+        return False
     try:
         os.kill(pid, 0)  # signal 0: existence probe, delivers nothing
         return True
@@ -190,6 +195,11 @@ def _builder_alive(vdir: str) -> bool:
         return False
     except PermissionError:  # pid exists but owned elsewhere — alive
         return True
+    except OverflowError:
+        # a pid outside the C pid_t range cannot name a live process;
+        # reading it as a crash would brick every subsequent
+        # release/heal/prune run on one corrupt marker (review r18)
+        return False
 
 
 def torn_release_dirs(out_dir: str) -> list[str]:
@@ -515,13 +525,24 @@ def _build_release(
         }
     )
 
-    tokenizer_rules = tokenizer_version = None
+    tokenizer_rules = tokenizer_version = tokenizer_root = None
     if tokenizer_path is not None:
         from hnarchive_spark.sources.index_version import current_index_version
         from hnarchive_spark.sources.tokenizer_store import load_tokenizer_rules
 
-        tokenizer_rules = load_tokenizer_rules(tokenizer_path)
+        # pin the store version in ONE pointer read; every later read in
+        # this release (rules here, the id map at emit time) goes through
+        # tokenizer_root, so a concurrent extend publishing mid-release
+        # cannot mix versions (review r18: re-resolving _CURRENT at emit
+        # paired v1 rules with v2's id map — every shipped id silently
+        # shifted while both conservation checks still pass)
         tokenizer_version = current_index_version(tokenizer_path)
+        tokenizer_root = (
+            tokenizer_path
+            if tokenizer_version is None
+            else os.path.join(tokenizer_path, f"v{tokenizer_version}")
+        )
+        tokenizer_rules = load_tokenizer_rules(tokenizer_path, root=tokenizer_root)
     selected = _budget_select(
         mixed, token_budget, tokenizer_rules, encoder=tokenizer_encoder
     ).persist()
@@ -555,7 +576,7 @@ def _build_release(
                 load_tokenizer_id_map,
             )
 
-            id_map = load_tokenizer_id_map(tokenizer_path)
+            id_map = load_tokenizer_id_map(tokenizer_path, root=tokenizer_root)
             if id_map is None:
                 raise ValueError(
                     "emit_tokens needs a tokenizer store with a training "

@@ -173,9 +173,23 @@ def extend_tokenizer_store(
     return _publish_rules(path, prefix + new, vocab=vocab)
 
 
-def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
-    """The CURRENT version's rules, in induction order."""
-    with open(os.path.join(index_root(path), "_RULES.json")) as fh:
+def pinned_root(path: str) -> str:
+    """Resolve the CURRENT version directory ONCE, for callers that
+    read the store more than once in a session (review r18): a release
+    that loads rules, does hours of work, then loads the id map must
+    see ONE version — re-resolving ``_CURRENT`` between the two reads
+    races a concurrent extend and silently pairs v1 rules with v2's id
+    map (every shipped id shifted, no error).  Pass the returned root
+    to every subsequent ``root=`` parameter."""
+    return index_root(path)
+
+
+def load_tokenizer_rules(
+    path: str, root: str | None = None
+) -> list[tuple[int, str, str, int]]:
+    """The CURRENT version's rules, in induction order (``root`` pins a
+    version resolved earlier via :func:`pinned_root`)."""
+    with open(os.path.join(root or index_root(path), "_RULES.json")) as fh:
         meta = json.load(fh)
     return [
         (r["merge_round"], r["left"], r["right"], r["n_occurrences"])
@@ -183,22 +197,22 @@ def load_tokenizer_rules(path: str) -> list[tuple[int, str, str, int]]:
     ]
 
 
-def _load_vocab_counts(path: str) -> dict[str, int] | None:
+def _load_vocab_counts(path: str, root: str | None = None) -> dict[str, int] | None:
     """The CURRENT version's snapshot with counts (None for legacy
     stores).  Tolerates the transitional count-less list shape."""
-    with open(os.path.join(index_root(path), "_RULES.json")) as fh:
+    with open(os.path.join(root or index_root(path), "_RULES.json")) as fh:
         v = json.load(fh).get("vocab")
     if v is None:
         return None
     return dict(v) if isinstance(v, dict) else {tok: 1 for tok in v}
 
 
-def load_tokenizer_vocab(path: str) -> list[str] | None:
+def load_tokenizer_vocab(path: str, root: str | None = None) -> list[str] | None:
     """The CURRENT version's training-corpus subtoken snapshot (token
     types only), or None for a store published before the snapshot
     existed (legacy — its freshness is unverifiable; retrain to
     upgrade)."""
-    counts = _load_vocab_counts(path)
+    counts = _load_vocab_counts(path, root=root)
     return None if counts is None else sorted(counts)
 
 
@@ -206,7 +220,7 @@ UNK_ID = 0  # reserved: a token outside base vocab + merges maps here
 
 
 def load_tokenizer_id_map(
-    path: str,
+    path: str, root: str | None = None
 ) -> tuple[dict[str, int], list[str]] | None:
     """The token <-> integer-id vocabulary the rule list DEFINES
     (VERDICT r17 #6 — the last step between 'selection' and
@@ -221,13 +235,17 @@ def load_tokenizer_id_map(
     every id still names exactly one string).  Returns ``(tok2id,
     id2tok)`` where ``id2tok[i]`` inverts every emitted id, or None for
     a legacy store without a snapshot (retrain to upgrade)."""
-    base = load_tokenizer_vocab(path)
+    if root is None:
+        # one resolution for BOTH reads: vocab and rules must come from
+        # the same version even if an extend publishes mid-call
+        root = pinned_root(path)
+    base = load_tokenizer_vocab(path, root=root)
     if base is None:
         return None
     b = len(base)
     id2tok = ["<unk>"] + list(base)
     tok2id = {tok: i + 1 for i, tok in enumerate(base)}
-    for k, a, bb, _n in load_tokenizer_rules(path):
+    for k, a, bb, _n in load_tokenizer_rules(path, root=root):
         merged = a + bb
         id2tok.append(merged)  # id b + k always DECODES to its string
         tok2id.setdefault(merged, b + int(k))  # first-wins, base-preferred

@@ -366,6 +366,16 @@ def test_builder_alive_stale_and_corrupt_markers(tmp_path):
             fh.write(payload)
         assert not _builder_alive(vdir)
 
+    # review r18: a NEGATIVE pid must read dead — os.kill(-1, 0) probes a
+    # whole process group (always "alive"), so a corrupt ts-less marker
+    # like {"pid": -1} would otherwise defer heal forever; and a pid
+    # outside the C pid_t range raises OverflowError from os.kill, which
+    # must not brick every subsequent release/heal/prune run
+    for payload in ('{"pid": -1}', '{"pid": 0}', '{"pid": %d}' % 10**25):
+        with open(marker, "w") as fh:
+            fh.write(payload)
+        assert not _builder_alive(vdir)
+
     os.remove(marker)
     assert not _builder_alive(vdir)
 
@@ -504,3 +514,64 @@ def test_release_emit_tokens_lossless(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="emit_tokens requires"):
         run_release(spark, SF, str(tmp_path / "rel2"), emit_tokens=True)
+
+def test_release_pins_tokenizer_version_against_concurrent_extend(
+    spark, tmp_path, monkeypatch
+):
+    """review r18: run_release resolves the tokenizer store's _CURRENT
+    pointer ONCE.  An extend publishing v2 between the rules load and
+    the id-map load must NOT shift the shipped ids — before the fix the
+    id map was re-resolved at emit time, pairing v1 rules with v2's id
+    map: every emitted id silently wrong (the base-id block shifts)
+    while len(ids)==n_tokens and both conservation checks still held."""
+    import hnarchive_spark.sources.tokenizer_store as ts
+    from hnarchive_spark.functions import text as T
+    from hnarchive_spark.operators.bpe_encode import build_rank, encode_tokens
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        decode_token_ids,
+    )
+    from hnarchive_spark.tables import load
+
+    tok = str(tmp_path / "tok")
+    d = load(spark, SF, "documents")
+    build_tokenizer_store(spark, d, tok, rounds=3)
+    v1_rules = ts.load_tokenizer_rules(tok)
+    _t2i, v1_id2tok = ts.load_tokenizer_id_map(tok)
+
+    real = ts.load_tokenizer_id_map
+    roots_seen = []
+
+    def racing(path, root=None):
+        # the concurrent extend: v2 adds a base subtoken that sorts
+        # FIRST, shifting every base and merge id by one — the exact
+        # corruption shape the review's failure scenario describes
+        vocab = ts._load_vocab_counts(path) or {}
+        vocab["\x00aaaa"] = 1
+        ts._publish_rules(tok, v1_rules, vocab=vocab)
+        roots_seen.append(root)
+        return real(path, root=root)
+
+    monkeypatch.setattr(ts, "load_tokenizer_id_map", racing)
+    out = str(tmp_path / "rel")
+    m = run_release(spark, SF, out, tokenizer_path=tok, emit_tokens=True)
+    assert m["conservation_ok"] and m["params"]["tokenizer_version"] == 1
+    # the release passed its PINNED v1 root through to the id-map load
+    assert roots_seen and roots_seen[0] is not None
+    assert roots_seen[0].rstrip("/").endswith("v1")
+
+    # shipped ids decode under V1's table to the kernel's exact streams
+    pairs = [(a, b) for _k, a, b, _n in v1_rules]
+    rank = build_rank(pairs)
+    st = {
+        r["doc_id"]: list(r["st"])
+        for r in d.select(
+            "doc_id", T.subtokens(F.col("text")).alias("st")
+        ).collect()
+    }
+    sel = spark.read.parquet(os.path.join(release_root(out), "selected"))
+    rows = sel.select("doc_id", "token_ids").collect()
+    assert rows
+    for r in rows:
+        want = encode_tokens(list(st[r["doc_id"]]), pairs, rank)
+        assert decode_token_ids(list(r["token_ids"]), v1_id2tok) == want
