@@ -34,9 +34,54 @@ where — pointing it at a directory of index roots is enough.
 
 from __future__ import annotations
 
+import json
 import os
 
-from hnarchive_spark.sources.index_version import index_root, prune_index_versions
+from hnarchive_spark.sources.index_version import (
+    current_index_version,
+    index_root,
+    prune_index_versions,
+)
+
+# Sidecar recording a tokenizer extend that FAILED to clear the
+# coverage floor (review r18): on a heavy-tailed corpus with more
+# distinct subtoken types than the snapshot cap, the re-capped snapshot
+# can stay below ``min_coverage_e6`` after the extend — without this
+# record every scheduler pass would see "due" again and burn another
+# full distributed training pass, unbounded.  The sidecar names the
+# version that failed to clear; any newer publish (another extend, a
+# retrain) makes it stale and re-arms execution.
+_EXTEND_AUDIT = "_EXTEND_AUDIT.json"
+
+
+def _load_extend_audit(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _EXTEND_AUDIT)) as fh:
+            rec = json.load(fh)
+        return rec if isinstance(rec, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _record_extend_audit(path: str, coverage_e6: int, floor_e6: int) -> None:
+    tmp = os.path.join(path, _EXTEND_AUDIT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": current_index_version(path),
+                "coverage_e6": int(coverage_e6),
+                "min_coverage_e6": int(floor_e6),
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, _EXTEND_AUDIT))
+
+
+def _clear_extend_audit(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, _EXTEND_AUDIT))
+    except FileNotFoundError:
+        pass
 
 
 def detect_index_kind(path: str) -> str | None:
@@ -268,7 +313,28 @@ def run_maintenance(
                         f"< {min_coverage_e6}e-6 over the given corpus: "
                         f"cli tokenizer extend --path {path})"
                     )
-                    if not dry_run:
+                    audit = _load_extend_audit(path)
+                    blocked = (
+                        audit is not None
+                        and audit.get("version") == current_index_version(path)
+                    )
+                    if not dry_run and blocked:
+                        # review r18: the PREVIOUS extend published this
+                        # very version and still measured below the
+                        # floor — re-extending from the same lineage is
+                        # another full training pass with the same
+                        # capped-snapshot ceiling, so the scheduler
+                        # surfaces instead of retraining unbounded
+                        rec["result"] = (
+                            "extend skipped: the extend that published "
+                            f"v{audit.get('version')} measured coverage "
+                            f"{audit.get('coverage_e6')}e-6, still below "
+                            "the floor (snapshot cap reached for this "
+                            "corpus) — retrain with a larger snapshot, "
+                            "lower min_coverage_e6, or remove "
+                            f"{_EXTEND_AUDIT} to force"
+                        )
+                    elif not dry_run:
                         from hnarchive_spark.sources.tokenizer_store import (
                             extend_tokenizer_store,
                         )
@@ -281,15 +347,40 @@ def run_maintenance(
                         )
                         # re-audit against the NEW version's snapshot:
                         # the extend unions the corpus into it, so the
-                        # recommendation must provably clear here
-                        rec["coverage_after"] = tokenizer_coverage(
-                            spark, corpus, path
-                        )
+                        # recommendation must provably clear here —
+                        # VERIFIED, not assumed (review r18): a capped
+                        # snapshot on a heavy-tailed corpus can stay
+                        # below the floor, and that outcome must not
+                        # re-arm an identical extend next pass
+                        cov_after = tokenizer_coverage(spark, corpus, path)
+                        rec["coverage_after"] = cov_after
                         rec["executed"] = True
-                        rec["result"] = (
-                            f"extended +{tokenizer_extend_rounds} rounds: "
-                            f"{vdir}"
+                        cleared = (
+                            cov_after is not None
+                            and cov_after["coverage_e6"] >= min_coverage_e6
                         )
+                        rec["cleared"] = cleared
+                        if cleared:
+                            _clear_extend_audit(path)
+                            rec["result"] = (
+                                f"extended +{tokenizer_extend_rounds} "
+                                f"rounds: {vdir}"
+                            )
+                        else:
+                            _record_extend_audit(
+                                path,
+                                -1
+                                if cov_after is None
+                                else cov_after["coverage_e6"],
+                                min_coverage_e6,
+                            )
+                            rec["result"] = (
+                                f"extended +{tokenizer_extend_rounds} "
+                                f"rounds: {vdir} — WARNING: coverage did "
+                                "NOT clear the floor (snapshot cap); "
+                                "further auto-extends from this version "
+                                "are disarmed"
+                            )
                         if prune:  # same opt-in as every executed verb
                             prune_index_versions(path)
             out.append(rec)

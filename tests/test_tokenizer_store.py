@@ -256,3 +256,66 @@ def test_id_map_none_for_legacy_store(tmp_path):
         _json.dump({"rounds": 0, "rules": []}, fh)
     publish_index_version(root, 1)
     assert load_tokenizer_id_map(root) is None
+
+
+def test_non_clearing_extend_disarms_not_unbounded(spark, tmp_path, monkeypatch):
+    """review r18: an executed extend whose post-audit coverage is STILL
+    below the floor (snapshot cap on a heavy-tailed corpus) must not
+    re-arm an identical extend on the next scheduler pass — before the
+    fix every pass burned another full distributed training pass,
+    unbounded.  The non-clearing outcome is recorded in a sidecar keyed
+    to the published version; a newer publish re-arms execution, and a
+    clearing extend removes the sidecar."""
+    import hnarchive_spark.sources.tokenizer_store as ts
+    from hnarchive_spark.sources.maintenance import _EXTEND_AUDIT, run_maintenance
+
+    docs = load(spark, SF, "documents").limit(20)
+    root = str(tmp_path / "tok")
+    build_tokenizer_store(spark, docs, root, rounds=2)
+
+    # simulate the capped-snapshot ceiling: every audit reads below the
+    # floor no matter what the extend publishes
+    low = {
+        "total_tokens": 10,
+        "in_vocab_tokens": 1,
+        "oov_tokens": 9,
+        "oov_types": 9,
+        "coverage_e6": 100_000,
+    }
+    monkeypatch.setattr(ts, "tokenizer_coverage", lambda *a, **k: dict(low))
+
+    [rec] = run_maintenance(spark, [root], corpus=docs, tokenizer_extend_rounds=1)
+    assert rec["due"] and rec["executed"] and rec["cleared"] is False
+    assert "WARNING" in rec["result"]
+    assert os.path.exists(os.path.join(root, _EXTEND_AUDIT))
+    v_after = current_index_version(root)
+    assert v_after == 2  # the one extend DID publish
+
+    # pass 2: still due, but DISARMED — no second training pass, no new
+    # version, and the report says why and how to force
+    [rec2] = run_maintenance(spark, [root], corpus=docs, tokenizer_extend_rounds=1)
+    assert rec2["due"] and not rec2["executed"]
+    assert "skipped" in rec2["result"] and "retrain" in rec2["result"]
+    assert current_index_version(root) == v_after
+
+    # any newer publish (manual retrain/extend) makes the sidecar stale
+    # and re-arms exactly one more attempt
+    build_tokenizer_store(spark, docs, root, rounds=2)
+    assert current_index_version(root) == 3
+    [rec3] = run_maintenance(spark, [root], corpus=docs, tokenizer_extend_rounds=1)
+    assert rec3["executed"] and rec3["cleared"] is False
+    assert current_index_version(root) == 4
+
+    # clearing path: due before the extend, clears after -> sidecar gone
+    build_tokenizer_store(spark, docs, root, rounds=2)  # re-arm at v5
+    seen = {"n": 0}
+
+    def low_then_high(*a, **k):
+        seen["n"] += 1
+        return dict(low) if seen["n"] == 1 else {**low, "coverage_e6": 1_000_000}
+
+    monkeypatch.setattr(ts, "tokenizer_coverage", low_then_high)
+    [rec4] = run_maintenance(spark, [root], corpus=docs, tokenizer_extend_rounds=1)
+    assert rec4["executed"] and rec4["cleared"] is True
+    assert "WARNING" not in rec4["result"]
+    assert not os.path.exists(os.path.join(root, _EXTEND_AUDIT))
