@@ -157,6 +157,12 @@ HEADLINE = [
     # recorded in the r18 complete run
     "q_bpe_encode_ids",
     "q_pack_token_ids",
+    # round 18 (late): the padding-waste audit (both pack folds +
+    # integer aggregate — pure metadata) and the per-sequence doc-
+    # boundary offsets (attention-mask metadata: kernel counts ->
+    # shared fold -> in-row cumulative scan)
+    "q_pack_waste",
+    "q_seq_doc_bounds",
 ]
 
 

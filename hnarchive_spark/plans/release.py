@@ -367,9 +367,13 @@ def run_release(
     tokenizer_store.load_tokenizer_id_map) AND ships the
     SEQUENCE-LEVEL artifact ``<vdir>/sequences`` — each packed
     sequence's documents' arrays concatenated in doc_id order
-    (q_pack_token_ids' assembly shape), derived from a RE-READ of the
-    shipped doc-level parquet and conservation-checked (sequence doc
-    total == independent selected count, ids total == token total) —
+    (q_pack_token_ids' assembly shape) plus ``doc_bounds``, the member
+    documents' cumulative END offsets (the attention-mask boundaries;
+    q_seq_doc_bounds is the driver-checked twin), derived from a
+    RE-READ of the shipped doc-level parquet and conservation-checked
+    (sequence doc total == independent selected count, ids total ==
+    token total, every bound table sized n_docs and closing at the id
+    count) —
     so the release output is directly consumable by a training run at
     both granularities.  Decode losslessness (ids -> the exact kernel
     token stream) is test-locked."""
@@ -663,17 +667,36 @@ def _build_release(
         # from what was written, not from lineage that could diverge).
         # Per-group state is bounded by the pack budget by construction.
         shipped = spark.read.parquet(os.path.join(vdir, "selected"))
-        seqs = shipped.groupBy("source", "seq_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("doc_id", "token_ids"))
-                    ),
-                    lambda x: x["token_ids"],
-                )
-            ).alias("token_ids"),
+        from hnarchive_spark.plans.textops import cumulative_ends
+
+        seqs = (
+            shipped.groupBy("source", "seq_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "token_ids"))
+                ).alias("dl"),
+            )
+            .select(
+                "source",
+                "seq_id",
+                "n_docs",
+                "n_tokens",
+                F.flatten(
+                    F.transform("dl", lambda x: x["token_ids"])
+                ).alias("token_ids"),
+                # per-doc END offsets in doc_id order — the attention-
+                # mask boundaries (cross-doc attention inside a packed
+                # sequence masks at these): trainers slice without
+                # rejoining the doc-level shards (q_seq_doc_bounds is
+                # the driver-checked twin of this column)
+                cumulative_ends(
+                    F.transform(
+                        "dl", lambda x: F.size(x["token_ids"]).cast("long")
+                    )
+                ).alias("doc_bounds"),
+            )
         )
         seqs.write.mode("overwrite").option("compression", "zstd").parquet(
             os.path.join(vdir, "sequences")
@@ -686,6 +709,18 @@ def _build_release(
                 F.sum("n_docs").alias("docs"),
                 F.sum("n_tokens").alias("toks"),
                 F.sum(F.size("token_ids")).alias("ids"),
+                # a bound table is consistent iff it has one entry per
+                # member doc and its last entry equals the id count
+                F.sum(
+                    F.when(
+                        (F.size("doc_bounds") == F.col("n_docs"))
+                        & (
+                            F.get("doc_bounds", F.size("doc_bounds") - 1)
+                            == F.size("token_ids").cast("long")
+                        ),
+                        0,
+                    ).otherwise(1)
+                ).alias("bad_bounds"),
             )
             .collect()[0]
         )
@@ -694,10 +729,12 @@ def _build_release(
             "n_docs": int(srow["docs"] or 0),
             "n_tokens": int(srow["toks"] or 0),
             "n_ids": int(srow["ids"] or 0),
+            "bad_bounds": int(srow["bad_bounds"] or 0),
         }
         if (
             seq_audit["n_docs"] != n_written
             or seq_audit["n_ids"] != seq_audit["n_tokens"]
+            or seq_audit["bad_bounds"] != 0
         ):
             raise ValueError(
                 f"sequence emission violated conservation: {seq_audit} "

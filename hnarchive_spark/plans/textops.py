@@ -558,6 +558,36 @@ def pack_fold(toks: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def pack_fold_nfd(toks: DataFrame, budget: int) -> DataFrame:
+    """Next-fit-DECREASING packing: the same greedy fold as
+    :func:`pack_fold` but over documents sorted by (n_tokens DESC,
+    doc_id) within the group — the classic padding-waste reduction
+    (big documents claim fresh bins early; the long tail of small
+    documents then fills the remainders a doc_id-ordered fold would
+    have abandoned).  Same operational shape: ordered applyInPandas
+    per source over (doc_id, n_tokens) METADATA only, O(group) memory,
+    text and ids never enter the kernel.  Valid whenever sample order
+    within a source is free (shuffled at training time anyway); use
+    :func:`pack_fold` when doc_id order is a curriculum."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        seq_ids, cum, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cum > 0 and cum + t > budget:
+                b, cum = b + 1, 0
+            cum += t
+            seq_ids.append(b)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tokens long, seq_id long"
+    )
+
+
 PACK_SHARDS = 4  # hash shards per source — the packing-parallelism knob
 
 
@@ -624,6 +654,143 @@ def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return toks.groupBy("source", "shard").applyInPandas(
         pack, "source string, shard long, doc_id long, n_tokens long, seq_id long"
+    )
+
+
+_NF_FOLD_SQL = """
+    packed{tag} AS (
+      SELECT source, doc_id, n_tokens, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM toks{tag} WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM toks{tag} t
+      JOIN packed{tag} p ON t.source = p.source AND t.rn = p.rn + 1
+    )"""
+
+
+@query(
+    "q_pack_sequences_nfd",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != ''))
+               AS n_tokens
+      FROM documents
+    ),
+    toks AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM base
+    ),{_NF_FOLD_SQL.format(tag="", budget=PACK_BUDGET)}
+    SELECT source, doc_id, n_tokens, seq_id FROM packed
+    """,
+    doc=f"Next-fit-DECREASING sequence packing: documents sorted by "
+    f"(n_tokens DESC, doc_id) per source are folded into <= "
+    f"{PACK_BUDGET}-token training sequences — the padding-waste "
+    "reduction over q_pack_sequences' doc_id-order fold (big docs claim "
+    "fresh bins early, the small-doc tail fills the remainders). Same "
+    "metadata-only ordered applyInPandas shape; q_pack_waste measures "
+    "the win.",
+)
+def q_pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFD packing assignment per source.
+
+    Identical distribution story to q_pack_sequences (the fold sees
+    (doc_id, n_tokens) metadata only; parallelism = sources, or
+    (source, shard) at 100 TB) — the sort key inside the Arrow group is
+    the only change.  Training-data capability extension (SURVEY.md
+    §2.10); no reference analog.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", T.n_tokens(F.col("text")).alias("n_tokens"))
+    return pack_fold_nfd(toks, PACK_BUDGET)
+
+
+@query(
+    "q_pack_waste",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w != ''))
+               AS n_tokens
+      FROM documents
+    ),
+    toks_nf AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    toks_nfd AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM base
+    ),{_NF_FOLD_SQL.format(tag="_nf", budget=PACK_BUDGET)},{_NF_FOLD_SQL.format(tag="_nfd", budget=PACK_BUDGET)},
+    nf_a AS (
+      SELECT source, CAST(max(seq_id) + 1 AS BIGINT) AS nf_seqs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM packed_nf GROUP BY source
+    ),
+    nfd_a AS (
+      SELECT source, CAST(max(seq_id) + 1 AS BIGINT) AS nfd_seqs
+      FROM packed_nfd GROUP BY source
+    )
+    SELECT f.source, f.sum_tokens, f.nf_seqs, d.nfd_seqs,
+           CAST(f.nf_seqs * {PACK_BUDGET} - f.sum_tokens AS BIGINT)
+             AS nf_waste,
+           CAST(d.nfd_seqs * {PACK_BUDGET} - f.sum_tokens AS BIGINT)
+             AS nfd_waste
+    FROM nf_a f JOIN nfd_a d ON d.source = f.source
+    """,
+    doc=f"Padding-waste audit of the two packing strategies: per source, "
+    f"sequences-emitted and waste tokens (n_seqs x {PACK_BUDGET} - "
+    "sum_tokens — every emitted sequence pads to the budget at training "
+    "time, so waste is compute burned on pad tokens) for next-fit vs "
+    "next-fit-decreasing. Integer-exact; waste can go negative only via "
+    "oversized single-doc bins, which both strategies share. The "
+    "measured basis for choosing the packing strategy at 100 TB.",
+)
+def q_pack_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both folds run over the same (doc_id, n_tokens) metadata frame;
+    two applyInPandas passes + two tiny per-source aggregates, joined.
+    The audit is the decision input: padding waste is pure wasted
+    training compute, so a strategy change pays for itself measurably.
+    Training-data capability extension (SURVEY.md §2.10).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", T.n_tokens(F.col("text")).alias("n_tokens")
+    )
+    nf = (
+        pack_fold(toks, PACK_BUDGET)
+        .groupBy("source")
+        .agg(
+            (F.max("seq_id") + 1).cast("long").alias("nf_seqs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+    nfd = (
+        pack_fold_nfd(toks, PACK_BUDGET)
+        .groupBy("source")
+        .agg((F.max("seq_id") + 1).cast("long").alias("nfd_seqs"))
+    )
+    return nf.join(nfd, "source").select(
+        "source",
+        "sum_tokens",
+        "nf_seqs",
+        "nfd_seqs",
+        (F.col("nf_seqs") * PACK_BUDGET - F.col("sum_tokens"))
+        .cast("long")
+        .alias("nf_waste"),
+        (F.col("nfd_seqs") * PACK_BUDGET - F.col("sum_tokens"))
+        .cast("long")
+        .alias("nfd_waste"),
     )
 
 
@@ -1525,6 +1692,150 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             16,
         ).alias("ids_fp"),
+    )
+
+
+def _seq_doc_bounds_oracle(rounds: int, budget: int) -> str:
+    """The boundary table replayed in SQL: the unrolled training CTEs
+    supply per-doc encoded lengths, the recursive next-fit fold assigns
+    sequences, a window prefix-sum per (source, seq_id) in doc_id order
+    yields each document's END offset inside its packed sequence, and
+    the ordered offset list is fingerprinted."""
+    n = rounds
+    return f"""
+    WITH RECURSIVE {_bpe_train_ctes(n).format(pat=T.SUBTOKEN_PATTERN)},
+    bt AS (
+      SELECT d.source, e.doc_id,
+             CAST(len(string_split(e.e, chr(1))) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY d.source ORDER BY e.doc_id) AS rn
+      FROM s{n} e JOIN documents d ON d.doc_id = e.doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, rn,
+             n_tokens AS cum, 0::BIGINT AS seq_id
+      FROM bt WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN t.n_tokens ELSE p.cum + t.n_tokens END,
+             CASE WHEN p.cum + t.n_tokens > {budget}
+                  THEN p.seq_id + 1 ELSE p.seq_id END
+      FROM bt t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    ),
+    bounds AS (
+      SELECT source, seq_id, doc_id,
+             CAST(sum(n_tokens) OVER (PARTITION BY source, seq_id
+                                      ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS bend
+      FROM packed
+    )
+    SELECT source, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(bend) AS BIGINT) AS n_tokens,
+           substr(md5(array_to_string(
+             list_transform(list(bend ORDER BY doc_id),
+                            i -> CAST(i AS VARCHAR)), ',')), 1, 16)
+             AS bounds_fp
+    FROM bounds
+    GROUP BY source, seq_id
+    """
+
+
+@query(
+    "q_seq_doc_bounds",
+    oracle=_seq_doc_bounds_oracle(BPE_TRAIN_ROUNDS, PACK_BUDGET),
+    doc="Per-sequence DOCUMENT BOUNDARY offsets — the attention-mask "
+    "metadata a trainer needs next to the packed token ids (cross-doc "
+    "attention inside a packed sequence is masked at the doc "
+    "boundaries): for each packed sequence, the cumulative END offset "
+    "of every member document in doc_id order, fingerprinted. Kernel "
+    "BPE counts -> the shared metadata-only next-fit fold -> a bounded "
+    "per-sequence scan (array cumulative sum inside the row — no "
+    "window shuffle beyond the one pack-group co-location).",
+)
+def q_seq_doc_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary offsets for every packed sequence.
+
+    Stage shapes: one Arrow encode stage for counts
+    (operators/bpe_encode.bpe_token_counts_kernel), the SHARED
+    metadata-only pack fold, then a groupBy (source, seq_id) whose
+    per-group state is bounded by the pack budget — the cumulative sum
+    runs INSIDE the collected array (F.aggregate), so no second window
+    shuffle.  The release ships the same offsets as ``doc_bounds`` in
+    its sequences artifact (plans/release.py); this query is the
+    driver-checked twin.  Training-data capability extension
+    (SURVEY.md §2.10); no reference analog.
+    """
+    from hnarchive_spark.operators.bpe_encode import bpe_token_counts_kernel
+    from hnarchive_spark.scratch import built_once
+    from hnarchive_spark.sources.tokenizer_store import (
+        build_tokenizer_store,
+        load_tokenizer_rules,
+    )
+
+    path = built_once(
+        "bpe_tokenizer",
+        sf_dir,
+        lambda p: build_tokenizer_store(
+            spark, load(spark, sf_dir, "documents"), p
+        ),
+    )
+    rules = load_tokenizer_rules(path)
+    d = load(spark, sf_dir, "documents")
+    counts = bpe_token_counts_kernel(d, rules)
+    toks = (
+        d.select("source", "doc_id")
+        .join(counts, "doc_id")
+        .select("source", "doc_id", "n_tokens")
+    )
+    g = (
+        pack_fold(toks, PACK_BUDGET)
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_tokens"))
+            ).alias("dl"),
+        )
+    )
+    ends = cumulative_ends(
+        F.transform(F.col("dl"), lambda x: x["n_tokens"].cast("long"))
+    )
+    return g.select(
+        "source",
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(ends, lambda x: x.cast("string")), ","
+                )
+            ),
+            1,
+            16,
+        ).alias("bounds_fp"),
+    )
+
+
+def cumulative_ends(lens) -> F.Column:
+    """Cumulative END offsets of an in-row length array — a linear
+    F.aggregate scan (no window, no shuffle): [3, 2, 4] -> [3, 5, 9].
+    Shared by q_seq_doc_bounds and the release's sequences artifact
+    (``doc_bounds``).  F.get (0-based, null-safe) keeps the empty-prefix
+    read ANSI-clean."""
+    return F.aggregate(
+        lens,
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0).cast("long"))
+                + x
+            ),
+        ),
     )
 
 

@@ -772,3 +772,31 @@ def test_rerank_recall10_arm_plan_guards(spark):
     plan = _plan(spark, "q_rerank_recall10")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan, plan[:800]
+
+
+def test_seq_doc_bounds_no_second_window_shuffle(spark):
+    """q_seq_doc_bounds (attention-mask boundary offsets): the
+    cumulative sum must run INSIDE the collected array (F.aggregate in
+    the projection) — a per-row scan, never a prefix-sum Window over
+    the doc-level rows (which would add a second sort+shuffle of the
+    corpus).  Shape: one Arrow encode stage (MapInPandas), the shared
+    metadata-only pack fold (FlatMapGroupsInPandas), the bounded-state
+    assembly aggregate, and NO Window node at all."""
+    plan = _plan(spark, "q_seq_doc_bounds")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan[:1200]
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan[:1200]
+    assert "ObjectHashAggregate" in plan, plan[:1200]
+
+
+def test_pack_waste_is_metadata_only(spark):
+    """q_pack_waste: both folds see (doc_id, n_tokens) metadata only —
+    the scan must prune to the projection (no text column reaching the
+    fold beyond the token count), the two folds are two
+    FlatMapGroupsInPandas nodes, and the final join of two per-source
+    aggregates must broadcast (20 sources — never an exchange-both-
+    sides sort-merge)."""
+    plan = _plan(spark, "q_pack_waste")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 4, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]

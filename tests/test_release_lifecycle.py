@@ -500,6 +500,7 @@ def test_release_emit_tokens_lossless(spark, tmp_path):
         os.path.join(release_root(out), "sequences")
     ).collect()
     assert len(seq_rows) == m["sequences"]["n_sequences"] == len(by_seq)
+    assert m["sequences"]["bad_bounds"] == 0
     for r in seq_rows:
         docs_ids = [
             ids for _d, ids in sorted(by_seq[(r["source"], r["seq_id"])])
@@ -508,6 +509,16 @@ def test_release_emit_tokens_lossless(spark, tmp_path):
         assert list(r["token_ids"]) == want_flat
         assert r["n_docs"] == len(docs_ids)
         assert r["n_tokens"] == len(want_flat)
+        # doc_bounds: slicing the sequence at the shipped offsets
+        # reproduces every member document's id array (the attention-
+        # mask boundary contract)
+        bounds = list(r["doc_bounds"])
+        assert len(bounds) == r["n_docs"] and bounds[-1] == r["n_tokens"]
+        starts = [0] + bounds[:-1]
+        got_slices = [
+            list(r["token_ids"])[s:e] for s, e in zip(starts, bounds)
+        ]
+        assert got_slices == docs_ids
 
     # emit_tokens without a tokenizer is a loud contract error
     import pytest as _pytest
