@@ -56,17 +56,19 @@ _ROTATION_BUILT_FOR_ROUND = 18
 _VERIFY_FIRST = [
     # Round-18 rotation, generated MECHANICALLY as
     # tools/rotation_report.rotation_order(before_round=18) prefix and
-    # locked by tests/test_rotation_consistency.py: the five queries
+    # locked by tests/test_rotation_consistency.py: the six queries
     # registered this round first (the token-id export + sequence
-    # assembly, VERDICT r17 #6, and the NFD packing / waste audit /
-    # doc-bounds trio), then the FULL r12 verification floor (the
+    # assembly, VERDICT r17 #6, and the FFD/NFD packing / waste audit /
+    # doc-bounds additions), then the FULL r12 verification floor (the
     # 10-query block VERDICT r17 #4 names), then the r13 block filling
     # the 50-slot budget; ascending staleness, ALPHABETICAL tiebreak.
     # With this window green the staleness floor over
-    # CORRECTNESS_r01-r18 rises to r13 (the three tail r13 names the
-    # trio displaced — q_schema_evolution, q_semdedup_indexed,
-    # q_shipmode_priority — stay r13-green, so the floor claim holds).
+    # CORRECTNESS_r01-r18 rises to r13 (the four tail r13 names the
+    # additions displaced — q_sample_weighted, q_schema_evolution,
+    # q_semdedup_indexed, q_shipmode_priority — stay r13-green, so the
+    # floor claim holds).
     "q_bpe_encode_ids",
+    "q_pack_sequences_ffd",
     "q_pack_sequences_nfd",
     "q_pack_token_ids",
     "q_pack_waste",
@@ -115,7 +117,6 @@ _VERIFY_FIRST = [
     "q_returned_items",
     "q_running_sum",
     "q_sample_hash",
-    "q_sample_weighted",
 ]
 
 

@@ -790,13 +790,14 @@ def test_seq_doc_bounds_no_second_window_shuffle(spark):
 
 
 def test_pack_waste_is_metadata_only(spark):
-    """q_pack_waste: both folds see (doc_id, n_tokens) metadata only —
-    the scan must prune to the projection (no text column reaching the
-    fold beyond the token count), the two folds are two
-    FlatMapGroupsInPandas nodes, and the final join of two per-source
+    """q_pack_waste: all three folds see (doc_id, n_tokens) metadata
+    only — the scan must prune to the projection (no text column
+    reaching the fold beyond the token count), the three folds are
+    three FlatMapGroupsInPandas nodes, and the joins of per-source
     aggregates must broadcast (20 sources — never an exchange-both-
     sides sort-merge)."""
     plan = _plan(spark, "q_pack_waste")
     assert "CartesianProduct" not in plan
-    assert plan.count("FlatMapGroupsInPandas") == 4, plan[:1200]
+    assert plan.count("FlatMapGroupsInPandas") == 6, plan[:1200]
     assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]

@@ -143,3 +143,40 @@ def test_grouped_global_rank_with_count_matches_python_sort(spark, rows):
         items.sort()  # v asc, id asc
         for rank0, (v, i) in enumerate(items):
             assert got[i] == (rank0 + 1, len(items)), (k, i, got[i])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=0, max_size=120),
+    st.integers(min_value=1, max_value=160),
+)
+def test_ffd_segment_tree_matches_naive_first_fit(lengths, budget):
+    """pack_fold_ffd's O(n log n) segment-tree lookup must assign the
+    EXACT bins the textbook O(n^2) first-fit scan assigns (leftmost
+    open bin with room, else a new bin), for any length mix including
+    oversized items — the tree is an optimization, never a semantics
+    change.  Pure Python: no SparkSession."""
+    from hnarchive_spark.plans.textops import ffd_assign
+
+    ordered = sorted(lengths, reverse=True)  # the fold's DESC order
+    got = ffd_assign(ordered, budget)
+
+    rems: list[int] = []
+    want = []
+    for t in ordered:
+        for i, r in enumerate(rems):
+            if r >= t:
+                rems[i] -= t
+                want.append(i)
+                break
+        else:
+            rems.append(budget - t)
+            want.append(len(rems) - 1)
+    assert got == want
+
+    # validity: no bin over budget unless it holds a single oversized item
+    loads: dict[int, list[int]] = {}
+    for t, b in zip(ordered, got):
+        loads.setdefault(b, []).append(t)
+    for b, items in loads.items():
+        assert sum(items) <= budget or len(items) == 1
