@@ -704,6 +704,7 @@ def cmd_release(spark, args):
         tokenizer_path=args.tokenizer,
         tokenizer_encoder=args.tokenizer_encoder,
         emit_tokens=args.emit_tokens,
+        pack_strategy=args.pack_strategy,
     )
     if args.prune_old:
         from hnarchive_spark.plans.release import prune_release_versions
@@ -939,6 +940,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "size, row-identical to the chain). 'regexp' is the "
                     "oracled chained-regexp twin, explicit opt-in only: "
                     "it is measured unbuildable at >=500 rules")
+    rl.add_argument("--pack-strategy", default="ffd", choices=("ffd", "nf"),
+                    help="sequence packing fold (default: first-fit-"
+                    "decreasing — measured 1.3%% pad-token waste vs "
+                    "next-fit's 26.5%% at sf0.1, SCALE.md r18). 'nf' "
+                    "keeps doc_id-order next-fit for corpora whose "
+                    "document order is a training curriculum")
     rl.add_argument("--emit-tokens", action="store_true",
                     help="with --tokenizer: ship each selected doc's "
                     "token-id array (array<int>) in the shards — the "

@@ -125,12 +125,28 @@ def _budget_select(
     )
 
 
-def _pack_selected(selected: DataFrame, pack_budget: int) -> DataFrame:
-    """q_pack_sequences' next-fit fold (the SHARED textops.pack_fold —
-    review r16: one definition, not a copy) applied to the selection."""
-    from hnarchive_spark.plans.textops import pack_fold
+PACK_STRATEGIES = ("ffd", "nf")  # first-fit-decreasing | next-fit
 
-    return pack_fold(selected.select("source", "doc_id", "n_tokens"), pack_budget)
+
+def _pack_selected(
+    selected: DataFrame, pack_budget: int, strategy: str = "ffd"
+) -> DataFrame:
+    """The selection's packing fold (SHARED with the registered packing
+    queries — review r16: one definition per fold, not copies).
+    ``ffd`` (default) is first-fit-decreasing — measured 1.3% pad-token
+    waste vs next-fit's 26.5% at sf0.1 (SCALE.md r18: within 16
+    sequences of the bin lower bound; pad tokens are burned training
+    compute, so the default is the strategy the audit picked).  ``nf``
+    keeps q_pack_sequences' doc_id-order next-fit for corpora whose
+    document order is a curriculum the training run must preserve."""
+    from hnarchive_spark.plans.textops import pack_fold, pack_fold_ffd
+
+    if strategy not in PACK_STRATEGIES:
+        raise ValueError(
+            f"pack_strategy must be one of {PACK_STRATEGIES}, got {strategy!r}"
+        )
+    fold = pack_fold_ffd if strategy == "ffd" else pack_fold
+    return fold(selected.select("source", "doc_id", "n_tokens"), pack_budget)
 
 
 def _existing_versions(out_dir: str) -> list[int]:
@@ -336,6 +352,7 @@ def run_release(
     tokenizer_path: str | None = None,
     tokenizer_encoder: str = "kernel",
     emit_tokens: bool = False,
+    pack_strategy: str = "ffd",
 ) -> dict:
     """Run the full release pipeline over ``sf_dir``'s documents table,
     write the selection (parquet, shard-partitioned), stage audit
@@ -359,6 +376,13 @@ def run_release(
     opt-in — measured unbuildable at >=500 rules; VERDICT r17 #1).  The
     manifest records ``token_unit``, the tokenizer version, and the
     encoder used.
+
+    ``pack_strategy`` picks the sequence-packing fold — ``"ffd"`` (the
+    DEFAULT: first-fit-decreasing, measured 1.3% pad-token waste vs
+    next-fit's 26.5% at sf0.1, within 16 sequences of the bin lower
+    bound — SCALE.md r18) or ``"nf"`` (doc_id-order next-fit, the
+    opt-in for corpora whose document order is a training curriculum).
+    Recorded in the manifest.
 
     ``emit_tokens`` (requires ``tokenizer_path`` — VERDICT r17 #6, the
     training-ready-shard step) adds each selected document's
@@ -420,7 +444,7 @@ def run_release(
         return _build_release(
             spark, sf_dir, out_dir, vdir, new_v, healed,
             token_budget, pack_budget, n_shards,
-            tokenizer_path, tokenizer_encoder, emit_tokens,
+            tokenizer_path, tokenizer_encoder, emit_tokens, pack_strategy,
         )
     except BaseException:
         # a run that FAILS before its manifest unregisters its liveness
@@ -453,6 +477,7 @@ def _build_release(
     tokenizer_path: str | None,
     tokenizer_encoder: str,
     emit_tokens: bool,
+    pack_strategy: str,
 ) -> dict:
     """run_release's build body: everything between version allocation
     and the pointer swap, under the caller's torn-marker guard."""
@@ -559,7 +584,7 @@ def _build_release(
             {"stage": 6, "name": "token_budget", "docs": n_sel, "tokens": sel_tokens}
         )
 
-        packed = _pack_selected(selected, pack_budget)
+        packed = _pack_selected(selected, pack_budget, pack_strategy)
         sharded = shard_assign(selected, n_shards)
         out_rows = (
             selected.select("source", "doc_id", "lang", "n_tokens", "q_e4")
@@ -768,6 +793,7 @@ def _build_release(
         "params": {
             "token_budget": token_budget,
             "pack_budget": pack_budget,
+            "pack_strategy": pack_strategy,
             "n_shards": n_shards,
             "token_unit": "whitespace" if tokenizer_rules is None else "bpe",
             "tokenizer_version": tokenizer_version,
