@@ -26,6 +26,74 @@ from pyspark.sql import functions as F
 
 from hnarchive_spark.operators.similarity import DIM, as_double, sq_dist as _sq_dist
 
+# Above this many centroids the literal-argmin expression is no longer a
+# sane plan (k x dim literals embedded in one projection); fall back to the
+# broadcast-join + window form.  Every registered codebook (KMEANS_K=8,
+# PQ_K=8, IVF lists) is far below it; a production coarse quantizer that
+# outgrows this bound needs the join form anyway because its centroid
+# matrix stops being expression-sized.
+ARGMIN_LITERAL_MAX = 1024
+
+
+def _cent_pairs(centroids) -> list[tuple[int, list[float]]]:
+    """Normalize a centroid spec (Row list / tuple list) to (list_id, vec)."""
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in centroids]
+
+
+def _argmin_list_id(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """MAP-SIDE nearest-centroid assignment: min over a literal
+    (dist, list_id) struct array — zero Exchange, zero row explosion
+    (guide §2.4: the crossJoin(k) + Window(vec_id) argmin shuffled n*k
+    vector-carrying rows per pass; this is a pure projection).
+
+    Scoring contract is IDENTICAL to the join form it replaces: dist =
+    round(sq_dist, 6) via the same sequential fold, and array_min over
+    struct<dist,list_id> is the same total order as the window's
+    ORDER BY dist, list_id (lexicographic struct comparison — equal
+    rounded doubles tie-break to the smaller list_id), so the argmin is
+    bit-for-bit the row_number()=1 row."""
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(lid).cast("long").alias("list_id"),
+            F.array(*[F.lit(x) for x in c]).alias("centroid"),
+        )
+        for lid, c in cents
+    ])
+    scored = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.round(_sq_dist(vec, s["centroid"]), 6).alias("dist"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+    return F.array_min(scored)["list_id"]
+
+
+def _assign_pass(e: DataFrame, cents: list[tuple[int, list[float]]], keep_vec: bool = True) -> DataFrame:
+    """One nearest-centroid assignment pass over (vec_id, v) rows."""
+    if len(cents) <= ARGMIN_LITERAL_MAX:
+        cols = ["vec_id", "v"] if keep_vec else ["vec_id"]
+        return e.select(*cols, _argmin_list_id(F.col("v"), cents).alias("list_id"))
+    # join fallback for expression-unfriendly centroid counts — the
+    # previously verified broadcast-join + window form, same contract
+    spark = e.sparkSession
+    cent_df = spark.createDataFrame(
+        cents, "list_id long, centroid array<double>"
+    )
+    scored = e.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "v",
+        "list_id",
+        F.round(_sq_dist(F.col("v"), F.col("centroid")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
+    assign = (
+        scored.select("vec_id", "v", "list_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    cols = ["vec_id", "v", "list_id"] if keep_vec else ["vec_id", "list_id"]
+    return assign.select(*cols)
+
 
 def kmeans_assign(
     vectors: DataFrame,
@@ -49,7 +117,6 @@ def kmeans_assign(
     quantizer a persisted index freezes: replaying
     :func:`kmeans_assign_frozen` with it reproduces the assignment
     bit-for-bit."""
-    spark = vectors.sparkSession
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -68,21 +135,8 @@ def kmeans_assign(
     assign, used = None, centroids
     for _ in range(iters):
         used = centroids
-        cent_df = spark.createDataFrame(
-            [(r["list_id"], r["centroid"]) for r in centroids],
-            "list_id long, centroid array<double>",
-        )
-        scored = e.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id",
-            "v",
-            "list_id",
-            F.round(_sq_dist(F.col("v"), F.col("centroid")), 6).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
-        assign = (
-            scored.select("vec_id", "v", "list_id", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "list_id")
+        assign = _assign_pass(
+            e, _cent_pairs([(r["list_id"], r["centroid"]) for r in centroids])
         )
         dim_cols = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
         centroids = (
@@ -114,32 +168,19 @@ def kmeans_assign_frozen(
     (6-decimal rounded squared distance, list-id tiebreak), so assigning
     against the centroids :func:`kmeans_assign` returned reproduces its
     final assignment exactly.  ``centroids`` is a (list_id, centroid)
-    row list or a DataFrame with those columns."""
-    spark = vectors.sparkSession
+    row list or a DataFrame with those columns (a persisted k-row centroid
+    table is collected here — metadata-width, the same k x dim matrix
+    :func:`kmeans_assign` already holds on the driver per iteration)."""
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
     if isinstance(centroids, DataFrame):
-        cent_df = centroids.select("list_id", "centroid")
-    else:
-        cent_df = spark.createDataFrame(
-            [(r["list_id"], r["centroid"]) for r in centroids],
-            "list_id long, centroid array<double>",
-        )
-    scored = e.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id",
-        "v",
-        "list_id",
-        F.round(_sq_dist(F.col("v"), F.col("centroid")), 6).alias("dist"),
+        centroids = centroids.select("list_id", "centroid").collect()
+    return _assign_pass(
+        e,
+        _cent_pairs([(r["list_id"], r["centroid"]) for r in centroids]),
+        keep_vec=keep_vec,
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "list_id")
-    assign = (
-        scored.select("vec_id", "v", "list_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-    )
-    if keep_vec:
-        return assign.select("vec_id", "v", "list_id")
-    return assign.select("vec_id", "list_id")
 
 
 def pq_assign(
@@ -160,22 +201,18 @@ def pq_assign(
     Semantically identical to running :func:`kmeans_assign` once per
     subvector slice (same k-smallest-ids init, 6-decimal rounded distances,
     list-id tiebreak, fixed iterations — the oracle replays exactly that),
-    but ALL ``n_sub`` codebooks train in ONE corpus pass per iteration: the
-    corpus explodes to (vec_id, m, sub_v) rows and joins one broadcast
-    (m, list_id, centroid) table, so the job count is O(iters), not
-    O(iters * n_sub) — at 100 TB that is n_sub-fold fewer scans, and only
-    the n_sub * k * sub_dim centroid matrix ever reaches the driver."""
+    but ALL ``n_sub`` codebooks assign in ONE map-side corpus pass per
+    iteration: each subspace's argmin is a literal-codebook fold in the
+    same projection (guide §2.4 — the previous explode-to-(vec_id, m) +
+    broadcast-join + Window(vec_id, m) + final pivot shape shuffled
+    n*n_sub*k scored rows per iteration plus a pivot aggregate; this
+    form's only exchange is the tiny (m, list_id) centroid-update
+    aggregate between iterations).  Only the n_sub * k * sub_dim centroid
+    matrix ever reaches the driver."""
     sub = dim // n_sub
-    spark = vectors.sparkSession
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    sub_v = F.expr(f"slice(v, m * {sub} + 1, {sub})")
-    e_sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
-        F.col("v"),
-    ).select("vec_id", "m", sub_v.alias("sub_v"))
 
     seed = e.orderBy("vec_id").limit(k).collect()  # k rows — bounded small
     centroids = [
@@ -184,40 +221,45 @@ def pq_assign(
         for j, r in enumerate(seed)
     ]
 
-    assign = None
+    def slice_m(m: int) -> F.Column:
+        return F.expr(f"slice(v, {m * sub + 1}, {sub})")
+
+    assign_wide = None
     for it in range(iters):
-        cent_df = spark.createDataFrame(
-            centroids, "m int, list_id long, centroid array<double>"
-        )
-        scored = e_sub.join(F.broadcast(cent_df), "m").select(
+        by_m: dict[int, list[tuple[int, list[float]]]] = {}
+        for m, lid, c in centroids:
+            by_m.setdefault(int(m), []).append((int(lid), [float(x) for x in c]))
+        assign_wide = e.select(
             "vec_id",
-            "m",
-            "list_id",
-            "sub_v",
-            F.round(_sq_dist(F.col("sub_v"), F.col("centroid")), 6).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "list_id")
-        assign = (
-            scored.select(
-                "vec_id", "m", "list_id", "sub_v", F.row_number().over(w).alias("rn")
-            )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "list_id", "sub_v")
+            "v",
+            *[
+                _argmin_list_id(slice_m(m), by_m[m]).alias(f"code_{m}")
+                for m in range(n_sub)
+            ],
         )
         if it < iters - 1:
+            # centroid update: explode ONLY the (m, code, sub_v) triples the
+            # aggregate needs — the corpus-wide argmin stays un-exploded
+            trip = assign_wide.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"code_{m}").alias("list_id"),
+                            slice_m(m).alias("sub_v"),
+                        )
+                        for m in range(n_sub)
+                    ])
+                ).alias("t")
+            ).select("t.m", "t.list_id", "t.sub_v")
             dim_cols = [F.avg(F.col("sub_v")[i]).alias(f"c{i}") for i in range(sub)]
             centroids = [
                 (int(r["m"]), int(r["list_id"]), [r[f"c{i}"] for i in range(sub)])
-                for r in assign.groupBy("m", "list_id").agg(*dim_cols).collect()
+                for r in trip.groupBy("m", "list_id").agg(*dim_cols).collect()
             ]
 
-    codes = (
-        assign.groupBy("vec_id")
-        .pivot("m", list(range(n_sub)))
-        .agg(F.first("list_id"))
-        .select(
-            "vec_id", *[F.col(str(m)).alias(f"code_{m}") for m in range(n_sub)]
-        )
+    codes = assign_wide.select(
+        "vec_id", *[F.col(f"code_{m}") for m in range(n_sub)]
     )
     if return_codebook:
         return codes, centroids

@@ -588,6 +588,12 @@ def semdedup_prune(
     over (list_id ORDER BY vec_id) — Spark plans it as a WindowGroupLimit
     (per-partition top-P before the full window), and the oracle replays
     it exactly."""
+    # Per-vector norms are computed ONCE before the pair join — inside it
+    # they would be recomputed per PAIR, tripling the per-pair flops
+    # (guide §1.2 step 2; same discipline as cosine_topk).  norm() is the
+    # identical fold, and nx * ny multiplies the same doubles the inlined
+    # cosine would, so cos_e6 stays bit-for-bit.
+    assign = assign.select("vec_id", "v", "list_id", norm(F.col("v")).alias("n"))
     x_src = assign
     if max_pivots is not None:
         pw = Window.partitionBy("list_id").orderBy("vec_id")
@@ -596,8 +602,13 @@ def semdedup_prune(
             .filter(F.col("_pr") <= max_pivots)
             .drop("_pr")
         )
+        # bounded by construction (max_pivots rows per cluster): broadcast
+        # the pivot side so the full assignment is never shuffled (§3.1)
+        x_src = F.broadcast(x_src)
     x, y = x_src.alias("x"), assign.alias("y")
-    cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
+    cos_e6 = F.round(
+        dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n")) * 1_000_000, 0
+    ).cast("long")
     pairs = (
         x.join(
             y,

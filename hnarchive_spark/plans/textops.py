@@ -1308,6 +1308,7 @@ def induce_bpe_rules(
     cur = st.select(enc.alias("e")).persist()
     start = (initial_rules[-1][0] if initial_rules else 0) + 1
     rules: list[tuple[int, str, str, int]] = []
+    prev = None  # parent cache, released only after the child materializes
     try:
         for k in range(start, start + rounds):
             # materialize the split in its own projection (no lambda CSE)
@@ -1330,6 +1331,14 @@ def induce_bpe_rules(
                 .limit(1)
                 .collect()
             )
+            # this round's argmax ran over cur, populating its cache — the
+            # previous round's parent cache is now safe to drop (one job per
+            # round instead of two: the old shape paid an extra count() pass
+            # purely to materialize the child before unpersisting the parent
+            # — guide §1.2: remove passes that compute nothing new)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:  # corpus exhausted (every stream merged to 1 token)
                 break
             a, b = top[0]["pair"].split(" ")
@@ -1343,11 +1352,11 @@ def induce_bpe_rules(
                     F.lit(_bpe_replacement_quote(a + b)),
                 ).alias("e")
             ).persist()
-            nxt.count()  # one cheap pass over the cached parent
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return rules
 
 

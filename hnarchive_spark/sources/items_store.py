@@ -224,10 +224,22 @@ class ItemsStore:
             merged = merge_items(raw.select(*item_cols), updates, seq_col=seq_col)
             self._commit(merged)
             return
-        # materialize the batch once: it feeds two jobs (touched-bucket
+        # materialize the batch once: it feeds two consumers (touched-bucket
         # listing + the merge) and may be an HTTP fetch pipeline that must
-        # not re-run per action
-        updates = updates.localCheckpoint(eager=True)
+        # not re-run per action.  persist + the bucket-listing collect does
+        # both in ONE job (the eager localCheckpoint used here before was a
+        # separate whole-batch pass per commit purely to cut lineage —
+        # guide §1.2: the cache gives the same no-refetch guarantee, and
+        # MEMORY_AND_DISK spills rather than evicts for batches this size)
+        from pyspark import StorageLevel
+
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._merge_pruned(updates, raw, item_cols, old_v, seq_col)
+        finally:
+            updates.unpersist()
+
+    def _merge_pruned(self, updates, raw, item_cols, old_v, seq_col) -> None:
         touched = sorted(
             r[0]
             for r in updates.select(

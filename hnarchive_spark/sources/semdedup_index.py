@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnarchive_spark.operators.kmeans import kmeans_assign, kmeans_assign_frozen
-from hnarchive_spark.operators.similarity import as_double, cosine, semdedup_prune
+from hnarchive_spark.operators.similarity import as_double, dot, norm, semdedup_prune
 from hnarchive_spark.sources.index_version import (
     current_index_version,
     index_root,
@@ -284,8 +284,15 @@ def semdedup_probe_batch(
             .filter(F.col("_pr") <= max_pivots)
             .drop("_pr")
         )
+    # norms once per row, not per pair (the semdedup_prune discipline):
+    # dot/(nx*ny) multiplies the same doubles the inlined cosine would,
+    # so cos_e6 is bit-identical at a third of the per-pair flops
+    arch = arch.select("*", norm(F.col("v")).alias("n"))
+    b = b.select("*", norm(F.col("v")).alias("n"))
     x, y = arch.alias("x"), b.alias("y")
-    cos_e6 = F.round(cosine(F.col("x.v"), F.col("y.v")) * 1_000_000, 0).cast("long")
+    cos_e6 = F.round(
+        dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n")) * 1_000_000, 0
+    ).cast("long")
     pairs = (
         x.join(
             y,

@@ -59,9 +59,11 @@ def test_probe_does_no_training(spark, tmp_path):
     df = semdedup_probe(spark, e, path, SEMDEDUP_T_E6)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # training would show iterated HashAggregate(avg(v[i])) chains; the
-    # frozen probe has only the embeddings scans and the k-row centroid
-    # parquet scan (paths truncate in the plan string — match the schema)
-    assert "centroid:array<double>" in plan
+    # frozen probe assigns MAP-SIDE against the stored centroids (collected
+    # k-row table embedded as a literal argmin fold — r18 optimization), so
+    # the plan has only embeddings scans, the argmin projection, and the
+    # prune — no aggregate, no per-vector assignment Exchange
+    assert "array_min" in plan, plan[:800]
     assert plan.count("avg(") == 0, plan[:800]
 
 
@@ -122,7 +124,7 @@ def test_capped_plan_uses_window_group_limit_and_no_training(spark, tmp_path):
         spark, e, path, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "centroid:array<double>" in plan
+    assert "array_min" in plan, plan[:800]  # map-side frozen argmin (r18)
     assert plan.count("avg(") == 0, plan[:800]
     assert "WindowGroupLimit" in plan, plan[:1200]
 
