@@ -133,8 +133,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
         .distinct()
     )
-    nodes = e.select("user_id").distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # materialize the iteration-invariant frames ONCE (the _und_edges
+    # working-set discipline): un-materialized, every one of the PR_ITERS
+    # contrib joins replays the full events-window + distinct edge
+    # derivation per reference — the before-plan carried 86 Exchanges for
+    # a 3-iteration loop (guide §2.4: remove repeated subtree passes).
+    # Edge/degree/node tables are |E|-/|V|-sized, tiny next to events.
+    edges = edges.localCheckpoint(eager=True)
+    nodes = e.select("user_id").distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
     ranks = nodes.select("user_id", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
