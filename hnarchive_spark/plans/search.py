@@ -1199,25 +1199,38 @@ def q_rerank_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(
         e, e.filter(F.col("vec_id") < HYBRID_QUERIES), HYBRID_TOPK
     ).select("query_id", F.col("neighbor_id").alias("doc_id"))
-    arms = {
-        "fused_hits": rr.filter(F.col("rrf_rank") <= HYBRID_TOPK),
-        "rerank_hits": rr.filter(F.col("rerank") <= HYBRID_TOPK),
-    }
-    out = None
-    for name, arm in arms.items():
-        a = arm.select(
-            F.col("query_id").alias("a_qid"), F.col("doc_id").alias("a_did")
+    # Both arms from ONE left join + ONE aggregate (guide §1.2: the old
+    # per-arm loop referenced `exact` — the offline corpus cross-join
+    # ground truth, the query's dominant pass — and the refine subtree
+    # once PER ARM, so the corpus pass ran twice per action.  (query_id,
+    # doc_id) is unique in both `exact` (row_number top-k) and `rr` (the
+    # shortlist is distinct per query), so the left join yields exactly
+    # one row per exact row and counting rank-conditioned matches is
+    # bit-identical to the per-arm filtered joins: plans/r18/
+    # q_rerank_recall10_{before,after}.txt — 2 -> 1 BroadcastNestedLoop
+    # corpus joins, 15 -> 8 Exchange, 8 -> 4 parquet scans.)
+    a = rr.select(
+        F.col("query_id").alias("a_qid"),
+        F.col("doc_id").alias("a_did"),
+        "rrf_rank",
+        "rerank",
+    )
+    out = (
+        exact.join(
+            a,
+            (exact.query_id == a.a_qid) & (exact.doc_id == a.a_did),
+            "left",
         )
-        agg = (
-            exact.join(
-                a,
-                (exact.query_id == a.a_qid) & (exact.doc_id == a.a_did),
-                "left",
-            )
-            .groupBy("query_id")
-            .agg(F.count("a_did").alias(name))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("rrf_rank") <= HYBRID_TOPK, F.lit(1))).alias(
+                "fused_hits"
+            ),
+            F.count(F.when(F.col("rerank") <= HYBRID_TOPK, F.lit(1))).alias(
+                "rerank_hits"
+            ),
         )
-        out = agg if out is None else out.join(agg, "query_id")
+    )
     return out.select(
         "query_id",
         "fused_hits",

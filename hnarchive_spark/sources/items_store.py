@@ -217,10 +217,21 @@ class ItemsStore:
             merged = merge_items(self.read().select(*item_cols), updates, seq_col=seq_col)
             self._commit(merged)
             return
-        raw = self._read_raw()
-        if _BUCKET_COL not in raw.columns:
+        # legacy detection straight from the version dir's entries — the
+        # pruned path below never builds a whole-store DataFrame, so the
+        # per-commit driver file-listing is O(touched buckets), not
+        # O(store) (guide §6: listing is driver-side, single-process work;
+        # at production bucket counts the full-store InMemoryFileIndex
+        # walk per 200-row commit IS the commit floor)
+        d = self._version_dir(old_v)
+        names = os.listdir(d)
+        legacy = any(n.endswith(".parquet") for n in names) and not any(
+            n.startswith(f"{_BUCKET_COL}=") for n in names
+        )
+        if legacy:
             # legacy layout (no id_bucket partitions): fall back to a full
             # merge once; the rewrite migrates the store to bucketed dirs
+            raw = self.spark.read.parquet(d)
             merged = merge_items(raw.select(*item_cols), updates, seq_col=seq_col)
             self._commit(merged)
             return
@@ -235,11 +246,11 @@ class ItemsStore:
 
         updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            self._merge_pruned(updates, raw, item_cols, old_v, seq_col)
+            self._merge_pruned(updates, item_cols, old_v, seq_col)
         finally:
             updates.unpersist()
 
-    def _merge_pruned(self, updates, raw, item_cols, old_v, seq_col) -> None:
+    def _merge_pruned(self, updates, item_cols, old_v, seq_col) -> None:
         touched = sorted(
             r[0]
             for r in updates.select(
@@ -263,7 +274,11 @@ class ItemsStore:
             # would reject surface here, on the idle tick.
             if seq_col is not None and seq_col not in updates.columns:
                 raise ValueError(f"seq_col {seq_col!r} not in batch columns")
-            probe = merge_items(raw.select(*item_cols).limit(0), updates, seq_col=seq_col)
+            probe = merge_items(
+                self.spark.createDataFrame([], schema=ITEMS_SCHEMA).select(*item_cols),
+                updates,
+                seq_col=seq_col,
+            )
             # analysis alone lets Spark COERCE a mistyped column (a string
             # score coalesces to string) — exactly the drift a non-empty
             # merge would then write into the snapshot schema.  Reject any
@@ -281,13 +296,35 @@ class ItemsStore:
             self._link_forward(self._version_dir(old_v), out)
             self._swap_pointer(new_v)
             return
-        current = raw.filter(F.col(_BUCKET_COL).isin(touched)).select(*item_cols)
+        # read ONLY the touched bucket subtrees (basePath keeps the
+        # partition columns): the driver lists O(touched) directories per
+        # commit instead of walking the whole store's partition tree —
+        # the same rows the old whole-store read + isin partition filter
+        # produced, without the O(store) InMemoryFileIndex build.  A
+        # touched bucket with no dir yet (a brand-new id range) simply
+        # contributes no current rows, exactly as the filter did.
+        old_dir = self._version_dir(old_v)
+        bucket_dirs = [
+            p
+            for b in touched
+            if os.path.isdir(p := os.path.join(old_dir, f"{_BUCKET_COL}={b}"))
+        ]
+        if bucket_dirs:
+            current = (
+                self.spark.read.schema(_RAW_SCHEMA)
+                .option("basePath", old_dir)
+                .parquet(*bucket_dirs)
+                .select(*item_cols)
+            )
+        else:
+            current = self.spark.createDataFrame([], schema=ITEMS_SCHEMA).select(
+                *item_cols
+            )
         merged = merge_items(current, updates, seq_col=seq_col)
         new_v = old_v + 1
         out = self._version_dir(new_v)
         self._write_snapshot(merged, out)
         # copy-forward every untouched bucket from the previous snapshot
-        old_dir = self._version_dir(old_v)
         touched_set = set(touched)
         for name in os.listdir(old_dir):
             if not name.startswith(f"{_BUCKET_COL}="):

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,6 +178,38 @@ def append_minhash_index(
         b.unpersist()
 
 
+def _probe_candidates(
+    spark: SparkSession,
+    b_bands: DataFrame,
+    path: str,
+    buckets: list,
+    max_band_df: int | None,
+) -> DataFrame:
+    """The probe's LAZY candidate-pair frame: batch band rows joined into
+    ONLY the archive band buckets they hash to (bucket isin -> partition-
+    pruned scan of the persisted bands), optional stop-key guard, pair
+    dedup.  Split out so the pruning invariant stays plan-lockable after
+    probe_minhash_pairs checkpoints the result."""
+    arch = spark.read.parquet(_bands_path(path)).filter(F.col("bucket").isin(buckets))
+    x = b_bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    y = arch.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    if max_band_df is not None:
+        # stop-key guard: drop archive band keys matched by more than N
+        # archive rows BEFORE pairing (bounds any key's pair fanout)
+        hot = (
+            y.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_band_df)
+        )
+        y = y.join(hot.select("band", "band_key"), ["band", "band_key"], "left_anti")
+    return (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("d1") != F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
 def probe_minhash_pairs(
     spark: SparkSession,
     batch: DataFrame,
@@ -212,23 +245,21 @@ def probe_minhash_pairs(
     buckets = [r[0] for r in b_bands.select("bucket").distinct().collect()]
     if not buckets:
         return spark.createDataFrame([], "d1 long, d2 long, jaccard_e4 long")
-    arch = spark.read.parquet(_bands_path(path)).filter(F.col("bucket").isin(buckets))
-    x = b_bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    y = arch.select(F.col("doc_id").alias("d2"), "band", "band_key")
-    if max_band_df is not None:
-        # stop-key guard: drop archive band keys matched by more than N
-        # archive rows BEFORE pairing (bounds any key's pair fanout)
-        hot = (
-            y.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_band_df)
-        )
-        y = y.join(hot.select("band", "band_key"), ["band", "band_key"], "left_anti")
     cands = (
-        x.join(y, ["band", "band_key"])
-        .filter(F.col("d1") != F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        _probe_candidates(spark, b_bands, path, buckets, max_band_df)
+        # metadata-width (two longs per LSH-survivor pair, the r13
+        # checkpoint rule's allowed class): without this the candidate
+        # band join + distinct is re-run once per downstream reference —
+        # broadcast in the verify, plus the two semi-join id lists, each
+        # referenced again by every verify-side consumer of the shingle
+        # frame — 7 executions of the same join in the before plan
+        # (plans/r18/q_dedup_minhash_incremental_before.txt: 30 Exchange
+        # nodes / 17 parquet scans / 21 joins vs 11 / 2 / 6 after, with
+        # the shingle persist below; guide §1.2).  The partition-pruned
+        # archive scan now runs inside this eager checkpoint;
+        # test_probe_scan_is_partition_pruned locks the pruning on
+        # _probe_candidates' own (lazy) plan.
+        .localCheckpoint(eager=True)
     )
     cand_b = cands.select(F.col("d1").alias("doc_id")).distinct()
     cand_arch = cands.select(F.col("d2").alias("doc_id")).distinct()
@@ -238,8 +269,18 @@ def probe_minhash_pairs(
         text_col=text_col,
     )
     # distinct: a doc probed against an archive that already contains it
-    # (a re-probe) would otherwise double its shingle rows in the union
-    sh = b_sh.join(cand_b, "doc_id", "left_semi").unionByName(a_sh).distinct()
+    # (a re-probe) would otherwise double its shingle rows in the union.
+    # persist (NOT checkpoint — candidate-doc shingles are bigger than
+    # metadata; MEMORY_AND_DISK spills, and bench/clearCache frees it):
+    # the verify references this frame three times (pair-common a/b legs
+    # + the sizes aggregate), so unpersisted it re-shingles every
+    # candidate doc three times per action.
+    sh = (
+        b_sh.join(cand_b, "doc_id", "left_semi")
+        .unionByName(a_sh)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return verify_jaccard_pairs(cands, sh, t_e4)
 
 

@@ -97,16 +97,43 @@ def test_probe_batch_vs_archive_matches_inline_cross_pairs(spark, tmp_path):
 
 def test_probe_scan_is_partition_pruned(spark, tmp_path):
     """The probe's archive-bands scan must carry PartitionFilters on the
-    band bucket — only the batch's own buckets are read."""
+    band bucket — only the batch's own buckets are read.  Since the r18
+    optimization the candidate join (and with it the archive scan) runs
+    inside probe_minhash_pairs' eager candidate checkpoint, so the lock
+    asserts on the LAZY candidate frame the probe checkpoints
+    (_probe_candidates — the exact plan the checkpoint executes), plus
+    that the probe's final plan reads candidates from the checkpoint
+    (no parquet re-scan per verify reference)."""
+    from hnarchive_spark.sources.minhash_index import _probe_candidates
+
     d = load(spark, SF, "documents")
     arch = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 100 == 1)  # small batch -> real pruning
     path = str(tmp_path / "prune")
     build_minhash_index(spark, arch, path)
-    df = probe_minhash_pairs(spark, batch, path, arch, JACCARD_T)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    from hnarchive_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+    from hnarchive_spark.sources.minhash_index import _bucket
+
+    b = batch.select("doc_id", "text")
+    b_bands = band_rows(minhash_signatures(word_shingles(b))).withColumn(
+        "bucket", _bucket()
+    )
+    buckets = [r[0] for r in b_bands.select("bucket").distinct().collect()]
+    cands = _probe_candidates(spark, b_bands, path, buckets, None)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
     assert pf and any("bucket" in ln for ln in pf), pf
+
+    # and the composed probe must NOT re-scan the bands parquet in its
+    # final (post-checkpoint) plan — candidates come from the checkpoint
+    df = probe_minhash_pairs(spark, batch, path, arch, JACCARD_T)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "/bands" not in final, final[:2000]
 
 
 def test_compaction_preserves_pairs_and_collapses_files(spark, tmp_path):
