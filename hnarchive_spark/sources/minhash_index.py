@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -254,8 +253,8 @@ def probe_minhash_pairs(
         # referenced again by every verify-side consumer of the shingle
         # frame — 7 executions of the same join in the before plan
         # (plans/r18/q_dedup_minhash_incremental_before.txt: 30 Exchange
-        # nodes / 17 parquet scans / 21 joins vs 11 / 2 / 6 after, with
-        # the shingle persist below; guide §1.2).  The partition-pruned
+        # nodes / 17 parquet scans / 21 joins vs 24 / 12 / 18 after;
+        # guide §1.2).  The partition-pruned
         # archive scan now runs inside this eager checkpoint;
         # test_probe_scan_is_partition_pruned locks the pruning on
         # _probe_candidates' own (lazy) plan.
@@ -270,17 +269,16 @@ def probe_minhash_pairs(
     )
     # distinct: a doc probed against an archive that already contains it
     # (a re-probe) would otherwise double its shingle rows in the union.
-    # persist (NOT checkpoint — candidate-doc shingles are bigger than
-    # metadata; MEMORY_AND_DISK spills, and bench/clearCache frees it):
-    # the verify references this frame three times (pair-common a/b legs
-    # + the sizes aggregate), so unpersisted it re-shingles every
-    # candidate doc three times per action.
-    sh = (
-        b_sh.join(cand_b, "doc_id", "left_semi")
-        .unionByName(a_sh)
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # The verify references this frame three times (pair-common a/b legs
+    # + the sizes aggregate) and re-shingles candidates per reference —
+    # DELIBERATELY left lazy: a persist here measured wall-neutral at
+    # sf0.1 (A/B in OPTIMIZATION_r18.md) and, because this probe runs
+    # once per micro-batch inside streaming ingest where nothing ever
+    # calls unpersist/clearCache, a persist would leak one CacheManager
+    # entry per batch for the stream's lifetime.  The candidate
+    # checkpoint above is safe (RDD blocks free on driver GC via
+    # ContextCleaner; the frame is metadata-width regardless).
+    sh = b_sh.join(cand_b, "doc_id", "left_semi").unionByName(a_sh).distinct()
     return verify_jaccard_pairs(cands, sh, t_e4)
 
 
