@@ -21,6 +21,8 @@ non-empty lists).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,123 @@ from hnarchive_spark.operators.similarity import DIM, as_double, sq_dist as _sq_
 # outgrows this bound needs the join form anyway because its centroid
 # matrix stops being expression-sized.
 ARGMIN_LITERAL_MAX = 1024
+
+# Map-side argmin implementation (VERDICT r18 #4, guide §4.2): "arrow" is a
+# vectorized numpy argmin inside ONE pandas UDF per pass — same zero-Exchange
+# plan shape as the r18 literal fold, but the per-row cost is numpy instead
+# of an interpreted k x dim higher-order-function fold, and the PLAN no
+# longer carries k x dim literal trees (whose analysis/codegen was the
+# measured sf0.1 premium: plans/r19/, OPTIMIZATION_r19.md §argmin).
+# "fold" keeps the r18 literal array_min(transform(...)) form — retained for
+# the A/B probe (tools/argmin_arrow_probe.py) and as documentation of the
+# alternative; both produce BIT-IDENTICAL assignments (exactness contract in
+# _np_round6_e6/_np_argmin docstrings, equality-swept on all three SFs).
+# The env override exists ONLY for the A/B probe's separate-process timing
+# runs; production default is the measured winner.
+import os as _os
+
+ARGMIN_IMPL = _os.environ.get("SPARK_GRAFT_ARGMIN_IMPL", "arrow")
+
+
+def _np_round6_e6(acc):
+    """numpy replica of Spark ``round(d, 6)`` scaled to int64 — the
+    comparison key of the assignment contract.  Spark's Round on
+    DoubleType is BigDecimal.valueOf(d).setScale(6, HALF_UP): HALF_UP on
+    the SHORTEST round-trip decimal representation (Double.toString).
+    Fast path: floor(d*1e6 + 0.5) — exact except when the scaled value
+    sits within float-multiply error of a .5 boundary; those few cells
+    are recomputed with Decimal(repr(d)) (repr() is the same
+    shortest-round-trip decimal as Double.toString), so every cell
+    matches Spark's rounding exactly.  Comparing the scaled int64s is
+    order/tie-equivalent to comparing the rounded doubles (m -> m/1e6 is
+    monotone injective at these magnitudes)."""
+    import numpy as np
+
+    y = acc * 1e6
+    fast = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    boundary = np.abs(frac - 0.5) < 1e-4
+    if boundary.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        idx = np.nonzero(boundary)
+        exact = [
+            int(
+                Decimal(repr(float(d))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                * 1_000_000
+            )
+            for d in acc[idx]
+        ]
+        fast = fast.astype("int64")
+        fast[idx] = exact
+        return fast
+    return fast.astype("int64")
+
+
+def _np_argmin(V, cents: list[tuple[int, list[float]]]):
+    """list_id of the nearest centroid per row of ``V`` (n x dim float64).
+
+    Bit-identical to the literal-fold/join forms: the squared distance is
+    accumulated PER DIMENSION across all rows (acc += (x_i-c_i)^2 — the
+    exact IEEE-754 operation order of similarity.sq_dist's sequential
+    zip_with/aggregate fold), rounded via :func:`_np_round6_e6`, and ties
+    break to the smaller list_id (centroid columns ordered by ascending
+    list_id; np.argmin returns the FIRST minimum)."""
+    import numpy as np
+
+    cents = sorted(cents, key=lambda t: t[0])
+    lids = np.array([lid for lid, _ in cents], dtype="int64")
+    n = V.shape[0]
+    M = np.empty((n, len(cents)), dtype="int64")
+    for j, (_lid, c) in enumerate(cents):
+        acc = np.zeros(n, dtype="float64")
+        for i, ci in enumerate(c):
+            d = V[:, i] - ci
+            acc += d * d
+        M[:, j] = _np_round6_e6(acc)
+    return lids[np.argmin(M, axis=1)]
+
+
+def _argmin_udf(cents: list[tuple[int, list[float]]]):
+    """pandas UDF: array<double> vector -> nearest list_id (long)."""
+    import numpy as np
+
+    cents = [(int(lid), [float(x) for x in c]) for lid, c in cents]
+
+    @F.pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array(vs.tolist(), dtype="float64")
+        return pd.Series(_np_argmin(V, cents))
+
+    return assign
+
+
+def _pq_codes_udf(by_m: dict[int, list[tuple[int, list[float]]]], sub: int, n_sub: int):
+    """pandas UDF: full vector -> array<long> of the n_sub subspace codes,
+    ONE Python crossing per row for ALL codebooks (guide §4.1: pass the
+    columns once, batch the work)."""
+    import numpy as np
+
+    by_m = {
+        int(m): [(int(lid), [float(x) for x in c]) for lid, c in cs]
+        for m, cs in by_m.items()
+    }
+
+    @F.pandas_udf("array<long>")
+    def codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(vs.tolist(), dtype="float64")
+        out = np.empty((V.shape[0], n_sub), dtype="int64")
+        for m in range(n_sub):
+            out[:, m] = _np_argmin(V[:, m * sub : (m + 1) * sub], by_m[m])
+        return pd.Series(list(out))
+
+    return codes
 
 
 def _cent_pairs(centroids) -> list[tuple[int, list[float]]]:
@@ -71,15 +190,33 @@ def _argmin_list_id(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Co
 
 def _assign_pass(e: DataFrame, cents: list[tuple[int, list[float]]], keep_vec: bool = True) -> DataFrame:
     """One nearest-centroid assignment pass over (vec_id, v) rows."""
+    if not cents:
+        # Empty centroid set (empty corpus seed): the join form degraded
+        # gracefully to zero rows; the literal form would build a
+        # void-typed F.array() that fails analysis — short-circuit to the
+        # same empty result (ADVICE r18).
+        cols = ["vec_id", "v"] if keep_vec else ["vec_id"]
+        return e.select(
+            *cols, F.lit(None).cast("long").alias("list_id")
+        ).limit(0)
     if len(cents) <= ARGMIN_LITERAL_MAX:
         cols = ["vec_id", "v"] if keep_vec else ["vec_id"]
+        if ARGMIN_IMPL == "arrow":
+            return e.select(
+                *cols, _argmin_udf(cents)(F.col("v")).alias("list_id")
+            )
         return e.select(*cols, _argmin_list_id(F.col("v"), cents).alias("list_id"))
     # join fallback for expression-unfriendly centroid counts — the
     # previously verified broadcast-join + window form, same contract
-    spark = e.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = e.sparkSession.createDataFrame(
         cents, "list_id long, centroid array<double>"
     )
+    return _assign_join(e, cent_df, keep_vec)
+
+
+def _assign_join(e: DataFrame, cent_df: DataFrame, keep_vec: bool) -> DataFrame:
+    """Broadcast-join + window assignment against a centroid DataFrame —
+    the >ARGMIN_LITERAL_MAX fallback, identical scoring contract."""
     scored = e.crossJoin(F.broadcast(cent_df)).select(
         "vec_id",
         "v",
@@ -170,12 +307,21 @@ def kmeans_assign_frozen(
     final assignment exactly.  ``centroids`` is a (list_id, centroid)
     row list or a DataFrame with those columns (a persisted k-row centroid
     table is collected here — metadata-width, the same k x dim matrix
-    :func:`kmeans_assign` already holds on the driver per iteration)."""
+    :func:`kmeans_assign` already holds on the driver per iteration).
+    A DataFrame quantizer LARGER than ARGMIN_LITERAL_MAX is never
+    collected: a bounded ``limit(MAX+1)`` probe decides, and the big case
+    joins against the DataFrame directly (ADVICE r18 — the old
+    unconditional collect was a driver round-trip exactly in the case the
+    join fallback exists for)."""
     e = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
     if isinstance(centroids, DataFrame):
-        centroids = centroids.select("list_id", "centroid").collect()
+        cent_df = centroids.select("list_id", "centroid")
+        head = cent_df.limit(ARGMIN_LITERAL_MAX + 1).collect()
+        if len(head) > ARGMIN_LITERAL_MAX:
+            return _assign_join(e, cent_df, keep_vec)
+        centroids = head
     return _assign_pass(
         e,
         _cent_pairs([(r["list_id"], r["centroid"]) for r in centroids]),
@@ -215,6 +361,14 @@ def pq_assign(
     )
 
     seed = e.orderBy("vec_id").limit(k).collect()  # k rows — bounded small
+    if not seed:
+        # empty corpus: degrade to an empty codes frame like the old join
+        # form did (ADVICE r18 — by_m[m] below would KeyError)
+        codes = e.select(
+            "vec_id",
+            *[F.lit(None).cast("long").alias(f"code_{m}") for m in range(n_sub)],
+        ).limit(0)
+        return (codes, []) if return_codebook else codes
     centroids = [
         (m, j, [float(x) for x in r["v"][m * sub : (m + 1) * sub]])
         for m in range(n_sub)
@@ -229,14 +383,27 @@ def pq_assign(
         by_m: dict[int, list[tuple[int, list[float]]]] = {}
         for m, lid, c in centroids:
             by_m.setdefault(int(m), []).append((int(lid), [float(x) for x in c]))
-        assign_wide = e.select(
-            "vec_id",
-            "v",
-            *[
-                _argmin_list_id(slice_m(m), by_m[m]).alias(f"code_{m}")
-                for m in range(n_sub)
-            ],
-        )
+        if ARGMIN_IMPL == "arrow":
+            # ONE pandas UDF computes all n_sub codes (one Python crossing
+            # per row); the array lands in an inner projection so the UDF
+            # evaluates once, the outer select just extracts elements
+            cu = _pq_codes_udf(by_m, sub, n_sub)
+            assign_wide = e.select(
+                "vec_id", "v", cu(F.col("v")).alias("_codes")
+            ).select(
+                "vec_id",
+                "v",
+                *[F.col("_codes")[m].alias(f"code_{m}") for m in range(n_sub)],
+            )
+        else:
+            assign_wide = e.select(
+                "vec_id",
+                "v",
+                *[
+                    _argmin_list_id(slice_m(m), by_m[m]).alias(f"code_{m}")
+                    for m in range(n_sub)
+                ],
+            )
         if it < iters - 1:
             # centroid update: explode ONLY the (m, code, sub_v) triples the
             # aggregate needs — the corpus-wide argmin stays un-exploded

@@ -568,6 +568,17 @@ def semdedup_drops(
     return semdedup_prune(a, t_e6, max_pivots=max_pivots)
 
 
+# Salt range for the uncapped within-cluster pair join (guide §2.5): the
+# y side partitions by (list_id, vec_id % PRUNE_SALTS) and the x side
+# replicates PRUNE_SALTS ways, so one hot cluster spreads over up to
+# PRUNE_SALTS tasks instead of one.  32 gives k*32 join keys (256 at the
+# fixture's k=8 — ample spread over any core count) at a 32x replication
+# of the x side only — bytes that are linear in the corpus while the pair
+# work it parallelizes is quadratic per cluster (paper-sized clusters of
+# ~1000: replication is 32n vs 500n pair-rows).
+PRUNE_SALTS = 32
+
+
 def semdedup_prune(
     assign: DataFrame, t_e6: int, max_pivots: int | None = None
 ) -> DataFrame:
@@ -594,7 +605,20 @@ def semdedup_prune(
     # identical fold, and nx * ny multiplies the same doubles the inlined
     # cosine would, so cos_e6 stays bit-for-bit.
     assign = assign.select("vec_id", "v", "list_id", norm(F.col("v")).alias("n"))
-    x_src = assign
+    # Skew/parallelism guard (guide §2.5, VERDICT r18 #6): the pair join is
+    # keyed on list_id alone, so its parallelism was bounded by k (and by
+    # the upstream scan's partition count — a single small parquet file put
+    # the ENTIRE quadratic pair stage in ONE task at fixture scale: 0.99
+    # core-scaling ratio at 4x cores).  The later (y) side is spread by a
+    # DETERMINISTIC salt (pmod(vec_id) — never rand(), §2.5's retry rule)
+    # with an EXPLICIT partition count (AQE's byte-sized coalescing would
+    # re-merge this compute-heavy, byte-light stage into one task).  The
+    # count derives from the session's core budget, not a constant.
+    n_part = assign.sparkSession.sparkContext.defaultParallelism
+    y_df = (
+        assign.withColumn("_ys", F.pmod(F.col("vec_id"), F.lit(PRUNE_SALTS)))
+        .repartition(n_part, "list_id", "_ys")
+    )
     if max_pivots is not None:
         pw = Window.partitionBy("list_id").orderBy("vec_id")
         x_src = (
@@ -603,18 +627,33 @@ def semdedup_prune(
             .drop("_pr")
         )
         # bounded by construction (max_pivots rows per cluster): broadcast
-        # the pivot side so the full assignment is never shuffled (§3.1)
-        x_src = F.broadcast(x_src)
-    x, y = x_src.alias("x"), assign.alias("y")
+        # the pivot side so the full assignment is never shuffled (§3.1).
+        # No salt needed — the broadcast join inherits y's repartitioned
+        # parallelism, and each cluster's pair count is already linear.
+        x, y = F.broadcast(x_src).alias("x"), y_df.alias("y")
+        cond = (F.col("x.list_id") == F.col("y.list_id")) & (
+            F.col("x.vec_id") < F.col("y.vec_id")
+        )
+    else:
+        # uncapped: both sides are the full assignment, so the x side is
+        # replicated across the salt range (the classic §2.5 salted join —
+        # each y row must meet every earlier cluster member regardless of
+        # its salt).  Joining on (list_id, salt) reuses y's repartition
+        # exchange and spreads a hot cluster over PRUNE_SALTS partitions.
+        x_rep = assign.withColumn(
+            "_xs", F.explode(F.array(*[F.lit(i) for i in range(PRUNE_SALTS)]))
+        )
+        x, y = x_rep.alias("x"), y_df.alias("y")
+        cond = (
+            (F.col("x.list_id") == F.col("y.list_id"))
+            & (F.col("x._xs") == F.col("y._ys"))
+            & (F.col("x.vec_id") < F.col("y.vec_id"))
+        )
     cos_e6 = F.round(
         dot(F.col("x.v"), F.col("y.v")) / (F.col("x.n") * F.col("y.n")) * 1_000_000, 0
     ).cast("long")
     pairs = (
-        x.join(
-            y,
-            (F.col("x.list_id") == F.col("y.list_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
+        x.join(y, cond)
         .select(
             F.col("y.vec_id").alias("vec_id"),
             F.col("y.list_id").alias("list_id"),

@@ -140,13 +140,25 @@ class ItemsStore:
         # first commit was an empty batch) also takes the pinned path:
         # inference would fail on it, the pinned read correctly returns
         # an empty frame.
-        names = os.listdir(d)
-        legacy = any(n.endswith(".parquet") for n in names) and not any(
-            n.startswith(f"{_BUCKET_COL}=") for n in names
-        )
-        if legacy:
+        if self._legacy_layout(os.listdir(d)):
             return self.spark.read.parquet(d)
         return self.spark.read.schema(_RAW_SCHEMA).parquet(d)
+
+    @staticmethod
+    def _legacy_layout(names: list[str]) -> bool:
+        """A snapshot dir NOT written by :meth:`_write_snapshot`: loose
+        parquet files with no ``id_bucket=`` partitions, or partition
+        directories keyed by anything OTHER than ``id_bucket`` (ADVICE
+        r18: a store partitioned by a foreign key would otherwise be
+        misread with the pinned _RAW_SCHEMA).  Mirrors _read_raw's
+        documented assumptions."""
+        foreign = any(
+            "=" in n and not n.startswith(f"{_BUCKET_COL}=") for n in names
+        )
+        loose = any(n.endswith(".parquet") for n in names) and not any(
+            n.startswith(f"{_BUCKET_COL}=") for n in names
+        )
+        return foreign or loose
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the current snapshot, or a retained past one (time travel).
@@ -224,11 +236,7 @@ class ItemsStore:
         # at production bucket counts the full-store InMemoryFileIndex
         # walk per 200-row commit IS the commit floor)
         d = self._version_dir(old_v)
-        names = os.listdir(d)
-        legacy = any(n.endswith(".parquet") for n in names) and not any(
-            n.startswith(f"{_BUCKET_COL}=") for n in names
-        )
-        if legacy:
+        if self._legacy_layout(os.listdir(d)):
             # legacy layout (no id_bucket partitions): fall back to a full
             # merge once; the rewrite migrates the store to bucketed dirs
             raw = self.spark.read.parquet(d)
@@ -239,9 +247,15 @@ class ItemsStore:
         # listing + the merge) and may be an HTTP fetch pipeline that must
         # not re-run per action.  persist + the bucket-listing collect does
         # both in ONE job (the eager localCheckpoint used here before was a
-        # separate whole-batch pass per commit purely to cut lineage —
-        # guide §1.2: the cache gives the same no-refetch guarantee, and
-        # MEMORY_AND_DISK spills rather than evicts for batches this size)
+        # separate whole-batch pass per commit purely to cut lineage).
+        # Guarantee scope, stated honestly (ADVICE r18): in the
+        # single-process local deployment a cached block cannot be lost, so
+        # the batch is computed exactly once.  On a real cluster a lost
+        # executor would silently RECOMPUTE lost partitions from lineage —
+        # a nondeterministic source could then diverge between the listing
+        # and the merge (localCheckpoint would fail-stop instead).  If
+        # exactly-once fetch is contractual there, use a reliable
+        # checkpoint / persisted staging table for the batch.
         from pyspark import StorageLevel
 
         updates = updates.persist(StorageLevel.MEMORY_AND_DISK)

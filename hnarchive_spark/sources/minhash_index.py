@@ -209,6 +209,19 @@ def _probe_candidates(
     )
 
 
+def _batch_bands(
+    batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(batch shingles, banded+bucketed batch rows) — the probe's bucket
+    derivation, exposed as ONE helper shared by :func:`probe_minhash_pairs`
+    and tests/test_minhash_index.py's partition-pruning lock, so the frame
+    the test asserts on IS the frame the probe builds (ADVICE r18: the
+    test previously duplicated this pipeline and could drift)."""
+    b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    b_sh = word_shingles(b)
+    return b_sh, band_rows(minhash_signatures(b_sh)).withColumn("bucket", _bucket())
+
+
 def probe_minhash_pairs(
     spark: SparkSession,
     batch: DataFrame,
@@ -229,7 +242,6 @@ def probe_minhash_pairs(
     ARCHIVE rows before pairing (the stop-key skew guard — it bounds
     each key's archive-side fanout, not the batch's)."""
     t_e4 = int(round(threshold * 10000))
-    b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # the batch shingle frame stays LAZY: its two consumers (the signature
     # aggregate below, the verify leg at the end) each recompute one
     # batch-sized pass — stateless and O(batch), vs holding a corpus-slice
@@ -238,8 +250,7 @@ def probe_minhash_pairs(
     # rows — 16 short rows per doc — are checkpointed: they feed the
     # bucket collect AND the candidate join, and the checkpoint severs
     # the signature pipeline from being re-run per consumer.
-    b_sh = word_shingles(b)
-    b_bands = band_rows(minhash_signatures(b_sh)).withColumn("bucket", _bucket())
+    b_sh, b_bands = _batch_bands(batch, id_col, text_col)
     b_bands = b_bands.localCheckpoint(eager=True)
     buckets = [r[0] for r in b_bands.select("bucket").distinct().collect()]
     if not buckets:

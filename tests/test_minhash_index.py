@@ -6,6 +6,8 @@ maintenance — the same contract surface as the ANN/BM25/gram-set tests."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -112,17 +114,11 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     path = str(tmp_path / "prune")
     build_minhash_index(spark, arch, path)
 
-    from hnarchive_spark.operators.dedup import (
-        band_rows,
-        minhash_signatures,
-        word_shingles,
-    )
-    from hnarchive_spark.sources.minhash_index import _bucket
+    # the probe's OWN bucket derivation (shared helper — ADVICE r18: a
+    # test-local copy of the pipeline could silently drift from the probe)
+    from hnarchive_spark.sources.minhash_index import _batch_bands
 
-    b = batch.select("doc_id", "text")
-    b_bands = band_rows(minhash_signatures(word_shingles(b))).withColumn(
-        "bucket", _bucket()
-    )
+    _b_sh, b_bands = _batch_bands(batch)
     buckets = [r[0] for r in b_bands.select("bucket").distinct().collect()]
     cands = _probe_candidates(spark, b_bands, path, buckets, None)
     plan = cands._jdf.queryExecution().executedPlan().toString()
@@ -136,6 +132,8 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     assert "/bands" not in final, final[:2000]
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_compaction_preserves_pairs_and_collapses_files(spark, tmp_path):
     d = load(spark, SF, "documents")
     path = str(tmp_path / "compact")

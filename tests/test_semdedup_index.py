@@ -5,6 +5,8 @@ rebuild verb must retrain behind the atomic pointer."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -60,10 +62,11 @@ def test_probe_does_no_training(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # training would show iterated HashAggregate(avg(v[i])) chains; the
     # frozen probe assigns MAP-SIDE against the stored centroids (collected
-    # k-row table embedded as a literal argmin fold — r18 optimization), so
-    # the plan has only embeddings scans, the argmin projection, and the
-    # prune — no aggregate, no per-vector assignment Exchange
-    assert "array_min" in plan, plan[:800]
+    # k-row table — r18's literal argmin fold, r19's Arrow-vectorized numpy
+    # argmin in ONE pandas-UDF stage), so the plan has only embeddings
+    # scans, the argmin stage, and the prune — no aggregate, no per-vector
+    # assignment Exchange
+    assert "ArrowEvalPython" in plan, plan[:800]
     assert plan.count("avg(") == 0, plan[:800]
 
 
@@ -124,7 +127,7 @@ def test_capped_plan_uses_window_group_limit_and_no_training(spark, tmp_path):
         spark, e, path, SEMDEDUP_T_E6, max_pivots=SEMDEDUP_MAX_PIVOTS
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "array_min" in plan, plan[:800]  # map-side frozen argmin (r18)
+    assert "ArrowEvalPython" in plan, plan[:800]  # map-side frozen argmin (r18/r19)
     assert plan.count("avg(") == 0, plan[:800]
     assert "WindowGroupLimit" in plan, plan[:1200]
 
@@ -201,6 +204,8 @@ def test_incremental_probe_and_membership_appends(spark, tmp_path):
     assert "list_id" in plan
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_rebuild_retrains_behind_pointer(spark, tmp_path):
     """Rebuild on a grown corpus publishes v1; the probe then reproduces
     the inline form over the grown corpus (i.e. the new centroids are
@@ -223,6 +228,8 @@ def test_rebuild_retrains_behind_pointer(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "centroids"))  # v0 retained
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_rebuild_carries_membership_through(spark, tmp_path):
     """A membership-bearing index (store_assignments=True) rebuilt into
     v<N> must keep the batch probe working against the published root —
@@ -247,6 +254,8 @@ def test_rebuild_carries_membership_through(spark, tmp_path):
     assert got.count() > 0
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_redelivery_across_rebuild_never_duplicates(spark, tmp_path):
     """Fault injection (VERDICT r15 #4): deliver -> rebuild -> re-deliver
     must land ZERO duplicate membership rows, mechanically.  Membership is

@@ -1,6 +1,8 @@
 """Capture .explain('formatted') for named registry queries into
-plans/r18/<query>_{before,after}.txt — the optimization round's plan-diff
-evidence (guide §1: measure first; judge checks claims against these files).
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_{before,after}.txt — the
+optimization round's plan-diff evidence (guide §1: measure first; judge
+checks claims against these files).  SPARK_GRAFT_PLANS_ROUND defaults to
+r19 (the current optimization round).
 
 Usage: python tools/capture_plans.py before|after q1 q2 ...
 """
@@ -21,7 +23,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
