@@ -51,72 +51,71 @@ def query(name: str, oracle: str | None, doc: str = ""):
 # The driver round this window was built FOR: rotation_order(before_round=
 # _ROTATION_BUILT_FOR_ROUND) over CORRECTNESS_r*.json reproduces it even
 # after this round's own file lands.  Bump when rotating.
-_ROTATION_BUILT_FOR_ROUND = 18
+_ROTATION_BUILT_FOR_ROUND = 19
 
 _VERIFY_FIRST = [
-    # Round-18 rotation, generated MECHANICALLY as
-    # tools/rotation_report.rotation_order(before_round=18) prefix and
-    # locked by tests/test_rotation_consistency.py: the six queries
-    # registered this round first (the token-id export + sequence
-    # assembly, VERDICT r17 #6, and the FFD/NFD packing / waste audit /
-    # doc-bounds additions), then the FULL r12 verification floor (the
-    # 10-query block VERDICT r17 #4 names), then the r13 block filling
-    # the 50-slot budget; ascending staleness, ALPHABETICAL tiebreak.
-    # With this window green the staleness floor over
-    # CORRECTNESS_r01-r18 rises to r13 (the four tail r13 names the
-    # additions displaced — q_sample_weighted, q_schema_evolution,
-    # q_semdedup_indexed, q_shipmode_priority — stay r13-green, so the
-    # floor claim holds).
-    "q_bpe_encode_ids",
-    "q_pack_sequences_ffd",
-    "q_pack_sequences_nfd",
-    "q_pack_token_ids",
-    "q_pack_waste",
-    "q_seq_doc_bounds",
-    "q_substring_dedup_clean",
-    "q_substring_dedup_incremental",
-    "q_substring_dedup_indexed",
-    "q_subtree_agg",
-    "q_time_split_embargo",
-    "q_triangle_count",
-    "q_url_parse",
-    "q_winsorize",
-    "q_wow_growth",
-    "q_zorder_box",
-    "q_array_funcs",
-    "q_asof_join",
-    "q_asof_join_forward",
-    "q_asof_join_inner",
-    "q_boilerplate_ngrams",
-    "q_children_sorted",
-    "q_contamination_indexed",
-    "q_corpus_drift",
-    "q_correlated_subquery",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incremental",
+    # Round-19 rotation, generated MECHANICALLY as
+    # tools/rotation_report.rotation_order(before_round=19) prefix and
+    # locked by tests/test_rotation_consistency.py.  This round the
+    # policy gains a FRONT_LOAD block (VERDICT r18 #3): the 24 queries of
+    # every family the r18/r19 optimization rounds touched come FIRST
+    # (kmeans/PQ/IVF-PQ map-side argmin, SemDeDup x5, pagerank, the
+    # rerank arms, bpe_train, the embed_dup battery, the store
+    # changelog, and the minhash probe trio — including the r18
+    # verdict's three bench watch entries), so CORRECTNESS_r19
+    # oracle-checks the optimized code paths; the remaining 26 slots
+    # fill by the standing policy — ascending latest-green driver round,
+    # ALPHABETICAL tiebreak (the r13/r14 staleness floor).
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_indexed",
+    "q_ann_ivfpq_residual",
+    "q_bpe_merge_pairs",
+    "q_bpe_train",
+    "q_dedup_minhash",
     "q_dedup_minhash_incremental",
     "q_dedup_minhash_indexed",
-    "q_dsir_weights_bigram",
-    "q_hybrid_search_rrf",
-    "q_large_orders",
-    "q_lateral_join",
-    "q_link_prediction_capped",
-    "q_lpa_communities",
-    "q_mix_equalize",
-    "q_multimodal_dedup",
-    "q_multimodal_phash_dup",
-    "q_null_handling",
-    "q_pandas_udaf_weighted",
-    "q_pandas_udf_score",
-    "q_point_lookup",
-    "q_priority_pipeline",
-    "q_promo_revenue",
-    "q_quality_repetition",
-    "q_returned_items",
-    "q_running_sum",
-    "q_sample_hash",
+    "q_embed_dup",
+    "q_embed_dup_capped",
+    "q_hybrid_recall_arms",
+    "q_hybrid_rerank",
+    "q_kmeans_assign",
+    "q_minhash_accuracy",
+    "q_pagerank",
+    "q_pq_codes",
+    "q_rerank_recall10",
+    "q_rerank_top1_fix",
+    "q_semdedup",
+    "q_semdedup_capped",
+    "q_semdedup_incremental",
+    "q_semdedup_indexed",
+    "q_semdedup_indexed_capped",
+    "q_store_changelog",
+    "q_sample_weighted",
+    "q_schema_evolution",
+    "q_shipmode_priority",
+    "q_shipping_priority",
+    "q_small_qty_revenue",
+    "q_stream_dedup_bounded",
+    "q_stream_stream_join",
+    "q_text_quality",
+    "q_text_stats",
+    "q_tfidf_top_terms",
+    "q_top_supplier",
+    "q_topk",
+    "q_topk_per_group",
+    "q_volume_shipping",
+    "q_window_rank",
+    "q_ann_int8",
+    "q_ann_int8_fidelity",
+    "q_ann_ivfpq_append",
+    "q_ann_ivfpq_recall",
+    "q_curation_pipeline",
+    "q_dedup_simhash",
+    "q_display_date",
+    "q_doc_fingerprint",
+    "q_embed_quantize",
+    "q_filtered_agg",
+    "q_fix_ptags",
 ]
 
 

@@ -15,6 +15,14 @@ from hnarchive_spark.sources.ann_index import (
 )
 from hnarchive_spark.tables import load
 
+import pytest
+
+# Multi-minute ANN index append/rebuild/compaction lifecycle integration sweeps (10-43 s per test): excluded
+# from the DRIVER-SIZED default run, executed round-closing via
+# `-m exhaustive` (pytest.ini; VERDICT r18 #1 suite-budget split).
+pytestmark = pytest.mark.exhaustive
+
+
 SF = "/root/testdata/sf0.001"
 
 

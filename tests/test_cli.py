@@ -7,6 +7,11 @@ import json
 
 import pytest
 
+# Multi-minute CLI lifecycle verbs integration sweeps (10-43 s per test): excluded
+# from the DRIVER-SIZED default run, executed round-closing via
+# `-m exhaustive` (pytest.ini; VERDICT r18 #1 suite-budget split).
+pytestmark = pytest.mark.exhaustive
+
 from hnarchive_spark import cli
 
 T0 = 1_700_000_000

@@ -6,6 +6,8 @@ LSH/IVF/BM25 index tests."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -61,6 +63,8 @@ def test_append_converges_to_fresh_build(spark, tmp_path):
     assert _probe_rows(spark, grown, batch) == want
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_append_is_set_semantic_idempotent(spark, tmp_path):
     """Re-delivering an entire batch (and doubling it within one delivery)
     appends ZERO rows — the set semantics that replace the other
@@ -79,6 +83,8 @@ def test_append_is_set_semantic_idempotent(spark, tmp_path):
     assert after["rows"] == before["rows"] == after["grams"]
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_compaction_preserves_probe_rows_and_collapses_files(spark, tmp_path):
     d = load(spark, SF, "documents")
     arch = d.filter(F.col("doc_id") % 2 == 0)

@@ -10,6 +10,8 @@ The registered q_embed_dup is the banded-LSH plan (bounded pair space — the
 
 from __future__ import annotations
 
+import pytest
+
 from hnarchive_spark.operators import similarity as S
 from hnarchive_spark.tables import load
 
@@ -59,6 +61,8 @@ def test_ivf_probe_monotone_and_full_probe_equals_exact(spark):
     assert full == exact, "full probe must equal exact top-k"
 
 
+# multi-minute compaction/rebuild sweep -> round-closing run only
+@pytest.mark.exhaustive
 def test_multi_table_lsh_recall_monotone_in_tables(spark):
     """Table sets are prefixes (table t's planes don't change with L), so
     the candidate union — and therefore recall — is monotone in n_tables."""

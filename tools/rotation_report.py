@@ -66,9 +66,52 @@ def latest_green(before_round: int | None = None) -> dict[str, int]:
     return latest
 
 
+# Per-round FRONT-LOAD lists (VERDICT r18 #3): an optimization round's
+# touched query families must be driver-oracle-checked in the NEXT
+# correctness window, ahead of pure staleness order — the staleness policy
+# alone left only 2 of ~19 r18-touched queries inside the r18 window.
+# Keyed by the round the window is built FOR (=_ROTATION_BUILT_FOR_ROUND =
+# the before_round bound), so the rotation stays reproducible after that
+# round's CORRECTNESS file lands.  Names are alphabetical within the list.
+FRONT_LOAD: dict[int, list[str]] = {
+    # Round 19: every family touched by the r18 optimization commits
+    # (kmeans/PQ/IVF-PQ argmin, SemDeDup x5, pagerank, rerank arms,
+    # bpe_train, embed_dup battery, store changelog, minhash probe) plus
+    # the r18 verdict's three bench watch entries (minhash indexed/
+    # incremental, rerank_recall10 — already in the family lists).
+    19: [
+        "q_ann_ivfpq",
+        "q_ann_ivfpq_indexed",
+        "q_ann_ivfpq_residual",
+        "q_bpe_merge_pairs",
+        "q_bpe_train",
+        "q_dedup_minhash",
+        "q_dedup_minhash_incremental",
+        "q_dedup_minhash_indexed",
+        "q_embed_dup",
+        "q_embed_dup_capped",
+        "q_hybrid_recall_arms",
+        "q_hybrid_rerank",
+        "q_kmeans_assign",
+        "q_minhash_accuracy",
+        "q_pagerank",
+        "q_pq_codes",
+        "q_rerank_recall10",
+        "q_rerank_top1_fix",
+        "q_semdedup",
+        "q_semdedup_capped",
+        "q_semdedup_incremental",
+        "q_semdedup_indexed",
+        "q_semdedup_indexed_capped",
+        "q_store_changelog",
+    ],
+}
+
+
 def rotation_order(before_round: int | None = None) -> list[str]:
-    """Canonical candidate order for _VERIFY_FIRST: never-driver-verified
-    oracled queries first, then every driver-green name by ascending
+    """Canonical candidate order for _VERIFY_FIRST: the round's FRONT_LOAD
+    names first (touched-family coverage), then never-driver-verified
+    oracled queries, then every driver-green name by ascending
     latest-green round.  Ties break ALPHABETICALLY — registration order
     would be import-order-dependent (a test importing one plan module
     directly before _ensure_loaded reorders REGISTRY), and the order here
@@ -76,10 +119,17 @@ def rotation_order(before_round: int | None = None) -> list[str]:
     _ensure_loaded()
     latest = latest_green(before_round)
     reg = list(REGISTRY)
+    front = [n for n in FRONT_LOAD.get(before_round, []) if n in reg]
+    front_set = set(front)
     rows_only = {n for n in reg if REGISTRY[n].oracle is None}
-    never = sorted(n for n in reg if n not in latest and n not in rows_only)
-    stale = sorted((n for n in reg if n in latest), key=lambda n: (latest[n], n))
-    return never + stale
+    never = sorted(
+        n for n in reg if n not in latest and n not in rows_only and n not in front_set
+    )
+    stale = sorted(
+        (n for n in reg if n in latest and n not in front_set),
+        key=lambda n: (latest[n], n),
+    )
+    return front + never + stale
 
 
 def main() -> None:
