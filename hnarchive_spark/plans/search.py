@@ -1259,7 +1259,15 @@ def q_rerank_recall10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rerank_top1_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnarchive_spark.operators.similarity import cosine_topk
 
-    rr = q_hybrid_rerank(spark, sf_dir)
+    # Run q_hybrid_rerank's exact-refine stage-2 ONCE (guide §1.2, VERDICT
+    # r18 #5): the old per-arm filters referenced the refine frame twice,
+    # so its whole subtree (two point-list vec-store scans + two broadcast
+    # joins + the rerank window) sat in the plan once PER ARM.  The refine
+    # output is serving-bounded (HYBRID_QUERIES x HYBRID_TOPK rows), so an
+    # eager localCheckpoint materializes it in one pass and both arms
+    # replay 50 in-memory rows (plans/r19/q_rerank_top1_fix_{before,
+    # after}.txt — the refine subtree appears once, arms scan ExistingRDD).
+    rr = q_hybrid_rerank(spark, sf_dir).localCheckpoint(eager=True)
     f1 = rr.filter(F.col("rrf_rank") == 1).select(
         "query_id", F.col("doc_id").alias("fused_top1")
     )
