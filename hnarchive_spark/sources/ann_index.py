@@ -324,6 +324,95 @@ def append_ivf_index(
         assigned.unpersist()
 
 
+def _np_round0(y):
+    """numpy replica of Spark ``round(d, 0)`` on DoubleType, as int64 —
+    the kmeans._np_round6_e6 machinery at scale 0 (and sign-safe: routing
+    rounds COSINES, which can be negative, where HALF_UP means away from
+    zero).  Spark's Round is BigDecimal.valueOf(d).setScale(0, HALF_UP):
+    HALF_UP on the SHORTEST round-trip decimal representation.  Fast
+    path floor(y + 0.5) is exact except within float error of a .5
+    boundary (including the exact negative halves, where floor(y+0.5)
+    rounds toward +inf but HALF_UP rounds away from zero); boundary
+    cells are recomputed with Decimal(repr(y)) — the same shortest
+    round-trip decimal as Double.toString — so every cell matches
+    Spark's rounding exactly."""
+    import numpy as np
+
+    fast = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    boundary = np.abs(frac - 0.5) < 1e-4
+    if boundary.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        idx = np.nonzero(boundary)
+        exact = [
+            int(
+                Decimal(repr(float(v))).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            for v in y[idx]
+        ]
+        fast = fast.astype("int64")
+        fast[idx] = exact
+        return fast
+    return fast.astype("int64")
+
+
+def _route_driver(qrows, cent_rows, n_probe: int):
+    """DRIVER-side replica of the coarse routing the probes previously ran
+    as a Spark job (crossJoin(broadcast centroids) + round(cosine*1e6)
+    + row_number window + distinct + collect).  Both inputs are bounded
+    by contract — the query set is broadcast-small, the coarse quantizer
+    is n_lists rows — so routing is a metadata-width computation that
+    never needed a job; running it here removes the routing job at probe
+    CONSTRUCTION and the routing subtree's re-execution everywhere the
+    probe frame was referenced in the final plan (guide §1.2/§2.4).
+
+    Bit-identical to the Spark form: dot and norm accumulate PER
+    DIMENSION in float64 (the exact IEEE-754 operation order of
+    similarity.dot/norm's sequential zip_with/aggregate folds,
+    vectorized across centroids), cosine = dot / (qn * cn) with the same
+    operand order, round(cos * 1e6, 0) via :func:`_np_round0`, and the
+    (ccos DESC, list_id ASC) sort replays the window's total order.
+
+    ``qrows``: (query_id, qv as float64 list); ``cent_rows``: (list_id,
+    centroid).  Returns [(query_id, qv, qn, list_id, pr)] — one row per
+    (query, probed list), pr in 1..n_probe, queries in input order."""
+    import math
+
+    import numpy as np
+
+    cents = sorted(
+        ((c[0], [float(x) for x in c[1]]) for c in cent_rows),
+        key=lambda t: t[0],
+    )
+    out = []
+    if not cents:
+        return out
+    lids = [lid for lid, _ in cents]
+    C = np.array([c for _, c in cents], dtype="float64")
+    ncols = C.shape[1]
+    cn_acc = np.zeros(len(cents), dtype="float64")
+    for i in range(ncols):
+        cn_acc = cn_acc + C[:, i] * C[:, i]
+    cn = np.sqrt(cn_acc)
+    for qid, qv in qrows:
+        qv = [float(x) for x in qv]
+        qn_acc = 0.0
+        for x in qv:
+            qn_acc = qn_acc + x * x
+        qn = math.sqrt(qn_acc)
+        dacc = np.zeros(len(cents), dtype="float64")
+        for i in range(ncols):
+            dacc = dacc + qv[i] * C[:, i]
+        ccos = _np_round0((dacc / (qn * cn)) * 1_000_000)
+        order = sorted(range(len(cents)), key=lambda j: (-int(ccos[j]), lids[j]))
+        for pr, j in enumerate(order[:n_probe], 1):
+            out.append((int(qid), qv, qn, lids[j], pr))
+    return out
+
+
 def probe_ivf_topk(
     spark,
     index_path: str,
@@ -336,29 +425,40 @@ def probe_ivf_topk(
     """Top-k per query against the persisted IVF index.
 
     Routing uses the PERSISTED centroids (no corpus aggregate at query
-    time); the probed list ids become a pushed-down partition filter on
+    time) and runs DRIVER-side (:func:`_route_driver` — both routing
+    inputs are bounded by contract, and the old routing job re-executed
+    inside the final plan wherever the probe frame was referenced); the
+    probed list ids become a pushed-down partition filter on
     ``<path>/lists``, so only those lists' files are scanned — the same
     plan shape as ``probe_topk`` for LSH.  Results are identical to the
     on-the-fly ``ivf_topk`` (same centroid means, cosine rounded to 6
     decimals before ranking), so it shares the same oracle.
     """
+    import pyspark.sql.types as T
+
     index_path = index_root(index_path)
-    centroids = spark.read.parquet(f"{index_path}/centroids")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    routed = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "qv",
-        "qn",
-        "list_id",
-        F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0).cast("long").alias("ccos"),
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    lid_type = cent_df.schema["list_id"].dataType
+    cent_rows = [(r["list_id"], r["centroid"]) for r in cent_df.collect()]
+    qrows = [
+        (r["query_id"], r["qv"])
+        for r in queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ).collect()
+    ]
+    route = _route_driver(qrows, cent_rows, n_probe)
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("qn", T.DoubleType()),
+            T.StructField("list_id", lid_type),
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
-    probes = routed.select(
-        "query_id", "qv", "qn", "list_id", F.row_number().over(w).alias("pr")
-    ).filter(F.col("pr") <= n_probe)
-    lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    probes = spark.createDataFrame(
+        [(qid, qv, qn, lid) for qid, qv, qn, lid, _pr in route], probe_schema
+    )
+    lists = sorted({lid for _qid, _qv, _qn, lid, _pr in route})
     idx = spark.read.parquet(f"{index_path}/lists").filter(F.col("list_id").isin(lists))
     scored = (
         idx.join(F.broadcast(probes), "list_id")
@@ -616,37 +716,60 @@ def probe_ivfpq_topk(
     (``_META.json``) the LUT is built per (query, probed list) from the
     query's per-list residual and results match
     ``ivf_pq_residual_topk``."""
+    import pyspark.sql.types as T
+
     index_path = index_root(index_path)
     sub = dim // n_sub
     residual = bool(_ivfpq_meta(index_path).get("by_residual"))
-    centroids = spark.read.parquet(f"{index_path}/centroids")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    # routing runs DRIVER-side (_route_driver): both inputs are bounded
+    # by contract (broadcast-small query set, n_lists centroid rows), and
+    # the old Spark-job routing (crossJoin + window + distinct + collect)
+    # both cost a job at probe construction AND re-executed its subtree
+    # at every reference of the probe frame in the final plan (the
+    # candidate restriction, the LUT build, and — on a residual index —
+    # the per-list query residuals).
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    lid_type = cent_df.schema["list_id"].dataType
+    cent_rows = [(r["list_id"], r["centroid"]) for r in cent_df.collect()]
+    qrows = [
+        (r["query_id"], r["qv"])
+        for r in queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ).collect()
+    ]
+    route = _route_driver(qrows, cent_rows, n_probe)
+    probes = spark.createDataFrame(
+        [(qid, lid) for qid, _qv, _qn, lid, _pr in route],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("list_id", lid_type),
+            ]
+        ),
     )
-    routed = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "qv",
-        "list_id",
-        F.round(cosine(F.col("qv"), F.col("centroid")) * 1_000_000, 0).cast("long").alias("ccos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("list_id"))
-    probes = routed.select(
-        "query_id", "qv", "list_id", F.row_number().over(w).alias("pr")
-    ).filter(F.col("pr") <= n_probe)
-    lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    lists = sorted({lid for _qid, _qv, _qn, lid, _pr in route})
     codes = spark.read.parquet(f"{index_path}/codes").filter(F.col("list_id").isin(lists))
     # per-query ADC lookup table from the persisted codebooks; on a
     # residual index the query's residual differs per probed list, so
     # the LUT carries list_id and the scoring join keys on it too
     codebooks = spark.read.parquet(f"{index_path}/codebooks")
     if residual:
-        q_res = probes.join(
-            F.broadcast(centroids.withColumnRenamed("list_id", "cl")),
-            probes.list_id == F.col("cl"),
-        ).select(
-            "query_id",
-            "list_id",
-            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, c: x - c).alias("qr"),
+        # the query's per-probed-list residual, computed driver-side from
+        # the SAME collected centroids (qv[i] - centroid[i] is the exact
+        # elementwise IEEE op zip_with performed)
+        cent_by = {lid: [float(x) for x in c] for lid, c in cent_rows}
+        q_res = spark.createDataFrame(
+            [
+                (qid, lid, [x - c for x, c in zip(qv, cent_by[lid])])
+                for qid, qv, _qn, lid, _pr in route
+            ],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("list_id", lid_type),
+                    T.StructField("qr", T.ArrayType(T.DoubleType())),
+                ]
+            ),
         )
         q_sub = q_res.select(
             "query_id",
@@ -656,7 +779,14 @@ def probe_ivfpq_topk(
         )
         lut_keys = ["query_id", "list_id", "m", "code"]
     else:
-        q_sub = probes.select("query_id", "qv").distinct().select(
+        seen: dict[int, list[float]] = {}
+        for qid, qv, _qn, _lid, _pr in route:
+            seen.setdefault(qid, qv)
+        q_df = spark.createDataFrame(
+            list(seen.items()),
+            "query_id long, qv array<double>",
+        )
+        q_sub = q_df.select(
             "query_id",
             F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
             F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsub"),
