@@ -65,9 +65,15 @@ _VERIFY_FIRST = [
     # verdict's three bench watch entries), so CORRECTNESS_r19
     # oracle-checks the optimized code paths; the remaining 26 slots
     # fill by the standing policy — ascending latest-green driver round,
-    # ALPHABETICAL tiebreak (the r13/r14 staleness floor).
+    # ALPHABETICAL tiebreak (the r13/r14 staleness floor).  Mid-round the
+    # FRONT_LOAD grew by the three further queries the r19 driver-side
+    # probe-routing change touches (q_ann_ivf_indexed, q_ann_ivfpq_rebuild,
+    # q_hybrid_search_rrf_indexed), displacing the three stalest fill
+    # slots (q_embed_quantize, q_filtered_agg, q_fix_ptags).
+    "q_ann_ivf_indexed",
     "q_ann_ivfpq",
     "q_ann_ivfpq_indexed",
+    "q_ann_ivfpq_rebuild",
     "q_ann_ivfpq_residual",
     "q_bpe_merge_pairs",
     "q_bpe_train",
@@ -78,6 +84,7 @@ _VERIFY_FIRST = [
     "q_embed_dup_capped",
     "q_hybrid_recall_arms",
     "q_hybrid_rerank",
+    "q_hybrid_search_rrf_indexed",
     "q_kmeans_assign",
     "q_minhash_accuracy",
     "q_pagerank",
@@ -113,9 +120,6 @@ _VERIFY_FIRST = [
     "q_dedup_simhash",
     "q_display_date",
     "q_doc_fingerprint",
-    "q_embed_quantize",
-    "q_filtered_agg",
-    "q_fix_ptags",
 ]
 
 

@@ -78,10 +78,15 @@ FRONT_LOAD: dict[int, list[str]] = {
     # (kmeans/PQ/IVF-PQ argmin, SemDeDup x5, pagerank, rerank arms,
     # bpe_train, embed_dup battery, store changelog, minhash probe) plus
     # the r18 verdict's three bench watch entries (minhash indexed/
-    # incremental, rerank_recall10 — already in the family lists).
+    # incremental, rerank_recall10 — already in the family lists), plus
+    # the three further queries the r19 driver-side probe-routing change
+    # touches that the family lists above didn't already carry
+    # (q_ann_ivf_indexed, q_ann_ivfpq_rebuild, q_hybrid_search_rrf_indexed).
     19: [
+        "q_ann_ivf_indexed",
         "q_ann_ivfpq",
         "q_ann_ivfpq_indexed",
+        "q_ann_ivfpq_rebuild",
         "q_ann_ivfpq_residual",
         "q_bpe_merge_pairs",
         "q_bpe_train",
@@ -92,6 +97,7 @@ FRONT_LOAD: dict[int, list[str]] = {
         "q_embed_dup_capped",
         "q_hybrid_recall_arms",
         "q_hybrid_rerank",
+        "q_hybrid_search_rrf_indexed",
         "q_kmeans_assign",
         "q_minhash_accuracy",
         "q_pagerank",
